@@ -1,0 +1,269 @@
+"""Text-analysis / dedup queries over the ``documents`` table.
+
+The large-scale training-data operators (BASELINE.json north star): token
+counting, quality scoring, language-ID, fingerprinting, exact + n-gram-
+Jaccard dedup. All hot-path expressions are JVM built-ins (regexp/hash) —
+no Python UDFs — so they scale to a 100 TB documents table; the DuckDB
+oracles pin the exact semantics.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from analytics_data_platform_spark.functions import text as T
+from analytics_data_platform_spark.queries import QuerySpec, register
+from analytics_data_platform_spark.sources.testdata import load_table
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.word_count("text").alias("n_words"),
+        T.char_len("text").alias("n_chars_obs"),
+        T.punct_count("text").alias("n_punct"),
+    )
+
+
+TEXT_TOKEN_SQL = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+       length(text) AS n_chars_obs,
+       len(regexp_extract_all(text, '[.,;:!?''"()\-]')) AS n_punct
+FROM documents
+"""
+
+register(
+    QuerySpec(
+        "text_token_stats",
+        text_token_stats,
+        TEXT_TOKEN_SQL,
+        doc="token/word/char/punct counting per document",
+        cites="training-data ops: token counting (BASELINE.json north star)",
+        bench=True,
+        tags=("text",),
+    )
+)
+
+
+def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("source", T.quality_score("text").alias("q"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+        )
+    )
+
+
+TEXT_QUALITY_SQL = r"""
+WITH scored AS (
+  SELECT source,
+    ((CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+           AND length(text) * 1.0 / len(regexp_extract_all(text, '\S+')) BETWEEN 3.0 AND 10.0
+           THEN 1.0 ELSE 0.0 END)
+     + (CASE WHEN length(text) > 0
+             AND len(regexp_extract_all(text, '[.,;:!?''"()\-]')) * 1.0 / length(text) < 0.10
+             THEN 1.0 ELSE 0.0 END)
+     + (CASE WHEN len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) > 0
+             THEN 1.0 ELSE 0.0 END)) / 3.0 AS q
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs, ROUND(AVG(q), 4) AS avg_quality
+FROM scored GROUP BY source
+"""
+
+register(
+    QuerySpec(
+        "text_quality_by_source",
+        text_quality_by_source,
+        TEXT_QUALITY_SQL,
+        doc="heuristic quality scoring (length/punct/stopword) per source",
+        cites="training-data ops: quality scoring",
+        bench=True,
+        tags=("text",),
+    )
+)
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", T.lang_guess("text").alias("lang_guess"))
+
+
+LANG_ID_SQL = r"""
+WITH s AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS s_en,
+         len(regexp_extract_all(lower(text), '\b(der|die|und|ist|nicht)\b')) AS s_de,
+         len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS s_fr
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+            WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+            WHEN s_fr > 0 THEN 'fr'
+            ELSE 'und' END AS lang_guess
+FROM s
+"""
+
+register(
+    QuerySpec(
+        "lang_id_heuristic",
+        lang_id_heuristic,
+        LANG_ID_SQL,
+        doc="stopword-marker language identification",
+        cites="training-data ops: language-ID heuristic",
+        tags=("text",),
+    )
+)
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressable fingerprint: md5 of normalized text."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint("text").alias("fingerprint"))
+
+
+FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                               '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+register(
+    QuerySpec(
+        "doc_fingerprints",
+        doc_fingerprints,
+        FINGERPRINT_SQL,
+        doc="document fingerprinting (md5 of normalized text)",
+        cites="training-data ops: document fingerprinting",
+        tags=("text", "dedup"),
+    )
+)
+
+
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup accounting per source: docs vs distinct normalized texts.
+
+    Scale path: countDistinct over a hash groups map-side; at 100 TB this is
+    a single shuffle on (source) with partial aggregation — no row explosion.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    fp = T.fingerprint("text")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(fp).alias("n_unique"),
+        (F.count("*") - F.countDistinct(fp)).alias("n_dup"),
+    )
+
+
+DEDUP_EXACT_SQL = r"""
+WITH fp AS (
+  SELECT source,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                 '\s+', ' ', 'g'))) AS f
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT f) AS n_unique,
+       COUNT(*) - COUNT(DISTINCT f) AS n_dup
+FROM fp GROUP BY source
+"""
+
+register(
+    QuerySpec(
+        "dedup_exact_stats",
+        dedup_exact_stats,
+        DEDUP_EXACT_SQL,
+        doc="exact (hash) dedup accounting per source",
+        cites="training-data ops: exact dedup (hash-groupBy)",
+        bench=True,
+        tags=("dedup",),
+    )
+)
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (token 3-gram shingles).
+
+    Candidate generation by shingle equi-join (docs sharing ≥1 shingle), then
+    |A∩B| / (|A|+|B|-|A∩B|). Scale note: the shingle join is the LSH-free
+    exact formulation — quadratic in the worst case; at 100 TB use
+    near-dup MinHash-LSH (operators.dedup) for candidates and this only to
+    verify candidate pairs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(T.normalized_text("text"), " ")
+    # n tokens → n-2 3-gram shingles; sequence() descends when start > stop,
+    # so short docs must be guarded with an empty array, not a clamped bound
+    shingles = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = d.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .where(F.col("jaccard") >= 0.2)
+    )
+
+
+NGRAM_JACCARD_SQL = r"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                          '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM norm, UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)
+  WHERE len(toks) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.2
+"""
+
+register(
+    QuerySpec(
+        "ngram_jaccard_pairs",
+        ngram_jaccard_pairs,
+        NGRAM_JACCARD_SQL,
+        doc="exact n-gram Jaccard near-duplicate pairs",
+        cites="training-data ops: n-gram Jaccard near-dup",
+        tags=("dedup",),
+    )
+)

@@ -1,0 +1,155 @@
+"""Similarity-search / embedding queries over the ``embeddings`` table.
+
+Brute-force cosine top-k is the exactness baseline; operators.similarity
+adds the LSH-bucketed scale path. All vector math uses higher-order
+functions (functions.vectors) — JVM-side, no Python boundary.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from analytics_data_platform_spark.functions import vectors as V
+from analytics_data_platform_spark.queries import QuerySpec, register
+from analytics_data_platform_spark.sources.testdata import load_table
+
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", V.norm("embedding").alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+        )
+    )
+
+
+EMB_NORM_SQL = """
+WITH norms AS (
+  SELECT label,
+         sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+               FROM UNNEST(embedding) AS t(x))) AS nrm
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vecs,
+       ROUND(AVG(nrm), 4) AS avg_norm,
+       ROUND(MIN(nrm), 4) AS min_norm,
+       ROUND(MAX(nrm), 4) AS max_norm
+FROM norms GROUP BY label
+"""
+
+register(
+    QuerySpec(
+        "embedding_norm_stats",
+        embedding_norm_stats,
+        EMB_NORM_SQL,
+        doc="L2 norm statistics per label (higher-order fns, no UDF)",
+        cites="training-data ops: embedding column math",
+        tags=("vector",),
+    )
+)
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors for query vectors (vec_id < 5).
+
+    Query side is broadcast; candidates stream — at 100 TB this is a single
+    pass over the corpus with a per-partition top-k (window over tiny
+    q_id-partitions after aggregation). Rank on ROUND(cos,4) with vec_id
+    tie-break so float ulp differences cannot reorder results vs the oracle.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = e.select("vec_id", "embedding")
+    cos = F.round(V.cosine("q_emb", "embedding"), 4)
+    scored = (
+        cand.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("q_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+ANN_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         ROUND(
+           list_sum(list_transform(list_zip(q.q_emb, e.embedding),
+                                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(e.embedding,
+                                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+           AS cos_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, cos_sim, rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+register(
+    QuerySpec(
+        "ann_cosine_topk",
+        ann_cosine_topk,
+        ANN_TOPK_SQL,
+        doc="brute-force cosine top-k similarity search",
+        cites="training-data ops: similarity search baseline",
+        bench=True,
+        tags=("vector", "topk"),
+    )
+)
+
+
+def embedding_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (elementwise mean) → centroid L2 norm.
+
+    posexplode → (label, pos) mean → recompose: the distributed formulation
+    of columnar vector averaging (shuffles on (label,pos) — scales linearly).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    per_dim = (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("mean_val"))
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(F.round(F.sqrt(F.sum(F.col("mean_val") * F.col("mean_val"))), 4).alias("centroid_norm"))
+    )
+
+
+CENTROID_SQL = """
+WITH per_dim AS (
+  SELECT label, t.i AS pos, AVG(CAST(embedding[t.i] AS DOUBLE)) AS mean_val
+  FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+  GROUP BY label, t.i
+)
+SELECT label, ROUND(sqrt(SUM(mean_val * mean_val)), 4) AS centroid_norm
+FROM per_dim GROUP BY label
+"""
+
+register(
+    QuerySpec(
+        "embedding_centroid_norms",
+        embedding_centroid_norms,
+        CENTROID_SQL,
+        doc="per-label centroid norm (distributed elementwise mean)",
+        cites="training-data ops: embedding aggregation (IVF coarse-quantizer step)",
+        tags=("vector",),
+    )
+)

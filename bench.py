@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline query set and prints ONE JSON line.
+
+Env:
+  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default all cores)
+
+Each query is materialized with the noop DataSourceV2 sink — full plan
+execution (scan → shuffle → compute) without driver-side collect, which is
+how the query would behave feeding a real table write.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from analytics_data_platform_spark.queries import all_queries
+from analytics_data_platform_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+    spark = get_spark(app_name="adps-bench")
+    specs = {n: s for n, s in all_queries().items() if s.bench}
+
+    timings: dict[str, float] = {}
+    # one warmup pass on the smallest query to absorb JVM/codegen startup
+    warm = specs.get("q6_forecast_revenue") or next(iter(specs.values()))
+    warm.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    t_all = time.perf_counter()
+    for name, spec in sorted(specs.items()):
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_all, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
