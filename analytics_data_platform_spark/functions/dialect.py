@@ -41,12 +41,12 @@ def substring_from_end(col: Column | str, n: int) -> Column:
 def date_diff_minutes(start: Column, end: Column) -> Column:
     """Trino ``date_diff('minute', start, end)``.
 
-    NB Trino argument order is (unit, from, to); Spark ``timestampdiff`` also
-    takes (unit, start, end) — but Trino's ``date_diff`` truncates toward
-    zero on sub-minute remainders exactly like timestampdiff.
+    NB Trino argument order is (unit, from, to); Spark ``timestamp_diff``
+    also takes (unit, start, end) — and Trino's ``date_diff`` truncates
+    toward zero on sub-minute remainders exactly like timestamp_diff.
     Reference: mcr_equipment_downtime_records.sql:96-99.
     """
-    return F.timestampdiff("MINUTE", start, end)
+    return F.timestamp_diff("MINUTE", start, end)
 
 
 def add_fractional_minutes(ts: Column, minutes: Column) -> Column:
@@ -57,7 +57,7 @@ def add_fractional_minutes(ts: Column, minutes: Column) -> Column:
     representable in the reference either).
     Reference: mcr_equipment_downtime_records.sql:75.
     """
-    return F.timestampadd("SECOND", F.round(minutes * 60).cast("long"), ts)
+    return F.timestamp_add("SECOND", F.round(minutes * 60).cast("long"), ts)
 
 
 def parse_utc_timestamp(date_str: Column, time_str: Column, tz: str = "Europe/London") -> Column:
@@ -83,7 +83,7 @@ def is_dst_ambiguous(local_ts: Column, tz: str = "Europe/London") -> Column:
     the DST gap (1h) and converting back reproduces the same local time.
     """
     utc = F.to_utc_timestamp(local_ts, tz)
-    other = F.from_utc_timestamp(F.timestampadd("HOUR", F.lit(1), utc), tz)
+    other = F.from_utc_timestamp(F.timestamp_add("HOUR", F.lit(1), utc), tz)
     return other == local_ts
 
 

@@ -1,0 +1,212 @@
+"""Mini model-DAG runner — the Spark replacement for the reference's
+dbt-on-Trino transform layer (SURVEY.md §3.3).
+
+A :class:`Model` is a named build function over ``ref()``/``source()``
+inputs with a materialization (view|table), optional Iceberg-style
+partition/sort specs, and attached data tests (not_null / unique /
+accepted_values — the dbt data-test surface the reference uses,
+e.g. cycles.yml:5-21). The runner topologically orders models, builds each
+as a DataFrame, materializes tables through TableIO, and evaluates data
+tests distributed (one aggregate pass per model, no collect of data rows).
+
+Unit-test parity: dbt unit tests override ``ref()`` inputs with fixtures
+(stg_opralogweb__mcr_equipment_downtime.yml:8-41); ``run(overrides=...)``
+does exactly that, letting golden-row tests feed fixture DataFrames.
+
+Selection parity: the reference's cron runs
+``dbt run --select 'models/staging/<domain>/*<source>*+'`` (downstream
+closure); ``run(select=..., downstream=True)`` mirrors that.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass, field
+from graphlib import TopologicalSorter
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from analytics_data_platform_spark.tables.io import TableIO
+
+
+@dataclass(frozen=True)
+class DataTest:
+    kind: str  # not_null | unique | accepted_values
+    column: str
+    values: tuple | None = None
+
+
+def not_null(column: str) -> DataTest:
+    return DataTest("not_null", column)
+
+
+def unique(column: str) -> DataTest:
+    return DataTest("unique", column)
+
+
+def accepted_values(column: str, values: list) -> DataTest:
+    return DataTest("accepted_values", column, tuple(values))
+
+
+class Refs:
+    """Resolver passed to model build functions: ``ref(name)`` and
+    ``source(schema, table)`` return DataFrames."""
+
+    def __init__(self, built: dict[str, DataFrame], sources: dict[tuple[str, str], DataFrame]):
+        self._built = built
+        self._sources = sources
+
+    def ref(self, name: str) -> DataFrame:
+        if name not in self._built:
+            raise KeyError(f"model {name!r} not built yet — missing from deps?")
+        return self._built[name]
+
+    def source(self, schema: str, table: str) -> DataFrame:
+        key = (schema, table)
+        if key not in self._sources:
+            raise KeyError(f"source {schema}.{table} not provided")
+        return self._sources[key]
+
+
+@dataclass
+class Model:
+    name: str
+    build: Callable[[SparkSession, Refs], DataFrame]
+    deps: tuple[str, ...] = ()
+    sources: tuple[tuple[str, str], ...] = ()
+    materialization: str = "view"  # view | table
+    partition: dict[str, str] | None = None
+    sort: list[str] | None = None
+    tests: list[DataTest] = field(default_factory=list)
+
+
+@dataclass
+class TestFailure:
+    model: str
+    test: DataTest
+    failing_rows: int
+
+    def __str__(self) -> str:
+        t = self.test
+        extra = f" (accepted: {list(t.values)})" if t.values else ""
+        return f"{self.model}.{t.column}: {t.kind}{extra} — {self.failing_rows} failing rows"
+
+
+class DataTestError(AssertionError):
+    def __init__(self, failures: list[TestFailure]):
+        super().__init__("; ".join(map(str, failures)))
+        self.failures = failures
+
+
+class TransformDag:
+    def __init__(self) -> None:
+        self.models: dict[str, Model] = {}
+
+    def add(self, model: Model) -> Model:
+        if model.name in self.models:
+            raise ValueError(f"duplicate model {model.name}")
+        self.models[model.name] = model
+        return model
+
+    def model(self, name: str, **kwargs):
+        """Decorator: ``@dag.model('stg_x', deps=('base_y',), ...)``."""
+
+        def wrap(fn: Callable[[SparkSession, Refs], DataFrame]) -> Model:
+            return self.add(Model(name=name, build=fn, **kwargs))
+
+        return wrap
+
+    # -- ordering ----------------------------------------------------------
+
+    def order(self, select: list[str] | None = None, downstream: bool = True) -> list[str]:
+        ts = TopologicalSorter({n: set(m.deps) for n, m in self.models.items()})
+        full = list(ts.static_order())
+        if select is None:
+            return full
+        wanted = set(select)
+        if downstream:
+            for name in full:  # topo order guarantees deps seen first
+                if wanted & set(self.models[name].deps):
+                    wanted.add(name)
+        # plus upstream closure so selected models can build
+        changed = True
+        while changed:
+            changed = False
+            for name in list(wanted):
+                for d in self.models[name].deps:
+                    if d not in wanted:
+                        wanted.add(d)
+                        changed = True
+        return [n for n in full if n in wanted]
+
+    # -- execution ---------------------------------------------------------
+
+    def run(
+        self,
+        spark: SparkSession,
+        sources: dict[tuple[str, str], DataFrame] | None = None,
+        overrides: dict[str, DataFrame] | None = None,
+        select: list[str] | None = None,
+        downstream: bool = True,
+        target_namespace: str | None = None,
+        io: TableIO | None = None,
+        run_tests: bool = True,
+    ) -> dict[str, DataFrame]:
+        """Build models in dependency order; returns name → DataFrame.
+
+        ``overrides`` short-circuits a model with a fixture DataFrame (dbt
+        unit-test semantics). With ``target_namespace``, table-materialized
+        models are written through TableIO (replace semantics, partition +
+        write-sort specs) and downstream models read the written table.
+        """
+        built: dict[str, DataFrame] = dict(overrides or {})
+        io = io or (TableIO(spark) if target_namespace else None)
+        if target_namespace and io:
+            io.ensure_namespace(target_namespace)
+
+        failures: list[TestFailure] = []
+        for name in self.order(select, downstream):
+            if name in built:
+                continue
+            model = self.models[name]
+            refs = Refs(built, sources or {})
+            df = model.build(spark, refs)
+            if model.materialization == "table" and target_namespace and io:
+                table = f"{target_namespace}.{name}"
+                io.write_table(
+                    df,
+                    table,
+                    mode="replace",
+                    partition_spec=model.partition,
+                    sort_spec=model.sort,
+                )
+                df = io.read(table)
+            built[name] = df
+            if run_tests and model.tests:
+                failures.extend(self._test_model(model, df))
+        if failures:
+            raise DataTestError(failures)
+        return built
+
+    def _test_model(self, model: Model, df: DataFrame) -> Iterator[TestFailure]:
+        """All of a model's tests in ONE aggregate pass (single job)."""
+        aggs = []
+        for i, t in enumerate(model.tests):
+            c = F.col(t.column)
+            if t.kind == "not_null":
+                aggs.append(F.sum(F.when(c.isNull(), 1).otherwise(0)).alias(f"t{i}"))
+            elif t.kind == "unique":
+                aggs.append(
+                    (F.count(c) - F.count_distinct(c)).alias(f"t{i}")
+                )
+            elif t.kind == "accepted_values":
+                bad = ~c.isin(list(t.values or ())) & c.isNotNull()
+                aggs.append(F.sum(F.when(bad, 1).otherwise(0)).alias(f"t{i}"))
+            else:
+                raise ValueError(f"unknown data test kind {t.kind!r}")
+        row = df.agg(*aggs).collect()[0]
+        for i, t in enumerate(model.tests):
+            n = row[f"t{i}"] or 0
+            if n > 0:
+                yield TestFailure(model.name, t, int(n))
