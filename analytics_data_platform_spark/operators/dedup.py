@@ -1,0 +1,272 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (100 TB documents):
+- exact: one shuffle on the fingerprint hash; keep min(doc_id) per group.
+- MinHash+LSH: signatures are computed JVM-side (xxhash64 inside
+  higher-order functions — no Python boundary), then candidates come from a
+  band-bucket equi-join: cost is O(sum of bucket sizes²) not O(n²). Bands
+  are exploded to (band_id, band_hash) rows so the join shuffles on the
+  bucket key and AQE handles skewed buckets.
+- SimHash: 64-bit signature via vectorized Arrow batches (numpy bit-packing
+  in a pandas iterator UDF); near-dup = signatures within k Hamming bits,
+  found by 4-way table-split banding (each 16-bit chunk exact-matches at
+  least once when hamming ≤ 3 per pigeonhole at 4 chunks).
+- exact n-gram Jaccard verification of candidate pairs only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from analytics_data_platform_spark.functions.text import normalized_text
+
+
+def fingerprint_col(text: Column | str) -> Column:
+    return F.md5(normalized_text(text))
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative row (min id) per exact normalized text.
+
+    Single hash-shuffle; at scale prefer this over dropDuplicates on the
+    raw text (hash keys are 32 bytes vs document-size shuffle payloads).
+    """
+    fp = fingerprint_col(text_col).alias("_fp")
+    keep = (
+        df.select(F.col(id_col), fp)
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("_fp")
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# --- MinHash + LSH --------------------------------------------------------
+
+
+def shingle_tokens(text: Column | str, k: int = 3) -> Column:
+    """Distinct token k-gram shingles as an array (JVM-side)."""
+    toks = F.split(normalized_text(text), " ")
+    return F.when(
+        F.size(toks) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: per seed, min over xxhash64(shingle ++ seed).
+
+    All JVM-side (xxhash64 in a lambda) — each document costs
+    O(|shingles| * num_hashes) hash evaluations inside codegen, zero
+    Python. Empty shingle sets yield nulls (filtered by callers).
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s: F.xxhash64(F.concat(s, F.lit(f"#{i}"))))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
+
+    rows: (id_a, id_b, n_shared_bands). With r = num_hashes/bands rows per
+    band, the usual S-curve applies (P[candidate] = 1-(1-j^r)^b).
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sig = (
+        df.select(F.col(id_col), minhash_signature(shingle_tokens(text_col), num_hashes).alias("sig"))
+        .where(F.col("sig").isNotNull())
+    )
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.element_at("sig", b * r + j + 1) for j in range(r)])
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def exact_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard.
+
+    At scale this joins only the candidate ids back to the corpus (two
+    semi-joins), never all-pairs.
+    """
+    sh = df.select(
+        F.col(id_col), shingle_tokens(text_col, k).alias("sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = candidates.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)).alias("jaccard"),
+    )
+
+
+def dedup_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Near-duplicate removal: drop the higher-id doc of every verified pair.
+
+    (Connected-component clustering would drop transitive chains; the
+    pairwise rule matches common corpus-dedup practice and needs no
+    iterative joins.)
+    """
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands)
+    dupes = (
+        exact_jaccard_pairs(df, cands, text_col, id_col)
+        .where(F.col("jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(dupes, on=id_col, how="left_anti")
+
+
+# --- SimHash --------------------------------------------------------------
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document, Arrow-batched (numpy bit voting).
+
+    Python is unavoidable here (per-bit majority vote over token hashes);
+    mapInPandas keeps it vectorized per batch instead of per row.
+    """
+    import numpy as np
+
+    norm = df.select(F.col(id_col), normalized_text(text_col).alias("_norm"))
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_sigs = [], []
+            for did, text in zip(pdf[id_col], pdf["_norm"]):
+                toks = text.split(" ") if text else []
+                if not toks:
+                    out_ids.append(did)
+                    out_sigs.append(0)
+                    continue
+                # deterministic 64-bit token hashes (stdlib-free, numpy only)
+                hs = np.array(
+                    [np.uint64(abs(hash64(t))) for t in toks], dtype=np.uint64
+                )
+                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+                    np.int64
+                )
+                votes = (2 * bits - 1).sum(axis=0)
+                sig = np.uint64(0)
+                for i in np.nonzero(votes > 0)[0]:
+                    sig |= np.uint64(1) << np.uint64(i)
+                out_ids.append(did)
+                out_sigs.append(np.int64(sig.astype(np.int64)))
+            yield pd.DataFrame({id_col: out_ids, "simhash": out_sigs})
+
+    return norm.mapInPandas(compute, schema=f"{id_col} long, simhash long")
+
+
+def hash64(token: str) -> int:
+    """Deterministic 64-bit FNV-1a (Python's hash() is salted per-process —
+    unusable across executors)."""
+    h = 0xCBF29CE484222325
+    for ch in token.encode("utf-8"):
+        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h - 0x8000000000000000  # into signed-64 range
+
+
+def simhash_near_pairs(sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Pairs with Hamming(sig_a, sig_b) ≤ max_hamming via 4×16-bit banding.
+
+    Pigeonhole: ≤3 differing bits over 4 chunks → at least one 16-bit chunk
+    equal, so candidates come from 4 equi-joins, not an all-pairs scan.
+    """
+    chunks = [
+        F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias(f"c{i}")
+        for i in range(4)
+    ]
+    banded = sigs.select(id_col, "simhash", *chunks).select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("band"), F.col(f"c{i}").alias("chunk")) for i in range(4)])
+        ).alias("bb"),
+    ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

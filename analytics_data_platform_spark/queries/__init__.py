@@ -47,6 +47,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # import side-effect populates REGISTRY exactly once
     from analytics_data_platform_spark.queries import (  # noqa: F401
         relational,
+        scale_ops,
         text_ops,
         tpch,
         vector_ops,

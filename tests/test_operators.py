@@ -1,0 +1,188 @@
+"""Tests for the large-scale operators: dedup families, similarity search,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+import pyspark.sql.functions as F
+
+from analytics_data_platform_spark.operators import dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "The quick brown fox jumps over the lazy dog near the river bank today!"),  # exact after norm
+        (3, "The quick brown fox jumps over the lazy dog near the river bend today"),  # near-dup
+        (4, "Completely different content about spark shuffle partitions and joins here"),
+        (5, "Another unrelated document mentioning embeddings vectors and cosine scores"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact_keeps_min_id(spark, docs):
+    out = dedup.dedup_exact(docs)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {1, 3, 4, 5}  # 2 is an exact normalized dup of 1
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    cands = dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=16)
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs or (2, 3) in pairs  # near-dup surfaces
+    assert (4, 5) not in pairs
+
+    verified = dedup.exact_jaccard_pairs(docs, cands)
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert j[(1, 2)] == 1.0  # identical after normalization
+
+
+def test_dedup_minhash_drops_duplicates(spark, docs):
+    out = dedup.dedup_minhash(docs, threshold=0.5, num_hashes=32, bands=16)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 1 in ids and 4 in ids and 5 in ids
+    assert 2 not in ids  # dup of 1
+    assert 3 not in ids  # near-dup of 1 at jaccard>0.5
+
+
+def test_simhash_hamming(spark, docs):
+    sigs = dedup.simhash_signatures(docs)
+    pairs = dedup.simhash_near_pairs(sigs, max_hamming=0)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got.get((1, 2)) == 0  # identical normalized text → same signature
+    assert (4, 5) not in got
+
+
+def test_simhash_near_pairs_on_long_docs(spark):
+    """With realistic doc lengths, a small edit keeps hamming tiny and the
+    16-bit banding surfaces the pair without an all-pairs scan."""
+    base = (
+        "spark shuffles data between stages using hash partitioning and the "
+        "adaptive query engine coalesces small partitions after each exchange "
+        "broadcast joins avoid the shuffle when one side fits in memory "
+    ) * 6
+    edited = base.replace("coalesces", "merges", 1)
+    other = (
+        "completely unrelated text about neutron beamline monitors and gaussian "
+        "peak fitting over time of flight histograms with proton charge filters "
+    ) * 6
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited), (3, other)], "doc_id long, text string"
+    )
+    sigs = dedup.simhash_signatures(docs)
+    pairs = dedup.simhash_near_pairs(sigs, max_hamming=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert (1, 2) in got and got[(1, 2)] <= 3
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_fnv_hash64_deterministic():
+    assert dedup.hash64("spark") == dedup.hash64("spark")
+    assert dedup.hash64("spark") != dedup.hash64("sparks")
+    assert -(2**63) <= dedup.hash64("x") < 2**63
+
+
+@pytest.fixture(scope="module")
+def clustered_vectors(spark):
+    rng = np.random.RandomState(7)
+    centers = rng.randn(4, 16) * 3
+    rows = []
+    for i in range(200):
+        c = i % 4
+        v = centers[c] + rng.randn(16) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _queries_from(corpus):
+    return (
+        corpus.where(F.col("vec_id") < 4)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    )
+
+
+def test_brute_force_topk_self_cluster(spark, clustered_vectors):
+    q = _queries_from(clustered_vectors)
+    out = similarity.brute_force_topk(clustered_vectors, q, k=10)
+    rows = out.collect()
+    assert len(rows) == 40
+    # neighbors of query i should be from the same cluster (id % 4 == i)
+    for r in rows:
+        assert r["vec_id"] % 4 == r["q_id"] % 4
+
+
+def test_lsh_topk_recall(spark, clustered_vectors):
+    q = _queries_from(clustered_vectors)
+    exact = similarity.brute_force_topk(clustered_vectors, q, k=10)
+    approx = similarity.lsh_topk(clustered_vectors, q, k=10, n_bits=6, dim=16)
+    e = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_ivf_topk_recall(spark, clustered_vectors):
+    q = _queries_from(clustered_vectors)
+    cents = similarity.train_ivf_centroids(clustered_vectors, n_centroids=4, max_iter=8)
+    assert len(cents) == 4 and len(cents[0]) == 16
+    exact = similarity.brute_force_topk(clustered_vectors, q, k=10)
+    approx = similarity.ivf_topk(clustered_vectors, q, cents, k=10, nprobe=2)
+    e = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"IVF recall too low: {recall}"  # well-separated clusters
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, bytes([0x89, 0x50, 0x4E, 0x47] + [7] * 100), "image/png", None, None, 3500),
+        (2, bytes(range(256)), "audio/wav", None, None, 2000),
+        (3, b"", "image/png", None, None, 0),
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_attach_media_metadata(spark, media):
+    out = {r["media_id"]: r for r in multimodal.attach_media_metadata(media).collect()}
+    assert out[1]["n_bytes"] == 104
+    assert out[1]["header_hex"].startswith("89504E47")
+    assert out[3]["n_bytes"] == 0
+
+
+def test_byte_features(spark, media):
+    out = {r["media_id"]: r for r in multimodal.extract_byte_features(media).collect()}
+    # media 2 is uniform over 256 byte values → entropy exactly 8 bits
+    assert math.isclose(out[2]["entropy"], 8.0, abs_tol=1e-9)
+    assert math.isclose(out[2]["byte_mean"], 127.5, abs_tol=1e-9)
+    assert out[1]["entropy"] < 1.0  # almost-constant payload
+    assert out[3]["n_bytes"] == 0 and out[3]["entropy"] == 0.0
+
+
+def test_decode_media_default_raises(spark, media):
+    with pytest.raises(Exception, match="no media codec available"):
+        multimodal.decode_media(media).collect()
+
+
+def test_decode_media_with_injected_codec(spark, media):
+    def fake_codec(payload: bytes, media_type: str) -> dict:
+        return {"width": len(payload), "height": 2, "duration_ms": None}
+
+    out = {r["media_id"]: r for r in multimodal.decode_media(media, decoder=fake_codec).collect()}
+    assert out[1]["width"] == 104 and out[1]["height"] == 2
+    assert out[2]["width"] == 256
+
+
+def test_sample_frames(spark, media):
+    out = multimodal.sample_frames(media, every_ms=1000).collect()
+    by_id: dict[int, list] = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
+    assert sorted(by_id[1]) == [0, 1000, 2000]  # 3500ms → 3 frames
+    assert sorted(by_id[2]) == [0, 1000]
+    assert 3 not in by_id  # zero duration → no frames
