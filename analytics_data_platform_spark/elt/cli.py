@@ -1,0 +1,85 @@
+"""``elt`` command-line interface (reference: elt-common/src/elt_common/cli.py:50-75).
+
+Subcommands:
+  elt list <project-root>          discovered jobs
+  elt run  <project-root> <job>    run one ingestion job end-to-end
+  elt maintain <namespace...>      table maintenance over namespaces
+
+``elt run`` wires: manifest discovery → dynamic import → Extract
+instantiation from ``{JOB}__*`` env config → incremental runner against
+the job's ``{domain}_{job}`` namespace.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from analytics_data_platform_spark.elt.pipeline import (
+    discover_jobs,
+    find_job,
+    job_env_config,
+    load_extract_class,
+)
+from analytics_data_platform_spark.elt.runner import run_ingest
+from analytics_data_platform_spark.session import get_spark
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="elt", description="PySpark ELT runner")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    p_list = sub.add_parser("list", help="list discovered ingestion jobs")
+    p_list.add_argument("project_root")
+
+    p_run = sub.add_parser("run", help="run one ingestion job")
+    p_run.add_argument("project_root")
+    p_run.add_argument("job")
+    p_run.add_argument("--namespace", help="override target namespace")
+
+    p_m = sub.add_parser("maintain", help="run table maintenance")
+    p_m.add_argument("namespaces", nargs="+")
+    p_m.add_argument("--retention-days", type=int, default=7)
+    p_m.add_argument("--target-file-mb", type=int, default=128)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.command == "list":
+        for j in discover_jobs(args.project_root):
+            print(f"{j.warehouse}\t{j.domain}\t{j.name}\t{j.namespace}")
+        return 0
+
+    if args.command == "run":
+        manifest = find_job(args.project_root, args.job)
+        extract_cls = load_extract_class(manifest)
+        config = job_env_config(manifest.name)
+        spark = get_spark(app_name=f"elt-{manifest.namespace}", persistent_catalog=True)
+        extract = extract_cls(**config) if config else extract_cls()
+        stats = run_ingest(spark, extract, args.namespace or manifest.namespace)
+        for table, r in stats.resources.items():
+            wm = f" watermark={r.watermark.to_json()}" if r.watermark else ""
+            print(f"{table}: {r.rows} rows in {r.chunks} chunks{wm}")
+        return 0
+
+    if args.command == "maintain":
+        from analytics_data_platform_spark.tables.maintenance import run_maintenance
+
+        spark = get_spark(app_name="elt-maintenance", persistent_catalog=True)
+        results = run_maintenance(
+            spark,
+            namespaces=args.namespaces,
+            retention_days=args.retention_days,
+            target_file_mb=args.target_file_mb,
+        )
+        for line in results:
+            print(line)
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -30,12 +30,18 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    persistent_catalog: bool = False,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with engine-wide defaults.
 
     Local default: ``local[$SPARK_GRAFT_CPUS]`` (falls back to ``local[*]``).
     On a real cluster pass ``master=None`` with an external master URL in the
     environment and these confs still apply.
+
+    ``persistent_catalog=True`` backs the catalog with a durable local
+    metastore under ``$SPARK_GRAFT_WAREHOUSE`` (default ``~/.adps_warehouse``)
+    so tables and their watermark properties survive across processes — the
+    CLI uses this; on a cluster the Iceberg REST catalog plays this role.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if master is None:
@@ -56,6 +62,19 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    if persistent_catalog:
+        root = os.environ.get(
+            "SPARK_GRAFT_WAREHOUSE", os.path.join(os.path.expanduser("~"), ".adps_warehouse")
+        )
+        os.makedirs(root, exist_ok=True)
+        b = (
+            b.config("spark.sql.warehouse.dir", os.path.join(root, "warehouse"))
+            .config(
+                "spark.driver.extraJavaOptions",
+                f"-Dderby.system.home={os.path.join(root, 'derby')}",
+            )
+            .enableHiveSupport()
+        )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

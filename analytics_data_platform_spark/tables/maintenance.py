@@ -1,0 +1,125 @@
+"""Table maintenance (SURVEY §2.11 M1-M6).
+
+The reference drives Iceberg maintenance through Trino ``ALTER TABLE
+EXECUTE`` statements on every table nightly
+(reference: elt-common/src/elt_common/iceberg/maintenance/__init__.py:28-101).
+On an Iceberg-enabled Spark catalog the same four operations are stored
+procedures — :func:`iceberg_maintenance_sql` emits them (pure string
+generation, unit-testable exactly like the reference's maintenance tests).
+On the plain catalog backend the meaningful local analogue is small-file
+compaction, implemented as a size-aware rewrite.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+
+from analytics_data_platform_spark.tables.io import (
+    LAST_UPDATED_PROP,
+    WATERMARK_PROP,
+    TableIO,
+    _q,
+)
+
+
+def iceberg_maintenance_sql(
+    catalog: str, table: str, retention_days: int = 7
+) -> list[str]:
+    """The four Iceberg maintenance calls for one table (M1-M4).
+
+    Mirrors maintenance/__init__.py:34-51 with the 7-day default (:67).
+    """
+    return [
+        f"CALL {catalog}.system.rewrite_data_files(table => '{table}')",
+        f"CALL {catalog}.system.rewrite_manifests(table => '{table}')",
+        (
+            f"CALL {catalog}.system.expire_snapshots(table => '{table}', "
+            f"older_than => TIMESTAMP '{{now_minus_{retention_days}d}}')"
+        ),
+        (
+            f"CALL {catalog}.system.remove_orphan_files(table => '{table}', "
+            f"older_than => TIMESTAMP '{{now_minus_{retention_days}d}}')"
+        ),
+    ]
+
+
+def list_all_tables(spark: SparkSession, namespaces: list[str] | None = None) -> list[str]:
+    """Enumerate tables (M5 — reference queries system.iceberg_tables)."""
+    if namespaces is None:
+        namespaces = [db.name for db in spark.catalog.listDatabases()]
+    out: list[str] = []
+    for ns in namespaces:
+        try:
+            out.extend(f"{ns}.{t.name}" for t in spark.catalog.listTables(ns))
+        except Exception:
+            continue  # namespace vanished mid-listing
+    return sorted(out)
+
+
+def table_file_stats(spark: SparkSession, table: str) -> tuple[int, int]:
+    """(n_files, total_bytes) from the table's input files."""
+    files = spark.table(table).inputFiles()
+    sc = spark.sparkContext
+    hadoop_conf = sc._jsc.hadoopConfiguration()
+    total = 0
+    for f in files:
+        p = sc._jvm.org.apache.hadoop.fs.Path(f)
+        fs = p.getFileSystem(hadoop_conf)
+        total += fs.getFileStatus(p).getLen()
+    return len(files), total
+
+
+def compact_table(
+    spark: SparkSession, table: str, target_file_mb: int = 128, min_files: int = 4
+) -> str:
+    """Small-file compaction (M1 analogue on the plain catalog).
+
+    Rewrites the table at ~target_file_mb per file when it has more than
+    ``min_files`` undersized files. State properties survive the rewrite.
+    """
+    n_files, total_bytes = table_file_stats(spark, table)
+    target = target_file_mb * 1024 * 1024
+    if n_files <= min_files or total_bytes / max(n_files, 1) >= target / 2:
+        return f"{table}: skip ({n_files} files, {total_bytes} bytes)"
+
+    io = TableIO(spark)
+    props = {
+        k: v
+        for k, v in ((p, io.get_property(table, p)) for p in (WATERMARK_PROP, LAST_UPDATED_PROP))
+        if v is not None
+    }
+    df = spark.table(table)
+    parts = max(1, int(total_bytes / target) + 1)
+    stage = table + "__compact"
+    df.repartition(parts).write.format("parquet").mode("overwrite").saveAsTable(stage)
+    io.drop_table(table)
+    spark.sql(f"ALTER TABLE {_q(stage)} RENAME TO {_q(table)}")
+    if props:
+        io.set_properties(table, props)
+    return f"{table}: compacted {n_files} files -> {parts}"
+
+
+def run_maintenance(
+    spark: SparkSession,
+    namespaces: list[str] | None = None,
+    retention_days: int = 7,
+    target_file_mb: int = 128,
+) -> list[str]:
+    """Nightly maintenance loop over all tables (M6;
+    reference elt_cron_tasks.yml:52-60 + maintenance/__init__.py:86-101)."""
+    results = []
+    for table in list_all_tables(spark, namespaces):
+        try:
+            results.append(compact_table(spark, table, target_file_mb))
+        except Exception as exc:  # noqa: BLE001 — keep the loop running
+            results.append(f"{table}: ERROR {exc}")
+    return results
+
+
+def row_count_stats(spark: SparkSession, namespaces: list[str] | None = None):
+    """Per-table row counts (the reference's post-maintenance report)."""
+    rows = []
+    for table in list_all_tables(spark, namespaces):
+        rows.append((table, spark.table(table).count()))
+    return spark.createDataFrame(rows, "table string, n_rows long").orderBy(F.col("table"))

@@ -1,0 +1,134 @@
+"""CLI job discovery/run + maintenance tests (reference: cli.py:50-75,
+pipeline.py:41-78, maintenance tests)."""
+
+from __future__ import annotations
+
+import textwrap
+import uuid
+from pathlib import Path
+
+import pytest
+
+from analytics_data_platform_spark.elt import cli, pipeline
+from analytics_data_platform_spark.tables import maintenance
+from analytics_data_platform_spark.tables.io import TableIO
+
+JOB_MODULE = textwrap.dedent(
+    '''
+    """Test ingestion job (fake in-memory source)."""
+    from pyspark.sql import SparkSession
+    import pyspark.sql.functions as F
+    from analytics_data_platform_spark.elt.extract import Extract, ResourceProperties
+
+    class ItemsExtract(Extract):
+        def __init__(self, rows: str = "5"):
+            self.n = int(rows)
+
+        def extract_resource_properties(self):
+            spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+            def extractor(wm):
+                df = spark.range(self.n).select(F.col("id"), F.lit("x").alias("v"))
+                if wm is not None:
+                    df = df.where(F.col("id") > int(wm.value))
+                yield df
+            yield "items", ResourceProperties(extractor, watermark_column="id")
+    '''
+)
+
+
+@pytest.fixture()
+def project(tmp_path: Path) -> Path:
+    job_dir = tmp_path / "facility_ops_landing" / "ingest" / "accelerator" / "itemsjob"
+    job_dir.mkdir(parents=True)
+    (job_dir / "itemsjob.py").write_text(JOB_MODULE)
+    # decoys that must NOT be discovered
+    (tmp_path / "facility_ops_landing" / "ingest" / "accelerator" / "notajob").mkdir()
+    (tmp_path / "docs").mkdir()
+    return tmp_path
+
+
+def test_discover_and_find(project):
+    jobs = pipeline.discover_jobs(project)
+    assert [(j.warehouse, j.domain, j.name) for j in jobs] == [
+        ("facility_ops_landing", "accelerator", "itemsjob")
+    ]
+    j = pipeline.find_job(project, "itemsjob")
+    assert j.namespace == "accelerator_itemsjob"
+    assert j.landing_warehouse == "facility_ops_landing"
+    with pytest.raises(LookupError, match="not found; discovered jobs: itemsjob"):
+        pipeline.find_job(project, "missing")
+
+
+def test_env_config_prefix():
+    env = {"ITEMSJOB__ROWS": "7", "ITEMSJOB__MODE": "full", "OTHER__ROWS": "9"}
+    assert pipeline.job_env_config("itemsjob", env) == {"rows": "7", "mode": "full"}
+
+
+def test_load_extract_class(project):
+    cls = pipeline.load_extract_class(pipeline.find_job(project, "itemsjob"))
+    assert cls.__name__ == "ItemsExtract"
+
+
+def test_cli_list_and_run(spark, project, capsys, monkeypatch):
+    assert cli.main(["list", str(project)]) == 0
+    assert "accelerator_itemsjob" in capsys.readouterr().out
+
+    ns = f"cli_{uuid.uuid4().hex[:6]}"
+    monkeypatch.setenv("ITEMSJOB__ROWS", "6")
+    try:
+        assert cli.main(["run", str(project), "itemsjob", "--namespace", ns]) == 0
+        out = capsys.readouterr().out
+        assert "6 rows" in out and "'value': 5" in out
+        assert TableIO(spark).read(f"{ns}.items").count() == 6
+    finally:
+        TableIO(spark).drop_namespace(ns)
+
+
+def test_iceberg_maintenance_sql():
+    stmts = maintenance.iceberg_maintenance_sql("lake", "ns.t", retention_days=7)
+    assert stmts[0] == "CALL lake.system.rewrite_data_files(table => 'ns.t')"
+    assert "rewrite_manifests" in stmts[1]
+    assert "expire_snapshots" in stmts[2] and "now_minus_7d" in stmts[2]
+    assert "remove_orphan_files" in stmts[3]
+
+
+def test_compaction_roundtrip(spark):
+    ns = f"mx_{uuid.uuid4().hex[:6]}"
+    io = TableIO(spark)
+    io.ensure_namespace(ns)
+    t = f"{ns}.frag"
+    try:
+        # 12 tiny appends → fragmented table
+        for i in range(12):
+            io.write_table(spark.range(i * 10, (i + 1) * 10).select("id"), t, mode="append")
+        io.set_watermark_json(t, {"column": "id", "value": 119})
+        n_before, _ = maintenance.table_file_stats(spark, t)
+        assert n_before >= 12
+        msg = maintenance.compact_table(spark, t, target_file_mb=128)
+        assert "compacted" in msg
+        n_after, _ = maintenance.table_file_stats(spark, t)
+        assert n_after < n_before
+        assert spark.table(t).count() == 120
+        # state survives compaction
+        assert io.get_watermark_json(t) == {"column": "id", "value": 119}
+        # second run is a no-op
+        assert "skip" in maintenance.compact_table(spark, t, target_file_mb=128)
+    finally:
+        io.drop_namespace(ns)
+
+
+def test_run_maintenance_loop(spark):
+    ns = f"mx_{uuid.uuid4().hex[:6]}"
+    io = TableIO(spark)
+    io.ensure_namespace(ns)
+    try:
+        for i in range(6):
+            io.write_table(spark.range(5).select("id"), f"{ns}.a", mode="append")
+        io.write_table(spark.range(5).select("id"), f"{ns}.b")
+        results = maintenance.run_maintenance(spark, namespaces=[ns])
+        assert len(results) == 2
+        assert any("compacted" in r or "skip" in r for r in results)
+        stats = {r["table"]: r["n_rows"] for r in maintenance.row_count_stats(spark, [ns]).collect()}
+        assert stats[f"{ns}.a"] == 30 and stats[f"{ns}.b"] == 5
+    finally:
+        io.drop_namespace(ns)
