@@ -157,11 +157,18 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single shuffle on (source) with partial aggregation — no row explosion.
     """
     d = load_table(spark, sf_dir, "documents")
-    fp = T.fingerprint("text")
-    return d.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.countDistinct(fp).alias("n_unique"),
-        (F.count("*") - F.countDistinct(fp)).alias("n_dup"),
+    # fingerprint projected once per row; the distinct-agg expansion then
+    # carries a 32-byte hash, not the regexp chain re-evaluated per branch
+    fp = d.select("source", T.fingerprint("text").alias("_fp"))
+    return (
+        fp.groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.countDistinct("_fp").alias("n_unique"))
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            (F.col("n_docs") - F.col("n_unique")).alias("n_dup"),
+        )
     )
 
 

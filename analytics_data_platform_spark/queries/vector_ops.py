@@ -64,14 +64,23 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break so float ulp differences cannot reorder results vs the oracle.
     """
     e = load_table(spark, sf_dir, "embeddings")
+    # norms are hoisted to per-row projections BEFORE the join — computed
+    # once per vector instead of once per (query, candidate) pair; the
+    # division dot/(na*nb) is bit-identical to cosine() so the oracle
+    # comparison is unaffected
     q = e.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        V.norm("embedding").alias("q_nrm"),
     )
-    cand = e.select("vec_id", "embedding")
-    cos = F.round(V.cosine("q_emb", "embedding"), 4)
+    cand = e.select("vec_id", "embedding", V.norm("embedding").alias("c_nrm"))
+    cos = F.when(
+        (F.col("q_nrm") > 0) & (F.col("c_nrm") > 0),
+        V.dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("c_nrm")),
+    )
     scored = (
         cand.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", cos.alias("cos_sim"))
+        .select("q_id", "vec_id", F.round(cos, 4).alias("cos_sim"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (

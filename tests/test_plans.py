@@ -1,0 +1,84 @@
+"""Physical-plan guards: the scale properties the engine promises must be
+visible in the optimized plans (pushdown, pruning, broadcast choices) —
+regressions here silently cost 10-100× at 100 TB even when results stay
+correct."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from analytics_data_platform_spark.queries import all_queries
+
+
+def plan_of(spark, name: str, sf_dir: str, mode: str = "formatted") -> str:
+    df = all_queries()[name].fn(spark, sf_dir)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_q6_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(spark, "q6_forecast_revenue", sf_dir)
+    assert "PushedFilters:" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity" in plan
+    # column pruning: only the 4 needed columns reach the scan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m is not None
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+
+
+def test_q1_projection_pruning(spark, sf_dir):
+    plan = plan_of(spark, "q1_pricing_summary", sf_dir)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m is not None
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    # 6 used columns, not all 11
+    assert "l_orderkey" not in cols and "l_partkey" not in cols
+
+
+def test_joins_broadcast_small_dims(spark, sf_dir):
+    plan = plan_of(spark, "q5_local_supplier_volume", sf_dir, "simple")
+    assert "BroadcastHashJoin" in plan
+    plan3 = plan_of(spark, "q3_shipping_priority", sf_dir, "simple")
+    assert "BroadcastHashJoin" in plan3
+
+
+def test_interval_join_is_broadcast_nested_loop(spark, sf_dir):
+    plan = plan_of(spark, "interval_join_tiers", sf_dir, "simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_anti_and_semi_joins_planned(spark, sf_dir):
+    anti = plan_of(spark, "customers_without_orders", sf_dir, "simple")
+    assert "LeftAnti" in anti
+    semi = plan_of(spark, "active_customers_per_nation", sf_dir, "simple")
+    assert "LeftSemi" in semi
+
+
+def test_no_python_udfs_in_relational_plans(spark, sf_dir):
+    """Hot-path queries must stay JVM-side (no BatchEvalPython /
+    ArrowEvalPython stages)."""
+    for name in [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "text_token_stats",
+        "dedup_exact_stats",
+        "ann_cosine_topk",
+        "window_lag_events",
+    ]:
+        plan = plan_of(spark, name, sf_dir, "simple")
+        assert "EvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_ann_norms_hoisted_before_join(spark, sf_dir):
+    """Candidate norms must be computed in a projection under the join, not
+    per joined pair: the aggregate() over the candidate vector appears on
+    the stream side BEFORE BroadcastNestedLoopJoin in the plan tree."""
+    plan = plan_of(spark, "ann_cosine_topk", sf_dir, "formatted")
+    assert plan.count("BroadcastNestedLoopJoin") >= 1
+    # the join's Project output carries precomputed c_nrm/q_nrm references
+    assert "c_nrm" in plan and "q_nrm" in plan
