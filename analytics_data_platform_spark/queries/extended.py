@@ -1,0 +1,166 @@
+"""Extended relational coverage: rollup/grouping sets, full-outer join,
+window frames — operators the reference never needed (SURVEY §2 notes
+"available for free in Spark") but a lakehouse user reaches for daily;
+included so the engine's surface is complete, each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from analytics_data_platform_spark.queries import QuerySpec, register
+from analytics_data_platform_spark.sources.testdata import load_table
+
+
+def rollup_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (status, priority): subtotals + grand total in one pass."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+register(
+    QuerySpec(
+        "rollup_order_revenue",
+        rollup_order_revenue,
+        ROLLUP_SQL,
+        doc="ROLLUP hierarchy totals (subtotals + grand total)",
+        cites="SURVEY §2.4 note: grouping sets free in Spark",
+        tags=("agg", "rollup"),
+    )
+)
+
+
+def full_outer_nation_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join of per-nation customer vs (filtered) supplier books —
+    unmatched sides surface as NULLs."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.round(F.sum("c_acctbal"), 2).alias("customer_balance"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.round(F.sum("s_acctbal"), 2).alias("supplier_balance"))
+    )
+    return c.join(s, on="nationkey", how="full_outer").select(
+        "nationkey", "customer_balance", "supplier_balance"
+    )
+
+
+FULL_OUTER_SQL = """
+WITH c AS (
+  SELECT c_nationkey AS nationkey, ROUND(SUM(c_acctbal), 2) AS customer_balance
+  FROM customer GROUP BY c_nationkey
+),
+s AS (
+  SELECT s_nationkey AS nationkey, ROUND(SUM(s_acctbal), 2) AS supplier_balance
+  FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey
+)
+SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey, customer_balance, supplier_balance
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+"""
+
+register(
+    QuerySpec(
+        "full_outer_nation_balances",
+        full_outer_nation_balances,
+        FULL_OUTER_SQL,
+        doc="full-outer join with NULL-extended unmatched sides",
+        cites="SURVEY §2.3 note: no full-outer in reference; completeness",
+        tags=("join",),
+    )
+)
+
+
+def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum with an explicit ROWS frame per user over event time."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+        F.count("*").over(w).alias("running_n"),
+    )
+
+
+RUNNING_SQL = """
+WITH e AS (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events)
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER w, 2) AS running_value,
+       COUNT(*) OVER w AS running_n
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+"""
+
+register(
+    QuerySpec(
+        "running_user_totals",
+        running_user_totals,
+        RUNNING_SQL,
+        doc="running aggregates with explicit ROWS window frame",
+        cites="SURVEY §2.5 note: full Window API available",
+        tags=("window",),
+    )
+)
+
+
+def user_first_last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last event per user via min/max struct packing (one shuffle,
+    no full-frame window scan)."""
+    e = load_table(spark, sf_dir, "events")
+    packed = F.struct("ts", "event_id", "event_type")
+    return (
+        e.groupBy("user_id")
+        .agg(F.min(packed).alias("first_e"), F.max(packed).alias("last_e"))
+        .select(
+            "user_id",
+            F.col("first_e.event_id").alias("first_event_id"),
+            F.col("first_e.event_type").alias("first_event_type"),
+            F.col("last_e.event_id").alias("last_event_id"),
+            F.col("last_e.event_type").alias("last_event_type"),
+        )
+    )
+
+
+FIRST_LAST_SQL = """
+WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM e
+)
+SELECT a.user_id,
+       a.event_id AS first_event_id, a.event_type AS first_event_type,
+       d.event_id AS last_event_id, d.event_type AS last_event_type
+FROM ranked a JOIN ranked d ON a.user_id = d.user_id AND a.rn_a = 1 AND d.rn_d = 1
+"""
+
+register(
+    QuerySpec(
+        "user_first_last_events",
+        user_first_last_events,
+        FIRST_LAST_SQL,
+        doc="first/last per key via ordered-struct min/max (single shuffle)",
+        cites="scale pattern: argmin/argmax without window sort",
+        tags=("agg", "window"),
+    )
+)

@@ -1,0 +1,105 @@
+"""Structured Streaming tests — file source + availableNow trigger so the
+exact production code path runs deterministically.
+
+Append-mode emission semantics: a window/session only emits once the event-
+time watermark passes its end, so tests advance the watermark with a later
+"heartbeat" event and re-trigger (each availableNow run resumes from the
+checkpoint — the streaming twin of the reference's cron ticks)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from analytics_data_platform_spark.streaming import streams
+
+T0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(rows, streams.EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    rows = [
+        (1, T0, 7, "click", 1.0, "{}"),
+        (2, T0 + dt.timedelta(minutes=1), 7, "click", 2.0, "{}"),
+        (3, T0 + dt.timedelta(minutes=2), 7, "view", 3.0, "{}"),
+        (2, T0 + dt.timedelta(minutes=1), 7, "click", 2.0, "{}"),  # duplicate id
+        (4, T0 + dt.timedelta(minutes=90), 7, "click", 4.0, "{}"),  # new session
+        (5, T0 + dt.timedelta(minutes=3), 8, "view", 5.0, "{}"),
+    ]
+    src = str(tmp_path / "src")
+    _write_events(spark, src, rows)
+    return src
+
+
+def _heartbeat(spark, src, minutes=240):
+    """Advance event time so the watermark closes all earlier windows."""
+    _write_events(
+        spark, src, [(999, T0 + dt.timedelta(minutes=minutes), 99, "hb", 0.0, "{}")]
+    )
+
+
+def _read_stream(spark, src):
+    return spark.readStream.schema(streams.EVENTS_SCHEMA).parquet(src)
+
+
+def test_windowed_counts_watermark_finalization(spark, events_dir, tmp_path):
+    out, ckpt = str(tmp_path / "out1"), str(tmp_path / "ck1")
+    build = lambda: streams.windowed_event_counts(_read_stream(spark, events_dir), "5 minutes")
+
+    streams.run_available_now(build(), ckpt, out)
+    first_pass = {
+        (r["window_start"], r["event_type"]) for r in spark.read.parquet(out).collect()
+    }
+    # after tick 1 the watermark (11:30 - 10min) has passed only the 10:00 window
+    assert (T0, "click") in first_pass
+    assert (dt.datetime(2024, 1, 1, 11, 30), "click") not in first_pass
+
+    _heartbeat(spark, events_dir)
+    streams.run_available_now(build(), ckpt, out)
+    rows = {
+        (r["window_start"], r["event_type"]): r for r in spark.read.parquet(out).collect()
+    }
+    assert rows[(T0, "click")]["n_events"] == 3  # includes the duplicate row
+    assert rows[(T0, "view")]["n_events"] == 2
+    assert rows[(dt.datetime(2024, 1, 1, 11, 30), "click")]["n_events"] == 1
+
+
+def test_sessionize_stream_gap_semantics(spark, events_dir, tmp_path):
+    out, ckpt = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    build = lambda: streams.sessionize_stream(_read_stream(spark, events_dir), gap="30 minutes")
+
+    streams.run_available_now(build(), ckpt, out)
+    _heartbeat(spark, events_dir)
+    streams.run_available_now(build(), ckpt, out)
+
+    by_user: dict[int, list] = {}
+    for r in spark.read.parquet(out).collect():
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[7]) == 2  # 90-min gap splits user 7 into two sessions
+    first = min(by_user[7], key=lambda r: r["session_start"])
+    assert first["n_events"] == 4
+    assert first["session_value"] == 8.0
+    assert len(by_user[8]) == 1
+
+
+def test_streaming_dedup_and_incremental_checkpoint(spark, events_dir, tmp_path):
+    out, ckpt = str(tmp_path / "out3"), str(tmp_path / "ck3")
+    streams.run_available_now(streams.streaming_dedup(_read_stream(spark, events_dir)), ckpt, out)
+    first = spark.read.parquet(out)
+    assert first.count() == 5  # duplicate event_id=2 dropped
+    assert first.select("event_id").distinct().count() == 5
+
+    # append a new file: ONLY the new rows process on the next tick
+    t1 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    _write_events(spark, events_dir, [(6, t1, 9, "signup", 1.0, "{}")])
+    streams.run_available_now(
+        streams.streaming_dedup(_read_stream(spark, events_dir)), ckpt, out
+    )
+    assert spark.read.parquet(out).count() == 6  # exactly one more, no reprocessing
