@@ -189,6 +189,26 @@ class TransformDag:
             raise DataTestError(failures)
         return built
 
+    def required_sources(self, select: list[str] | None = None) -> set[tuple[str, str]]:
+        return {
+            src
+            for name in self.order(select)
+            for src in self.models[name].sources
+        }
+
+    def catalog_sources(
+        self, spark: SparkSession, select: list[str] | None = None
+    ) -> dict[tuple[str, str], DataFrame]:
+        """Bind every required source to its landing catalog table
+        ``{schema}.{table}`` (the ``{domain}_{job}`` namespaces the elt
+        runner writes — SURVEY §1.1). Missing landing tables are skipped so
+        a partial warehouse can still run its available subgraph."""
+        out: dict[tuple[str, str], DataFrame] = {}
+        for schema, table in self.required_sources(select):
+            if spark.catalog.tableExists(f"{schema}.{table}"):
+                out[(schema, table)] = spark.table(f"{schema}.{table}")
+        return out
+
     def _test_model(self, model: Model, df: DataFrame) -> Iterator[TestFailure]:
         """All of a model's tests in ONE aggregate pass (single job)."""
         aggs = []
