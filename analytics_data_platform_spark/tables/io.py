@@ -49,6 +49,21 @@ LAST_UPDATED_PROP = "ingest.last_updated_at"
 
 WRITE_MODES = ("append", "merge", "replace")
 
+# providers with DSv2 row-level operation support (MERGE INTO executes as
+# one atomic snapshot commit)
+ROW_LEVEL_PROVIDERS = {"iceberg", "delta"}
+
+
+def merge_into_sql(target: str, source_view: str, keys: list[str]) -> str:
+    """The MERGE statement an Iceberg/Delta-backed merge executes
+    (update-all / insert-all semantics — reference iceberg/io.py:95-106)."""
+    on = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
+    return (
+        f"MERGE INTO {_q(target)} t USING {source_view} s ON {on} "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
 
 @dataclass
 class WriteResult:
@@ -164,16 +179,36 @@ class TableIO:
         )
         return aligned
 
+    def table_provider(self, table: str) -> str | None:
+        """The table's storage provider (lower-cased), e.g. 'parquet',
+        'iceberg', 'delta'."""
+        for row in self.spark.sql(f"DESCRIBE TABLE EXTENDED {_q(table)}").collect():
+            if row["col_name"] == "Provider":
+                return (row["data_type"] or "").strip().lower()
+        return None
+
+    def supports_row_level_ops(self, table: str) -> bool:
+        return self.table_provider(table) in ROW_LEVEL_PROVIDERS
+
     def _merge(self, df: DataFrame, table: str, keys: list[str], pfields, sfields) -> None:
         """Upsert: matched rows take the source version, unmatched target
         rows are kept, new source rows are inserted.
 
-        Equivalent to ``MERGE INTO t USING s ON keys WHEN MATCHED THEN
-        UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` (which the Iceberg
-        backend runs verbatim); here realized as target-anti-join ∪ source
-        staged to a shadow table and swapped (copy-on-write rewrite).
+        On a row-level-capable provider (Iceberg/Delta) this executes ONE
+        atomic ``MERGE INTO`` snapshot commit; on the plain parquet catalog
+        the same semantics are realized as target-anti-join ∪ source staged
+        to a shadow table and swapped (the copy-on-write rewrite Iceberg
+        would perform internally).
         """
         source = self._evolve_and_align(df, table, pfields)
+        if self.supports_row_level_ops(table):
+            view = f"_merge_src_{abs(hash(table)) % 10**8}"
+            source.createOrReplaceTempView(view)
+            try:
+                self.spark.sql(merge_into_sql(table, view, keys))
+            finally:
+                self.spark.catalog.dropTempView(view)
+            return
         target = self.spark.table(table)
         kept = target.join(source.select(*keys), on=keys, how="left_anti")
         merged = apply_sort(kept.unionByName(source), sfields)
