@@ -230,6 +230,29 @@ class TableIO:
         if props:
             self.set_properties(table, props)
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_cols: list[str],
+        n_buckets: int,
+        sort_cols: list[str] | None = None,
+        mode: str = "overwrite",
+    ) -> None:
+        """Write a bucketed (+optionally sorted) table.
+
+        Joins/aggregations between tables bucketed on the same keys with
+        the same bucket count execute WITHOUT a shuffle — the physical
+        twin of Iceberg's ``bucket[n]`` partition transform for join
+        co-location (SURVEY §1.4). At 100 TB, bucketing the fact tables
+        on their join key turns every fact⋈fact join from a full network
+        shuffle into a local zip of pre-hashed files.
+        """
+        writer = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_cols)
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.saveAsTable(table)
+
     # -- watermark state (reference extract.py:22-60, runner.py:112-122) ---
 
     def get_watermark_json(self, table: str) -> dict | None:
