@@ -41,6 +41,45 @@ register(
 )
 
 
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase event picks up the latest prior
+    click (same user). Single-shuffle union+window formulation
+    (operators.asof) verified against DuckDB's native ASOF JOIN."""
+    from analytics_data_platform_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"), F.round("value", 2).alias("click_value")
+    )
+    out = asof_join(purchases, clicks, ["user_id"], value_cols=["click_id", "click_value"], suffix="")
+    return out.select("purchase_id", "user_id", "click_id", "click_value")
+
+
+ASOF_SQL = """
+WITH e AS (SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
+p AS (SELECT user_id, ts, event_id AS purchase_id FROM e WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, event_id AS click_id, ROUND(value, 2) AS click_value
+      FROM e WHERE event_type = 'click')
+SELECT p.purchase_id, p.user_id, c.click_id, c.click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+register(
+    QuerySpec(
+        "asof_purchase_click",
+        asof_purchase_click,
+        ASOF_SQL,
+        doc="backward as-of join (latest prior event per key)",
+        cites="custom temporal operator (brief: as-of join); operators/asof.py",
+        bench=True,
+        tags=("join", "asof"),
+    )
+)
+
+
 def full_outer_nation_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-outer join of per-nation customer vs (filtered) supplier books —
     unmatched sides surface as NULLs."""
