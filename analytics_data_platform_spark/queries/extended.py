@@ -13,6 +13,38 @@ from analytics_data_platform_spark.queries import QuerySpec, register
 from analytics_data_platform_spark.sources.testdata import load_table
 
 
+def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup: 15-minute epoch-aligned buckets per
+    event_type (the continuous-aggregate shape; integer epoch math so the
+    bucket boundary is bit-identical to DuckDB's time_bucket)."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.timestamp_seconds(F.floor(F.unix_timestamp("ts") / 900) * 900)
+    return (
+        e.groupBy(bucket.alias("bucket_start"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("value_sum"))
+    )
+
+
+TIME_BUCKET_SQL = """
+WITH e AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events)
+SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket_start, event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_sum
+FROM e
+GROUP BY 1, 2
+"""
+
+register(
+    QuerySpec(
+        "time_bucket_rollup",
+        time_bucket_rollup,
+        TIME_BUCKET_SQL,
+        doc="hypertable-style time-bucket rollup (15-min continuous aggregate)",
+        cites="custom operator family (brief: hypertable rollup)",
+        tags=("agg", "datetime"),
+    )
+)
+
+
 def rollup_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP (status, priority): subtotals + grand total in one pass."""
     o = load_table(spark, sf_dir, "orders")
