@@ -224,6 +224,77 @@ def simhash_signatures(
     return norm.mapInPandas(compute, schema=f"{id_col} long, simhash long")
 
 
+def cluster_duplicates(
+    pairs: DataFrame,
+    max_iter: int = 10,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Connected components over a duplicate-pair graph → (doc_id, cluster_id).
+
+    Iterative min-label propagation over undirected edges; converges in
+    O(graph diameter) joins — duplicate clusters are shallow (near-clique),
+    so 2-4 iterations in practice. Each iteration is one shuffle on the
+    node id; the fixpoint check is a cheap count. For billion-edge graphs
+    swap in large-star/small-star; the contract (minimum member id becomes
+    the cluster id) stays identical.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("cluster_id", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias(
+                    "new_cluster_id"
+                ),
+                "cluster_id",
+            )
+        )
+        changed = new_labels.where(F.col("new_cluster_id") != F.col("cluster_id")).count()
+        labels = new_labels.select("node", F.col("new_cluster_id").alias("cluster_id"))
+        if changed == 0:
+            break
+        labels = labels.localCheckpoint()  # truncate the iterative lineage
+    return labels.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+def dedup_minhash_clustered(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Transitive near-dup removal: keep the min-id doc of each connected
+    duplicate cluster (A~B, B~C ⇒ only A survives even when A~C was never
+    a candidate pair — the chain `dedup_minhash` would miss)."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands)
+    verified = exact_jaccard_pairs(df, cands, text_col, id_col).where(
+        F.col("jaccard") >= threshold
+    )
+    clusters = cluster_duplicates(verified)
+    losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def hash64(token: str) -> int:
     """Deterministic 64-bit FNV-1a (Python's hash() is salted per-process —
     unusable across executors)."""

@@ -187,6 +187,23 @@ class TableIO:
                 return (row["data_type"] or "").strip().lower()
         return None
 
+    def table_location(self, table: str) -> str | None:
+        for row in self.spark.sql(f"DESCRIBE TABLE EXTENDED {_q(table)}").collect():
+            if row["col_name"] == "Location":
+                return (row["data_type"] or "").strip()
+        return None
+
+    def invalidate_caches(self, table: str) -> None:
+        """Drop BOTH cache layers for a rewritten table: the session's
+        relation cache (refreshTable) and the SparkContext-wide shared
+        file-status cache (refreshByPath) — the latter outlives session
+        clones (streaming foreachBatch), so skipping it leaves other
+        sessions reading deleted files after an in-place rewrite."""
+        self.spark.catalog.refreshTable(table)
+        loc = self.table_location(table)
+        if loc:
+            self.spark.catalog.refreshByPath(loc)
+
     def supports_row_level_ops(self, table: str) -> bool:
         return self.table_provider(table) in ROW_LEVEL_PROVIDERS
 
@@ -213,22 +230,18 @@ class TableIO:
         kept = target.join(source.select(*keys), on=keys, how="left_anti")
         merged = apply_sort(kept.unionByName(source), sfields)
 
-        # preserve state properties across the swap
-        props = {
-            k: v
-            for k, v in ((p, self.get_property(table, p)) for p in (WATERMARK_PROP, LAST_UPDATED_PROP))
-            if v is not None
-        }
+        # Self-overwrite needs materialization: stage the merged rows, then
+        # INSERT OVERWRITE the target in place. Keeping the table identity
+        # (no drop/rename) keeps properties AND every session's file-status
+        # cache coherent — a rename-swap leaves clones of the session (e.g.
+        # streaming foreachBatch) holding dead file listings.
         stage = table + "__stage"
-        pcols = [f.derived_name for f in pfields]
-        writer = merged.write.format("parquet").mode("overwrite")
-        if pcols:
-            writer = writer.partitionBy(*pcols)
-        writer.saveAsTable(stage)
-        self.drop_table(table)
-        self.spark.sql(f"ALTER TABLE {_q(stage)} RENAME TO {_q(table)}")
-        if props:
-            self.set_properties(table, props)
+        merged.write.format("parquet").mode("overwrite").saveAsTable(stage)
+        try:
+            self.spark.table(stage).write.mode("overwrite").insertInto(table)
+        finally:
+            self.drop_table(stage)
+        self.invalidate_caches(table)
 
     def write_bucketed(
         self,

@@ -15,12 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
 
-from analytics_data_platform_spark.tables.io import (
-    LAST_UPDATED_PROP,
-    WATERMARK_PROP,
-    TableIO,
-    _q,
-)
+from analytics_data_platform_spark.tables.io import TableIO
 
 
 def iceberg_maintenance_sql(
@@ -84,19 +79,17 @@ def compact_table(
         return f"{table}: skip ({n_files} files, {total_bytes} bytes)"
 
     io = TableIO(spark)
-    props = {
-        k: v
-        for k, v in ((p, io.get_property(table, p)) for p in (WATERMARK_PROP, LAST_UPDATED_PROP))
-        if v is not None
-    }
     df = spark.table(table)
     parts = max(1, int(total_bytes / target) + 1)
+    # stage + INSERT OVERWRITE in place: table identity (and therefore
+    # properties + cached listings across sessions) survives the rewrite
     stage = table + "__compact"
     df.repartition(parts).write.format("parquet").mode("overwrite").saveAsTable(stage)
-    io.drop_table(table)
-    spark.sql(f"ALTER TABLE {_q(stage)} RENAME TO {_q(table)}")
-    if props:
-        io.set_properties(table, props)
+    try:
+        spark.table(stage).write.mode("overwrite").insertInto(table)
+    finally:
+        io.drop_table(stage)
+    io.invalidate_caches(table)
     return f"{table}: compacted {n_files} files -> {parts}"
 
 

@@ -81,6 +81,32 @@ def test_simhash_near_pairs_on_long_docs(spark):
     assert (1, 3) not in got and (2, 3) not in got
 
 
+def test_cluster_duplicates_transitive(spark):
+    """A~B, B~C, D~E chains cluster under the min id; isolated pairs too."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 7), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup.cluster_duplicates(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_dedup_minhash_clustered_transitive_chain(spark):
+    """B is a near-dup of A, C of B (A↔C may never pair) — only A survives
+    the chain, plus the unrelated doc."""
+    base = (
+        "spark executes declarative plans with adaptive query execution and "
+        "whole stage codegen for columnar batches over parquet data files "
+    ) * 4
+    b = base.replace("adaptive", "dynamic", 1)
+    c = b.replace("columnar", "vector", 1)
+    docs = spark.createDataFrame(
+        [(1, base), (2, b), (3, c), (9, "totally unrelated text about neutron beamlines and monitors")],
+        "doc_id long, text string",
+    )
+    out = dedup.dedup_minhash_clustered(docs, threshold=0.7, num_hashes=32, bands=16)
+    assert {r["doc_id"] for r in out.collect()} == {1, 9}
+
+
 def test_fnv_hash64_deterministic():
     assert dedup.hash64("spark") == dedup.hash64("spark")
     assert dedup.hash64("spark") != dedup.hash64("sparks")
