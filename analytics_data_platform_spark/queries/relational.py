@@ -220,8 +220,8 @@ flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sessions AS (
-  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_id
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS session_value
@@ -639,7 +639,7 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_JSON_SQL = """
 SELECT CAST(props->>'$.k' AS INTEGER) % 10 AS k_mod,
        COUNT(*) AS n,
-       SUM(CAST(props->>'$.k' AS INTEGER)) AS k_sum
+       CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS k_sum
 FROM events
 GROUP BY 1
 """

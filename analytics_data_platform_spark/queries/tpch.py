@@ -218,6 +218,177 @@ register(
 )
 
 
+# --- q4: order priority checking (correlated EXISTS) ----------------------
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts("1997-07-01")) & (F.col("o_orderdate") < _ts("1997-10-01"))
+    )
+    # lineitems that shipped >60 days after order proxy the commit/receipt
+    # test (no l_commitdate/l_receiptdate in this corpus)
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = l.join(o.select("o_orderkey", "o_orderdate"), l.l_orderkey == o.o_orderkey).where(
+        F.col("l_shipdate") > F.timestamp_add("DAY", F.lit(60), F.col("o_orderdate"))
+    ).select("l_orderkey").distinct()
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01' AND o_orderdate < TIMESTAMP '1997-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+register(
+    QuerySpec(
+        "q4_order_priority",
+        q4_order_priority,
+        Q4_SQL,
+        doc="correlated-EXISTS semi filter + grouped count",
+        cites="SURVEY §2.3 J5 family; TPC-H q4 shape",
+        tags=("join", "subquery"),
+    )
+)
+
+
+# --- q10: returned-item reporting (join + topk by revenue) ----------------
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts("1997-01-01")) & (F.col("o_orderdate") < _ts("1997-07-01"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+register(
+    QuerySpec(
+        "q10_returned_items",
+        q10_returned_items,
+        Q10_SQL,
+        doc="returned-item revenue report (4-way join + top-20)",
+        cites="SURVEY §2.3 J1; TPC-H q10 shape",
+        tags=("join", "topk"),
+    )
+)
+
+
+# --- q12: shipping-priority buckets (CASE aggregation) --------------------
+
+
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1998-01-01")) & (F.col("l_shipdate") < _ts("1999-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+GROUP BY l_linestatus
+"""
+
+register(
+    QuerySpec(
+        "q12_priority_shipping",
+        q12_priority_shipping,
+        Q12_SQL,
+        doc="CASE-bucketed counts after join (shipmode-style report)",
+        cites="SURVEY §2.8 F7; TPC-H q12 shape",
+        tags=("join", "agg"),
+    )
+)
+
+
+# --- q14: promo revenue ratio (conditional agg ratio) ---------------------
+
+
+def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1998-03-01")) & (F.col("l_shipdate") < _ts("1998-04-01"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+Q14_SQL = """
+SELECT ROUND(100 * SUM(CASE WHEN p_type = 'PROMO'
+                            THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1998-03-01' AND l_shipdate < TIMESTAMP '1998-04-01'
+"""
+
+register(
+    QuerySpec(
+        "q14_promo_ratio",
+        q14_promo_ratio,
+        Q14_SQL,
+        doc="conditional-aggregate ratio (promo revenue share)",
+        cites="SURVEY §2.4 A1; TPC-H q14 shape",
+        tags=("join", "agg"),
+    )
+)
+
+
 # --- monthly order histogram (date_trunc rollup) --------------------------
 
 
