@@ -193,6 +193,81 @@ register(
 )
 
 
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per priority (percentile_cont
+    semantics — Spark's percentile() and DuckDB's percentile_cont use the
+    same linear interpolation; verified by the oracle)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99_price"),
+    )
+
+
+PERCENTILE_SQL = """
+SELECT o_orderpriority,
+       ROUND(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE), 2)
+         AS median_price,
+       ROUND(CAST(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE), 2)
+         AS p90_price,
+       ROUND(CAST(percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE), 2)
+         AS p99_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+register(
+    QuerySpec(
+        "price_percentiles",
+        price_percentiles,
+        PERCENTILE_SQL,
+        doc="exact interpolated percentiles (median/p90/p99) per group",
+        cites="SURVEY §2.4 note: no approx aggregates in reference; exact quantiles",
+        tags=("agg", "percentile"),
+    )
+)
+
+
+def rolling_value_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per user, sum of values within the trailing
+    10 minutes of event time (time-based frame, not row-based)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-10 * 60 * 1_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("trailing_10m_value"),
+        F.count("*").over(w).alias("trailing_10m_events"),
+    )
+
+
+RANGE_WINDOW_SQL = """
+WITH e AS (SELECT event_id, user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu FROM events)
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER w, 2) AS trailing_10m_value,
+       COUNT(*) OVER w AS trailing_10m_events
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+"""
+
+register(
+    QuerySpec(
+        "rolling_value_range_window",
+        rolling_value_range_window,
+        RANGE_WINDOW_SQL,
+        doc="time-based RANGE window frame (trailing 10-minute aggregates)",
+        cites="SURVEY §2.5 note: explicit frames available",
+        tags=("window",),
+    )
+)
+
+
 def user_first_last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first/last event per user via min/max struct packing (one shuffle,
     no full-frame window scan)."""

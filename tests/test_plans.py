@@ -74,6 +74,33 @@ def test_no_python_udfs_in_relational_plans(spark, sf_dir):
         assert "EvalPython" not in plan, f"{name} fell off the JVM path"
 
 
+def test_partition_dsl_layout_prunes_scans(spark, sf_dir):
+    """A table written with the month() partition transform must show
+    partition pruning (PartitionFilters on the derived column) when
+    filtered — the data-skipping contract of the partition DSL."""
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from analytics_data_platform_spark.sources.testdata import load_table
+    from analytics_data_platform_spark.tables.io import TableIO
+
+    io = TableIO(spark)
+    ns = f"prune_{uuid.uuid4().hex[:6]}"
+    io.ensure_namespace(ns)
+    try:
+        events = load_table(spark, sf_dir, "events")
+        io.write_table(events, f"{ns}.events_p", partition_spec={"ts": "month"})
+        q = spark.table(f"{ns}.events_p").where(F.col("_p_month_ts") == 202401)
+        jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        plan = q._jdf.queryExecution().explainString(jmode)
+        assert "PartitionFilters" in plan
+        assert "_p_month_ts" in plan.split("PartitionFilters")[1][:200]
+        assert q.count() == events.count()  # all test events are Jan 2024
+    finally:
+        io.drop_namespace(ns)
+
+
 def test_ann_norms_hoisted_before_join(spark, sf_dir):
     """Candidate norms must be computed in a projection under the join, not
     per joined pair: the aggregate() over the candidate vector appears on
