@@ -3,24 +3,106 @@ LSH-bucketed and IVF (coarse-quantized) scale paths.
 
 Scale design (100 TB / billions of vectors):
 - brute force: one corpus pass per query batch, broadcast queries,
-  per-partition top-k then global top-k (no full sort).
-- random-hyperplane LSH: deterministic projection matrix (seeded numpy)
-  baked into the plan as literal arrays; signature = sign-bit string;
-  probing joins query buckets to corpus buckets — only bucket collisions
-  are scored.
+  TWO-PHASE top-k — per-input-partition local top-k (map-parallel,
+  parallelism = #partitions), then a global top-k window whose input is
+  bounded by k × numPartitions rows per query. The naive single window
+  over all scored candidates funnels the whole corpus for one query
+  through one task; the two-phase form never does.
+- random-hyperplane LSH: deterministic projection matrix (seeded numpy);
+  signature = sign-bit string; probing joins query buckets to corpus
+  buckets — only bucket collisions are scored.
 - IVF: k-means coarse centroids (seeded); corpus partitioned by nearest
   centroid (nprobe-nearest centroids scanned per query). Centroid
-  assignment is a broadcast-join + argmin over a literal centroid array —
-  the same shape a Faiss IVF index distributes to.
+  assignment has two physical strategies:
+    * n_centroids ≤ 32 — pure-JVM literal-array argmin (zero Python);
+    * larger nlist (Faiss-realistic 1024-65536) — an Arrow-batched
+      pandas_udf doing one numpy matmul per batch; the centroid matrix
+      travels once per executor in the serialized function (closure
+      broadcast), keeping the plan O(1) in n_centroids instead of
+      O(n_centroids × dim) literal nodes that blow up the analyzer.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 
 from analytics_data_platform_spark.functions.vectors import cosine, dot
+
+# literal-argmin plan nodes grow O(n_centroids × dim); past this the
+# pandas_udf path is both smaller-plan and faster (one BLAS matmul/batch)
+MAX_LITERAL_CENTROIDS = 32
+
+
+# --- two-phase top-k -------------------------------------------------------
+
+
+def _cand_cmp(left: Column, right: Column) -> Column:
+    """array_sort comparator: score DESC NULLS LAST, id ASC — identical
+    total order to ``Window.orderBy(desc(score), asc(id))`` so phase-1
+    local pruning can never disagree with the phase-2 global ranking."""
+    ls, rs = left["score"], right["score"]
+    li, ri = left["id"], right["id"]
+    by_id = F.when(li < ri, -1).when(li > ri, 1).otherwise(0)
+    return (
+        F.when(ls.isNull() & rs.isNull(), by_id)
+        .when(ls.isNull(), 1)
+        .when(rs.isNull(), -1)
+        .when(ls > rs, -1)
+        .when(ls < rs, 1)
+        .otherwise(by_id)
+    )
+
+
+def local_topk(
+    scored: DataFrame,
+    k: int,
+    q_id_col: str = "q_id",
+    id_col: str = "vec_id",
+    score_col: str = "cos_sim",
+) -> DataFrame:
+    """Phase 1: top-k per (input partition, query).
+
+    groupBy(spark_partition_id(), q_id) keeps every group inside the map
+    task that produced it, so the heavy sort+slice runs with parallelism
+    = #input-partitions (not #queries), and at most k rows per
+    (partition, query) survive into phase 2.
+    """
+    packed = scored.select(
+        F.spark_partition_id().alias("_pid"),
+        F.col(q_id_col),
+        F.struct(F.col(score_col).alias("score"), F.col(id_col).alias("id")).alias("_cand"),
+    )
+    return (
+        packed.groupBy("_pid", q_id_col)
+        .agg(F.slice(F.array_sort(F.collect_list("_cand"), _cand_cmp), 1, k).alias("_top"))
+        .select(q_id_col, F.explode("_top").alias("_t"))
+        .select(q_id_col, F.col("_t.id").alias(id_col), F.col("_t.score").alias(score_col))
+    )
+
+
+def topk_per_query(
+    scored: DataFrame,
+    k: int,
+    q_id_col: str = "q_id",
+    id_col: str = "vec_id",
+    score_col: str = "cos_sim",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Exact top-k per query in two phases.
+
+    Phase 2's window sees ≤ k × numPartitions rows per query — a few KB —
+    so the single-task-per-query sort that kills the naive plan at scale
+    is over a bounded, tiny input. Result is identical to the one-window
+    form (same total order, including tie-breaks).
+    """
+    pruned = local_topk(scored, k, q_id_col, id_col, score_col)
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.desc_nulls_last(score_col), F.asc(id_col)
+    )
+    return pruned.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= k)
 
 
 def brute_force_topk(
@@ -32,12 +114,12 @@ def brute_force_topk(
     q_id_col: str = "q_id",
     q_vec_col: str = "q_emb",
 ) -> DataFrame:
-    """Exact cosine top-k per query. Queries broadcast; corpus streams."""
+    """Exact cosine top-k per query. Queries broadcast; corpus streams;
+    two-phase top-k keeps parallelism at #partitions."""
     scored = corpus.join(F.broadcast(queries), F.col(id_col) != F.col(q_id_col)).select(
         q_id_col, id_col, cosine(q_vec_col, vec_col).alias("cos_sim")
     )
-    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return topk_per_query(scored, k, q_id_col, id_col, "cos_sim")
 
 
 def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
@@ -47,7 +129,8 @@ def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
 
 def lsh_signature_col(vec_col: str, planes: list[list[float]]):
     """Sign-bit signature string, e.g. '1011…' — computed with JVM
-    higher-order functions against literal plane arrays."""
+    higher-order functions against literal plane arrays (n_bits is small,
+    so the literal form stays compact; see signature_udf for huge dims)."""
     bits = [
         F.when(dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in p])) >= 0, "1").otherwise("0")
         for p in planes
@@ -71,7 +154,8 @@ def lsh_topk(
 
     Recall/cost tradeoff via n_bits (bucket count ≈ 2^n_bits). Multi-probe
     (flipping low-confidence bits) is the standard extension; single-probe
-    keeps the plan one equi-join.
+    keeps the plan one equi-join. Final selection is the same two-phase
+    top-k as the brute-force path.
     """
     planes = _hyperplanes(dim, n_bits, seed)
     c = corpus.withColumn("_sig", lsh_signature_col(vec_col, planes))
@@ -80,8 +164,7 @@ def lsh_topk(
         F.broadcast(q),
         (F.col("_sig") == F.col("_qsig")) & (F.col(id_col) != F.col(q_id_col)),
     ).select(q_id_col, id_col, cosine(q_vec_col, vec_col).alias("cos_sim"))
-    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return topk_per_query(scored, k, q_id_col, id_col, "cos_sim")
 
 
 # --- IVF ------------------------------------------------------------------
@@ -122,7 +205,13 @@ def train_ivf_centroids(
 
 
 def assign_centroid_col(vec_col: str, centroids: list[list[float]]):
-    """argmin over literal centroid array — pure JVM expression."""
+    """argmin over literal centroid array — pure JVM expression.
+
+    Plan size is O(n_centroids × dim) literal nodes: right choice up to
+    ~32 centroids (zero Python boundary), analyzer blowup past that — the
+    caller switches to :func:`assign_centroid_udf` above
+    ``MAX_LITERAL_CENTROIDS``.
+    """
     dists = [
         F.aggregate(
             F.zip_with(
@@ -139,6 +228,45 @@ def assign_centroid_col(vec_col: str, centroids: list[list[float]]):
     return F.array_position(arr, F.array_min(arr)) - 1
 
 
+def assign_centroid_udf(centroids: list[list[float]]):
+    """Vectorized nearest-centroid assignment for realistic nlist.
+
+    One numpy matmul per Arrow batch: argmin ‖v−c‖² = argmin(‖c‖² − 2v·c).
+    The (nlist × dim) centroid matrix ships once per executor inside the
+    serialized function — the plan itself stays O(1) regardless of nlist.
+    Distances computed in float64; first-min-index tie-break matches the
+    literal path's array_position semantics.
+    """
+    cents = np.asarray(centroids, dtype=np.float64)
+    cn = (cents**2).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        m = np.asarray(vecs.tolist(), dtype=np.float64)
+        d = cn[None, :] - 2.0 * (m @ cents.T)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return _assign
+
+
+def nprobe_cells_udf(centroids: list[list[float]], nprobe: int):
+    """Per-query nprobe nearest cells (array<int>), vectorized like
+    :func:`assign_centroid_udf`; stable argsort ties by cell index asc —
+    the same order as the literal struct-sort path."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    cn = (cents**2).sum(axis=1)
+    n = min(nprobe, len(centroids))
+
+    @F.pandas_udf("array<int>")
+    def _cells(vecs: pd.Series) -> pd.Series:
+        m = np.asarray(vecs.tolist(), dtype=np.float64)
+        d = cn[None, :] - 2.0 * (m @ cents.T)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :n].astype("int32")
+        return pd.Series(list(idx))
+
+    return _cells
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -153,39 +281,49 @@ def ivf_topk(
     """IVF search: scan only the nprobe nearest centroid cells per query.
 
     At scale the corpus is written partitioned by `_cell` (partition
-    pruning turns each probe into a file-skip scan).
+    pruning turns each probe into a file-skip scan). Cell assignment is
+    pure-JVM literals for small nlist, an Arrow-batched matmul UDF for
+    Faiss-scale nlist (plan stays O(1)); final selection is two-phase
+    top-k.
     """
-    c = corpus.withColumn("_cell", assign_centroid_col(vec_col, centroids))
-    # per-query nprobe nearest cells, via the same literal-centroid distances
-    dists = [
-        F.aggregate(
-            F.zip_with(
-                F.col(q_vec_col),
-                F.array(*[F.lit(float(x)) for x in cent]),
-                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+    if len(centroids) > MAX_LITERAL_CENTROIDS:
+        c = corpus.withColumn("_cell", assign_centroid_udf(centroids)(F.col(vec_col)))
+        q = queries.select(
+            q_id_col,
+            q_vec_col,
+            F.explode(nprobe_cells_udf(centroids, nprobe)(F.col(q_vec_col))).alias("_qcell"),
+        )
+    else:
+        c = corpus.withColumn("_cell", assign_centroid_col(vec_col, centroids))
+        # per-query nprobe nearest cells, via the same literal-centroid distances
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    F.col(q_vec_col),
+                    F.array(*[F.lit(float(x)) for x in cent]),
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias(f"d{i}")
+            for i, cent in enumerate(centroids)
+        ]
+        q = queries.select(q_id_col, q_vec_col, F.array(*dists).alias("_qd"))
+        cells = F.slice(
+            F.transform(
+                F.array_sort(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                        lambda i: F.struct(F.element_at("_qd", i + 1).alias("d"), i.alias("cell")),
+                    )
+                ),
+                lambda s: s["cell"],
             ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias(f"d{i}")
-        for i, cent in enumerate(centroids)
-    ]
-    q = queries.select(q_id_col, q_vec_col, F.array(*dists).alias("_qd"))
-    cells = F.slice(
-        F.transform(
-            F.array_sort(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-                    lambda i: F.struct(F.element_at("_qd", i + 1).alias("d"), i.alias("cell")),
-                )
-            ),
-            lambda s: s["cell"],
-        ),
-        1,
-        nprobe,
-    )
-    q = q.select(q_id_col, q_vec_col, F.explode(cells).alias("_qcell"))
+            1,
+            nprobe,
+        )
+        q = q.select(q_id_col, q_vec_col, F.explode(cells).alias("_qcell"))
     scored = c.join(
         F.broadcast(q), (F.col("_cell") == F.col("_qcell")) & (F.col(id_col) != F.col(q_id_col))
     ).select(q_id_col, id_col, cosine(q_vec_col, vec_col).alias("cos_sim"))
-    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return topk_per_query(scored, k, q_id_col, id_col, "cos_sim")

@@ -8,9 +8,10 @@ functions (functions.vectors) — JVM-side, no Python boundary.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from analytics_data_platform_spark.functions import vectors as V
+from analytics_data_platform_spark.operators.similarity import topk_per_query
 from analytics_data_platform_spark.queries import QuerySpec, register
 from analytics_data_platform_spark.sources.testdata import load_table
 
@@ -59,8 +60,10 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 neighbors for query vectors (vec_id < 5).
 
     Query side is broadcast; candidates stream — at 100 TB this is a single
-    pass over the corpus with a per-partition top-k (window over tiny
-    q_id-partitions after aggregation). Rank on ROUND(cos,4) with vec_id
+    pass over the corpus. Selection is TWO-PHASE top-k
+    (operators.similarity.topk_per_query): local top-k per input partition,
+    then a global window over ≤ k·numPartitions rows per query — never a
+    full-corpus single-task sort. Rank on ROUND(cos,4) with vec_id
     tie-break so float ulp differences cannot reorder results vs the oracle.
     """
     e = load_table(spark, sf_dir, "embeddings")
@@ -82,11 +85,8 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id", F.round(cos, 4).alias("cos_sim"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 10)
-        .select("q_id", "vec_id", "cos_sim", "rank")
+    return topk_per_query(scored, 10, "q_id", "vec_id", "cos_sim").select(
+        "q_id", "vec_id", "cos_sim", "rank"
     )
 
 

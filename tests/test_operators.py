@@ -164,6 +164,95 @@ def test_ivf_topk_recall(spark, clustered_vectors):
     assert recall >= 0.9, f"IVF recall too low: {recall}"  # well-separated clusters
 
 
+def _scored(corpus, q):
+    from analytics_data_platform_spark.functions.vectors import cosine
+
+    return corpus.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+        "q_id", "vec_id", cosine("q_emb", "embedding").alias("cos_sim")
+    )
+
+
+def test_two_phase_topk_matches_naive_window(spark, clustered_vectors):
+    from pyspark.sql import Window
+
+    corpus = clustered_vectors.repartition(8)
+    q = _queries_from(corpus)
+    scored = _scored(corpus, q)
+    two = similarity.topk_per_query(scored, 7).select("q_id", "vec_id", "cos_sim", "rank")
+    w = Window.partitionBy("q_id").orderBy(F.desc_nulls_last("cos_sim"), F.asc("vec_id"))
+    naive = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 7)
+        .select("q_id", "vec_id", "cos_sim", "rank")
+    )
+    assert sorted(map(tuple, two.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_local_topk_bounds_global_window_input(spark, clustered_vectors):
+    """The scale guarantee: phase 2's window input is ≤ k × numPartitions
+    rows per query — never the full scored candidate set."""
+    nparts, k, nq = 8, 5, 4
+    corpus = clustered_vectors.repartition(nparts)
+    q = _queries_from(corpus)
+    scored = _scored(corpus, q)
+    pruned = similarity.local_topk(scored, k)
+    n_pruned = pruned.count()
+    assert n_pruned <= k * nparts * nq
+    assert n_pruned < scored.count()  # actually pruned, not a pass-through
+    # phase-1 pruning must preserve the true global top-k
+    e = {(r["q_id"], r["vec_id"]) for r in similarity.brute_force_topk(corpus, q, k=k).collect()}
+    p = {(r["q_id"], r["vec_id"]) for r in pruned.collect()}
+    assert e <= p
+
+
+def test_assign_centroid_udf_matches_literal_path(spark, clustered_vectors):
+    cents = similarity.train_ivf_centroids(clustered_vectors, n_centroids=8, max_iter=8)
+    lit = clustered_vectors.select(
+        "vec_id", similarity.assign_centroid_col("embedding", cents).alias("cell")
+    )
+    udf = clustered_vectors.select(
+        "vec_id", similarity.assign_centroid_udf(cents)(F.col("embedding")).alias("cell")
+    )
+    lm = {r["vec_id"]: r["cell"] for r in lit.collect()}
+    um = {r["vec_id"]: r["cell"] for r in udf.collect()}
+    assert lm == um
+
+
+@pytest.fixture(scope="module")
+def big_vectors(spark):
+    rng = np.random.RandomState(13)
+    centers = rng.randn(8, 16) * 4
+    rows = []
+    for i in range(2000):
+        c = i % 8
+        v = centers[c] + rng.randn(16) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_large_nlist_udf_path_recall_and_plan_size(spark, big_vectors):
+    """nlist=256 must take the pandas_udf assignment path: plan stays O(1)
+    in n_centroids (no literal-array blowup) and recall holds."""
+    q = (
+        big_vectors.where(F.col("vec_id") < 4)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    )
+    cents = similarity.train_ivf_centroids(big_vectors, n_centroids=256, max_iter=5)
+    assert len(cents) == 256
+    approx = similarity.ivf_topk(big_vectors, q, cents, k=10, nprobe=64)
+    exact = similarity.brute_force_topk(big_vectors, q, k=10)
+    e = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"IVF(nlist=256) recall too low: {recall}"
+    # plan-size sanity: the 256×16 centroid matrix must NOT be inlined as
+    # literal expression nodes (that plan is O(nlist·dim) and blows up the
+    # analyzer at Faiss-scale nlist)
+    plan = approx._jdf.queryExecution().simpleString()
+    assert len(plan) < 100_000, f"plan unexpectedly large: {len(plan)} chars"
+    assert "ArrowEvalPython" in approx._jdf.queryExecution().executedPlan().toString()
+
+
 @pytest.fixture(scope="module")
 def media(spark):
     rows = [
