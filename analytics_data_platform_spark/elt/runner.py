@@ -13,7 +13,10 @@ tests pin down (tests/unit_tests/test_runner.py:76-205):
   over ALL chunks, and persist the true max after the run even when chunks
   arrive out of order (runner.py:100-107);
 - per-chunk max uses an aggregate over the chunk (pc.max in the reference
-  → ``F.max`` here, computed distributed).
+  → ``F.max`` here, computed distributed). Each chunk is persisted and its
+  count + watermark max come from ONE scan (the write then reads the
+  cache), so skip-check, watermark and written rows share a snapshot even
+  on live JDBC/REST sources.
 """
 
 from __future__ import annotations
@@ -42,9 +45,20 @@ class RunStats:
     resources: dict[str, ResourceStats] = field(default_factory=dict)
 
 
-def _chunk_max(chunk: DataFrame, column: str):
-    row = chunk.agg(F.max(F.col(column)).alias("m")).collect()[0]
-    return row["m"]
+def _chunk_stats(chunk: DataFrame, wm_column: str | None) -> tuple[int, object]:
+    """(row count, watermark max) in ONE aggregation job.
+
+    The chunk is persisted by the caller, so this single scan both
+    materializes the cache (the subsequent write reads it — the source is
+    evaluated exactly once per run) and takes count + max from the same
+    snapshot; a live JDBC/REST extract re-queried per action could
+    otherwise persist a watermark for rows that were never written.
+    """
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if wm_column:
+        aggs.append(F.max(F.col(wm_column)).alias("m"))
+    row = chunk.agg(*aggs).collect()[0]
+    return row["n"], (row["m"] if wm_column else None)
 
 
 def _wm_greater(a, b) -> bool:
@@ -85,27 +99,31 @@ def _run_resource(io: TableIO, table: str, props: ResourceProperties) -> Resourc
     wrote_first = False
 
     for chunk in props.extractor(watermark):
-        if chunk.isEmpty():
-            continue  # reference io.py:86-88
+        chunk = chunk.persist()
+        try:
+            nrows, cmax = _chunk_stats(chunk, props.watermark_column)
+            if nrows == 0:
+                continue  # reference io.py:86-88
 
-        if props.watermark_column:
-            cmax = _chunk_max(chunk, props.watermark_column)
             if cmax is not None and _wm_greater(cmax, max_seen):
                 max_seen = cmax  # out-of-order safe: global max (runner.py:100-107)
 
-        # replace-first-chunk rule (runner.py:79-84)
-        mode = props.write_mode
-        if mode == "replace" and wrote_first:
-            mode = "append"
+            # replace-first-chunk rule (runner.py:79-84)
+            mode = props.write_mode
+            if mode == "replace" and wrote_first:
+                mode = "append"
 
-        result = io.write_table(
-            chunk,
-            table,
-            mode=mode,
-            merge_on=props.merge_on,
-            partition_spec=props.partition,
-            sort_spec=props.sort,
-        )
+            result = io.write_table(
+                chunk,
+                table,
+                mode=mode,
+                merge_on=props.merge_on,
+                partition_spec=props.partition,
+                sort_spec=props.sort,
+                known_rows=nrows,
+            )
+        finally:
+            chunk.unpersist()
         wrote_first = True
         rstats.chunks += 1
         rstats.rows += result.rows

@@ -73,6 +73,19 @@ class WriteResult:
     created: bool
 
 
+class StageSwapError(RuntimeError):
+    """A staged rewrite failed while overwriting the target in place.
+
+    The stage table — the only complete copy of the rewritten rows — is
+    KEPT; ``TableIO.restore_from_stage`` retries the swap.
+    """
+
+    def __init__(self, msg: str, table: str, stage: str):
+        super().__init__(msg)
+        self.table = table
+        self.stage = stage
+
+
 class TableIO:
     def __init__(self, spark: SparkSession):
         self.spark = spark
@@ -118,43 +131,70 @@ class TableIO:
         partition_spec: dict[str, str] | None = None,
         sort_spec: list[str] | None = None,
         properties: dict[str, str] | None = None,
+        known_rows: int | None = None,
     ) -> WriteResult:
+        """Write one batch with EXACTLY ONE evaluation of ``df``.
+
+        The batch is persisted and fully materialized by a single count()
+        (which also yields ``WriteResult.rows``); the empty-batch skip
+        (reference io.py:86-88) and the write itself then read the cache.
+        This both removes the 2 extra source executions the naive
+        isEmpty→write→count sequence costs on every ingest batch, and
+        guarantees the skip-check, row count, watermark (runner) and the
+        written rows all come from ONE source snapshot — a live JDBC/REST
+        extract re-queried per action could otherwise persist a watermark
+        for rows it never wrote.
+
+        Callers that already persisted + counted the batch (the ingest
+        runner folds count+watermark-max into one aggregation) pass
+        ``known_rows`` to skip the internal materialization.
+        """
         if mode not in WRITE_MODES:
             raise ValueError(f"write mode {mode!r} not in {WRITE_MODES}")
         if mode == "merge" and not merge_on:
             raise ValueError("merge mode requires merge_on join columns")
 
-        # empty-batch skip (reference io.py:86-88)
-        if df.isEmpty():
-            return WriteResult(table, mode, 0, created=False)
+        self_persisted = known_rows is None
+        if self_persisted:
+            df = df.persist()
+            rows = df.count()  # one full scan; populates the cache completely
+        else:
+            rows = known_rows
+        try:
+            # empty-batch skip (reference io.py:86-88)
+            if rows == 0:
+                return WriteResult(table, mode, 0, created=False)
 
-        pfields = parse_partition_spec(partition_spec)
-        sfields = parse_sort_spec(sort_spec)
-        created = not self.table_exists(table)
+            pfields = parse_partition_spec(partition_spec)
+            sfields = parse_sort_spec(sort_spec)
+            created = not self.table_exists(table)
 
-        if created:
-            out, pcols = apply_partitioning(df, pfields)
-            out = apply_sort(out, sfields)
-            writer = out.write.format("parquet")
-            if pcols:
-                writer = writer.partitionBy(*pcols)
-            writer.saveAsTable(table)
-        elif mode == "replace":
-            out, pcols = apply_partitioning(df, pfields)
-            out = apply_sort(out, sfields)
-            writer = out.write.format("parquet").mode("overwrite")
-            if pcols:
-                writer = writer.partitionBy(*pcols)
-            writer.saveAsTable(table)
-        elif mode == "append":
-            aligned = self._evolve_and_align(df, table, pfields)
-            apply_sort(aligned, sfields).write.mode("append").saveAsTable(table)
-        else:  # merge
-            self._merge(df, table, merge_on or [], pfields, sfields)
+            if created:
+                out, pcols = apply_partitioning(df, pfields)
+                out = apply_sort(out, sfields)
+                writer = out.write.format("parquet")
+                if pcols:
+                    writer = writer.partitionBy(*pcols)
+                writer.saveAsTable(table)
+            elif mode == "replace":
+                out, pcols = apply_partitioning(df, pfields)
+                out = apply_sort(out, sfields)
+                writer = out.write.format("parquet").mode("overwrite")
+                if pcols:
+                    writer = writer.partitionBy(*pcols)
+                writer.saveAsTable(table)
+            elif mode == "append":
+                aligned = self._evolve_and_align(df, table, pfields)
+                apply_sort(aligned, sfields).write.mode("append").saveAsTable(table)
+            else:  # merge
+                self._merge(df, table, merge_on or [], pfields, sfields)
+        finally:
+            if self_persisted:
+                df.unpersist()
 
         if properties:
             self.set_properties(table, properties)
-        return WriteResult(table, mode, df.count(), created)
+        return WriteResult(table, mode, rows, created)
 
     def _evolve_and_align(self, df: DataFrame, table: str, pfields) -> DataFrame:
         """Additive evolution + column alignment for by-name appends.
@@ -237,11 +277,37 @@ class TableIO:
         # streaming foreachBatch) holding dead file listings.
         stage = table + "__stage"
         merged.write.format("parquet").mode("overwrite").saveAsTable(stage)
+        self.swap_stage(stage, table)
+
+    def swap_stage(self, stage: str, table: str) -> None:
+        """INSERT OVERWRITE the staged rows into the target in place.
+
+        On failure the stage table is KEPT and a :class:`StageSwapError`
+        carries the recovery hint — a ``finally: drop`` here would destroy
+        the only complete copy of the result while the target may be
+        partially overwritten, making the failure unrecoverable. The stage
+        is dropped only after the overwrite succeeds.
+        """
         try:
             self.spark.table(stage).write.mode("overwrite").insertInto(table)
-        finally:
-            self.drop_table(stage)
+        except BaseException as exc:
+            raise StageSwapError(
+                f"swap of stage {stage!r} into {table!r} failed; the target may "
+                f"be partially overwritten. The staged result was kept — call "
+                f"TableIO.restore_from_stage({table!r}, {stage!r}) to retry.",
+                table,
+                stage,
+            ) from exc
+        self.drop_table(stage)
         self.invalidate_caches(table)
+
+    def restore_from_stage(self, table: str, stage: str | None = None) -> None:
+        """Recover from a failed :meth:`swap_stage`: re-apply the kept stage
+        table onto the target (idempotent — INSERT OVERWRITE), then drop it."""
+        stage = stage or table + "__stage"
+        if not self.table_exists(stage):
+            raise ValueError(f"no stage table {stage!r} to restore {table!r} from")
+        self.swap_stage(stage, table)
 
     def write_bucketed(
         self,

@@ -85,11 +85,9 @@ def compact_table(
     # properties + cached listings across sessions) survives the rewrite
     stage = table + "__compact"
     df.repartition(parts).write.format("parquet").mode("overwrite").saveAsTable(stage)
-    try:
-        spark.table(stage).write.mode("overwrite").insertInto(table)
-    finally:
-        io.drop_table(stage)
-    io.invalidate_caches(table)
+    # on failure the stage is kept for TableIO.restore_from_stage (a
+    # finally-drop would delete the only complete copy mid-overwrite)
+    io.swap_stage(stage, table)
     return f"{table}: compacted {n_files} files -> {parts}"
 
 

@@ -156,3 +156,83 @@ def test_merge_preserves_watermark_property(spark, ns):
     io.set_watermark_json(t, {"column": "id", "value": 1})
     io.write_table(_df(spark, [(2, "b")], ["id", "v"]), t, mode="merge", merge_on=["id"])
     assert io.get_watermark_json(t) == {"column": "id", "value": 1}
+
+
+def test_write_table_single_evaluation(spark, ns):
+    """The batch source must be evaluated exactly once per write_table call
+    (was: isEmpty + write + count = 3 full executions). The accumulator
+    counts per-row UDF invocations; the write reads the populated cache."""
+    t = f"{ns}.single_eval"
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("long")
+    def bump(x):
+        acc.add(1)
+        return x
+
+    df = spark.range(0, 100, 1, 4).select(bump(F.col("id")).alias("id"))
+    res = TableIO(spark).write_table(df, t, mode="append")
+    assert res.rows == 100 and res.created
+    assert acc.value == 100, f"source evaluated {acc.value / 100:.1f}x, expected 1x"
+
+
+def test_runner_single_snapshot_per_chunk(spark, ns):
+    """Ingest runner: count + watermark-max + write share one source scan,
+    so the persisted watermark always describes the rows actually written."""
+    from analytics_data_platform_spark.elt.extract import Extract, ResourceProperties
+    from analytics_data_platform_spark.elt.runner import run_ingest
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("long")
+    def bump(x):
+        acc.add(1)
+        return x
+
+    def extractor(wm):
+        yield spark.range(0, 50, 1, 4).select(
+            bump(F.col("id")).alias("seq"), F.lit("x").alias("v")
+        )
+
+    class OneResource(Extract):
+        def extract_resource_properties(self):
+            yield "acc_rows", ResourceProperties(extractor, watermark_column="seq")
+
+    stats = run_ingest(spark, OneResource(), ns)
+    assert stats.resources["acc_rows"].rows == 50
+    assert stats.resources["acc_rows"].watermark.value == 49
+    assert acc.value == 50, f"chunk evaluated {acc.value / 50:.1f}x, expected 1x"
+
+
+def test_merge_swap_failure_keeps_stage_for_recovery(spark, ns, monkeypatch):
+    """Failure injection: if the in-place overwrite dies mid-merge, the
+    stage table (the only complete copy of the merged rows) must survive,
+    and restore_from_stage must complete the swap."""
+    import pyspark.sql.readwriter as rw
+
+    from analytics_data_platform_spark.tables.io import StageSwapError
+
+    io = TableIO(spark)
+    t = f"{ns}.merge_crash"
+    io.write_table(_df(spark, [(1, "a"), (2, "b")], ["id", "v"]), t, mode="append")
+
+    orig = rw.DataFrameWriter.insertInto
+
+    def boom(self, *a, **kw):
+        raise RuntimeError("injected executor failure")
+
+    monkeypatch.setattr(rw.DataFrameWriter, "insertInto", boom)
+    with pytest.raises(StageSwapError) as ei:
+        io.write_table(
+            _df(spark, [(2, "B"), (3, "c")], ["id", "v"]), t, mode="merge", merge_on=["id"]
+        )
+    monkeypatch.setattr(rw.DataFrameWriter, "insertInto", orig)
+
+    stage = ei.value.stage
+    assert stage == t + "__stage"
+    assert io.table_exists(stage), "stage table must be kept on swap failure"
+    assert {tuple(r) for r in spark.table(stage).collect()} == {(1, "a"), (2, "B"), (3, "c")}
+
+    io.restore_from_stage(t)
+    assert not io.table_exists(stage)
+    assert {tuple(r) for r in spark.table(t).collect()} == {(1, "a"), (2, "B"), (3, "c")}
