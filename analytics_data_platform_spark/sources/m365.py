@@ -21,6 +21,7 @@ from __future__ import annotations
 import datetime as dt
 import fnmatch
 import re
+import time
 from collections.abc import Callable, Iterator
 from dataclasses import dataclass
 from urllib import parse as urlparser
@@ -32,6 +33,55 @@ GRAPH_API = "https://graph.microsoft.com/v1.0"
 
 GetJson = Callable[[str, dict | None], dict]
 GetBytes = Callable[[str], bytes]
+
+# Graph throttles recursive listings aggressively; the reference client
+# retries these with exponential backoff (reference:
+# elt-common/src/elt_common/sources/m365/client.py:17-31, tenacity).
+RETRYABLE_STATUS = frozenset({429, 500, 502, 503, 504})
+
+
+def request_with_retries(
+    send: Callable[[], object],
+    *,
+    refresh: Callable[[], None] | None = None,
+    max_attempts: int = 5,
+    base_delay: float = 0.5,
+    max_delay: float = 60.0,
+    sleep: Callable[[float], None] = time.sleep,
+):
+    """One Graph request with 401 token refresh + bounded exponential backoff.
+
+    ``send()`` performs a single HTTP attempt and returns a response with
+    ``status_code`` / ``headers`` / ``raise_for_status()``. On 401 the
+    cached token is dropped via ``refresh()`` and the request retried once
+    (token expiry, not an error). On 429/5xx the wait honors ``Retry-After``
+    when the server sends one, else ``base_delay * 2**attempt`` capped at
+    ``max_delay``; after ``max_attempts`` the last response's
+    ``raise_for_status()`` propagates. Any other status returns (or raises)
+    immediately.
+    """
+    refreshed = False
+    resp = None
+    for attempt in range(max_attempts):
+        resp = send()
+        status = getattr(resp, "status_code", None)
+        if status == 401 and refresh is not None and not refreshed:
+            refresh()
+            refreshed = True
+            continue
+        if status in RETRYABLE_STATUS:
+            if attempt < max_attempts - 1:
+                retry_after = (getattr(resp, "headers", None) or {}).get("Retry-After")
+                try:
+                    delay = min(float(retry_after), max_delay)
+                except (TypeError, ValueError):
+                    delay = min(base_delay * 2**attempt, max_delay)
+                sleep(delay)
+            continue
+        resp.raise_for_status()
+        return resp
+    resp.raise_for_status()
+    return resp  # pragma: no cover — unreachable unless raise_for_status no-ops
 
 
 @dataclass(frozen=True)
@@ -50,45 +100,74 @@ class M365File:
 
 
 def oauth2_transport(
-    tenant_id: str, client_id: str, client_secret: str
+    tenant_id: str,
+    client_id: str,
+    client_secret: str,
+    *,
+    max_attempts: int = 5,
+    sleep: Callable[[float], None] = time.sleep,
+    http=None,
 ) -> tuple[GetJson, GetBytes]:
     """Production transport: OAuth2 client-credentials against MS Graph.
 
     Token fetch + bearer header via requests (the stdlib-free equivalent of
-    the reference's authlib OAuth2Client); refreshed per 401.
+    the reference's authlib OAuth2Client). Both ``get_json`` and
+    ``get_bytes`` go through :func:`request_with_retries`: cached token
+    dropped + re-fetched on 401, 429/5xx retried with exponential backoff
+    honoring ``Retry-After``. ``http``/``sleep`` are injectable for tests
+    (``http`` needs ``get``/``post`` with the requests signature).
     """
-    import requests
+    if http is None:
+        import requests as http  # noqa: PLC0415 — optional dependency, prod only
 
     token_url = f"https://login.microsoftonline.com/{tenant_id}/oauth2/v2.0/token"
     state: dict[str, str] = {}
 
     def _token() -> str:
         if "t" not in state:
-            resp = requests.post(
-                token_url,
-                data={
-                    "grant_type": "client_credentials",
-                    "client_id": client_id,
-                    "client_secret": client_secret,
-                    "scope": "https://graph.microsoft.com/.default",
-                },
-                timeout=30,
+            resp = request_with_retries(
+                lambda: http.post(
+                    token_url,
+                    data={
+                        "grant_type": "client_credentials",
+                        "client_id": client_id,
+                        "client_secret": client_secret,
+                        "scope": "https://graph.microsoft.com/.default",
+                    },
+                    timeout=30,
+                ),
+                max_attempts=max_attempts,
+                sleep=sleep,
             )
-            resp.raise_for_status()
             state["t"] = resp.json()["access_token"]
         return state["t"]
 
+    def _drop_token() -> None:
+        state.pop("t", None)
+
     def get_json(url: str, params: dict | None = None) -> dict:
-        resp = requests.get(url, params=params, headers={"Authorization": f"Bearer {_token()}"}, timeout=60)
-        if resp.status_code == 401:
-            state.pop("t", None)
-            resp = requests.get(url, params=params, headers={"Authorization": f"Bearer {_token()}"}, timeout=60)
-        resp.raise_for_status()
+        resp = request_with_retries(
+            lambda: http.get(
+                url,
+                params=params,
+                headers={"Authorization": f"Bearer {_token()}"},
+                timeout=60,
+            ),
+            refresh=_drop_token,
+            max_attempts=max_attempts,
+            sleep=sleep,
+        )
         return resp.json()
 
     def get_bytes(url: str) -> bytes:
-        resp = requests.get(url, headers={"Authorization": f"Bearer {_token()}"}, timeout=300)
-        resp.raise_for_status()
+        resp = request_with_retries(
+            lambda: http.get(
+                url, headers={"Authorization": f"Bearer {_token()}"}, timeout=300
+            ),
+            refresh=_drop_token,
+            max_attempts=max_attempts,
+            sleep=sleep,
+        )
         return resp.content
 
     return get_json, get_bytes

@@ -126,3 +126,106 @@ def test_download_to_rows_distributed(spark, client):
     assert len(rows) == 2
     assert {r["file"] for r in rows} == {f.path for f in files}
     assert all(r["v"] == len(r["file"]) for r in rows)
+
+
+# --- retry/backoff transport (reference client.py:17-31 tenacity parity) ---
+
+
+class FakeResponse:
+    def __init__(self, status, json_body=None, content=b"", headers=None):
+        self.status_code = status
+        self.headers = headers or {}
+        self._json = json_body or {}
+        self.content = content
+
+    def json(self):
+        return self._json
+
+    def raise_for_status(self):
+        if self.status_code >= 400:
+            raise RuntimeError(f"HTTP {self.status_code}")
+
+
+class FakeHttp:
+    """requests-shaped double: pops one scripted response per call."""
+
+    def __init__(self, script):
+        self.script = list(script)
+        self.calls = []
+
+    def _next(self, kind, url):
+        self.calls.append((kind, url))
+        if not self.script:
+            raise AssertionError(f"unscripted {kind} {url}")
+        return self.script.pop(0)
+
+    def get(self, url, **kw):
+        return self._next("get", url)
+
+    def post(self, url, **kw):
+        return self._next("post", url)
+
+
+TOKEN = FakeResponse(200, {"access_token": "tok"})
+
+
+def _transport(script, sleeps=None):
+    http = FakeHttp(script)
+    sleeps = [] if sleeps is None else sleeps
+    gj, gb = m365.oauth2_transport(
+        "tid", "cid", "secret", http=http, sleep=sleeps.append
+    )
+    return gj, gb, http, sleeps
+
+
+def test_retry_429_then_success_honors_retry_after():
+    sleeps = []
+    gj, _, http, _ = _transport(
+        [
+            TOKEN,
+            FakeResponse(429, headers={"Retry-After": "2"}),
+            FakeResponse(429),  # no header -> exponential backoff
+            FakeResponse(200, {"ok": True}),
+        ],
+        sleeps,
+    )
+    assert gj("https://x/items") == {"ok": True}
+    assert sleeps == [2.0, 0.5 * 2**1]
+    assert len(http.calls) == 4  # token + 3 attempts
+
+
+def test_retry_exhausted_on_persistent_500():
+    gj, _, http, sleeps = _transport([TOKEN] + [FakeResponse(500)] * 5)
+    with pytest.raises(RuntimeError, match="HTTP 500"):
+        gj("https://x/items")
+    assert len(http.calls) == 6  # token + max_attempts
+    assert sleeps == [0.5, 1.0, 2.0, 4.0]  # no sleep after the last attempt
+
+
+def test_get_bytes_refreshes_token_on_401():
+    """get_bytes previously had NO 401 refresh — downloads died on expiry."""
+    _, gb, http, _ = _transport(
+        [
+            TOKEN,
+            FakeResponse(401),
+            FakeResponse(200, {"access_token": "tok2"}),  # re-auth
+            FakeResponse(200, content=b"payload"),
+        ]
+    )
+    assert gb("https://x/content") == b"payload"
+    kinds = [k for k, _ in http.calls]
+    assert kinds == ["post", "get", "post", "get"]
+
+
+def test_second_401_raises_not_loops():
+    gj, *_ = _transport([TOKEN, FakeResponse(401), TOKEN, FakeResponse(401)])
+    with pytest.raises(RuntimeError, match="HTTP 401"):
+        gj("https://x/items")
+
+
+def test_retry_after_caps_at_max_delay():
+    sleeps = []
+    send_script = [FakeResponse(429, headers={"Retry-After": "3600"}), FakeResponse(200)]
+    sc = list(send_script)
+    m365.request_with_retries(lambda: sc.pop(0), sleep=sleeps.append, max_delay=60.0)
+    assert sleeps == [60.0]
