@@ -421,3 +421,291 @@ register(
         tags=("agg", "datetime"),
     )
 )
+
+
+# --- q2: min-cost supplier (correlated MIN subquery) ----------------------
+# The corpus has no partsupp table; the part↔supplier cost relation is
+# derived from lineitem as MIN(l_extendedprice / l_quantity) per
+# (l_partkey, l_suppkey) — MIN of exact IEEE divisions, so the correlated
+# minimum compares bit-identically across engines (no summation-order
+# sensitivity). Query shape preserved: correlated scalar MIN subquery
+# (TPC-H q2), region-restricted on both sides.
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 15)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+
+    # derived part-supplier cost: one shuffle on (l_partkey, l_suppkey)
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    # suppliers in EUROPE: dims are broadcast-size at any SF
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps_eu = ps.join(F.broadcast(eu), ps.l_suppkey == eu.s_suppkey).join(
+        F.broadcast(p), ps.l_partkey == p.p_partkey
+    )
+    # the correlated MIN: per-part minimum among EUROPE suppliers, joined
+    # back on equality (decorrelated group-then-join — the plan Catalyst
+    # produces for the scalar-subquery form, stated explicitly)
+    min_cost = ps_eu.groupBy(F.col("l_partkey").alias("_mk")).agg(
+        F.min("unit_cost").alias("_min_cost")
+    )
+    return (
+        ps_eu.join(
+            min_cost,
+            (ps_eu.l_partkey == min_cost._mk) & (ps_eu.unit_cost == min_cost._min_cost),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey"))
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+       ROUND(ps.unit_cost, 4) AS unit_cost
+FROM ps
+JOIN part ON ps.l_partkey = p_partkey
+JOIN supplier ON ps.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_type = 'LARGE' AND p_size <= 15 AND r_name = 'EUROPE'
+  AND ps.unit_cost = (
+      SELECT MIN(ps2.unit_cost)
+      FROM ps ps2
+      JOIN supplier s2 ON ps2.l_suppkey = s2.s_suppkey
+      JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      WHERE ps2.l_partkey = ps.l_partkey AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT 100
+"""
+
+register(
+    QuerySpec(
+        "q2_min_cost_supplier",
+        q2_min_cost_supplier,
+        Q2_SQL,
+        doc="correlated MIN subquery (min-cost supplier per part, TPC-H q2 shape)",
+        cites="SURVEY §2.3 J5 (scalar subquery family); TPC-H q2",
+        tags=("join", "subquery"),
+    )
+)
+
+
+# --- q13: customer order-count distribution (left outer + re-agg) ---------
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = c.join(o, c.c_custkey == o.o_custkey, "left_outer").groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")  # COUNT(col): NULLs from the outer join drop out
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+register(
+    QuerySpec(
+        "q13_customer_distribution",
+        q13_customer_distribution,
+        Q13_SQL,
+        doc="left-outer join + two-level count distribution (TPC-H q13 shape)",
+        cites="SURVEY §2.3 J3 outer family; TPC-H q13",
+        tags=("join", "agg"),
+    )
+)
+
+
+# --- q16: supplier count per part attributes (distinct agg + NOT IN) ------
+# No partsupp: the part↔supplier link is distinct (l_partkey, l_suppkey)
+# pairs from lineitem; the "customer complaints" supplier exclusion is
+# proxied by negative account balance (same NOT-IN-subquery shape).
+
+
+def q16_supplier_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    excl = load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(excl), l.l_suppkey == excl.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+register(
+    QuerySpec(
+        "q16_supplier_part_coverage",
+        q16_supplier_part_coverage,
+        Q16_SQL,
+        doc="COUNT DISTINCT agg + NOT-IN anti subquery (TPC-H q16 shape)",
+        cites="SURVEY §2.4 A4 distinct family, §2.3 J6 anti; TPC-H q16",
+        tags=("agg", "subquery"),
+    )
+)
+
+
+# --- q18: large-quantity orders (IN-subquery over HAVING + top-k) ---------
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    # IN (SELECT l_orderkey ... HAVING SUM(l_quantity) > 250): one shuffle
+    # on l_orderkey; the semi form never widens rows (l_quantity sums are
+    # integral doubles — exact, so the HAVING threshold is engine-stable)
+    big = l.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("_qty")).where(F.col("_qty") > 250)
+    return (
+        l.join(big.select("l_orderkey"), "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       ROUND(SUM(l_quantity), 2) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+register(
+    QuerySpec(
+        "q18_large_orders",
+        q18_large_orders,
+        Q18_SQL,
+        doc="IN-subquery over grouped HAVING + deterministic top-k (TPC-H q18 shape)",
+        cites="SURVEY §2.3 J5, §2.6 O3; TPC-H q18",
+        tags=("join", "subquery", "topk"),
+    )
+)
+
+
+# --- q21: suppliers who kept orders waiting (EXISTS + NOT EXISTS) ---------
+# No l_receiptdate/l_commitdate in the corpus: "late" is shipdate more
+# than 60 days after the order date (same proxy as q4). The double
+# correlated EXISTS / NOT EXISTS is rewritten as one per-order aggregation
+# — n_supp distinct suppliers, n_late_supp distinct LATE suppliers — and a
+# filter (n_supp > 1 AND n_late_supp = 1) on late rows: exactly the
+# multi-supplier / sole-late-supplier semantics, but with two shuffles
+# total instead of two per-row correlated probes (the 100 TB-safe form).
+
+
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_9")
+
+    ol = l.join(
+        o.select("o_orderkey", "o_orderdate"), l.l_orderkey == F.col("o_orderkey")
+    ).withColumn(
+        "_late",
+        F.col("l_shipdate") > F.timestamp_add("DAY", F.lit(60), F.col("o_orderdate")),
+    )
+    flags = ol.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.count_distinct("l_suppkey").alias("_n_supp"),
+        F.count_distinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias("_n_late_supp"),
+    )
+    return (
+        ol.where("_late")
+        .join(
+            flags.where((F.col("_n_supp") > 1) & (F.col("_n_late_supp") == 1)),
+            ol.l_orderkey == flags._ok,
+        )
+        .join(F.broadcast(s), ol.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+Q21_SQL = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F' AND n_name = 'NATION_9'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 100
+"""
+
+register(
+    QuerySpec(
+        "q21_suppliers_kept_waiting",
+        q21_suppliers_kept_waiting,
+        Q21_SQL,
+        doc="double correlated EXISTS/NOT EXISTS via per-order agg rewrite (TPC-H q21 shape)",
+        cites="SURVEY §2.3 J5/J6; TPC-H q21",
+        tags=("join", "subquery"),
+    )
+)
