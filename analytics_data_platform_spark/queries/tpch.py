@@ -709,3 +709,498 @@ register(
         tags=("join", "subquery"),
     )
 )
+
+
+# --- q7: volume shipping between two nations ------------------------------
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("_ck"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("_sk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("_ck"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       YEAR(l_shipdate) AS l_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY n1.n_name, n2.n_name, YEAR(l_shipdate)
+"""
+
+register(
+    QuerySpec(
+        "q7_volume_shipping",
+        q7_volume_shipping,
+        Q7_SQL,
+        doc="bidirectional nation-pair trade volume by year (TPC-H q7 shape)",
+        cites="SURVEY §2.3 J1 self-joined dims; TPC-H q7",
+        tags=("join", "agg"),
+    )
+)
+
+
+# --- q8: national market share --------------------------------------------
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    n1 = n.select(F.col("n_nationkey").alias("_ck"), F.col("n_regionkey").alias("_crk"))
+    n2 = n.select(F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("_ck"))
+        .join(F.broadcast(r), F.col("_crk") == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("_sk"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+Q8_SQL = """
+SELECT YEAR(o_orderdate) AS o_year,
+       ROUND(SUM(CASE WHEN n2.n_name = 'NATION_5'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY YEAR(o_orderdate)
+"""
+
+register(
+    QuerySpec(
+        "q8_market_share",
+        q8_market_share,
+        Q8_SQL,
+        doc="conditional-share ratio over 8-way snowflake join (TPC-H q8 shape)",
+        cites="SURVEY §2.3 J1, §2.4 A1; TPC-H q8",
+        tags=("join", "agg"),
+    )
+)
+
+
+# --- q9: product-type profit (derived supply cost) ------------------------
+# No partsupp: supply cost per (part, supplier) is the q2-derived
+# MIN(l_extendedprice / l_quantity) relation, so profit =
+# revenue − unit_cost × quantity. Shape preserved: LIKE-filtered part,
+# profit by (nation, year).
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
+    n = load_table(spark, sf_dir, "nation")
+    ps = l.groupBy(
+        F.col("l_partkey").alias("_pk"), F.col("l_suppkey").alias("_sk")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "unit_cost"
+    ) * F.col("l_quantity")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(ps, (l.l_partkey == F.col("_pk")) & (l.l_suppkey == F.col("_sk")))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+    )
+
+
+Q9_SQL = """
+WITH ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) - unit_cost * l_quantity), 2)
+         AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, YEAR(o_orderdate)
+"""
+
+register(
+    QuerySpec(
+        "q9_product_profit",
+        q9_product_profit,
+        Q9_SQL,
+        doc="profit by nation/year with derived supply cost (TPC-H q9 shape)",
+        cites="SURVEY §2.3 J1, §2.4 A1; TPC-H q9",
+        tags=("join", "agg"),
+    )
+)
+
+
+# --- q11: important stock values (scalar-subquery HAVING) -----------------
+# Sums are DECIMAL(18,2) — exact and summation-order independent — so the
+# threshold comparison can never flip on cross-engine double ulps; the
+# final value is cast to DOUBLE for output.
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_0")
+    pv = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("_val"))
+    )
+    total = pv.agg((F.sum("_val") * F.lit(0.002)).alias("_threshold"))
+    return (
+        pv.join(F.broadcast(total))
+        .where(F.col("_val") > F.col("_threshold"))
+        .select("l_partkey", F.col("_val").cast("double").alias("stock_value"))
+    )
+
+
+Q11_SQL = """
+WITH pv AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_0'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(val AS DOUBLE) AS stock_value
+FROM pv
+WHERE val > (SELECT SUM(val) * 0.002 FROM pv)
+"""
+
+register(
+    QuerySpec(
+        "q11_important_stock",
+        q11_important_stock,
+        Q11_SQL,
+        doc="group totals vs global-scalar threshold, exact DECIMAL sums (TPC-H q11 shape)",
+        cites="SURVEY §2.3 J5 scalar subquery; TPC-H q11",
+        tags=("agg", "subquery"),
+    )
+)
+
+
+# --- q15: top supplier (scalar MAX over a derived view) -------------------
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1997-01-01")) & (F.col("l_shipdate") < _ts("1997-04-01"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = l.groupBy(F.col("l_suppkey").alias("_sk")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_rev"
+        )
+    )
+    best = rev.agg(F.max("total_rev").alias("_best"))
+    return (
+        rev.join(F.broadcast(best))
+        .where(F.col("total_rev") == F.col("_best"))
+        .join(F.broadcast(s), F.col("_sk") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+"""
+
+register(
+    QuerySpec(
+        "q15_top_supplier",
+        q15_top_supplier,
+        Q15_SQL,
+        doc="argmax via scalar MAX over derived revenue view (TPC-H q15 shape)",
+        cites="SURVEY §2.3 J5, §2.4 A5; TPC-H q15",
+        tags=("agg", "subquery"),
+    )
+)
+
+
+# --- q17: small-quantity-order revenue (correlated AVG subquery) ----------
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_type") == "SMALL")
+    )
+    # decorrelated per-part AVG (l_quantity is integral → AVG is exact and
+    # engine-identical, so the 0.2× threshold cannot flip)
+    avg_q = l.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("_limit")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(avg_q, l.l_partkey == F.col("_pk"))
+        .where(F.col("l_quantity") < F.col("_limit"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+Q17_SQL = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23' AND p_type = 'SMALL'
+  AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)
+"""
+
+register(
+    QuerySpec(
+        "q17_small_quantity",
+        q17_small_quantity,
+        Q17_SQL,
+        doc="correlated per-part AVG threshold (TPC-H q17 shape)",
+        cites="SURVEY §2.3 J5; TPC-H q17",
+        tags=("join", "subquery"),
+    )
+)
+
+
+# --- q19: disjunctive predicate join (OR-of-ANDs pushdown) ----------------
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+Q19_SQL = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+register(
+    QuerySpec(
+        "q19_disjunctive_revenue",
+        q19_disjunctive_revenue,
+        Q19_SQL,
+        doc="OR-of-ANDs disjunctive predicates across join (TPC-H q19 shape)",
+        cites="SURVEY §2.2 P5; TPC-H q19",
+        tags=("join", "filter"),
+    )
+)
+
+
+# --- q20: heavy shippers of promoted parts (nested IN subqueries) ---------
+# No partsupp.ps_availqty: "excess stock" is proxied by suppliers whose
+# 1997 shipped quantity of any LIKE-filtered part exceeds a threshold —
+# the same two-level nested-IN shape (suppkey IN (… partkey IN (…))).
+
+
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1997-01-01")) & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    heavy = (
+        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .where(F.col("_qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_name", "n_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = """
+SELECT s_name, n_name, ROUND(s_acctbal, 2) AS s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING SUM(l_quantity) > 50)
+ORDER BY s_name
+"""
+
+register(
+    QuerySpec(
+        "q20_promotion_suppliers",
+        q20_promotion_suppliers,
+        Q20_SQL,
+        doc="two-level nested IN subqueries with grouped HAVING (TPC-H q20 shape)",
+        cites="SURVEY §2.3 J5/J7; TPC-H q20",
+        tags=("join", "subquery"),
+    )
+)
+
+
+# --- q22: lapsed high-balance customers (anti-join + scalar AVG) ----------
+# No c_phone: the country code is the last two digits of c_name
+# ('Customer#000000123' → '23'). Every customer has SOME order in this
+# corpus, so "no orders at all" is tightened to "no orders since
+# 2000-01-01" — the NOT-EXISTS anti shape is identical.
+
+
+def q22_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    codes = ("11", "17", "23", "29", "31", "37", "41")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .withColumn("cntrycode", F.expr("right(c_name, 2)"))
+        .where(F.col("cntrycode").isin(*codes))
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= _ts("2000-01-01"))
+        .select("o_custkey")
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("_avg_bal"))
+    return (
+        c.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+Q22_SQL = """
+WITH cust AS (
+  SELECT RIGHT(c_name, 2) AS cntrycode, c_custkey, c_acctbal
+  FROM customer
+  WHERE RIGHT(c_name, 2) IN ('11', '17', '23', '29', '31', '37', '41')
+)
+SELECT cntrycode, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM cust
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM cust WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY cntrycode
+"""
+
+register(
+    QuerySpec(
+        "q22_lapsed_customers",
+        q22_lapsed_customers,
+        Q22_SQL,
+        doc="scalar AVG threshold + NOT-EXISTS anti-join (TPC-H q22 shape)",
+        cites="SURVEY §2.3 J5/J6; TPC-H q22",
+        tags=("subquery", "agg"),
+    )
+)
