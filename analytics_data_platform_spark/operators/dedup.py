@@ -341,3 +341,191 @@ def simhash_near_pairs(sigs: DataFrame, id_col: str = "doc_id", max_hamming: int
     return pairs.select("id_a", "id_b", hamming.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+# --- cross-engine portable hash family ------------------------------------
+# xxhash64 is Spark-only; for conformance checking against external SQL
+# engines (the driver's DuckDB oracle, or any warehouse) the signatures
+# below use an md5-derived 32-bit base hash — `conv(substr(md5(s),1,8),
+# 16,10)` here ≡ `('0x'||substr(md5(s),1,8))::BIGINT` in DuckDB — and a
+# seeded affine family  h_i(x) = (a_i·x + b_i) mod (2^31−1).  This is
+# CHEAPER per shingle than the xxhash64 path (one md5 + k affine mods vs
+# k full hashes) at the cost of weaker mixing; both paths share the exact
+# same banding/join topology, so the oracle exercises the production plan.
+
+MERSENNE_P = 2_147_483_647  # 2^31 − 1; a_i·h + b_i < 2^63 — no overflow
+
+
+def portable_hash32(col: Column | str, offset: int = 1) -> Column:
+    """md5-derived 32-bit hash reproducible in any engine with md5().
+
+    ``offset`` selects the hex window (1 → bytes 0-3, 9 → bytes 4-7), so
+    two independent 32-bit hashes come from one md5 evaluation.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), offset, 8), 16, 10).cast("long")
+
+
+def affine_params(num_hashes: int, seed: int = 42) -> tuple[list[int], list[int]]:
+    """Seeded (a_i, b_i) for the affine MinHash family — the same numpy
+    stream an offline mirror (or generated oracle SQL) uses."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    a = [int(x) for x in rng.randint(1, MERSENNE_P, size=num_hashes)]
+    b = [int(x) for x in rng.randint(0, MERSENNE_P, size=num_hashes)]
+    return a, b
+
+
+def minhash_signature_portable(
+    shingles: Column, num_hashes: int = 32, seed: int = 42
+) -> Column:
+    """MinHash signature under the portable family (pure JVM expressions).
+
+    One md5 per shingle, then ``num_hashes`` affine transforms inside a
+    nested higher-order lambda — zero Python boundary, and bit-identical
+    to the DuckDB mirror in queries/scale_ops.py.
+    """
+    a, b = affine_params(num_hashes, seed)
+    params = F.array(*[F.array(F.lit(ai), F.lit(bi)) for ai, bi in zip(a, b)])
+    return F.when(
+        F.size(shingles) > 0,
+        F.transform(
+            params,
+            lambda p: F.array_min(
+                F.transform(shingles, lambda s: (p[0] * portable_hash32(s) + p[1]) % MERSENNE_P)
+            ),
+        ),
+    )
+
+
+def minhash_lsh_candidates_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """`minhash_lsh_candidates` under the portable hash family.
+
+    Identical banding topology (explode → band-bucket equi-join → pair
+    groupBy); the bucket key is the band's value string instead of an
+    xxhash64 of it, so an external engine reproduces the exact pairs.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature_portable(shingle_tokens(text_col), num_hashes, seed).alias("sig"),
+    ).where(F.col("sig").isNotNull())
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        F.lit(str(bnd)),
+                        *[F.element_at("sig", bnd * r + j + 1) for j in range(r)],
+                    )
+                    for bnd in range(bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def simhash_signatures_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash as two 32-bit halves — pure JVM, engine-portable.
+
+    Each token hashes once via md5; halves of the digest give two
+    independent 32-bit hashes. The per-bit majority vote is an unrolled
+    `aggregate` per bit (constant plan size, whole-stage codegen) — unlike
+    :func:`simhash_signatures` there is NO Python boundary, so this is
+    also the faster path at scale, and the one the DuckDB oracle mirrors.
+    Columns: (id, sim_lo, sim_hi) — signed-safe 32-bit values in longs.
+    """
+    toks = F.filter(F.split(normalized_text(text_col), " "), lambda t: t != "")
+    hs_lo = F.transform(toks, lambda t: portable_hash32(t, 1))
+    hs_hi = F.transform(toks, lambda t: portable_hash32(t, 9))
+
+    def half(hashes: Column) -> Column:
+        bits = []
+        for j in range(32):
+            mask = F.lit(1 << j)
+            vote = F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc + F.when((h.bitwiseAND(mask)) != 0, 1).otherwise(-1),
+            )
+            bits.append(F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+        out = bits[0]
+        for bcol in bits[1:]:
+            out = out + bcol
+        return out.cast("long")
+
+    return df.select(
+        F.col(id_col), half(hs_lo).alias("sim_lo"), half(hs_hi).alias("sim_hi")
+    )
+
+
+def simhash_near_pairs_portable(
+    sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near pairs over split (sim_lo, sim_hi) signatures: 4×16-bit banding
+    equi-joins (pigeonhole, same as :func:`simhash_near_pairs`), Hamming =
+    popcount(lo⊕lo′) + popcount(hi⊕hi′)."""
+    chunks = [
+        F.shiftrightunsigned(F.col("sim_lo"), 0).bitwiseAND(F.lit(0xFFFF)).alias("c0"),
+        F.shiftrightunsigned(F.col("sim_lo"), 16).bitwiseAND(F.lit(0xFFFF)).alias("c1"),
+        F.shiftrightunsigned(F.col("sim_hi"), 0).bitwiseAND(F.lit(0xFFFF)).alias("c2"),
+        F.shiftrightunsigned(F.col("sim_hi"), 16).bitwiseAND(F.lit(0xFFFF)).alias("c3"),
+    ]
+    banded = sigs.select(id_col, "sim_lo", "sim_hi", *chunks).select(
+        id_col,
+        "sim_lo",
+        "sim_hi",
+        F.explode(
+            F.array(
+                *[F.struct(F.lit(i).alias("band"), F.col(f"c{i}").alias("chunk")) for i in range(4)]
+            )
+        ).alias("bb"),
+    ).select(id_col, "sim_lo", "sim_hi", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sim_lo").alias("lo_a"),
+            F.col("a.sim_hi").alias("hi_a"),
+            F.col("b.sim_lo").alias("lo_b"),
+            F.col("b.sim_hi").alias("hi_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))) + F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    )
+    return pairs.select("id_a", "id_b", hamming.cast("long").alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

@@ -149,21 +149,27 @@ def lsh_topk(
     q_id_col: str = "q_id",
     q_vec_col: str = "q_emb",
     seed: int = 42,
+    score_round: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only same-bucket (equal signature) vectors.
 
     Recall/cost tradeoff via n_bits (bucket count ≈ 2^n_bits). Multi-probe
     (flipping low-confidence bits) is the standard extension; single-probe
     keeps the plan one equi-join. Final selection is the same two-phase
-    top-k as the brute-force path.
+    top-k as the brute-force path. ``score_round`` rounds cos_sim BEFORE
+    ranking (with the id tie-break) so an external oracle computing the
+    same rounded score ranks identically despite float ulp differences.
     """
     planes = _hyperplanes(dim, n_bits, seed)
     c = corpus.withColumn("_sig", lsh_signature_col(vec_col, planes))
     q = queries.withColumn("_qsig", lsh_signature_col(q_vec_col, planes))
+    score = cosine(q_vec_col, vec_col)
+    if score_round is not None:
+        score = F.round(score, score_round)
     scored = c.join(
         F.broadcast(q),
         (F.col("_sig") == F.col("_qsig")) & (F.col(id_col) != F.col(q_id_col)),
-    ).select(q_id_col, id_col, cosine(q_vec_col, vec_col).alias("cos_sim"))
+    ).select(q_id_col, id_col, score.alias("cos_sim"))
     return topk_per_query(scored, k, q_id_col, id_col, "cos_sim")
 
 
@@ -277,6 +283,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
     q_vec_col: str = "q_emb",
+    score_round: int | None = None,
 ) -> DataFrame:
     """IVF search: scan only the nprobe nearest centroid cells per query.
 
@@ -323,7 +330,11 @@ def ivf_topk(
             nprobe,
         )
         q = q.select(q_id_col, q_vec_col, F.explode(cells).alias("_qcell"))
+    score = cosine(q_vec_col, vec_col)
+    if score_round is not None:
+        # round BEFORE ranking (id tie-break) — oracle-stable ordering
+        score = F.round(score, score_round)
     scored = c.join(
         F.broadcast(q), (F.col("_cell") == F.col("_qcell")) & (F.col(id_col) != F.col(q_id_col))
-    ).select(q_id_col, id_col, cosine(q_vec_col, vec_col).alias("cos_sim"))
+    ).select(q_id_col, id_col, score.alias("cos_sim"))
     return topk_per_query(scored, k, q_id_col, id_col, "cos_sim")

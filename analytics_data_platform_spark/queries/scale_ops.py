@@ -1,7 +1,24 @@
-"""Approximate large-scale operators exposed to the driver (rows-only
-checks — MinHash/SimHash/LSH/IVF are not ANSI-SQL-expressible, so no
-DuckDB oracle; their exactness-adjacent behavior is pinned by
-tests/test_operators.py recall and golden assertions instead)."""
+"""Approximate large-scale operators exposed to the driver — WITH oracles.
+
+MinHash/SimHash/LSH/IVF were rows-only in round 1 ("not ANSI-SQL-
+expressible"). They are, with two moves:
+
+1. **Portable hash family** (operators.dedup): signatures derive from
+   md5 — ``conv(substr(md5(s),1,8),16,10)`` in Spark ≡
+   ``('0x'||substr(md5(s),1,8))::BIGINT`` in DuckDB — plus a seeded
+   affine family / seeded hyperplanes whose literals are embedded in the
+   generated oracle SQL below. Both engines then compute the SAME
+   signatures, bands, buckets and candidate pairs independently.
+2. **Round-before-rank** (operators.similarity ``score_round``): cosine
+   scores are rounded to 4dp BEFORE the top-k window (id tie-break), so
+   float ulp differences between the two engines' fold orders cannot
+   reorder the result.
+
+The IVF registry query uses the first-``NLIST`` vectors as deterministic
+coarse centroids (natural init) so the oracle can reproduce cell
+assignment; the k-means training path stays covered by
+tests/test_operators.py recall tests.
+"""
 
 from __future__ import annotations
 
@@ -12,11 +29,42 @@ from analytics_data_platform_spark.operators import dedup, similarity
 from analytics_data_platform_spark.queries import QuerySpec, register
 from analytics_data_platform_spark.sources.testdata import load_table
 
+# ---- shared SQL fragments -------------------------------------------------
+
+# mirrors functions.text.normalized_text
+_NORM_TOKS = (
+    r"list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),"
+    r" '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), ' '), t -> t <> '')"
+)
+
+# mirrors functions.vectors.cosine (dot / (norm * norm), doubles)
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        f" / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        f" * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+
+
+_H32 = "('0x' || substr(md5({s}), 1, 8))::BIGINT"
+_H32B = "('0x' || substr(md5({s}), 9, 8))::BIGINT"
+
+
+# ---- near_dup_minhash -----------------------------------------------------
+
+_MH_HASHES, _MH_BANDS, _MH_SEED = 32, 16, 42
+
 
 def near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidates verified by exact Jaccard ≥ 0.5."""
+    """MinHash-LSH candidates (portable md5-affine family) verified by
+    exact Jaccard ≥ 0.5. Same banding topology as the xxhash64 production
+    path; the hash family is engine-portable so the DuckDB oracle
+    recomputes the identical candidate set from scratch."""
     d = load_table(spark, sf_dir, "documents")
-    cands = dedup.minhash_lsh_candidates(d, num_hashes=32, bands=16)
+    cands = dedup.minhash_lsh_candidates_portable(
+        d, num_hashes=_MH_HASHES, bands=_MH_BANDS, seed=_MH_SEED
+    )
     return (
         dedup.exact_jaccard_pairs(d, cands)
         .where(F.col("jaccard") >= 0.5)
@@ -24,51 +72,171 @@ def near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_sql() -> str:
+    a, b = dedup.affine_params(_MH_HASHES, _MH_SEED)
+    r = _MH_HASHES // _MH_BANDS
+    mins = ",\n         ".join(
+        f"list_min(list_transform(h, x -> ({a[i]} * x + {b[i]}) % {dedup.MERSENNE_P})) AS m{i}"
+        for i in range(_MH_HASHES)
+    )
+    buckets = ", ".join(
+        "concat_ws(',', {0}, {1})".format(
+            bnd, ", ".join(f"m{bnd * r + j}" for j in range(r))
+        )
+        for bnd in range(_MH_BANDS)
+    )
+    return f"""
+WITH norm AS (SELECT doc_id, {_NORM_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+              ELSE [] END AS sh
+  FROM norm
+),
+hs AS (SELECT doc_id, list_transform(sh, s -> {_H32.format(s='s')}) AS h
+       FROM sh WHERE len(sh) > 0),
+sig AS (SELECT doc_id,
+         {mins}
+        FROM hs),
+banded AS (SELECT doc_id, UNNEST([{buckets}]) AS bucket FROM sig),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(len(list_intersect(sa.sh, sb.sh)) * 1.0
+             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
+FROM cand
+JOIN sh sa ON sa.doc_id = id_a
+JOIN sh sb ON sb.doc_id = id_b
+WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0
+      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+"""
+
+
 register(
     QuerySpec(
         "near_dup_minhash",
         near_dup_minhash,
-        None,
-        doc="MinHash-LSH near-dup candidates + exact-Jaccard verification",
+        _minhash_sql(),
+        doc="MinHash-LSH near-dup candidates + exact-Jaccard verification (portable family)",
         cites="training-data ops: MinHash+LSH dedup (shingle→minhash→band→bucket-join)",
         tags=("dedup", "approx"),
     )
 )
 
 
+# ---- simhash_near_dups ----------------------------------------------------
+
+
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sigs = dedup.simhash_signatures(d)
-    return dedup.simhash_near_pairs(sigs, max_hamming=3)
+    sigs = dedup.simhash_signatures_portable(d)
+    return dedup.simhash_near_pairs_portable(sigs, max_hamming=3)
+
+
+def _simhash_sql() -> str:
+    def half(src: str) -> str:
+        terms = " + ".join(
+            f"CASE WHEN COALESCE(list_sum(list_transform({src}, "
+            f"h -> CASE WHEN (h & {1 << j}) <> 0 THEN 1 ELSE -1 END)), 0) > 0 "
+            f"THEN {1 << j} ELSE 0 END"
+            for j in range(32)
+        )
+        return f"CAST({terms} AS BIGINT)"
+
+    return f"""
+WITH norm AS (SELECT doc_id, {_NORM_TOKS} AS toks FROM documents),
+hs AS (SELECT doc_id,
+        list_transform(toks, t -> {_H32.format(s='t')}) AS h1,
+        list_transform(toks, t -> {_H32B.format(s='t')}) AS h2
+       FROM norm),
+sig AS (SELECT doc_id, {half('h1')} AS sim_lo, {half('h2')} AS sim_hi FROM hs),
+banded AS (
+  SELECT doc_id, sim_lo, sim_hi, UNNEST([
+    concat_ws(',', 0, sim_lo & 65535),
+    concat_ws(',', 1, (sim_lo >> 16) & 65535),
+    concat_ws(',', 2, sim_hi & 65535),
+    concat_ws(',', 3, (sim_hi >> 16) & 65535)]) AS bucket
+  FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sim_lo AS lo_a, a.sim_hi AS hi_a, b.sim_lo AS lo_b, b.sim_hi AS hi_b
+  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) AS BIGINT) AS hamming
+FROM pairs
+WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 3
+"""
 
 
 register(
     QuerySpec(
         "simhash_near_dups",
         simhash_near_dups,
-        None,
-        doc="SimHash 64-bit near-dup pairs via 16-bit banding",
+        _simhash_sql(),
+        doc="SimHash 2×32-bit near-dup pairs via 16-bit banding (portable, pure-JVM)",
         cites="training-data ops: SimHash dedup",
         tags=("dedup", "approx"),
     )
 )
 
 
+# ---- ann_lsh_topk ---------------------------------------------------------
+
+_LSH_BITS, _LSH_DIM, _LSH_SEED = 8, 64, 42
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (the scale path of ann_cosine_topk)."""
+    """LSH-bucketed approximate top-k (the scale path of ann_cosine_topk).
+    Scores rounded to 4dp before ranking → oracle-stable ordering."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    out = similarity.lsh_topk(e, q, k=10, n_bits=8, dim=64)
-    return out.select("q_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"), "rank")
+    out = similarity.lsh_topk(
+        e, q, k=10, n_bits=_LSH_BITS, dim=_LSH_DIM, seed=_LSH_SEED, score_round=4
+    )
+    return out.select("q_id", "vec_id", "cos_sim", "rank")
+
+
+def _lsh_sql() -> str:
+    planes = similarity._hyperplanes(_LSH_DIM, _LSH_BITS, _LSH_SEED)
+
+    def sig(vec: str) -> str:
+        bits = []
+        for p in planes:
+            lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+            bits.append(
+                f"CASE WHEN list_sum(list_transform(list_zip({vec}, {lit}), "
+                f"x -> CAST(x[1] AS DOUBLE) * x[2])) >= 0 THEN '1' ELSE '0' END"
+            )
+        return " || ".join(bits)
+
+    return f"""
+WITH sigs AS (SELECT vec_id, embedding, {sig('embedding')} AS sig FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb, sig AS qsig FROM sigs WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, c.vec_id, ROUND({_cos_sql('q.q_emb', 'c.embedding')}, 4) AS cos_sim
+  FROM sigs c JOIN q ON c.sig = q.qsig AND c.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, cos_sim, rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 10
+"""
 
 
 register(
     QuerySpec(
         "ann_lsh_topk",
         ann_lsh_topk,
-        None,
+        _lsh_sql(),
         doc="random-hyperplane LSH approximate top-k",
         cites="training-data ops: similarity search scale path",
         tags=("vector", "approx"),
@@ -76,23 +244,68 @@ register(
 )
 
 
+# ---- ann_ivf_topk ---------------------------------------------------------
+
+_IVF_NLIST, _IVF_NPROBE = 8, 4
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (coarse-quantized) approximate top-k with nprobe=4."""
+    """IVF approximate top-k with deterministic natural-init centroids
+    (the first NLIST vectors), nprobe=4 — the oracle reproduces cell
+    assignment exactly; k-means-trained centroids are exercised by the
+    operator tests instead."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    cents = similarity.train_ivf_centroids(e, n_centroids=8, max_iter=5)
-    out = similarity.ivf_topk(e, q, cents, k=10, nprobe=4)
-    return out.select("q_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"), "rank")
+    rows = (
+        e.where(F.col("vec_id") < _IVF_NLIST).orderBy("vec_id").select("embedding").collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in rows]
+    out = similarity.ivf_topk(e, q, cents, k=10, nprobe=_IVF_NPROBE, score_round=4)
+    return out.select("q_id", "vec_id", "cos_sim", "rank")
+
+
+def _ivf_sql() -> str:
+    dist = (
+        "list_sum(list_transform(list_zip(e.embedding, c.cemb), "
+        "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+        " * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+    )
+    return f"""
+WITH c AS (SELECT vec_id AS cell, embedding AS cemb FROM embeddings WHERE vec_id < {_IVF_NLIST}),
+d AS (
+  SELECT e.vec_id, e.embedding, c.cell, {dist} AS dist
+  FROM embeddings e CROSS JOIN c
+),
+assign AS (
+  SELECT vec_id, embedding, cell
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn FROM d)
+  WHERE rn = 1
+),
+qc AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, cell AS qcell
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+        FROM d WHERE vec_id < 5)
+  WHERE rn <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT qc.q_id, a.vec_id, ROUND({_cos_sql('qc.q_emb', 'a.embedding')}, 4) AS cos_sim
+  FROM assign a JOIN qc ON a.cell = qc.qcell AND a.vec_id <> qc.q_id
+)
+SELECT q_id, vec_id, cos_sim, rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 10
+"""
 
 
 register(
     QuerySpec(
         "ann_ivf_topk",
         ann_ivf_topk,
-        None,
-        doc="IVF coarse-quantized approximate top-k",
+        _ivf_sql(),
+        doc="IVF coarse-quantized approximate top-k (deterministic centroids)",
         cites="training-data ops: similarity search (IVF partition-pruned path)",
         tags=("vector", "approx"),
     )

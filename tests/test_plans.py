@@ -74,6 +74,15 @@ def test_no_python_udfs_in_relational_plans(spark, sf_dir):
         assert "EvalPython" not in plan, f"{name} fell off the JVM path"
 
 
+def test_portable_dedup_queries_stay_jvm_side(spark, sf_dir):
+    """The portable md5-family MinHash/SimHash registry queries must be
+    pure JVM (unlike the legacy mapInPandas simhash) — that's the point
+    of the unrolled aggregate bit-vote."""
+    for name in ["near_dup_minhash", "simhash_near_dups"]:
+        plan = plan_of(spark, name, sf_dir, "simple")
+        assert "EvalPython" not in plan, f"{name} fell off the JVM path"
+
+
 def test_partition_dsl_layout_prunes_scans(spark, sf_dir):
     """A table written with the month() partition transform must show
     partition pruning (PartitionFilters on the derived column) when
