@@ -16,6 +16,7 @@ Scale design (100 TB documents):
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Iterator
 
 import pandas as pd
@@ -270,7 +271,95 @@ def cluster_duplicates(
         if changed == 0:
             break
         labels = labels.localCheckpoint()  # truncate the iterative lineage
+    else:
+        # exhausted max_iter with labels still moving: clusters whose graph
+        # diameter exceeds max_iter are SPLIT — transitive duplicates would
+        # silently survive a dedup built on this result, so say so loudly.
+        warnings.warn(
+            f"cluster_duplicates did not converge in {max_iter} iterations "
+            f"({changed} labels still changing); deep duplicate chains are "
+            "split. Raise max_iter, or use cluster_duplicates_star (O(log n) "
+            "rounds) for long-chain / billion-edge graphs.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+def cluster_duplicates_star(
+    pairs: DataFrame,
+    max_iter: int = 20,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    same contract as :func:`cluster_duplicates` (min member id becomes the
+    cluster id) but O(log n) rounds instead of O(diameter), so a
+    billion-edge duplicate graph with deep chains converges in a handful
+    of shuffles where min-label propagation needs one per hop.
+
+    Each round is two grouped aggregations on the node id; the fixpoint
+    test compares (edge count, hash checksum) of the round's output — one
+    cheap scalar aggregate, no driver-side edge collection.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def _signature(e: DataFrame) -> tuple[int, int]:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: a sum of 64-bit hashes overflows long
+            # under ANSI semantics
+            F.coalesce(F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    prev = None
+    for _ in range(max_iter):
+        # large-star: every strictly-larger neighbor of u links to the
+        # minimum of u's closed neighborhood
+        sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: edges now point larger→smaller; relink each node's
+        # smaller neighbors (and itself) to their minimum
+        mstar = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mstar, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mstar.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()  # truncate iterative lineage
+        )
+        sig = _signature(small)
+        edges = small
+        if sig == prev:
+            break
+        prev = sig
+    else:
+        warnings.warn(
+            f"cluster_duplicates_star did not reach an edge fixpoint in "
+            f"{max_iter} rounds; result may split deep clusters.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # converged star graph: every edge points a node at its cluster min;
+    # the mins themselves are their own cluster ids
+    return edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")).unionByName(
+        edges.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id")).distinct()
+    )
 
 
 def dedup_minhash_clustered(

@@ -301,3 +301,41 @@ def test_sample_frames(spark, media):
     assert sorted(by_id[1]) == [0, 1000, 2000]  # 3500ms → 3 frames
     assert sorted(by_id[2]) == [0, 1000]
     assert 3 not in by_id  # zero duration → no frames
+
+
+def test_cluster_star_matches_propagation(spark):
+    """large-star/small-star CC must produce the identical contract as
+    min-label propagation (min member id = cluster id)."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 7), (10, 11)], "id_a long, id_b long"
+    )
+    prop = {r["doc_id"]: r["cluster_id"] for r in dedup.cluster_duplicates(pairs).collect()}
+    star = {r["doc_id"]: r["cluster_id"] for r in dedup.cluster_duplicates_star(pairs).collect()}
+    assert star == prop == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_cluster_star_deep_path_logarithmic(spark):
+    """A 64-node path has diameter 63: min-label propagation needs ~63
+    rounds, large/small-star must finish in ≤ 8 (O(log n)) without a
+    non-convergence warning."""
+    import warnings as w
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    with w.catch_warnings():
+        w.simplefilter("error", RuntimeWarning)
+        got = {r["doc_id"]: r["cluster_id"] for r in
+               dedup.cluster_duplicates_star(pairs, max_iter=8).collect()}
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_cluster_duplicates_warns_on_nonconvergence(spark):
+    """Silent exit after max_iter used to split deep chains with no
+    signal; now it must warn."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    )
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        out = dedup.cluster_duplicates(pairs, max_iter=2).collect()
+    assert len(out) == 12  # every node still labeled, just possibly split
