@@ -29,3 +29,42 @@ def sql(spark: SparkSession, query: str, sf_dir: str) -> DataFrame:
     """One-shot ad-hoc SQL over the corpus (views registered on demand)."""
     register_corpus(spark, sf_dir)
     return spark.sql(query)
+
+
+def start_thrift_server(spark: SparkSession, port: int = 10000):
+    """Expose this session's catalog over the HiveServer2 wire protocol.
+
+    Any JDBC client (DBeaver, Superset via pyhive, beeline) connects with
+    ``jdbc:hive2://host:<port>`` — the exact surface the reference serves
+    through Trino (reference: warehouses/ superset/DBeaver docs §3.3).
+    Catalog (saved) tables are visible to every JDBC session; temp views
+    require ``spark.sql.hive.thriftServer.singleSession=true`` at session
+    build time. Returns the server handle — call ``.stop()`` to shut down.
+    """
+    spark.conf.set("hive.server2.thrift.port", str(port))
+    jvm = spark.sparkContext._jvm
+    return jvm.org.apache.spark.sql.hive.thriftserver.HiveThriftServer2.startWithContext(
+        spark._jsparkSession.sqlContext()
+    )
+
+
+def beeline_argv(sql_text: str, port: int = 10000, user: str = "anon") -> list[str]:
+    """argv for the beeline JDBC client shipped inside pyspark's jars —
+    a zero-extra-dependency smoke client for :func:`start_thrift_server`."""
+    import os
+
+    import pyspark
+
+    jars = os.path.join(os.path.dirname(pyspark.__file__), "jars", "*")
+    return [
+        "java",
+        "-cp",
+        jars,
+        "org.apache.hive.beeline.BeeLine",
+        "-u",
+        f"jdbc:hive2://localhost:{port}",
+        "-n",
+        user,
+        "-e",
+        sql_text,
+    ]
