@@ -338,3 +338,76 @@ def ivf_topk(
         F.broadcast(q), (F.col("_cell") == F.col("_qcell")) & (F.col(id_col) != F.col(q_id_col))
     ).select(q_id_col, id_col, score.alias("cos_sim"))
     return topk_per_query(scored, k, q_id_col, id_col, "cos_sim")
+
+
+# --- embedding-cosine near-dup pairs --------------------------------------
+
+
+def lsh_band_keys(
+    vec_col: str, planes: list[list[float]], n_bands: int, bits_per_band: int
+) -> Column:
+    """Array of banded signature keys ('band,bitstring') — a pair is a
+    near-dup CANDIDATE when ANY band matches (the OR-construction:
+    P[candidate] = 1 − (1 − p^r)^b for per-bit agreement p)."""
+    bits = [
+        F.when(
+            dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in p])) >= 0, "1"
+        ).otherwise("0")
+        for p in planes
+    ]
+    return F.array(
+        *[
+            F.concat_ws(
+                ",",
+                F.lit(str(b)),
+                F.concat(*bits[b * bits_per_band : (b + 1) * bits_per_band]),
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def lsh_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    n_bands: int = 8,
+    bits_per_band: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_round: int | None = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: banded-LSH candidates +
+    exact cosine verification.
+
+    Scale design: candidates come from an any-band equi-join —
+    O(Σ bucket²) not O(n²) — and the exact cosine runs on candidate pairs
+    only (two semi-joins back to the corpus). The all-pairs form this
+    replaces is the classic 100 TB anti-pattern. ``score_round`` rounds
+    before the threshold so an external oracle filters identically.
+    """
+    planes = _hyperplanes(dim, n_bands * bits_per_band, seed)
+    keys = lsh_band_keys(vec_col, planes, n_bands, bits_per_band)
+    banded = corpus.select(F.col(id_col), F.explode(keys).alias("_bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    ea = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_emb_a"))
+    eb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_emb_b"))
+    score = cosine("_emb_a", "_emb_b")
+    if score_round is not None:
+        score = F.round(score, score_round)
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", score.alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -310,3 +310,69 @@ register(
         tags=("vector", "approx"),
     )
 )
+
+
+# ---- embedding_near_dups --------------------------------------------------
+
+_ND_BANDS, _ND_BITS, _ND_SEED, _ND_THRESHOLD = 8, 4, 7, 0.4
+
+
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: banded-LSH candidates
+    (any-band match, OR-construction) verified by exact cosine ≥ 0.4.
+    The oracle recomputes candidates from the same seeded hyperplanes, so
+    both engines derive identical pair sets independently."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_near_dup_pairs(
+        e,
+        threshold=_ND_THRESHOLD,
+        n_bands=_ND_BANDS,
+        bits_per_band=_ND_BITS,
+        dim=64,
+        seed=_ND_SEED,
+        score_round=4,
+    )
+
+
+def _near_dup_sql() -> str:
+    planes = similarity._hyperplanes(64, _ND_BANDS * _ND_BITS, _ND_SEED)
+
+    def bit(vec: str, p: list[float]) -> str:
+        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        return (
+            f"CASE WHEN list_sum(list_transform(list_zip({vec}, {lit}), "
+            f"x -> CAST(x[1] AS DOUBLE) * x[2])) >= 0 THEN '1' ELSE '0' END"
+        )
+
+    bands = ", ".join(
+        "concat_ws(',', '{0}', {1})".format(
+            b, " || ".join(bit("embedding", p) for p in planes[b * _ND_BITS : (b + 1) * _ND_BITS])
+        )
+        for b in range(_ND_BANDS)
+    )
+    return f"""
+WITH banded AS (
+  SELECT vec_id, UNNEST([{bands}]) AS bucket FROM embeddings
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND({_cos_sql('ea.embedding', 'eb.embedding')}, 4) AS cos_sim
+FROM cand
+JOIN embeddings ea ON ea.vec_id = id_a
+JOIN embeddings eb ON eb.vec_id = id_b
+WHERE ROUND({_cos_sql('ea.embedding', 'eb.embedding')}, 4) >= {_ND_THRESHOLD}
+"""
+
+
+register(
+    QuerySpec(
+        "embedding_near_dups",
+        embedding_near_dups,
+        _near_dup_sql(),
+        doc="embedding-cosine near-dup pairs (banded LSH candidates + exact verify)",
+        cites="training-data ops: embedding-cosine near-dup dedup",
+        tags=("dedup", "vector", "approx"),
+    )
+)
