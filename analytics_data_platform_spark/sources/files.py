@@ -111,22 +111,101 @@ def read_power_csv_files(spark: SparkSession, path_glob: str) -> DataFrame:
     return files.mapInPandas(parse, schema=POWER_SCHEMA)
 
 
+_XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
+def _xlsx_col_index(ref: str) -> int:
+    """'BC12' → 54 (0-based column index from an A1-style cell reference)."""
+    n = 0
+    for ch in ref:
+        if not ch.isalpha():
+            break
+        n = n * 26 + (ord(ch.upper()) - 64)
+    return n - 1
+
+
+def _parse_xlsx_grid(content: bytes) -> list[list]:
+    """Minimal stdlib XLSX parser (zipfile + ElementTree): first worksheet
+    as a row-major grid. Handles shared strings, inline strings, booleans
+    and numerics — the cell types tabular RDM exports actually use.
+    Formula caches read their stored <v> like any client does.
+    """
+    import re
+    import zipfile
+    from xml.etree import ElementTree as ET
+
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(content))
+        names = set(zf.namelist())
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in names:
+            root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+            shared = [
+                "".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t"))
+                for si in root.findall(f"{_XLSX_NS}si")
+            ]
+        sheets = sorted(n for n in names if re.match(r"xl/worksheets/sheet\d+\.xml$", n))
+        if not sheets:
+            raise ValueError("no worksheets in workbook")
+        root = ET.fromstring(zf.read(sheets[0]))
+    except (zipfile.BadZipFile, ET.ParseError, KeyError) as exc:
+        raise ValueError(f"not a readable .xlsx workbook: {exc}") from exc
+
+    rows: list[dict[int, object]] = []
+    for row in root.iter(f"{_XLSX_NS}row"):
+        cells: dict[int, object] = {}
+        for i, c in enumerate(row.findall(f"{_XLSX_NS}c")):
+            idx = _xlsx_col_index(c.get("r") or "")
+            if idx < 0:
+                idx = i  # cells without refs are positional
+            t = c.get("t")
+            v = c.find(f"{_XLSX_NS}v")
+            if t == "inlineStr":
+                is_el = c.find(f"{_XLSX_NS}is")
+                val = (
+                    "".join(tt.text or "" for tt in is_el.iter(f"{_XLSX_NS}t"))
+                    if is_el is not None
+                    else None
+                )
+            elif v is None or v.text is None:
+                val = None
+            elif t == "s":
+                val = shared[int(v.text)]
+            elif t == "b":
+                val = v.text == "1"
+            elif t in ("str", "e"):
+                val = v.text
+            else:
+                val = float(v.text)
+            cells[idx] = val
+        rows.append(cells)
+    width = max((max(r) + 1 for r in rows if r), default=0)
+    return [[r.get(i) for i in range(width)] for r in rows]
+
+
 def read_excel_table(
     content: bytes,
     skiprows: int = 0,
     dtype_overrides: dict | None = None,
     renames: dict[str, str] | None = None,
 ) -> pd.DataFrame:
-    """Excel reader (S9) — engine gated: this container ships no
-    openpyxl/calamine, so the call raises with a clear action."""
+    """Excel reader (S9). Uses pandas/openpyxl when the cluster image
+    ships it; otherwise falls back to the stdlib XLSX parser above (zip +
+    XML — no extra dependency), so .xlsx ingestion works end-to-end in
+    any environment. Header = first row after ``skiprows`` (pd.read_excel
+    semantics)."""
     try:
         import openpyxl  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "Excel parsing needs openpyxl (or calamine) on the cluster image; "
-            "not available in this environment"
-        ) from exc
-    df = pd.read_excel(io.BytesIO(content), skiprows=skiprows, dtype=dtype_overrides)
+
+        df = pd.read_excel(io.BytesIO(content), skiprows=skiprows, dtype=dtype_overrides)
+    except ImportError:
+        grid = _parse_xlsx_grid(content)[skiprows:]
+        if not grid:
+            raise ValueError("workbook has no rows after skiprows")
+        header = [str(h) for h in grid[0]]
+        df = pd.DataFrame(grid[1:], columns=header).infer_objects()
+        if dtype_overrides:
+            df = df.astype(dtype_overrides)
     if renames:
         df = df.rename(columns=renames)
     return df

@@ -167,8 +167,71 @@ def test_distributed_csv_read(spark, tmp_path):
     assert {Path(r["file_name"]).name.split("/")[-1] for r in rows} >= set()
 
 
-def test_excel_gated():
-    with pytest.raises(NotImplementedError, match="openpyxl"):
+def _make_xlsx(rows: list[list]) -> bytes:
+    """Minimal in-test .xlsx writer (zip + XML) — no openpyxl needed."""
+    import io as _io
+    import zipfile
+
+    def col_ref(i):
+        s = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            s = chr(65 + r) + s
+        return s
+
+    shared: list[str] = []
+    body = []
+    for rn, row in enumerate(rows, start=1):
+        cells = []
+        for ci, v in enumerate(row):
+            ref = f"{col_ref(ci)}{rn}"
+            if v is None:
+                continue
+            if isinstance(v, bool):
+                cells.append(f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>')
+            elif isinstance(v, (int, float)):
+                cells.append(f'<c r="{ref}"><v>{v}</v></c>')
+            else:
+                if v not in shared:
+                    shared.append(v)
+                cells.append(f'<c r="{ref}" t="s"><v>{shared.index(v)}</v></c>')
+        body.append(f'<row r="{rn}">{"".join(cells)}</row>')
+    sheet = ('<?xml version="1.0"?><worksheet xmlns='
+             '"http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+             f'<sheetData>{"".join(body)}</sheetData></worksheet>')
+    sst = ('<?xml version="1.0"?><sst xmlns='
+           '"http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+           + "".join(f"<si><t>{s}</t></si>" for s in shared) + "</sst>")
+    buf = _io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("[Content_Types].xml", "<Types/>")
+        zf.writestr("xl/workbook.xml", "<workbook/>")
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+        zf.writestr("xl/sharedStrings.xml", sst)
+    return buf.getvalue()
+
+
+def test_excel_reads_xlsx_without_openpyxl():
+    """S9 end-to-end: the stdlib zip+XML fallback parses a real workbook —
+    header row, shared strings, numerics, skiprows and renames."""
+    content = _make_xlsx([
+        ["export metadata", None, None],
+        ["site", "reading", "ok"],
+        ["alpha", 1.5, True],
+        ["beta", 2.0, False],
+        ["alpha", 3.25, True],
+    ])
+    df = files.read_excel_table(content, skiprows=1, renames={"reading": "power_mw"})
+    assert list(df.columns) == ["site", "power_mw", "ok"]
+    assert len(df) == 3
+    assert df["power_mw"].tolist() == [1.5, 2.0, 3.25]
+    assert df["site"].tolist() == ["alpha", "beta", "alpha"]
+    assert df["ok"].tolist() == [True, False, True]
+
+
+def test_excel_rejects_non_workbook():
+    with pytest.raises(ValueError, match="xlsx"):
         files.read_excel_table(b"fake")
 
 
