@@ -411,3 +411,87 @@ def lsh_near_dup_pairs(
         .select("id_a", "id_b", score.alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+# --- multi-probe LSH ------------------------------------------------------
+
+
+def _probe_signatures(vec_col: str, planes: list[list[float]], n_probes: int) -> Column:
+    """Array of probe signatures: the base sign-bit signature plus
+    ``n_probes`` variants with the LEAST-CONFIDENT bit flipped (smallest
+    |projection| — the standard multi-probe heuristic). All JVM HOFs.
+    """
+    n = len(planes)
+    dots = F.array(
+        *[dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in p])) for p in planes]
+    )
+    # bit characters of the base signature, as an array for per-index flips
+    bits = F.transform(dots, lambda d: F.when(d >= 0, "1").otherwise("0"))
+    # plane indices ordered by |projection| ascending (least confident first)
+    order = F.transform(
+        F.array_sort(
+            F.zip_with(
+                F.transform(dots, lambda d: F.abs(d)),
+                F.sequence(F.lit(0), F.lit(n - 1)),
+                lambda a, i: F.struct(a.alias("a"), i.alias("i")),
+            )
+        ),
+        lambda s: s["i"],
+    )
+    flips = F.slice(order, 1, n_probes)
+    probes = F.concat(
+        F.array(F.array_join(bits, "")),
+        F.transform(
+            flips,
+            lambda fi: F.array_join(
+                F.zip_with(
+                    bits,
+                    F.sequence(F.lit(0), F.lit(n - 1)),
+                    lambda ch, k: F.when(k == fi, F.when(ch == "1", "0").otherwise("1")).otherwise(ch),
+                ),
+                "",
+            ),
+        ),
+    )
+    return probes
+
+
+def lsh_topk_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_bits: int = 12,
+    n_probes: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_emb",
+    seed: int = 42,
+    score_round: int | None = None,
+) -> DataFrame:
+    """Multi-probe LSH top-k: each query probes its own bucket plus the
+    ``n_probes`` buckets reached by flipping its least-confident sign bits.
+
+    Recall rises toward brute-force at the cost of (n_probes+1)× the probe
+    rows on the (broadcast, tiny) query side — the corpus side is still
+    hashed ONCE and joined by signature equality, so the scan/shuffle
+    profile is identical to single-probe; candidates stay deduplicated by
+    construction (probe signatures of one query are distinct, and a corpus
+    vector has exactly one signature).
+    """
+    planes = _hyperplanes(dim, n_bits, seed)
+    c = corpus.withColumn("_sig", lsh_signature_col(vec_col, planes))
+    q = queries.select(
+        q_id_col,
+        q_vec_col,
+        F.explode(_probe_signatures(q_vec_col, planes, n_probes)).alias("_qsig"),
+    )
+    score = cosine(q_vec_col, vec_col)
+    if score_round is not None:
+        score = F.round(score, score_round)
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("_sig") == F.col("_qsig")) & (F.col(id_col) != F.col(q_id_col)),
+    ).select(q_id_col, id_col, score.alias("cos_sim"))
+    return topk_per_query(scored, k, q_id_col, id_col, "cos_sim")

@@ -339,3 +339,19 @@ def test_cluster_duplicates_warns_on_nonconvergence(spark):
     with pytest.warns(RuntimeWarning, match="did not converge"):
         out = dedup.cluster_duplicates(pairs, max_iter=2).collect()
     assert len(out) == 12  # every node still labeled, just possibly split
+
+
+def test_lsh_multiprobe_recall_dominates_single_probe(spark, clustered_vectors):
+    """Probing the least-confident-bit neighbor buckets must never lose
+    candidates vs single-probe and should raise recall on this fixture."""
+    q = _queries_from(clustered_vectors)
+    exact = similarity.brute_force_topk(clustered_vectors, q, k=10)
+    e = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    single = similarity.lsh_topk(clustered_vectors, q, k=10, n_bits=6, dim=16)
+    multi = similarity.lsh_topk_multiprobe(
+        clustered_vectors, q, k=10, n_bits=6, n_probes=2, dim=16
+    )
+    rs = len(e & {(r["q_id"], r["vec_id"]) for r in single.collect()}) / len(e)
+    rm = len(e & {(r["q_id"], r["vec_id"]) for r in multi.collect()}) / len(e)
+    assert rm >= rs, f"multi-probe recall {rm} < single-probe {rs}"
+    assert rm >= 0.6, f"multi-probe recall too low: {rm}"

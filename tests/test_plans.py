@@ -118,3 +118,36 @@ def test_ann_norms_hoisted_before_join(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") >= 1
     # the join's Project output carries precomputed c_nrm/q_nrm references
     assert "c_nrm" in plan and "q_nrm" in plan
+
+
+def test_ivf_cell_partitioned_corpus_prunes_probes(spark, sf_dir):
+    """The IVF scale claim: a corpus written partitioned by its coarse
+    cell turns each nprobe probe into a partition-pruned scan (file skip),
+    not a full pass. Prove it from the physical plan."""
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from analytics_data_platform_spark.operators import similarity
+    from analytics_data_platform_spark.sources.testdata import load_table
+    from analytics_data_platform_spark.tables.io import TableIO
+
+    io = TableIO(spark)
+    ns = f"ivf_{uuid.uuid4().hex[:6]}"
+    io.ensure_namespace(ns)
+    try:
+        e = load_table(spark, sf_dir, "embeddings")
+        cents = similarity.train_ivf_centroids(e, n_centroids=4, max_iter=3)
+        indexed = e.withColumn(
+            "_cell", similarity.assign_centroid_col("embedding", cents)
+        )
+        t = f"{ns}.ivf_corpus"
+        io.write_table(indexed, t, mode="append", partition_spec={"_cell": "identity"})
+        probed = spark.table(t).where(F.col("_cell").isin(0, 2))
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "_cell" in plan.split("PartitionFilters")[1][:200], (
+            "probe scan is not partition-pruned:\n" + plan[:1500]
+        )
+        assert probed.count() > 0
+    finally:
+        io.drop_namespace(ns)
