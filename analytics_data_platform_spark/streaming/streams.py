@@ -87,3 +87,64 @@ def run_available_now(stream_df: DataFrame, checkpoint: str, out_path: str) -> N
         .start()
         .awaitTermination()
     )
+
+
+def run_available_now_update(stream_df: DataFrame, checkpoint: str, out_path: str) -> None:
+    """availableNow drain for UPDATE-mode outputs (stateful operators).
+
+    The parquet file sink only supports append, so updated rows land via
+    foreachBatch — each micro-batch's emissions are appended; readers take
+    the latest row per key (an upsert sink like sinks.upsert_sink is the
+    production variant)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_path)
+
+    (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .outputMode("update")
+        .start()
+        .awaitTermination()
+    )
+
+
+def user_running_totals_stateful(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count and value total held in an explicit state store.
+
+    This is the escape hatch for semantics the built-in windowed/session
+    aggregations cannot express (cross-batch running counters, custom
+    eviction, model state). State is one tiny tuple per user_id key —
+    partitioned by the grouping key across executors, checkpointed with
+    the query, resumed on restart; the watermark bounds replay, not state
+    size (NoTimeout — counters are meant to live forever). Emits the
+    updated running totals for every user seen in the batch
+    (``outputMode="update"``).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "value_total": [total]}
+        )
+
+    return (
+        with_watermark(events, delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, value_total double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

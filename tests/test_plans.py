@@ -151,3 +151,12 @@ def test_ivf_cell_partitioned_corpus_prunes_probes(spark, sf_dir):
         assert probed.count() > 0
     finally:
         io.drop_namespace(ns)
+
+
+def test_new_tpch_dims_broadcast(spark, sf_dir):
+    """q2/q9/q21 join chains must broadcast their dimension sides; the only
+    shuffles allowed are the irreducible fact-side aggregations/joins."""
+    for name in ["q2_min_cost_supplier", "q9_product_profit", "q21_suppliers_kept_waiting"]:
+        plan = plan_of(spark, name, sf_dir, "simple")
+        assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast dims"
+        assert "CartesianProduct" not in plan, name

@@ -148,3 +148,32 @@ def test_streaming_dedup_and_incremental_checkpoint(spark, events_dir, tmp_path)
         streams.streaming_dedup(_read_stream(spark, events_dir)), ckpt, out
     )
     assert spark.read.parquet(out).count() == 6  # exactly one more, no reprocessing
+
+
+def test_stateful_running_totals_accumulate_across_ticks(spark, tmp_path):
+    """applyInPandasWithState: explicit per-user state must survive the
+    checkpoint across availableNow ticks — the second batch's emission
+    includes the first batch's counts (not a fresh aggregation)."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_events(spark, src, [
+        (1, T0, 7, "click", 1.0, "{}"),
+        (2, T0 + dt.timedelta(minutes=1), 7, "click", 2.0, "{}"),
+        (3, T0 + dt.timedelta(minutes=1), 8, "view", 5.0, "{}"),
+    ])
+    build = lambda: streams.user_running_totals_stateful(_read_stream(spark, src))
+    streams.run_available_now_update(build(), ckpt, out)
+    tick1 = {r["user_id"]: (r["n_events"], r["value_total"])
+             for r in spark.read.parquet(out).collect()}
+    assert tick1[7] == (2, 3.0) and tick1[8] == (1, 5.0)
+
+    _write_events(spark, src, [
+        (4, T0 + dt.timedelta(minutes=5), 7, "click", 10.0, "{}"),
+    ])
+    streams.run_available_now_update(build(), ckpt, out)
+    latest = {}
+    for r in spark.read.parquet(out).collect():
+        n, tot = latest.get(r["user_id"], (0, 0.0))
+        if r["n_events"] >= n:
+            latest[r["user_id"]] = (r["n_events"], r["value_total"])
+    assert latest[7] == (3, 13.0), "state did not accumulate across ticks"
+    assert latest[8] == (1, 5.0)
