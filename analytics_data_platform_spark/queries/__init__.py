@@ -52,6 +52,7 @@ def all_queries() -> dict[str, QuerySpec]:
         scale_ops,
         text_ops,
         tpch,
+        training_ops,
         vector_ops,
     )
 

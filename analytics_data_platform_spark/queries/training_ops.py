@@ -1,0 +1,408 @@
+"""Training-data pipeline operators, round 2: packing, contamination,
+mixture sampling, vocabulary, deterministic shuffle, quantization.
+
+Each operator is the Spark-first formulation of a step every large-scale
+LLM data pipeline runs between "raw corpus" and "tokenized shards". All
+are registered with full DuckDB oracles — including the sequential-state
+packer, whose greedy policy the oracle replays with a recursive CTE.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from analytics_data_platform_spark.operators.packing import pack_greedy
+from analytics_data_platform_spark.queries import QuerySpec, register
+from analytics_data_platform_spark.sources.testdata import load_table
+
+PACK_BUDGET = 256  # tokens per packed training sequence
+NGRAM = 8  # contamination shingle width
+
+
+def _tokens(col: str = "text"):
+    return F.split(F.trim(col), r"\s+")
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences — greedy first-fit token packing (operators/packing.py)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy first-fit packing of documents into 256-token sequences.
+
+    Token counting is a JVM expression; only (source, doc_id, n_tokens)
+    crosses the Arrow boundary into the per-group packer. Parallelism =
+    #groups — at 100 TB, pack by (source, shard) via
+    operators.packing.with_shard to bound group size.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    slim = d.select("source", "doc_id", F.size(_tokens()).alias("n_tokens"))
+    return pack_greedy(
+        slim,
+        group_cols=["source"],
+        order_col="doc_id",
+        token_col="n_tokens",
+        budget=PACK_BUDGET,
+    )
+
+
+PACK_SQL = f"""
+WITH RECURSIVE toks AS (
+  SELECT source, doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+  WHERE length(trim(text)) > 0
+),
+packed AS (
+  SELECT source, doc_id, n_tokens, rn, 1 AS pack_id, n_tokens AS acc
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.doc_id, t.n_tokens, t.rn,
+         CASE WHEN p.acc + t.n_tokens > {PACK_BUDGET} THEN p.pack_id + 1 ELSE p.pack_id END,
+         CASE WHEN p.acc + t.n_tokens > {PACK_BUDGET} THEN t.n_tokens ELSE p.acc + t.n_tokens END
+  FROM toks t JOIN packed p ON t.source = p.source AND t.rn = p.rn + 1
+)
+SELECT source, doc_id, n_tokens, pack_id FROM packed
+"""
+
+register(
+    QuerySpec(
+        "pack_sequences",
+        pack_sequences,
+        PACK_SQL,
+        doc=f"greedy first-fit packing into {PACK_BUDGET}-token training sequences",
+        cites="training-data ops: sequence packing for fixed-context pre-training",
+        tags=("text", "packing"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# contamination_ngrams — train/eval benchmark-overlap detection
+# ---------------------------------------------------------------------------
+
+
+def contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-gram overlap between an eval subset (doc_id%50==0) and the train set.
+
+    The standard benchmark-contamination check: shingle both sides, join on
+    the shingle, count distinct contaminating train docs / shared shingles
+    per eval doc. One shuffle, keyed on the n-gram. At 100 TB the join key
+    would be ``xxhash64(ngram)`` (8 bytes instead of ~50 chars) and the
+    hot stop-phrase shingles salted; text keys are kept here so the DuckDB
+    oracle sees identical values.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    toks = _tokens()
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (NGRAM - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, NGRAM)),
+    )
+    flat = (
+        d.where(F.size(toks) >= NGRAM)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .distinct()
+    )
+    eval_g = flat.where(F.col("doc_id") % 50 == 0).withColumnRenamed("doc_id", "eval_doc_id")
+    train_g = flat.where(F.col("doc_id") % 50 != 0).withColumnRenamed("doc_id", "train_doc_id")
+    hits = eval_g.join(train_g, "g")
+    return (
+        eval_g.select("eval_doc_id")
+        .distinct()
+        .join(hits, "eval_doc_id", "left")
+        .groupBy("eval_doc_id")
+        .agg(
+            F.countDistinct("train_doc_id").alias("n_contaminating_docs"),
+            F.countDistinct("g").alias("n_shared_ngrams"),
+        )
+    )
+
+
+CONTAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+{NGRAM - 1}], ' ') AS g
+  FROM toks CROSS JOIN generate_series(1, 2000) AS s(i)
+  WHERE i + {NGRAM - 1} <= len(t)
+),
+eval_g AS (SELECT doc_id AS eval_doc_id, g FROM grams WHERE doc_id % 50 = 0),
+train_g AS (SELECT doc_id AS train_doc_id, g FROM grams WHERE doc_id % 50 <> 0),
+hits AS (SELECT e.eval_doc_id, t.train_doc_id, e.g FROM eval_g e JOIN train_g t USING (g))
+SELECT e.eval_doc_id,
+       COUNT(DISTINCT h.train_doc_id) AS n_contaminating_docs,
+       COUNT(DISTINCT h.g) AS n_shared_ngrams
+FROM (SELECT DISTINCT eval_doc_id FROM eval_g) e
+LEFT JOIN hits h ON e.eval_doc_id = h.eval_doc_id
+GROUP BY e.eval_doc_id
+"""
+
+register(
+    QuerySpec(
+        "contamination_ngrams",
+        contamination_ngrams,
+        CONTAM_SQL,
+        doc=f"train/eval {NGRAM}-gram contamination detection",
+        cites="training-data ops: benchmark-contamination scan",
+        tags=("text", "dedup"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# domain_mixture_sample — per-source downsampling to a target token share
+# ---------------------------------------------------------------------------
+
+
+def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample every source toward an equal 1/(2·n_sources) token share.
+
+    Two aggregations + one broadcast join: per-source token totals (tiny)
+    are broadcast back onto the corpus, and the keep-decision is the
+    deterministic ``doc_id % 10000 < threshold`` coin — reproducible
+    across runs/engines, no RNG state, trivially scale-invariant. Output
+    is the per-source audit the pipeline would log.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    docs = d.select("source", "doc_id", F.size(_tokens()).alias("n_tokens"))
+    totals = docs.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    grand = totals.agg(
+        F.sum("src_tokens").alias("grand_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    thr = F.least(
+        F.lit(10000).cast("bigint"),
+        F.floor(F.lit(10000.0) * F.col("grand_tokens") / (2 * F.col("n_sources")) / F.col("src_tokens")),
+    )
+    weighted = totals.crossJoin(F.broadcast(grand)).select(
+        "source", "src_tokens", thr.alias("sample_permyriad")
+    )
+    sampled = (
+        docs.join(F.broadcast(weighted), "source")
+        .where(F.col("doc_id") % 10000 < F.col("sample_permyriad"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("sampled_docs"),
+            F.sum("n_tokens").alias("sampled_tokens"),
+        )
+    )
+    return weighted.join(sampled, "source", "left").select(
+        "source",
+        "src_tokens",
+        "sample_permyriad",
+        F.coalesce("sampled_docs", F.lit(0)).alias("sampled_docs"),
+        F.coalesce("sampled_tokens", F.lit(0)).alias("sampled_tokens"),
+    )
+
+
+MIXTURE_SQL = """
+WITH docs AS (
+  SELECT source, doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents WHERE length(trim(text)) > 0
+),
+totals AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens FROM docs GROUP BY source),
+grand AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS grand_tokens, COUNT(*) AS n_sources FROM totals),
+weighted AS (
+  SELECT source, src_tokens,
+         LEAST(10000, CAST(FLOOR(10000.0 * grand_tokens / (2 * n_sources) / src_tokens) AS BIGINT))
+           AS sample_permyriad
+  FROM totals CROSS JOIN grand
+),
+sampled AS (
+  SELECT d.source, COUNT(*) AS sampled_docs, CAST(SUM(d.n_tokens) AS BIGINT) AS sampled_tokens
+  FROM docs d JOIN weighted w ON d.source = w.source
+  WHERE d.doc_id % 10000 < w.sample_permyriad
+  GROUP BY d.source
+)
+SELECT w.source, w.src_tokens, w.sample_permyriad,
+       COALESCE(s.sampled_docs, 0) AS sampled_docs,
+       COALESCE(s.sampled_tokens, 0) AS sampled_tokens
+FROM weighted w LEFT JOIN sampled s ON w.source = s.source
+"""
+
+register(
+    QuerySpec(
+        "domain_mixture_sample",
+        domain_mixture_sample,
+        MIXTURE_SQL,
+        doc="deterministic per-source downsampling to a target token share",
+        cites="training-data ops: domain mixture reweighting",
+        tags=("sampling",),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# vocab_top_terms — corpus vocabulary / token-frequency top-k
+# ---------------------------------------------------------------------------
+
+
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 terms by frequency (freq desc, term asc tie-break).
+
+    explode → groupBy(term) partial-aggregates map-side; the final
+    ``orderBy().limit()`` compiles to TakeOrderedAndProject — Spark's
+    built-in two-phase top-k (per-partition heads, then a merge of ≤100
+    rows per partition), never a global sort.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    counts = (
+        d.select(F.explode(_tokens()).alias("tok"))
+        .where(F.col("tok") != "")
+        .select(F.lower("tok").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    top = counts.orderBy(F.desc("freq"), F.asc("term")).limit(100)
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+VOCAB_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+),
+counts AS (
+  SELECT lower(tok) AS term, COUNT(*) AS freq
+  FROM toks WHERE tok <> '' GROUP BY lower(tok)
+),
+top AS (SELECT term, freq FROM counts ORDER BY freq DESC, term LIMIT 100)
+SELECT term, freq, ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rank FROM top
+"""
+
+register(
+    QuerySpec(
+        "vocab_top_terms",
+        vocab_top_terms,
+        VOCAB_SQL,
+        doc="token-frequency vocabulary top-k (two-phase TakeOrdered)",
+        cites="training-data ops: vocabulary construction",
+        tags=("text", "topk"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# train_order_shuffle — deterministic sharded global shuffle
+# ---------------------------------------------------------------------------
+
+
+def train_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle into 16 hex shards.
+
+    Epoch-reproducible global shuffles order by a salted cryptographic
+    hash, not an RNG. Sharding first (md5 leading hex nibble) keeps the
+    ordering window per-shard — parallelism = #shards (thousands at real
+    scale), never a single global row_number task.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("shuffle-epoch-42:"), F.col("doc_id").cast("string")))
+    sharded = d.select("doc_id", key.alias("shuffle_key")).withColumn(
+        "shard", F.substring("shuffle_key", 1, 1)
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return sharded.select(
+        "doc_id", "shard", F.row_number().over(w).alias("shard_pos")
+    )
+
+
+SHUFFLE_SQL = """
+WITH keyed AS (
+  SELECT doc_id,
+         md5('shuffle-epoch-42:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+)
+SELECT doc_id, substring(h, 1, 1) AS shard,
+       ROW_NUMBER() OVER (PARTITION BY substring(h, 1, 1) ORDER BY h, doc_id) AS shard_pos
+FROM keyed
+"""
+
+register(
+    QuerySpec(
+        "train_order_shuffle",
+        train_order_shuffle,
+        SHUFFLE_SQL,
+        doc="deterministic sharded training-order shuffle (salted md5)",
+        cites="training-data ops: epoch-reproducible corpus shuffling",
+        tags=("sampling",),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# embedding_quantize_int8 — per-dimension abs-max scalar quantization
+# ---------------------------------------------------------------------------
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization with per-dimension abs-max scales.
+
+    Pass 1 computes the 64 per-dim scales (posexplode → max|x|, a tiny
+    aggregate); pass 2 broadcasts them back, codes each value to int8 and
+    measures reconstruction error per label. Both passes are pure JVM
+    expressions; at 100 TB pass 1 is one map-side-combined aggregation
+    and pass 2 a broadcast join — no wide shuffle of vector data.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "fval")
+    ).select("vec_id", "label", "pos", F.col("fval").cast("double").alias("val"))
+    scales = flat.groupBy("pos").agg(F.max(F.abs("val")).alias("scale"))
+    coded = flat.join(F.broadcast(scales), "pos").select(
+        "label",
+        F.when(
+            F.col("scale") > 0, F.round(F.col("val") / F.col("scale") * 127).cast("int")
+        )
+        .otherwise(F.lit(0))
+        .alias("code"),
+        "scale",
+        "val",
+    )
+    err = F.abs(F.col("val") - F.col("code") * F.col("scale") / 127)
+    return (
+        coded.select("label", err.alias("err"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vals"),
+            F.round(F.avg("err"), 6).alias("avg_abs_err"),
+            F.round(F.max("err"), 6).alias("max_abs_err"),
+        )
+    )
+
+
+QUANT_SQL = """
+WITH flat AS (
+  SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+),
+scales AS (SELECT pos, MAX(ABS(val)) AS scale FROM flat GROUP BY pos),
+coded AS (
+  SELECT f.label,
+         CASE WHEN s.scale > 0 THEN CAST(round(f.val / s.scale * 127) AS INT) ELSE 0 END AS code,
+         s.scale, f.val
+  FROM flat f JOIN scales s ON f.pos = s.pos
+),
+errs AS (SELECT label, ABS(val - code * scale / 127) AS err FROM coded)
+SELECT label, COUNT(*) AS n_vals,
+       ROUND(AVG(err), 6) AS avg_abs_err,
+       ROUND(MAX(err), 6) AS max_abs_err
+FROM errs GROUP BY label
+"""
+
+register(
+    QuerySpec(
+        "embedding_quantize_int8",
+        embedding_quantize_int8,
+        QUANT_SQL,
+        doc="int8 abs-max scalar quantization with reconstruction-error audit",
+        cites="training-data ops: embedding compression for ANN serving",
+        tags=("vector",),
+    )
+)
