@@ -27,7 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 
 from analytics_data_platform_spark.functions.vectors import cosine, dot
 
@@ -37,23 +37,6 @@ MAX_LITERAL_CENTROIDS = 32
 
 
 # --- two-phase top-k -------------------------------------------------------
-
-
-def _cand_cmp(left: Column, right: Column) -> Column:
-    """array_sort comparator: score DESC NULLS LAST, id ASC — identical
-    total order to ``Window.orderBy(desc(score), asc(id))`` so phase-1
-    local pruning can never disagree with the phase-2 global ranking."""
-    ls, rs = left["score"], right["score"]
-    li, ri = left["id"], right["id"]
-    by_id = F.when(li < ri, -1).when(li > ri, 1).otherwise(0)
-    return (
-        F.when(ls.isNull() & rs.isNull(), by_id)
-        .when(ls.isNull(), 1)
-        .when(rs.isNull(), -1)
-        .when(ls > rs, -1)
-        .when(ls < rs, 1)
-        .otherwise(by_id)
-    )
 
 
 def local_topk(
@@ -69,15 +52,27 @@ def local_topk(
     task that produced it, so the heavy sort+slice runs with parallelism
     = #input-partitions (not #queries), and at most k rows per
     (partition, query) survive into phase 2.
+
+    The candidate struct leads with the NEGATED score (nulls → +inf) so
+    plain ascending ``array_sort`` yields score DESC NULLS LAST, id ASC —
+    the exact total order of ``Window.orderBy(desc_nulls_last, asc)`` —
+    through codegen'd struct comparison instead of a per-comparison
+    interpreted lambda (a comparator HOF here measured ~2× slower on the
+    whole query).
     """
+    neg = -F.coalesce(F.col(score_col).cast("double"), F.lit(float("-inf")))
     packed = scored.select(
         F.spark_partition_id().alias("_pid"),
         F.col(q_id_col),
-        F.struct(F.col(score_col).alias("score"), F.col(id_col).alias("id")).alias("_cand"),
+        F.struct(
+            neg.alias("nscore"),
+            F.col(id_col).alias("id"),
+            F.col(score_col).alias("score"),
+        ).alias("_cand"),
     )
     return (
         packed.groupBy("_pid", q_id_col)
-        .agg(F.slice(F.array_sort(F.collect_list("_cand"), _cand_cmp), 1, k).alias("_top"))
+        .agg(F.slice(F.array_sort(F.collect_list("_cand")), 1, k).alias("_top"))
         .select(q_id_col, F.explode("_top").alias("_t"))
         .select(q_id_col, F.col("_t.id").alias(id_col), F.col("_t.score").alias(score_col))
     )

@@ -148,3 +148,40 @@ def user_running_totals_stateful(events: DataFrame, delay: str = "10 minutes") -
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def join_purchases_with_clicks(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase picks up the same user's
+    clicks from the preceding ``horizon`` — the streaming twin of the
+    batch as-of/interval join (operators/asof.py).
+
+    Both sides carry event-time watermarks and the join condition bounds
+    click_ts to a closed range ending at purchase_ts; together these let
+    Spark expire buffered state on BOTH sides (a stream-stream join
+    without the time bound would buffer forever). State is partitioned by
+    user_id — the join shuffles each side once on the equi-key.
+    """
+    c = with_watermark(clicks, delay).select(
+        F.col("user_id").alias("click_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = with_watermark(purchases, delay).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    cond = (
+        (p["user_id"] == c["click_user"])
+        & (c["click_ts"] <= p["purchase_ts"])
+        & (c["click_ts"] >= p["purchase_ts"] - F.expr(f"INTERVAL {horizon}"))
+    )
+    return p.join(c, cond, "inner").select(
+        "user_id", "purchase_id", "purchase_ts", "purchase_value", "click_id", "click_ts"
+    )

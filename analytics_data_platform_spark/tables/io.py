@@ -86,9 +86,19 @@ class StageSwapError(RuntimeError):
         self.stage = stage
 
 
+FILE_FORMATS = ("parquet", "orc")
+
+
 class TableIO:
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, file_format: str = "parquet"):
+        """``file_format`` selects the storage codec for tables this
+        instance creates (both columnar; parquet is the lakehouse default,
+        ORC offered for parity with Hive-heritage warehouses). Appends to
+        EXISTING tables always follow the table's own format."""
+        if file_format not in FILE_FORMATS:
+            raise ValueError(f"file_format {file_format!r} not in {FILE_FORMATS}")
         self.spark = spark
+        self.file_format = file_format
 
     # -- namespace lifecycle (S16; reference io.py:35-39) ------------------
 
@@ -172,20 +182,24 @@ class TableIO:
             if created:
                 out, pcols = apply_partitioning(df, pfields)
                 out = apply_sort(out, sfields)
-                writer = out.write.format("parquet")
+                writer = out.write.format(self.file_format)
                 if pcols:
                     writer = writer.partitionBy(*pcols)
                 writer.saveAsTable(table)
             elif mode == "replace":
                 out, pcols = apply_partitioning(df, pfields)
                 out = apply_sort(out, sfields)
-                writer = out.write.format("parquet").mode("overwrite")
+                writer = out.write.format(self.file_format).mode("overwrite")
                 if pcols:
                     writer = writer.partitionBy(*pcols)
                 writer.saveAsTable(table)
             elif mode == "append":
                 aligned = self._evolve_and_align(df, table, pfields)
-                apply_sort(aligned, sfields).write.mode("append").saveAsTable(table)
+                # follow the EXISTING table's format: saveAsTable defaults to
+                # spark.sql.sources.default (parquet) and refuses to append
+                # to e.g. an ORC table rather than adopting its format
+                fmt = self.table_provider(table) or self.file_format
+                apply_sort(aligned, sfields).write.format(fmt).mode("append").saveAsTable(table)
             else:  # merge
                 self._merge(df, table, merge_on or [], pfields, sfields)
         finally:
@@ -276,7 +290,7 @@ class TableIO:
         # cache coherent — a rename-swap leaves clones of the session (e.g.
         # streaming foreachBatch) holding dead file listings.
         stage = table + "__stage"
-        merged.write.format("parquet").mode("overwrite").saveAsTable(stage)
+        merged.write.format(self.file_format).mode("overwrite").saveAsTable(stage)
         self.swap_stage(stage, table)
 
     def swap_stage(self, stage: str, table: str) -> None:
@@ -327,7 +341,7 @@ class TableIO:
         on their join key turns every fact⋈fact join from a full network
         shuffle into a local zip of pre-hashed files.
         """
-        writer = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_cols)
+        writer = df.write.format(self.file_format).mode(mode).bucketBy(n_buckets, *bucket_cols)
         if sort_cols:
             writer = writer.sortBy(*sort_cols)
         writer.saveAsTable(table)

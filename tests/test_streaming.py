@@ -177,3 +177,42 @@ def test_stateful_running_totals_accumulate_across_ticks(spark, tmp_path):
             latest[r["user_id"]] = (r["n_events"], r["value_total"])
     assert latest[7] == (3, 13.0), "state did not accumulate across ticks"
     assert latest[8] == (1, 5.0)
+
+
+def test_stream_stream_time_range_join(spark, tmp_path):
+    """Purchases join the same user's clicks from the preceding 30 minutes;
+    state on both sides expires via watermark + time-bound (SURVEY §2.10)."""
+    src, out, ckpt = str(tmp_path / "src2"), str(tmp_path / "out_ss"), str(tmp_path / "ck_ss")
+    rows = [
+        (10, T0, 7, "click", 1.0, "{}"),
+        (11, T0 + dt.timedelta(minutes=5), 7, "click", 1.0, "{}"),
+        (12, T0 + dt.timedelta(minutes=10), 7, "purchase", 99.0, "{}"),
+        (13, T0 - dt.timedelta(minutes=40), 7, "click", 1.0, "{}"),  # outside horizon
+        (14, T0 + dt.timedelta(minutes=10), 8, "purchase", 50.0, "{}"),  # no clicks
+        (15, T0 + dt.timedelta(minutes=2), 9, "click", 1.0, "{}"),  # other user
+    ]
+    _write_events(spark, src, rows)
+
+    def build():
+        ev = _read_stream(spark, src)
+        return streams.join_purchases_with_clicks(
+            ev.where(ev.event_type == "click"),
+            ev.where(ev.event_type == "purchase"),
+        )
+
+    streams.run_available_now(build(), ckpt, out)
+    _heartbeat(spark, src, minutes=240)
+    streams.run_available_now(build(), ckpt, out)
+
+    got = {
+        (r.purchase_id, r.click_id) for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(12, 10), (12, 11)}
+
+    # incremental tick: a late purchase within the (advanced) watermark region
+    # still joins nothing new for user 8, and re-running adds no duplicates
+    streams.run_available_now(build(), ckpt, out)
+    again = {
+        (r.purchase_id, r.click_id) for r in spark.read.parquet(out).collect()
+    }
+    assert again == got

@@ -236,3 +236,28 @@ def test_merge_swap_failure_keeps_stage_for_recovery(spark, ns, monkeypatch):
     io.restore_from_stage(t)
     assert not io.table_exists(stage)
     assert {tuple(r) for r in spark.table(t).collect()} == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_orc_format_roundtrip_all_modes(spark, ns):
+    """ORC-backed TableIO: create/append/replace/merge all work and the
+    table really is ORC on disk (provider check), with appends following
+    the existing table's format."""
+    io = TableIO(spark, file_format="orc")
+    t = f"{ns}.orc_items"
+    io.write_table(_df(spark, [(1, "a"), (2, "b")], ["id", "v"]), t, mode="append")
+    prov = {
+        r.col_name: r.data_type
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {t}").collect()
+    }.get("Provider", "").lower()
+    assert prov == "orc"
+    io.write_table(_df(spark, [(3, "c")], ["id", "v"]), t, mode="append")
+    io.write_table(_df(spark, [(2, "B"), (4, "d")], ["id", "v"]), t, merge_on=["id"], mode="merge")
+    got = {r.id: r.v for r in io.read(t).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+    io.write_table(_df(spark, [(9, "z")], ["id", "v"]), t, mode="replace")
+    assert {r.id for r in io.read(t).collect()} == {9}
+
+
+def test_invalid_file_format_rejected(spark):
+    with pytest.raises(ValueError, match="file_format"):
+        TableIO(spark, file_format="csv")
