@@ -78,6 +78,47 @@ def local_topk(
     )
 
 
+def local_topk_mapside(
+    scored: DataFrame,
+    k: int,
+    q_id_col: str = "q_id",
+    id_col: str = "vec_id",
+    score_col: str = "cos_sim",
+) -> DataFrame:
+    """Phase 1 with ZERO-shuffle map-side pruning (``mapInPandas``).
+
+    The JVM ``local_topk`` groups on (partition_id, q_id): the aggregation
+    collapses each group to one row before the exchange, but that row
+    carries the group's FULL candidate list packed as an array — shuffle
+    bytes stay O(candidates). This variant prunes inside the map task
+    with bounded state (a running top-k per query, folded batch by
+    batch), so only k rows per (partition, query) ever leave the task:
+    shuffle rows AND bytes are O(k × partitions × queries).
+
+    Tradeoff: crosses the Python boundary (Arrow-batched; three scalar
+    columns only). Prefer it when per-partition candidate volume is much
+    larger than k — the 100-TB brute-force scan — and the JVM form when
+    candidates are already thin (post-LSH/IVF pruning).
+    """
+    slim = scored.select(q_id_col, id_col, score_col)
+    schema = slim.schema
+
+    def prune(batches):
+        best: dict = {}  # q_id -> pdf of current top-k
+        for pdf in batches:
+            for q, grp in pdf.groupby(q_id_col, sort=False):
+                cur = best.get(q)
+                merged = grp if cur is None else pd.concat((cur, grp), ignore_index=True)
+                merged = merged.sort_values(
+                    [score_col, id_col], ascending=[False, True], kind="mergesort"
+                )
+                best[q] = merged.head(k)
+        if best:
+            yield pd.concat(best.values(), ignore_index=True)
+
+    return slim.mapInPandas(prune, schema=schema)
+
+
 def topk_per_query(
     scored: DataFrame,
     k: int,
@@ -85,6 +126,7 @@ def topk_per_query(
     id_col: str = "vec_id",
     score_col: str = "cos_sim",
     rank_col: str = "rank",
+    prune: str = "jvm",
 ) -> DataFrame:
     """Exact top-k per query in two phases.
 
@@ -92,8 +134,16 @@ def topk_per_query(
     so the single-task-per-query sort that kills the naive plan at scale
     is over a bounded, tiny input. Result is identical to the one-window
     form (same total order, including tie-breaks).
+
+    ``prune`` picks phase 1: ``"jvm"`` (codegen'd, whole-stage, shuffles
+    packed per-group arrays) or ``"arrow"`` (``local_topk_mapside``:
+    Python boundary but only k rows per partition per query cross the
+    wire — the right choice for full-corpus scans at 100 TB).
     """
-    pruned = local_topk(scored, k, q_id_col, id_col, score_col)
+    if prune not in ("jvm", "arrow"):
+        raise ValueError(f"prune {prune!r} not in ('jvm', 'arrow')")
+    phase1 = local_topk if prune == "jvm" else local_topk_mapside
+    pruned = phase1(scored, k, q_id_col, id_col, score_col)
     w = Window.partitionBy(q_id_col).orderBy(
         F.desc_nulls_last(score_col), F.asc(id_col)
     )

@@ -53,6 +53,7 @@ def all_queries() -> dict[str, QuerySpec]:
         text_ops,
         tpch,
         training_ops,
+        warehouse_ops,
         vector_ops,
     )
 

@@ -1,0 +1,165 @@
+"""Warehouse-modeling operators: SCD2 dimension history, CUBE
+aggregation, one-pass column profiling.
+
+The dbt layer of the reference models dimensions and data-health tests;
+these are the Spark-first formulations of the three shapes it leans on
+that were not yet registry-covered: type-2 snapshot history
+(tables/scd2.py), multi-dimensional subtotal lattices (CUBE — ROLLUP is
+covered by rollup_order_revenue), and per-column profiling
+(operators/profile.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from analytics_data_platform_spark.operators.profile import profile_columns
+from analytics_data_platform_spark.queries import QuerySpec, register
+from analytics_data_platform_spark.sources.testdata import load_table
+from analytics_data_platform_spark.tables.scd2 import scd2_apply
+
+T0 = "2024-01-01 00:00:00"
+T1 = "2024-06-01 00:00:00"
+
+
+def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a market-segment snapshot to a type-2 customer dimension.
+
+    Every 10th customer relocates segment; one brand-new key arrives.
+    The operator closes changed rows at T1, keeps unchanged rows open,
+    and inserts new current versions — full history preserved.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit(T0).cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changes = cust.where(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", F.lit("RELOCATED").alias("c_mktsegment")
+    ).unionByName(
+        spark.createDataFrame([(-1, "BUILDERS")], "c_custkey long, c_mktsegment string")
+    )
+    return scd2_apply(
+        dim,
+        changes,
+        keys=["c_custkey"],
+        tracked=["c_mktsegment"],
+        effective_ts=F.lit(T1).cast("timestamp"),
+    )
+
+
+SCD2_SQL = f"""
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment,
+         TIMESTAMP '{T0}' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to,
+         TRUE AS is_current
+  FROM customer
+),
+changes AS (
+  SELECT c_custkey, 'RELOCATED' AS c_mktsegment FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT), 'BUILDERS'
+),
+applied AS (
+  SELECT c.c_custkey, c.c_mktsegment FROM changes c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dim d
+    WHERE d.c_custkey = c.c_custkey
+      AND d.c_mktsegment IS NOT DISTINCT FROM c.c_mktsegment
+  )
+),
+closed AS (
+  SELECT d.c_custkey, d.c_mktsegment, d.valid_from,
+         TIMESTAMP '{T1}' AS valid_to, FALSE AS is_current
+  FROM dim d WHERE d.c_custkey IN (SELECT c_custkey FROM applied)
+),
+unchanged AS (
+  SELECT * FROM dim WHERE c_custkey NOT IN (SELECT c_custkey FROM applied)
+),
+fresh AS (
+  SELECT c_custkey, c_mktsegment,
+         TIMESTAMP '{T1}' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+  FROM applied
+)
+SELECT * FROM unchanged
+UNION ALL SELECT * FROM closed
+UNION ALL SELECT * FROM fresh
+"""
+
+register(
+    QuerySpec(
+        "scd2_customer_segments",
+        scd2_customer_segments,
+        SCD2_SQL,
+        doc="SCD2 snapshot apply: close changed, keep unchanged, insert new",
+        cites="warehouse modeling: dbt-style type-2 snapshot",
+        tags=("scd2", "merge"),
+    )
+)
+
+
+def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(status, priority): the full subtotal lattice in one pass
+    (both one-dimension margins + grand total; ROLLUP only nests)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+register(
+    QuerySpec(
+        "cube_orders_status_priority",
+        cube_orders_status_priority,
+        CUBE_SQL,
+        doc="CUBE subtotal lattice over (status, priority)",
+        cites="SURVEY §2.4 note: grouping sets free in Spark",
+        tags=("agg", "cube"),
+    )
+)
+
+
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the documents table in ONE aggregation pass
+    (nulls, exact distincts, string-cast min/max per column)."""
+    return profile_columns(load_table(spark, sf_dir, "documents"))
+
+
+def _profile_col_sql(c: str) -> str:
+    return (
+        f"SELECT '{c}' AS col_name,"
+        f" COUNT(*) - COUNT({c}) AS n_nulls,"
+        f" COUNT(DISTINCT {c}) AS n_distinct,"
+        f" MIN(CAST({c} AS VARCHAR)) AS min_val,"
+        f" MAX(CAST({c} AS VARCHAR)) AS max_val FROM documents"
+    )
+
+
+PROFILE_SQL = "\nUNION ALL\n".join(
+    _profile_col_sql(c) for c in ["doc_id", "text", "lang", "source", "n_chars"]
+)
+
+register(
+    QuerySpec(
+        "profile_documents",
+        profile_documents,
+        PROFILE_SQL,
+        doc="one-pass per-column table profile (nulls/distincts/min/max)",
+        cites="warehouse modeling: dbt-style data-health audit",
+        tags=("profile", "agg"),
+    )
+)

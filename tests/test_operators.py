@@ -355,3 +355,20 @@ def test_lsh_multiprobe_recall_dominates_single_probe(spark, clustered_vectors):
     rm = len(e & {(r["q_id"], r["vec_id"]) for r in multi.collect()}) / len(e)
     assert rm >= rs, f"multi-probe recall {rm} < single-probe {rs}"
     assert rm >= 0.6, f"multi-probe recall too low: {rm}"
+
+
+def test_arrow_mapside_prune_matches_jvm_prune(spark, clustered_vectors):
+    """local_topk_mapside (bounded-state Arrow pruner, k rows per
+    partition per query pre-shuffle) must produce the identical final
+    top-k as the JVM packed-array pruner."""
+    corpus = clustered_vectors.repartition(8)
+    q = _queries_from(corpus)
+    scored = _scored(corpus, q)
+    jvm = similarity.topk_per_query(scored, 7, prune="jvm")
+    arrow = similarity.topk_per_query(scored, 7, prune="arrow")
+    assert sorted(map(tuple, jvm.collect())) == sorted(map(tuple, arrow.collect()))
+    # the map-side pruner's output itself is bounded by k per (partition, q)
+    pruned = similarity.local_topk_mapside(scored, 7)
+    assert pruned.count() <= 7 * 8 * 4
+    with pytest.raises(ValueError, match="prune"):
+        similarity.topk_per_query(scored, 7, prune="bogus")

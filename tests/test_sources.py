@@ -324,3 +324,21 @@ def test_fit_monitor_peaks_pipeline(spark):
 def test_h5_reader_gated():
     with pytest.raises(NotImplementedError, match="h5py"):
         archive.read_monitor_h5("/nonexistent.nxs")
+
+
+def test_jsonl_schema_contract_and_corrupt_quarantine(spark, tmp_path):
+    p = tmp_path / "data.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        'this is not json\n'
+        '{"id": 2, "name": "also ok"}\n'
+    )
+    from analytics_data_platform_spark.sources.files import read_jsonl
+
+    df = read_jsonl(spark, str(p), schema="id long, name string")
+    rows = df.collect()
+    assert len(rows) == 3
+    good = {r.id: r.name for r in rows if r._corrupt_record is None}
+    assert good == {1: "ok", 2: "also ok"}
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(bad) == 1 and bad[0].id is None and "not json" in bad[0]._corrupt_record
