@@ -310,3 +310,78 @@ register(
         tags=("agg", "window"),
     )
 )
+
+
+def ranking_windows_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-family windows in one pass: percent_rank / cume_dist /
+    ntile(4) per priority, ordered by (totalprice, orderkey) — the order
+    key is made unique so tile assignment is deterministic across
+    engines. One shuffle on the partition key; all three functions share
+    the same window frame so Spark evaluates them in a single Window
+    operator."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+RANKING_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume_dist,
+       NTILE(4) OVER w AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+register(
+    QuerySpec(
+        "ranking_windows_order_values",
+        ranking_windows_order_values,
+        RANKING_SQL,
+        doc="percent_rank/cume_dist/ntile in one shared window pass",
+        cites="SURVEY §2.5 note: full Window API beyond the reference's lag",
+        tags=("window",),
+    )
+)
+
+
+def customer_year_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (distinct semantics): customers ordering in
+    both 1995 and 1996 vs only-1995 vs only-1996, tagged in one result.
+    Spark plans set ops as aggregated joins on the same key — the three
+    branches reuse one exchange of each year's distinct key set."""
+    o = load_table(spark, sf_dir, "orders")
+    y95 = o.where(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.where(F.year("o_orderdate") == 1996).select("o_custkey")
+    both = y95.intersect(y96).select(F.lit("both").alias("tag"), "o_custkey")
+    only95 = y95.subtract(y96).select(F.lit("only_1995").alias("tag"), "o_custkey")
+    only96 = y96.subtract(y95).select(F.lit("only_1996").alias("tag"), "o_custkey")
+    return both.unionByName(only95).unionByName(only96)
+
+
+SETOPS_SQL = """
+WITH y95 AS (SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995),
+     y96 AS (SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996)
+SELECT 'both' AS tag, o_custkey FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+UNION ALL
+SELECT 'only_1995', o_custkey FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+UNION ALL
+SELECT 'only_1996', o_custkey FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y95)
+"""
+
+register(
+    QuerySpec(
+        "customer_year_set_ops",
+        customer_year_set_ops,
+        SETOPS_SQL,
+        doc="INTERSECT/EXCEPT distinct set operations, tagged union output",
+        cites="SURVEY §2.7 note: reference lacks INTERSECT/EXCEPT — beyond-parity",
+        tags=("setop",),
+    )
+)
