@@ -23,6 +23,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from analytics_data_platform_spark.functions.expr import bind, spread
 from analytics_data_platform_spark.functions.text import normalized_text
 
 
@@ -50,33 +51,47 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingle_tokens(text: Column | str, k: int = 3) -> Column:
-    """Distinct token k-gram shingles as an array (JVM-side)."""
+    """Distinct token k-gram shingles as an array (JVM-side).
+
+    The token array is let-bound (functions.expr.bind): without it the
+    normalize+split subtree is re-evaluated for EVERY shingle inside the
+    per-index lambda — O(tokens × full-regex-pass) per document, a ~100×
+    hidden blowup that made shingling the hottest expression in the repo.
+    """
     toks = F.split(normalized_text(text), " ")
-    return F.when(
-        F.size(toks) >= k,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    return bind(
+        toks,
+        lambda t: F.when(
+            F.size(t) >= k,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - (k - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     """MinHash signature: per seed, min over xxhash64(shingle ++ seed).
 
     All JVM-side (xxhash64 in a lambda) — each document costs
-    O(|shingles| * num_hashes) hash evaluations inside codegen, zero
-    Python. Empty shingle sets yield nulls (filtered by callers).
+    O(|shingles| * num_hashes) hash evaluations, zero Python. The shingle
+    array is let-bound (functions.expr.bind) so the splitting/normalizing
+    expression underneath it is evaluated once per row, not once per
+    hash seed after projection collapse.
     """
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles, lambda s: F.xxhash64(F.concat(s, F.lit(f"#{i}"))))
-            )
-            for i in range(num_hashes)
-        ]
+    return bind(
+        shingles,
+        lambda sh: F.array(
+            *[
+                F.array_min(
+                    F.transform(sh, lambda s: F.xxhash64(F.concat(s, F.lit(f"#{i}"))))
+                )
+                for i in range(num_hashes)
+            ]
+        ),
     )
 
 
@@ -95,25 +110,32 @@ def minhash_lsh_candidates(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sig = (
-        df.select(F.col(id_col), minhash_signature(shingle_tokens(text_col), num_hashes).alias("sig"))
-        .where(F.col("sig").isNotNull())
-    )
-    banded = sig.select(
-        id_col,
-        F.explode(
+    # signature AND its band buckets in ONE let-bound expression: the
+    # signature is evaluated exactly once per row even though every band
+    # references it (bind = CollapseProject re-evaluation barrier)
+    buckets = bind(
+        minhash_signature(shingle_tokens(text_col), num_hashes),
+        lambda sig: F.when(
+            sig.isNotNull(),
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.concat_ws(",", *[F.element_at("sig", b * r + j + 1) for j in range(r)])
+                            F.concat_ws(
+                                ",", *[F.element_at(sig, b * r + j + 1) for j in range(r)]
+                            )
                         ).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
-            )
-        ).alias("bb"),
+            ),
+        ),
+    )
+    # explode(null) emits nothing — empty-shingle docs drop out here;
+    # spread() keeps the hash-heavy projection core-parallel on small scans
+    banded = spread(df.select(id_col, text_col)).select(
+        id_col, F.explode(buckets).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = banded.alias("a")
     b = banded.alias("b")
@@ -141,10 +163,16 @@ def exact_jaccard_pairs(
 ) -> DataFrame:
     """Verify candidate pairs with exact shingle-set Jaccard.
 
-    At scale this joins only the candidate ids back to the corpus (two
-    semi-joins), never all-pairs.
+    Shingles are computed ONLY for documents that appear in a candidate
+    pair (semi-join first): at 100 TB candidates are a vanishing fraction
+    of the corpus, so the expensive re-shingling touches almost nothing.
     """
-    sh = df.select(
+    # one evaluation of the candidate subtree for the id set (explode,
+    # not a 2-branch union that would run the LSH pipeline twice)
+    cand_ids = candidates.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)
+    ).distinct()
+    sh = spread(df.join(cand_ids, id_col, "left_semi").select(id_col, text_col)).select(
         F.col(id_col), shingle_tokens(text_col, k).alias("sh")
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
@@ -196,7 +224,9 @@ def simhash_signatures(
     """
     import numpy as np
 
-    norm = df.select(F.col(id_col), normalized_text(text_col).alias("_norm"))
+    norm = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), normalized_text(text_col).alias("_norm")
+    )
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -477,12 +507,20 @@ def minhash_signature_portable(
     """
     a, b = affine_params(num_hashes, seed)
     params = F.array(*[F.array(F.lit(ai), F.lit(bi)) for ai, bi in zip(a, b)])
-    return F.when(
-        F.size(shingles) > 0,
-        F.transform(
-            params,
-            lambda p: F.array_min(
-                F.transform(shingles, lambda s: (p[0] * portable_hash32(s) + p[1]) % MERSENNE_P)
+    # hash each shingle ONCE (one md5), then let-bind the hashed array so
+    # the num_hashes affine folds reuse it instead of re-deriving md5s
+    hashed = F.when(
+        F.size(shingles) > 0, F.transform(shingles, lambda s: portable_hash32(s))
+    )
+    return bind(
+        hashed,
+        lambda h: F.when(
+            h.isNotNull(),
+            F.transform(
+                params,
+                lambda p: F.array_min(
+                    F.transform(h, lambda x: (p[0] * x + p[1]) % MERSENNE_P)
+                ),
             ),
         ),
     )
@@ -505,24 +543,27 @@ def minhash_lsh_candidates_portable(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sig = df.select(
-        F.col(id_col),
-        minhash_signature_portable(shingle_tokens(text_col), num_hashes, seed).alias("sig"),
-    ).where(F.col("sig").isNotNull())
-    banded = sig.select(
-        id_col,
-        F.explode(
+    # let-bound signature → every band bucket references the once-evaluated
+    # array (see functions.expr.bind; unbound, projection collapse
+    # re-evaluates the whole md5 signature per band)
+    buckets = bind(
+        minhash_signature_portable(shingle_tokens(text_col), num_hashes, seed),
+        lambda sig: F.when(
+            sig.isNotNull(),
             F.array(
                 *[
                     F.concat_ws(
                         ",",
                         F.lit(str(bnd)),
-                        *[F.element_at("sig", bnd * r + j + 1) for j in range(r)],
+                        *[F.element_at(sig, bnd * r + j + 1) for j in range(r)],
                     )
                     for bnd in range(bands)
                 ]
-            )
-        ).alias("bucket"),
+            ),
+        ),
+    )
+    banded = spread(df.select(id_col, text_col)).select(
+        id_col, F.explode(buckets).alias("bucket")
     )
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -567,8 +608,12 @@ def simhash_signatures_portable(
             out = out + bcol
         return out.cast("long")
 
-    return df.select(
-        F.col(id_col), half(hs_lo).alias("sim_lo"), half(hs_hi).alias("sim_hi")
+    # let-bind each hash array: the 32 per-bit aggregate walks reference
+    # the ONE evaluated array instead of re-deriving token md5s 32×
+    return spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col),
+        bind(hs_lo, half).alias("sim_lo"),
+        bind(hs_hi, half).alias("sim_hi"),
     )
 
 

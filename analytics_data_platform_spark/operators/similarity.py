@@ -29,6 +29,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from analytics_data_platform_spark.functions.expr import spread
 from analytics_data_platform_spark.functions.vectors import cosine, dot
 
 # literal-argmin plan nodes grow O(n_centroids × dim); past this the
@@ -161,7 +162,7 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k per query. Queries broadcast; corpus streams;
     two-phase top-k keeps parallelism at #partitions."""
-    scored = corpus.join(F.broadcast(queries), F.col(id_col) != F.col(q_id_col)).select(
+    scored = spread(corpus).join(F.broadcast(queries), F.col(id_col) != F.col(q_id_col)).select(
         q_id_col, id_col, cosine(q_vec_col, vec_col).alias("cos_sim")
     )
     return topk_per_query(scored, k, q_id_col, id_col, "cos_sim")
@@ -206,7 +207,7 @@ def lsh_topk(
     same rounded score ranks identically despite float ulp differences.
     """
     planes = _hyperplanes(dim, n_bits, seed)
-    c = corpus.withColumn("_sig", lsh_signature_col(vec_col, planes))
+    c = spread(corpus).withColumn("_sig", lsh_signature_col(vec_col, planes))
     q = queries.withColumn("_qsig", lsh_signature_col(q_vec_col, planes))
     score = cosine(q_vec_col, vec_col)
     if score_round is not None:
@@ -339,14 +340,14 @@ def ivf_topk(
     top-k.
     """
     if len(centroids) > MAX_LITERAL_CENTROIDS:
-        c = corpus.withColumn("_cell", assign_centroid_udf(centroids)(F.col(vec_col)))
+        c = spread(corpus).withColumn("_cell", assign_centroid_udf(centroids)(F.col(vec_col)))
         q = queries.select(
             q_id_col,
             q_vec_col,
             F.explode(nprobe_cells_udf(centroids, nprobe)(F.col(q_vec_col))).alias("_qcell"),
         )
     else:
-        c = corpus.withColumn("_cell", assign_centroid_col(vec_col, centroids))
+        c = spread(corpus).withColumn("_cell", assign_centroid_col(vec_col, centroids))
         # per-query nprobe nearest cells, via the same literal-centroid distances
         dists = [
             F.aggregate(
@@ -416,7 +417,7 @@ def lsh_near_dup_pairs(
     corpus: DataFrame,
     threshold: float,
     n_bands: int = 8,
-    bits_per_band: int = 4,
+    bits_per_band: int = 8,
     dim: int = 64,
     seed: int = 7,
     id_col: str = "vec_id",
@@ -434,7 +435,7 @@ def lsh_near_dup_pairs(
     """
     planes = _hyperplanes(dim, n_bands * bits_per_band, seed)
     keys = lsh_band_keys(vec_col, planes, n_bands, bits_per_band)
-    banded = corpus.select(F.col(id_col), F.explode(keys).alias("_bucket"))
+    banded = spread(corpus).select(F.col(id_col), F.explode(keys).alias("_bucket"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -526,7 +527,7 @@ def lsh_topk_multiprobe(
     vector has exactly one signature).
     """
     planes = _hyperplanes(dim, n_bits, seed)
-    c = corpus.withColumn("_sig", lsh_signature_col(vec_col, planes))
+    c = spread(corpus).withColumn("_sig", lsh_signature_col(vec_col, planes))
     q = queries.select(
         q_id_col,
         q_vec_col,

@@ -25,17 +25,24 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     explosion happens JVM-side with zero data movement beyond the rows
     produced.
     """
+    from analytics_data_platform_spark.functions.expr import bind
+
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim("text"), r"\s+")
-    n = F.size(toks)
-    n_chunks = F.when(n <= CHUNK, F.lit(1)).otherwise(
-        F.ceil((n - CHUNK).cast("double") / STRIDE).cast("int") + 1
-    )
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.struct(
-            i.alias("chunk_id"),
-            F.concat_ws(" ", F.slice(toks, i * STRIDE + 1, CHUNK)).alias("chunk_text"),
+    # let-bound token array: split once per doc, not once per chunk window
+    chunks = bind(
+        F.split(F.trim("text"), r"\s+"),
+        lambda toks: F.transform(
+            F.sequence(
+                F.lit(0),
+                F.when(F.size(toks) <= CHUNK, F.lit(1)).otherwise(
+                    F.ceil((F.size(toks) - CHUNK).cast("double") / STRIDE).cast("int") + 1
+                )
+                - 1,
+            ),
+            lambda i: F.struct(
+                i.alias("chunk_id"),
+                F.concat_ws(" ", F.slice(toks, i * STRIDE + 1, CHUNK)).alias("chunk_text"),
+            ),
         ),
     )
     return (

@@ -314,7 +314,12 @@ register(
 
 # ---- embedding_near_dups --------------------------------------------------
 
-_ND_BANDS, _ND_BITS, _ND_SEED, _ND_THRESHOLD = 8, 4, 7, 0.4
+# 8 bits/band = 256 buckets per band: with 4 bits (16 buckets) a random
+# pair matched some band with prob ~0.40 — effectively the all-pairs scan
+# the banding exists to avoid (at sf0.1 the query ran 45 s; worse with n).
+# At 8 bits a random pair matches ~0.4%, while true near-dups
+# (cos ≥ 0.9, per-bit agreement ~0.86) still collide with P ≈ 0.99.
+_ND_BANDS, _ND_BITS, _ND_SEED, _ND_THRESHOLD = 8, 8, 7, 0.4
 
 
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -206,18 +206,18 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup MinHash-LSH (operators.dedup) for candidates and this only to
     verify candidate pairs.
     """
+    from analytics_data_platform_spark.functions.expr import spread
+    from analytics_data_platform_spark.operators.dedup import shingle_tokens
+
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(T.normalized_text("text"), " ")
-    # n tokens → n-2 3-gram shingles; sequence() descends when start > stop,
-    # so short docs must be guarded with an empty array, not a clamped bound
-    shingles = F.when(
-        F.size(toks) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    sh = d.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+    # let-bound shingles (operators.dedup) — tokenization runs once per
+    # doc, not once per shingle — and spread() keeps the projection
+    # core-parallel on a small single-split scan
+    sh = (
+        spread(d.select("doc_id", "text"))
+        .select("doc_id", F.explode(shingle_tokens("text", 3)).alias("shingle"))
+        .distinct()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

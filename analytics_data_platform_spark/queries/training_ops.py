@@ -12,6 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from analytics_data_platform_spark.functions.expr import bind, spread
 from analytics_data_platform_spark.operators.packing import pack_greedy
 from analytics_data_platform_spark.queries import QuerySpec, register
 from analytics_data_platform_spark.sources.testdata import load_table
@@ -97,12 +98,19 @@ def contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
     toks = _tokens()
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (NGRAM - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, NGRAM)),
+    # let-bound token array: the split runs once per doc, not once per gram
+    grams = bind(
+        toks,
+        lambda t: F.when(
+            F.size(t) >= NGRAM,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (NGRAM - 1)),
+                lambda i: F.concat_ws(" ", F.slice(t, i, NGRAM)),
+            ),
+        ),
     )
     flat = (
-        d.where(F.size(toks) >= NGRAM)
+        spread(d.select("doc_id", "text"))
         .select("doc_id", F.explode(grams).alias("g"))
         .distinct()
     )
