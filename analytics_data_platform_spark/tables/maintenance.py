@@ -114,3 +114,32 @@ def row_count_stats(spark: SparkSession, namespaces: list[str] | None = None):
     for table in list_all_tables(spark, namespaces):
         rows.append((table, spark.table(table).count()))
     return spark.createDataFrame(rows, "table string, n_rows long").orderBy(F.col("table"))
+
+
+def analyze_table(
+    spark: SparkSession, table: str, columns: list[str] | None = None
+) -> dict[str, str]:
+    """ANALYZE TABLE: collect table (and optionally per-column) statistics
+    into the catalog so the cost-based optimizer can pick join orders and
+    broadcast candidates from real sizes instead of file-size guesses.
+
+    The Trino/Iceberg side of the reference gets NDV/size stats from
+    Iceberg metadata + ANALYZE; this is the Spark-catalog equivalent. Run
+    it from the maintenance loop after compaction — stats become stale as
+    appends accumulate. Enable ``spark.sql.cbo.enabled`` to consume them.
+
+    Returns the catalog statistics recorded for the table.
+    """
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(f"`{c}`" for c in columns)
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}")
+    out: dict[str, str] = {}
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        if r.col_name == "Statistics":
+            out["table"] = r.data_type
+    if columns:
+        for c in columns:
+            desc = spark.sql(f"DESCRIBE EXTENDED {table} `{c}`").collect()
+            out[c] = "; ".join(f"{r['info_name']}={r['info_value']}" for r in desc)
+    return out

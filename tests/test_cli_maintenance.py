@@ -132,3 +132,23 @@ def test_run_maintenance_loop(spark):
         assert stats[f"{ns}.a"] == 30 and stats[f"{ns}.b"] == 5
     finally:
         io.drop_namespace(ns)
+
+
+def test_analyze_table_records_catalog_and_column_stats(spark):
+    import uuid
+
+    from analytics_data_platform_spark.tables.io import TableIO
+    from analytics_data_platform_spark.tables.maintenance import analyze_table
+
+    ns = f"an_{uuid.uuid4().hex[:6]}"
+    io = TableIO(spark)
+    io.ensure_namespace(ns)
+    try:
+        df = spark.range(1000).selectExpr("id", "id % 7 AS grp")
+        io.write_table(df, f"{ns}.t", mode="append")
+        stats = analyze_table(spark, f"{ns}.t", columns=["grp"])
+        assert "table" in stats and "bytes" in stats["table"]
+        assert "1000 rows" in stats["table"]
+        assert "distinct_count=7" in stats["grp"].replace(" ", "_") or "7" in stats["grp"]
+    finally:
+        io.drop_namespace(ns)
