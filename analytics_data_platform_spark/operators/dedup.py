@@ -507,19 +507,20 @@ def minhash_signature_portable(
     """
     a, b = affine_params(num_hashes, seed)
     params = F.array(*[F.array(F.lit(ai), F.lit(bi)) for ai, bi in zip(a, b)])
-    # hash each shingle ONCE (one md5), then let-bind the hashed array so
-    # the num_hashes affine folds reuse it instead of re-deriving md5s
-    hashed = F.when(
-        F.size(shingles) > 0, F.transform(shingles, lambda s: portable_hash32(s))
-    )
+    # nested let-bindings: the shingle array evaluates once (the emptiness
+    # guard would otherwise re-run tokenization), each shingle md5-hashes
+    # once, and the num_hashes affine folds reuse the hashed array
     return bind(
-        hashed,
-        lambda h: F.when(
-            h.isNotNull(),
-            F.transform(
-                params,
-                lambda p: F.array_min(
-                    F.transform(h, lambda x: (p[0] * x + p[1]) % MERSENNE_P)
+        shingles,
+        lambda sh: bind(
+            F.when(F.size(sh) > 0, F.transform(sh, lambda s: portable_hash32(s))),
+            lambda h: F.when(
+                h.isNotNull(),
+                F.transform(
+                    params,
+                    lambda p: F.array_min(
+                        F.transform(h, lambda x: (p[0] * x + p[1]) % MERSENNE_P)
+                    ),
                 ),
             ),
         ),

@@ -160,3 +160,43 @@ def test_new_tpch_dims_broadcast(spark, sf_dir):
         plan = plan_of(spark, name, sf_dir, "simple")
         assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast dims"
         assert "CartesianProduct" not in plan, name
+
+
+def test_minhash_plan_evaluates_signature_once(spark):
+    """Regression guard for the let-binding (functions.expr.bind): the
+    optimized candidate plan must contain exactly ONE md5 call chain for
+    the signature (CollapseProject used to inline it per band — a 16x
+    interpreted re-evaluation) and ONE tokenizing split."""
+    from analytics_data_platform_spark.operators import dedup
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cands = dedup.minhash_lsh_candidates_portable(d, num_hashes=32, bands=16)
+    plan = cands._jdf.queryExecution().optimizedPlan().toString()
+    # one md5 per self-join SIDE (2 total); the pre-bind plan inlined the
+    # signature into all 16 band expressions (16-32 occurrences)
+    assert plan.count("md5(") <= 2, f"signature md5 re-inlined: {plan.count('md5(')}x"
+    assert plan.count("regexp_replace") <= 4, plan.count("regexp_replace")
+
+
+def test_shingle_tokens_plan_splits_once(spark):
+    """shingle_tokens must not re-split per shingle (bind barrier)."""
+    import pyspark.sql.functions as F
+
+    from analytics_data_platform_spark.operators.dedup import shingle_tokens
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = d.select(shingle_tokens("text").alias("sh"))
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") == 1, f"tokenizer re-inlined: {plan.count('split(')}x"
+
+
+def test_spread_widens_narrow_scan_only(spark):
+    """spread(): repartitions a 1-split scan to cores; no-op when wide."""
+    from analytics_data_platform_spark.functions.expr import spread
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert d.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    widened = spread(d)
+    assert widened.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    wide = d.repartition(spark.sparkContext.defaultParallelism * 2)
+    assert spread(wide).rdd.getNumPartitions() == wide.rdd.getNumPartitions()
