@@ -414,3 +414,45 @@ register(
         tags=("vector",),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# per_source_doc_sample — deterministic k-per-group sampling
+# ---------------------------------------------------------------------------
+
+
+def per_source_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-per-source document sample (group-wise reservoir
+    analogue): order within each source by a salted md5 of the doc id and
+    keep the first k. Reproducible across runs and engines — the audit /
+    eyeball sample every corpus pipeline logs. One shuffle on source."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("sample-7:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(key, "doc_id")
+    return (
+        d.select("source", "doc_id", "n_chars", F.row_number().over(w).alias("pick"))
+        .where(F.col("pick") <= 3)
+    )
+
+
+SAMPLE_SQL = """
+SELECT source, doc_id, n_chars, pick FROM (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('sample-7:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS pick
+  FROM documents
+) WHERE pick <= 3
+"""
+
+register(
+    QuerySpec(
+        "per_source_doc_sample",
+        per_source_doc_sample,
+        SAMPLE_SQL,
+        doc="deterministic k-per-group sample (salted-hash order)",
+        cites="training-data ops: reproducible audit sampling",
+        tags=("sampling",),
+    )
+)

@@ -63,6 +63,7 @@ def test_sql_literal_quote_escaping(s):
 FIELD_TYPES = ["int", "bigint", "string", "double", "boolean", "date", "timestamp"]
 
 
+@settings(deadline=None)  # JVM warm-up makes first-example timing unreliable
 @given(
     st.dictionaries(
         st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True),
