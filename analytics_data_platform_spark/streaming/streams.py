@@ -155,8 +155,9 @@ def join_purchases_with_clicks(
     purchases: DataFrame,
     horizon: str = "30 minutes",
     delay: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: each purchase picks up the same user's
+    """Stream-stream join: each purchase picks up the same user's
     clicks from the preceding ``horizon`` — the streaming twin of the
     batch as-of/interval join (operators/asof.py).
 
@@ -165,6 +166,11 @@ def join_purchases_with_clicks(
     Spark expire buffered state on BOTH sides (a stream-stream join
     without the time bound would buffer forever). State is partitioned by
     user_id — the join shuffles each side once on the equi-key.
+
+    ``how="left_outer"`` additionally emits click-less purchases with
+    null click columns — but only once the watermark proves no matching
+    click can still arrive (outer results are inherently delayed by the
+    watermark; Spark would otherwise have to retract).
     """
     c = with_watermark(clicks, delay).select(
         F.col("user_id").alias("click_user"),
@@ -182,6 +188,6 @@ def join_purchases_with_clicks(
         & (c["click_ts"] <= p["purchase_ts"])
         & (c["click_ts"] >= p["purchase_ts"] - F.expr(f"INTERVAL {horizon}"))
     )
-    return p.join(c, cond, "inner").select(
+    return p.join(c, cond, how).select(
         "user_id", "purchase_id", "purchase_ts", "purchase_value", "click_id", "click_ts"
     )

@@ -216,3 +216,44 @@ def test_stream_stream_time_range_join(spark, tmp_path):
         (r.purchase_id, r.click_id) for r in spark.read.parquet(out).collect()
     }
     assert again == got
+
+
+def test_stream_stream_left_outer_emits_clickless_after_watermark(spark, tmp_path):
+    """left_outer: a purchase with no clicks emits null click columns —
+    only after the watermark proves no match can still arrive."""
+    src, out, ckpt = str(tmp_path / "src3"), str(tmp_path / "out_lo"), str(tmp_path / "ck_lo")
+    rows = [
+        (20, T0, 7, "click", 1.0, "{}"),
+        (21, T0 + dt.timedelta(minutes=10), 7, "purchase", 99.0, "{}"),
+        (22, T0 + dt.timedelta(minutes=10), 8, "purchase", 50.0, "{}"),  # no clicks
+    ]
+    _write_events(spark, src, rows)
+
+    def build():
+        ev = _read_stream(spark, src)
+        return streams.join_purchases_with_clicks(
+            ev.where(ev.event_type == "click"),
+            ev.where(ev.event_type == "purchase"),
+            how="left_outer",
+        )
+
+    def _hb_both(minutes):
+        # the global watermark is the MIN across both sides' watermark
+        # operators, and the type filters run BEFORE withWatermark — so a
+        # generic heartbeat event advances neither side. Send one per side.
+        _write_events(spark, src, [
+            (900 + minutes, T0 + dt.timedelta(minutes=minutes), 99, "click", 0.0, "{}"),
+            (901 + minutes, T0 + dt.timedelta(minutes=minutes), 99, "purchase", 0.0, "{}"),
+        ])
+
+    streams.run_available_now(build(), ckpt, out)
+    _hb_both(240)
+    streams.run_available_now(build(), ckpt, out)
+    # outer-null results surface on state EVICTION, which runs one
+    # micro-batch after the watermark advance — tick once more
+    _hb_both(300)
+    streams.run_available_now(build(), ckpt, out)
+
+    got = {(r.purchase_id, r.click_id) for r in spark.read.parquet(out).collect()}
+    assert (21, 20) in got
+    assert (22, None) in got, f"click-less purchase never emitted: {got}"
