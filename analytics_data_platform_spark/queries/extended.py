@@ -385,3 +385,39 @@ register(
         tags=("setop",),
     )
 )
+
+
+def lineitem_price_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per return flag: stddev/variance (sample),
+    Pearson correlation, covariance — one partial-aggregable pass (every
+    moment is a sum-of-powers; map-side combine does the heavy lifting
+    at scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("qty_disc_covar"),
+    )
+
+
+STATS_SQL = """
+SELECT l_returnflag, COUNT(*) AS n,
+       ROUND(STDDEV_SAMP(l_extendedprice), 2) AS price_stddev,
+       ROUND(VAR_SAMP(l_quantity), 4) AS qty_var,
+       ROUND(CORR(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS qty_disc_covar
+FROM lineitem GROUP BY l_returnflag
+"""
+
+register(
+    QuerySpec(
+        "lineitem_price_statistics",
+        lineitem_price_statistics,
+        STATS_SQL,
+        doc="statistical aggregates: stddev/variance/correlation/covariance",
+        cites="SURVEY §2.4: aggregate family beyond count/sum/avg",
+        tags=("agg", "stats"),
+    )
+)

@@ -140,6 +140,7 @@ class TableIO:
         merge_on: list[str] | None = None,
         partition_spec: dict[str, str] | None = None,
         sort_spec: list[str] | None = None,
+        zorder: list[str] | None = None,
         properties: dict[str, str] | None = None,
         known_rows: int | None = None,
     ) -> WriteResult:
@@ -163,6 +164,8 @@ class TableIO:
             raise ValueError(f"write mode {mode!r} not in {WRITE_MODES}")
         if mode == "merge" and not merge_on:
             raise ValueError("merge mode requires merge_on join columns")
+        if zorder and sort_spec:
+            raise ValueError("zorder and sort_spec are mutually exclusive layouts")
 
         self_persisted = known_rows is None
         if self_persisted:
@@ -181,14 +184,14 @@ class TableIO:
 
             if created:
                 out, pcols = apply_partitioning(df, pfields)
-                out = apply_sort(out, sfields)
+                out = self._apply_layout(out, sfields, zorder)
                 writer = out.write.format(self.file_format)
                 if pcols:
                     writer = writer.partitionBy(*pcols)
                 writer.saveAsTable(table)
             elif mode == "replace":
                 out, pcols = apply_partitioning(df, pfields)
-                out = apply_sort(out, sfields)
+                out = self._apply_layout(out, sfields, zorder)
                 writer = out.write.format(self.file_format).mode("overwrite")
                 if pcols:
                     writer = writer.partitionBy(*pcols)
@@ -209,6 +212,19 @@ class TableIO:
         if properties:
             self.set_properties(table, properties)
         return WriteResult(table, mode, rows, created)
+
+    def _apply_layout(self, out: DataFrame, sfields, zorder: list[str] | None) -> DataFrame:
+        """Write layout: either the sort-spec write-sort, or z-order
+        clustering (tables/zorder.py) — each output range partition covers
+        a tight Morton range so footer min/max prune on EVERY z column."""
+        if not zorder:
+            return apply_sort(out, sfields)
+        from analytics_data_platform_spark.tables.zorder import Z_COL, with_zorder_key
+
+        keyed = with_zorder_key(out, zorder)
+        return (
+            keyed.repartitionByRange(Z_COL).sortWithinPartitions(Z_COL).drop(Z_COL)
+        )
 
     def _evolve_and_align(self, df: DataFrame, table: str, pfields) -> DataFrame:
         """Additive evolution + column alignment for by-name appends.
