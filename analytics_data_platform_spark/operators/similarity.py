@@ -699,3 +699,88 @@ def pq_topk(
         )
     )
     return topk_per_query(exact, k, "q_id", id_col, "neg_dist")
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: coarse cell pruning, then ADC over codes, then exact
+    refine — the composition Faiss ships as its workhorse index.
+
+    The scan touches only the ``nprobe`` nearest cells per query (at
+    scale: partition pruning on a ``_cell``-partitioned table), scores
+    survivors from m-byte PQ codes via per-query lookup tables, and
+    re-ranks the k×refine ADC winners with exact L2. Each stage reuses
+    the standalone operator (assign_centroid / pq_encode_col / two-phase
+    top-k) — this function is only the composition.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    assigned = spread(corpus).withColumn("_cell", assign_centroid_col(vec_col, centroids))
+    coded = assigned.select(
+        id_col, "_cell", pq_encode_col(vec_col, codebooks).alias("_codes")
+    )
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    rows = []
+    for q_id, q in queries:
+        qv = np.asarray(q, dtype=np.float64)
+        cells = np.argsort(((cents - qv) ** 2).sum(axis=1))[:nprobe]
+        lut = [
+            [
+                float(((qv[j * dsub : (j + 1) * dsub] - np.asarray(c)) ** 2).sum())
+                for c in codebooks[j]
+            ]
+            for j in range(m)
+        ]
+        for cell in cells:
+            rows.append((q_id, int(cell), lut))
+    probes = corpus.sparkSession.createDataFrame(
+        rows, "q_id long, _cell int, lut array<array<double>>"
+    )
+
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(F.element_at("lut", j + 1), F.element_at("_codes", j + 1) + 1),
+    )
+    scored = coded.join(F.broadcast(probes), "_cell").select(
+        "q_id", id_col, F.round(-adc, 6).alias("neg_dist")
+    )
+    cands = topk_per_query(scored, k * refine, "q_id", id_col, "neg_dist").select(
+        "q_id", id_col
+    )
+    qdf = corpus.sparkSession.createDataFrame(
+        [(qid, [float(x) for x in qv]) for qid, qv in queries],
+        "q_id long, q_emb array<double>",
+    )
+    exact = (
+        cands.join(corpus.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qdf), "q_id")
+        .select(
+            "q_id",
+            id_col,
+            F.round(
+                -F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col).cast("array<double>"),
+                        "q_emb",
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("neg_dist"),
+        )
+    )
+    return topk_per_query(exact, k, "q_id", id_col, "neg_dist")

@@ -400,3 +400,20 @@ def test_pq_adc_topk_recall_and_compression(spark, clustered_vectors):
     # cluster sanity: ADC neighbors come from the query's own cluster
     same = sum(1 for (qid, vid) in a if vid % 4 == qid % 4)
     assert same / len(a) >= 0.9
+
+
+def test_ivfpq_topk_composition_recall(spark, clustered_vectors):
+    """IVF-PQ (cell prune -> ADC -> exact refine) keeps high recall when
+    the probes cover the query's cluster."""
+    cents = similarity.train_ivf_centroids(clustered_vectors, n_centroids=4, max_iter=8)
+    books = similarity.train_pq_codebooks(clustered_vectors, m=4, k=8, dim=16, max_iter=8)
+    q = _queries_from(clustered_vectors)
+    queries = [(r.q_id, list(r.q_emb)) for r in q.collect()]
+    approx = similarity.ivfpq_topk(
+        clustered_vectors, queries, cents, books, k=10, nprobe=2
+    )
+    exact = similarity.brute_force_topk(clustered_vectors, q, k=10)
+    e = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, f"IVF-PQ recall too low: {recall}"
