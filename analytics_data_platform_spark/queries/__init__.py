@@ -46,6 +46,7 @@ def register(spec: QuerySpec) -> QuerySpec:
 def all_queries() -> dict[str, QuerySpec]:
     # import side-effect populates REGISTRY exactly once
     from analytics_data_platform_spark.queries import (  # noqa: F401
+        analytics_ops,
         corpus_ops,
         extended,
         relational,

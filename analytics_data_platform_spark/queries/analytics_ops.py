@@ -1,0 +1,297 @@
+"""Event-analytics query family: funnel conversion, cohort retention,
+gaps-and-islands run compression, CDC snapshot diff, GROUPING SETS.
+
+These are the day-2 questions every warehouse user asks of an events
+table (the reference's interactive layer serves exactly this audience —
+SURVEY §3.3); each is expressed as a single declarative Spark plan whose
+shuffles are keyed on high-cardinality columns (user_id / o_orderkey),
+so the shapes hold at 100 TB. All five are DuckDB-oracle-backed.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from analytics_data_platform_spark.queries import QuerySpec, register
+from analytics_data_platform_spark.sources.testdata import load_table
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase: a user counts for a stage
+    only if the stage event happens at-or-after their entry into the
+    previous stage. Each stage is one groupBy(user) min-aggregation plus
+    an equi-join on user_id — every shuffle is keyed on the
+    high-cardinality user id, so the funnel scales linearly."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    viewed = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    clicked = (
+        e.where(F.col("event_type") == "click")
+        .join(viewed, "user_id")
+        .where(F.col("ts") >= F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    purchased = (
+        e.where(F.col("event_type") == "purchase")
+        .join(clicked, "user_id")
+        .where(F.col("ts") >= F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        viewed.agg(F.count("*").alias("users_viewed"))
+        .crossJoin(clicked.agg(F.count("*").alias("users_clicked")))
+        .crossJoin(purchased.agg(F.count("*").alias("users_purchased")))
+    )
+
+
+FUNNEL_SQL = """
+WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+viewed AS (
+  SELECT user_id, MIN(ts) AS view_ts FROM e WHERE event_type = 'view' GROUP BY user_id
+),
+clicked AS (
+  SELECT e.user_id, MIN(e.ts) AS click_ts
+  FROM e JOIN viewed v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.view_ts
+  GROUP BY e.user_id
+),
+purchased AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+  FROM e JOIN clicked c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM viewed) AS users_viewed,
+       (SELECT COUNT(*) FROM clicked) AS users_clicked,
+       (SELECT COUNT(*) FROM purchased) AS users_purchased
+"""
+
+register(
+    QuerySpec(
+        "funnel_conversion",
+        funnel_conversion,
+        FUNNEL_SQL,
+        doc="ordered multi-stage funnel (view -> click -> purchase)",
+        cites="interactive-analytics surface (SURVEY §3.3 audience)",
+        tags=("analytics", "join"),
+    )
+)
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users bucketed by the epoch-week
+    of their first event; distinct actives per (cohort_week, week_offset).
+
+    The cohort timestamp comes from an unbounded window min over
+    user_id — ONE shuffle for both the cohort assignment and the
+    activity rows (a groupBy+join formulation would shuffle twice).
+    Epoch-week integer math keeps bucket boundaries engine-identical."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    week = lambda c: F.floor(F.unix_timestamp(c) / 604800)  # noqa: E731
+    w = Window.partitionBy("user_id")
+    cohorted = e.select(
+        "user_id",
+        week(F.min("ts").over(w)).alias("cohort_week"),
+        week(F.col("ts")).alias("active_week"),
+    )
+    return (
+        cohorted.groupBy(
+            "cohort_week", (F.col("active_week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+COHORT_SQL = """
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+cohorted AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch(MIN(ts) OVER (PARTITION BY user_id)) / 604800) AS BIGINT)
+           AS cohort_week,
+         CAST(FLOOR(epoch(ts) / 604800) AS BIGINT) AS active_week
+  FROM e
+)
+SELECT cohort_week, active_week - cohort_week AS week_offset,
+       COUNT(DISTINCT user_id) AS n_users
+FROM cohorted
+GROUP BY 1, 2
+"""
+
+register(
+    QuerySpec(
+        "cohort_retention",
+        cohort_retention,
+        COHORT_SQL,
+        doc="weekly cohort retention triangle (single-shuffle cohorting)",
+        cites="interactive-analytics surface (SURVEY §3.3 audience)",
+        tags=("analytics", "window"),
+    )
+)
+
+
+def event_runs_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: collapse each user's consecutive same-type events
+    into runs (run start, length, value sum). lag() flags type changes,
+    a running sum over the SAME window ordering numbers the runs — both
+    windows share one partitioning so Spark plans a single sort+shuffle;
+    the final groupBy is on (user_id, run_id), again user-keyed."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id", "value")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = F.when(
+        F.lag("event_type").over(order).isNull()
+        | (F.lag("event_type").over(order) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    runs = e.withColumn("run_id", F.sum(changed).over(order))
+    return runs.groupBy("user_id", "run_id").agg(
+        F.first("event_type").alias("event_type"),
+        F.min("ts").alias("run_start"),
+        F.count("*").alias("run_len"),
+        F.round(F.sum("value"), 2).alias("run_value"),
+    )
+
+
+RLE_SQL = """
+WITH e AS (SELECT user_id, event_type, event_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
+flagged AS (
+  SELECT *,
+    CASE WHEN LAG(event_type) OVER w IS NULL
+           OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS changed
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT *, SUM(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM flagged
+)
+SELECT user_id, run_id, MIN(event_type) AS event_type, MIN(ts) AS run_start,
+       COUNT(*) AS run_len, ROUND(SUM(value), 2) AS run_value
+FROM runs
+GROUP BY user_id, run_id
+"""
+
+register(
+    QuerySpec(
+        "event_runs_rle",
+        event_runs_rle,
+        RLE_SQL,
+        doc="gaps-and-islands run-length compression of event streams",
+        cites="SURVEY §2.5 window family; sessionize sibling",
+        tags=("analytics", "window"),
+    )
+)
+
+
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture by snapshot diff: full-outer join two table
+    snapshots on the primary key and classify each row as
+    insert / delete / update (unchanged rows drop out). This is the
+    batch CDC primitive the reference's incremental loads rationalize
+    over (watermark append can't see deletes — snapshot diff can).
+    One key-partitioned full-outer shuffle join; 100 TB-safe.
+
+    Snapshots are simulated deterministically from `orders`: the old
+    snapshot is keys not divisible by 10, the new snapshot keys not
+    divisible by 7 with every third key's price bumped.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    old = o.where(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("old_price")
+    )
+    new = o.where(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 5.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("new_price"),
+    )
+    joined = old.join(new, "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("old_price").isNull(), "insert")
+        .when(F.col("new_price").isNull(), "delete")
+        .when(F.col("old_price") != F.col("new_price"), "update")
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .where(F.col("change_type").isNotNull())
+        .select("o_orderkey", "change_type", "old_price", "new_price")
+    )
+
+
+CDC_SQL = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice AS old_price FROM orders WHERE o_orderkey % 10 <> 0
+),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 5.0 ELSE o_totalprice END AS new_price
+  FROM orders WHERE o_orderkey % 7 <> 0
+),
+diff AS (
+  SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey, old_price, new_price,
+         CASE WHEN old_price IS NULL THEN 'insert'
+              WHEN new_price IS NULL THEN 'delete'
+              WHEN old_price <> new_price THEN 'update' END AS change_type
+  FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+)
+SELECT o_orderkey, change_type, old_price, new_price
+FROM diff WHERE change_type IS NOT NULL
+"""
+
+register(
+    QuerySpec(
+        "cdc_snapshot_diff",
+        cdc_snapshot_diff,
+        CDC_SQL,
+        doc="CDC snapshot diff: insert/update/delete classification",
+        cites="reference incremental loads (SURVEY §2.10) can't see deletes; CDC completes the story",
+        tags=("cdc", "join"),
+    )
+)
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((status, priority), (status), ()) with a
+    grouping_id disambiguator — the sets the ROLLUP/CUBE queries can't
+    express individually. Spark expands the sets inside one Aggregate
+    (Expand + partial agg), so the input is scanned once."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "revenue")
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+       COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+register(
+    QuerySpec(
+        "grouping_sets_revenue",
+        grouping_sets_revenue,
+        GROUPING_SETS_SQL,
+        doc="explicit GROUPING SETS with grouping_id disambiguation",
+        cites="SURVEY §2.4 note: grouping sets free in Spark",
+        tags=("agg", "rollup"),
+    )
+)

@@ -39,7 +39,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         ensure_session_defaults(spark)  # needs NANOS_AS_LONG on driver-owned sessions
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
         if dict(df.dtypes)["ts"] == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            # integer division: ns / 1000 as a double loses precision above
+            # 2^53 (epoch-ns is ~1.7e18), yielding ±1 µs drift vs DuckDB's
+            # exact CAST(ns AS TIMESTAMP) truncation
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
