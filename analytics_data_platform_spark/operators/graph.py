@@ -1,0 +1,74 @@
+"""Iterative graph algorithms on DataFrames: PageRank.
+
+The reference engine has no graph operators; this fills the "iterative
+algorithm" slot of the brief (the same driver-side loop pattern as
+dedup.cluster_duplicates' label propagation). Each iteration is one
+shuffle join (ranks ⋈ edges on src) + one shuffled aggregation (sum of
+contributions per dst) — both keyed on node ids, so an iteration is a
+linear pass at any scale. No per-iteration driver action: the dangling
+mass folds in as a broadcast 1-row aggregate, so the whole power
+iteration is one lazy plan, lineage-truncated with localCheckpoint every
+few rounds (the same guard dedup.cluster_duplicates uses).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+CHECKPOINT_EVERY = 4
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Power-iteration PageRank over an edge list (``iters`` fixed rounds).
+
+    Nodes are taken from the union of both endpoint columns. Dangling
+    nodes (no out-edges) redistribute their mass uniformly each round —
+    the standard stochastic-matrix fixup — as one scalar aggregate
+    broadcast into the update, never a driver collect. Returns
+    (node, rank) with ranks summing to 1.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+    # node table with out-degree (null deg => dangling); checkpointed: reused every round
+    topo = nodes.join(deg, "node", "left").localCheckpoint(eager=True)
+    n = topo.count()
+    if n == 0:
+        return topo.select("node", F.lit(0.0).alias("rank"))
+
+    ranks = topo.select("node", "deg", F.lit(1.0 / n).alias("rank"))
+    for i in range(iters):
+        dangling = ranks.where(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling")
+        )
+        contribs = (
+            ranks.join(e, ranks.node == e.src)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+        )
+        ranks = (
+            topo.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "deg",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * (F.col("dangling") / n + F.coalesce("contrib", F.lit(0.0)))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % CHECKPOINT_EVERY == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", "rank")

@@ -49,6 +49,7 @@ def all_queries() -> dict[str, QuerySpec]:
         analytics_ops,
         corpus_ops,
         extended,
+        graph_ops,
         relational,
         scale_ops,
         text_ops,

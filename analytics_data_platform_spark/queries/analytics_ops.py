@@ -295,3 +295,47 @@ register(
         tags=("agg", "rollup"),
     )
 )
+
+
+def interval_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-side range join via the binned equi-join rewrite
+    (operators/rangejoin.py): events matched into overlapping value bands
+    WITHOUT a BroadcastNestedLoopJoin — the plan is a plain hash join on
+    the bin id, so it survives an interval side too big to broadcast
+    (plan-guarded in tests/test_plans.py). Bands deliberately overlap
+    (width 40, stride 25) so the rewrite's multi-bin explode is exercised."""
+    from analytics_data_platform_spark.operators.rangejoin import bin_interval_join
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "value")
+    bands = spark.range(14).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 25.0).alias("lo"),
+        (F.col("id") * 25.0 + 40.0).alias("hi"),
+    )
+    joined = bin_interval_join(e, bands, "value", "lo", "hi", bin_width=25.0)
+    return joined.groupBy("band_id", "lo", "hi").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )
+
+
+INTERVAL_BANDS_SQL = """
+WITH bands AS (
+  SELECT i AS band_id, i * 25.0 AS lo, i * 25.0 + 40.0 AS hi
+  FROM (SELECT unnest(range(0, 14)) AS i)
+)
+SELECT band_id, lo, hi, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_sum
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band_id, lo, hi
+"""
+
+register(
+    QuerySpec(
+        "interval_join_value_bands",
+        interval_join_value_bands,
+        INTERVAL_BANDS_SQL,
+        doc="binned-rewrite range join (equi-join plan, no nested loop)",
+        cites="SURVEY §2.3 J4 scale path; operators/rangejoin.py",
+        tags=("join", "range"),
+    )
+)

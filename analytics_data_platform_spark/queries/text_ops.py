@@ -10,7 +10,7 @@ oracles pin the exact semantics.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from analytics_data_platform_spark.functions import text as T
 from analytics_data_platform_spark.queries import QuerySpec, register
@@ -272,5 +272,171 @@ register(
         doc="exact n-gram Jaccard near-duplicate pairs",
         cites="training-data ops: n-gram Jaccard near-dup",
         tags=("dedup",),
+    )
+)
+
+
+# --- Gopher-style repetition quality filters ------------------------------
+
+
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals per document (the Gopher/MassiveText
+    filter family): unique-token ratio, most-frequent-token fraction and
+    most-frequent-bigram fraction, plus the resulting keep/drop flag.
+
+    Token and bigram frequencies are computed by explode + groupBy on
+    (doc_id, gram) — the shuffle key is high-cardinality, so the op is a
+    linear scan at 100 TB (per-row HOF mode-counting would be O(len²) per
+    doc; the exploded formulation is the scale-correct shape)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .withColumn("n_tokens", F.size("t"))
+    )
+    tok_stats = (
+        d.select("doc_id", "n_tokens", F.explode("t").alias("w"))
+        .groupBy("doc_id", "n_tokens", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id", "n_tokens")
+        .agg(F.count("*").alias("n_distinct"), F.max("c").alias("top_tok"))
+    )
+    bigrams = F.zip_with(
+        "t",
+        F.expr("slice(t, 2, greatest(size(t) - 1, 0))"),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    big_stats = (
+        d.select("doc_id", F.explode(bigrams).alias("bg"))
+        .where(F.col("bg").contains(" "))  # zip_with pads the tail with null -> no space
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_big"))
+    )
+    uniq_ratio = F.col("n_distinct") / F.col("n_tokens")
+    top_token_frac = F.col("top_tok") / F.col("n_tokens")
+    top_bigram_frac = F.col("top_big") / (F.col("n_tokens") - 1)
+    return tok_stats.join(big_stats, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(uniq_ratio, 6).alias("uniq_token_ratio"),
+        F.round(top_token_frac, 6).alias("top_token_frac"),
+        F.round(top_bigram_frac, 6).alias("top_bigram_frac"),
+        ((uniq_ratio >= 0.3) & (top_bigram_frac <= 0.18)).alias("quality_pass"),
+    )
+
+
+REPETITION_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+tok_c AS (
+  SELECT doc_id, n_tokens, w, COUNT(*) AS c
+  FROM (SELECT doc_id, n_tokens, unnest(t) AS w FROM base)
+  GROUP BY doc_id, n_tokens, w
+),
+tok_s AS (
+  SELECT doc_id, n_tokens, COUNT(*) AS n_distinct, MAX(c) AS top_tok
+  FROM tok_c GROUP BY doc_id, n_tokens
+),
+big_c AS (
+  SELECT doc_id, bg, COUNT(*) AS c
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(list_zip(t, list_slice(t, 2, len(t))),
+                                 x -> x[1] || ' ' || x[2])) AS bg
+    FROM base
+  )
+  WHERE bg IS NOT NULL
+  GROUP BY doc_id, bg
+),
+big_s AS (SELECT doc_id, MAX(c) AS top_big FROM big_c GROUP BY doc_id)
+SELECT t.doc_id, t.n_tokens,
+       ROUND(n_distinct / CAST(t.n_tokens AS DOUBLE), 6) AS uniq_token_ratio,
+       ROUND(top_tok / CAST(t.n_tokens AS DOUBLE), 6) AS top_token_frac,
+       ROUND(top_big / CAST(t.n_tokens - 1 AS DOUBLE), 6) AS top_bigram_frac,
+       (n_distinct / CAST(t.n_tokens AS DOUBLE) >= 0.3
+        AND top_big / CAST(t.n_tokens - 1 AS DOUBLE) <= 0.18) AS quality_pass
+FROM tok_s t JOIN big_s b ON t.doc_id = b.doc_id
+"""
+
+register(
+    QuerySpec(
+        "repetition_quality",
+        repetition_quality,
+        REPETITION_SQL,
+        doc="Gopher-style repetition filters (unique-ratio, top token/bigram fraction)",
+        cites="training-data ops: quality scoring (MassiveText filter family)",
+        tags=("text", "quality"),
+    )
+)
+
+
+# --- TF-IDF keyword extraction --------------------------------------------
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf.
+
+    Term frequencies and document frequencies come from one exploded
+    groupBy each (tf reused for df — single scan of the corpus); the
+    corpus size joins in as a broadcast 1-row aggregate, never a driver
+    collect. Ranking happens on the ROUNDED score with a term tie-break
+    so the cut is reproducible across engines; the per-doc window sorts
+    only each doc's distinct terms."""
+    tf = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = tf.select("doc_id").distinct().agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tfidf")
+    )
+
+
+TFIDF_SQL = """
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+scored AS (
+  SELECT doc_id, tf.term,
+         ROUND(tf * LN(n_docs / CAST(df AS DOUBLE)), 6) AS tfidf
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, tfidf FROM ranked WHERE rank <= 3
+"""
+
+register(
+    QuerySpec(
+        "tfidf_top_terms",
+        tfidf_top_terms,
+        TFIDF_SQL,
+        doc="tf-idf top-3 characteristic terms per document",
+        cites="training-data ops: document fingerprinting / keyword features",
+        tags=("text",),
     )
 )

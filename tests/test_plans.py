@@ -200,3 +200,14 @@ def test_spread_widens_narrow_scan_only(spark):
     assert widened.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     wide = d.repartition(spark.sparkContext.defaultParallelism * 2)
     assert spread(wide).rdd.getNumPartitions() == wide.rdd.getNumPartitions()
+
+
+def test_binned_range_join_query_is_equi_join(spark, sf_dir):
+    """interval_join_value_bands must plan as a hash equi-join on the bin
+    id (the rewrite's point), never a nested-loop/cartesian plan."""
+    from analytics_data_platform_spark.queries import all_queries
+
+    df = all_queries()["interval_join_value_bands"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
