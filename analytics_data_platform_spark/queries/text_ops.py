@@ -440,3 +440,53 @@ register(
         tags=("text",),
     )
 )
+
+
+# --- unigram-LM surprisal (perplexity-proxy quality signal) ---------------
+
+
+def unigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity proxy: score each document by the mean
+    negative log-probability of its tokens under the corpus's own unigram
+    LM. High surprisal = rare-token-heavy (gibberish or OOD); low =
+    boilerplate. The LM "training" is one token-keyed groupBy over the
+    exploded corpus; scoring joins tokens back to their frequencies on
+    the same key — two linear shuffles, no driver state, so the op runs
+    unchanged over a 100 TB corpus."""
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    )
+    total = tok.agg(F.count("*").alias("total"))
+    freq = tok.groupBy("term").agg(F.count("*").alias("tf"))
+    return (
+        tok.join(freq, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("tf") / F.col("total"))), 6).alias("mean_surprisal"),
+        )
+    )
+
+
+SURPRISAL_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM tok),
+freq AS (SELECT term, COUNT(*) AS tf FROM tok GROUP BY term)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(AVG(-LN(tf / total)), 6) AS mean_surprisal
+FROM tok JOIN freq ON tok.term = freq.term CROSS JOIN total
+GROUP BY doc_id
+"""
+
+register(
+    QuerySpec(
+        "unigram_surprisal_score",
+        unigram_surprisal_score,
+        SURPRISAL_SQL,
+        doc="unigram-LM mean surprisal per doc (perplexity-proxy quality filter)",
+        cites="training-data ops: quality scoring (CCNet perplexity-bucket analogue)",
+        tags=("text", "quality"),
+    )
+)
