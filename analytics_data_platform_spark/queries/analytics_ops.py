@@ -339,3 +339,38 @@ register(
         tags=("join", "range"),
     )
 )
+
+
+def zscore_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature normalization: z-score of `value` within each
+    event_type via an unbounded window (one shuffle on the group key;
+    the same aggregate-then-broadcast shape Catalyst plans for window
+    functions without frames)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round(
+            (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w), 4
+        ).alias("value_z"),
+    )
+
+
+ZSCORE_SQL = """
+SELECT event_id, event_type,
+       ROUND((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 4) AS value_z
+FROM events
+WINDOW w AS (PARTITION BY event_type)
+"""
+
+register(
+    QuerySpec(
+        "zscore_events_by_type",
+        zscore_events_by_type,
+        ZSCORE_SQL,
+        doc="per-group z-score normalization (unbounded window aggregates)",
+        cites="feature-engineering surface; SURVEY §2.5 window family",
+        tags=("analytics", "window"),
+    )
+)

@@ -490,3 +490,111 @@ register(
         tags=("text", "quality"),
     )
 )
+
+
+# --- PMI collocation extraction -------------------------------------------
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-token collocations by pointwise mutual information:
+    PMI(a,b) = ln( P(ab) / (P(a) P(b)) ) over corpus-wide adjacency
+    counts, min support 5. One exploded unigram groupBy + one exploded
+    bigram groupBy + two term-keyed joins — every shuffle key is a token,
+    so the op stays linear on a 100 TB corpus. Ranking happens on the
+    ROUNDED score with a bigram tie-break (engine-reproducible cut)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("t"))
+    uni = (
+        d.select(F.explode("t").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    bigrams = F.zip_with(
+        "t",
+        F.expr("slice(t, 2, greatest(size(t) - 1, 0))"),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    big = (
+        d.select(F.explode(bigrams).alias("bg"))
+        .where(F.col("bg").contains(" "))
+        .groupBy("bg")
+        .agg(F.count("*").alias("c_ab"))
+        .where(F.col("c_ab") >= 5)
+    )
+    totals = uni.agg(
+        F.sum("c").cast("double").alias("t_uni"),
+    ).crossJoin(
+        d.select(
+            F.sum(F.greatest(F.size("t") - 1, F.lit(0))).cast("double").alias("t_big")
+        )
+    )
+    ua = uni.select(F.col("term").alias("term_a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("term").alias("term_b"), F.col("c").alias("c_b"))
+    scored = (
+        big.withColumn("term_a", F.split("bg", " ")[0])
+        .withColumn("term_b", F.split("bg", " ")[1])
+        .join(ua, "term_a")
+        .join(ub, "term_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bg",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab") / F.col("t_big"))
+                    / ((F.col("c_a") / F.col("t_uni")) * (F.col("c_b") / F.col("t_uni")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi"), "bg")
+    return (
+        scored.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= 20)
+        .select("pos", "bg", "c_ab", "pmi")
+    )
+
+
+PMI_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+uni AS (
+  SELECT term, COUNT(*) AS c
+  FROM (SELECT unnest(t) AS term FROM d) GROUP BY term
+),
+big AS (
+  SELECT bg, COUNT(*) AS c_ab
+  FROM (
+    SELECT unnest(list_transform(list_zip(t, list_slice(t, 2, len(t))),
+                                 x -> x[1] || ' ' || x[2])) AS bg
+    FROM d
+  )
+  WHERE bg IS NOT NULL
+  GROUP BY bg HAVING COUNT(*) >= 5
+),
+totals AS (
+  SELECT (SELECT CAST(SUM(c) AS DOUBLE) FROM uni) AS t_uni,
+         (SELECT CAST(SUM(GREATEST(len(t) - 1, 0)) AS DOUBLE) FROM d) AS t_big
+),
+scored AS (
+  SELECT bg, c_ab,
+         ROUND(LN((c_ab / t_big) / ((ua.c / t_uni) * (ub.c / t_uni))), 6) AS pmi
+  FROM big
+  JOIN uni ua ON ua.term = string_split(bg, ' ')[1]
+  JOIN uni ub ON ub.term = string_split(bg, ' ')[2]
+  CROSS JOIN totals
+)
+SELECT * FROM (
+  SELECT ROW_NUMBER() OVER (ORDER BY pmi DESC, bg) AS pos, bg, c_ab, pmi FROM scored
+) WHERE pos <= 20
+"""
+
+register(
+    QuerySpec(
+        "pmi_collocations",
+        pmi_collocations,
+        PMI_SQL,
+        doc="PMI collocation extraction (top adjacent-token associations)",
+        cites="training-data ops: vocabulary/collocation analysis",
+        tags=("text",),
+    )
+)
