@@ -374,3 +374,119 @@ register(
         tags=("analytics", "window"),
     )
 )
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next=to | cur=from) with counts. One shuffle on user_id for the
+    lead() window (high-cardinality key — scales), then a tiny
+    (|types|²-row) aggregate; the per-from normalization runs as a window
+    over that aggregate, which is broadcast-sized at any corpus scale."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    wf = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wf), 4).alias("p"),
+    )
+
+
+TRANSITION_SQL = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_type), 4) AS p
+FROM counts
+"""
+
+register(
+    QuerySpec(
+        "event_transition_matrix",
+        event_transition_matrix,
+        TRANSITION_SQL,
+        doc="first-order Markov event-transition matrix (lead window + normalized counts)",
+        cites="event-sequence analytics; SURVEY §2.5 window family",
+        tags=("analytics", "window"),
+    )
+)
+
+
+def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier counts per event_type via median absolute deviation:
+    flag |value - median| > 3 × MAD. Two exact-percentile aggregates over
+    the same groupBy key (one shuffle each; the deviation pass re-reads
+    the scan rather than caching — at 100 TB a double scan beats spilling
+    a cached corpus) and a broadcast join of the tiny per-type stats."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = (
+        e.join(F.broadcast(med), "event_type")
+        .select("event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("dev"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.first("med").alias("med"), F.percentile("dev", F.lit(0.5)).alias("mad")
+    )
+    out = (
+        dev.drop("med")
+        .join(F.broadcast(mad), "event_type")
+        .where(F.col("dev") > 3 * F.col("mad"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_outliers"))
+    )
+    return (
+        mad.join(out, "event_type", "left")
+        .select(
+            "event_type",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
+        )
+    )
+
+
+MAD_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, ABS(e.value - m.med) AS dev, m.med
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type, ANY_VALUE(med) AS med, quantile_cont(dev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT m.event_type, ROUND(m.med, 4) AS med, ROUND(m.mad, 4) AS mad,
+       CAST(COALESCE(SUM(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_outliers
+FROM mad m LEFT JOIN dev d ON d.event_type = m.event_type
+GROUP BY m.event_type, m.med, m.mad
+"""
+
+register(
+    QuerySpec(
+        "value_mad_outliers",
+        value_mad_outliers,
+        MAD_SQL,
+        doc="median-absolute-deviation robust outlier detection per event type",
+        cites="statistical quality monitoring; SURVEY §2.4 aggregate family",
+        tags=("analytics", "statistics"),
+    )
+)

@@ -598,3 +598,144 @@ register(
         tags=("text",),
     )
 )
+
+
+# --- overlap-coefficient containment pairs --------------------------------
+
+
+def ngram_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: overlap coefficient
+    |A∩B| / min(|A|,|B|) over token 3-gram shingle sets. Jaccard misses
+    the "small doc fully quoted inside a big doc" case (the union term
+    swamps the intersection); overlap ≥ 0.5 catches it. Same
+    shingle-equi-join candidate shape as ngram_jaccard_pairs — at 100 TB
+    the candidate pairs come from MinHash-LSH and this verifies them."""
+    from analytics_data_platform_spark.functions.expr import spread
+    from analytics_data_platform_spark.operators.dedup import shingle_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        spread(d.select("doc_id", "text"))
+        .select("doc_id", F.explode(shingle_tokens("text", 3)).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    overlap = F.col("n_inter") / F.least("n_a", "n_b")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(overlap, 4).alias("overlap"))
+        .where(F.col("overlap") >= 0.5)
+    )
+
+
+NGRAM_OVERLAP_SQL = r"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                          '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM norm, UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)
+  WHERE len(toks) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(n_inter * 1.0 / LEAST(sa.n_sh, sb.n_sh), 4) AS overlap
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(n_inter * 1.0 / LEAST(sa.n_sh, sb.n_sh), 4) >= 0.5
+"""
+
+register(
+    QuerySpec(
+        "ngram_overlap_pairs",
+        ngram_overlap_pairs,
+        NGRAM_OVERLAP_SQL,
+        doc="overlap-coefficient containment pairs (small-doc-inside-big-doc dedup)",
+        cites="training-data ops: containment/overlap near-dup",
+        tags=("dedup",),
+    )
+)
+
+
+# --- per-source median quality gate ---------------------------------------
+
+
+def quality_median_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quality gate: keep documents strictly above their source's
+    median quality score (exact percentile, not approx — the driver
+    compares hashes). Per-source thresholding is the standard corpus-prep
+    move when sources have different quality baselines; the plan is one
+    groupBy(source) percentile + a broadcast join back (sources are
+    low-cardinality dims even at 100 TB). Comparison happens on ROUNDED
+    values so engine ulp differences in interpolation cannot flip rows."""
+    from analytics_data_platform_spark.functions import text as T
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.round(T.quality_score("text"), 4).alias("q")
+    )
+    med = d.groupBy("source").agg(
+        F.round(F.percentile("q", F.lit(0.5)), 4).alias("q_median")
+    )
+    return (
+        d.join(F.broadcast(med), "source")
+        .where(F.col("q") > F.col("q_median"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"), F.round(F.avg("q"), 4).alias("kept_avg_q"))
+        .join(med, "source")
+        .select("source", "q_median", "n_kept", "kept_avg_q")
+    )
+
+
+QUALITY_MEDIAN_SQL = r"""
+WITH scored AS (
+  SELECT doc_id, source,
+    ROUND(((CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+           AND length(text) * 1.0 / len(regexp_extract_all(text, '\S+')) BETWEEN 3.0 AND 10.0
+           THEN 1.0 ELSE 0.0 END)
+     + (CASE WHEN length(text) > 0
+             AND len(regexp_extract_all(text, '[.,;:!?''"()\-]')) * 1.0 / length(text) < 0.10
+             THEN 1.0 ELSE 0.0 END)
+     + (CASE WHEN len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) > 0
+             THEN 1.0 ELSE 0.0 END)) / 3.0, 4) AS q
+  FROM documents
+),
+med AS (
+  SELECT source, ROUND(quantile_cont(q, 0.5), 4) AS q_median
+  FROM scored GROUP BY source
+)
+SELECT s.source, m.q_median, COUNT(*) AS n_kept, ROUND(AVG(s.q), 4) AS kept_avg_q
+FROM scored s JOIN med m ON s.source = m.source
+WHERE s.q > m.q_median
+GROUP BY s.source, m.q_median
+"""
+
+register(
+    QuerySpec(
+        "quality_median_filter",
+        quality_median_filter,
+        QUALITY_MEDIAN_SQL,
+        doc="per-source median quality gate (exact percentile threshold join)",
+        cites="training-data ops: adaptive quality filtering",
+        tags=("text", "quality"),
+    )
+)

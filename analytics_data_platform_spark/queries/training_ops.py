@@ -456,3 +456,62 @@ register(
         tags=("sampling",),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# train_val_test_split — deterministic hash-based corpus split
+# ---------------------------------------------------------------------------
+
+
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 train/val/test split by salted md5 bucket (portable, seeded,
+    rerun-stable — membership is a pure function of doc_id, so adding
+    documents never reshuffles existing assignments). The whole split is
+    one narrow projection + one tiny groupBy: no shuffle of the corpus
+    itself, which is exactly how a 100 TB split must run."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split-42:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+SPLIT_SQL = """
+WITH assigned AS (
+  SELECT CASE
+           WHEN ('0x' || substr(md5('split-42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'train'
+           WHEN ('0x' || substr(md5('split-42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 95 THEN 'val'
+           ELSE 'test'
+         END AS split,
+         n_chars
+  FROM documents
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM assigned GROUP BY split
+"""
+
+register(
+    QuerySpec(
+        "train_val_test_split",
+        train_val_test_split,
+        SPLIT_SQL,
+        doc="deterministic hash-bucketed train/val/test split (90/5/5)",
+        cites="training-data ops: reproducible corpus splitting",
+        tags=("sampling",),
+    )
+)
