@@ -70,6 +70,16 @@ def compare_frames(s: pd.DataFrame, o: pd.DataFrame) -> str:
     if sorted(s.columns) != sorted(o.columns):
         return f"column mismatch: spark={sorted(s.columns)} oracle={sorted(o.columns)}"
     s, o = _normalize(s), _normalize(o)
+    for c in s.columns:
+        s_num = pd.api.types.is_numeric_dtype(s[c])
+        o_num = pd.api.types.is_numeric_dtype(o[c])
+        if s_num != o_num:
+            return f"dtype family mismatch col={c}: spark={s[c].dtype} oracle={o[c].dtype}"
+        # int-vs-float drift hashes differently in the driver (5 vs 5.0) even
+        # though lenient == comparison passes — e.g. DuckDB SUM(int) -> HUGEINT
+        # -> float64. Require the same int/float family on both sides.
+        if s_num and (pd.api.types.is_float_dtype(s[c]) != pd.api.types.is_float_dtype(o[c])):
+            return f"int/float drift col={c}: spark={s[c].dtype} oracle={o[c].dtype}"
     if len(s) != len(o):
         return f"row count mismatch: spark={len(s)} oracle={len(o)}"
     for c in s.columns:

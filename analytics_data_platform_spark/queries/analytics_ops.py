@@ -167,8 +167,8 @@ flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 runs AS (
-  SELECT *, SUM(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS run_id
+  SELECT *, CAST(SUM(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
   FROM flagged
 )
 SELECT user_id, run_id, MIN(event_type) AS event_type, MIN(ts) AS run_start,
