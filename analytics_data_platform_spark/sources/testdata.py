@@ -38,11 +38,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         ensure_session_defaults(spark)  # needs NANOS_AS_LONG on driver-owned sessions
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        if dict(df.dtypes)["ts"] == "bigint":
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
             # integer division: ns / 1000 as a double loses precision above
             # 2^53 (epoch-ns is ~1.7e18), yielding ±1 µs drift vs DuckDB's
             # exact CAST(ns AS TIMESTAMP) truncation
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # µs parquet timestamps (isAdjustedToUTC=false) surface as NTZ;
+            # the session timezone is forced to UTC (session.py), so this
+            # cast is an exact identity on the stored micros while restoring
+            # the TIMESTAMP type that unix_micros()/range windows require
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
