@@ -52,6 +52,7 @@ def all_queries() -> dict[str, QuerySpec]:
         graph_ops,
         relational,
         scale_ops,
+        search_ops,
         text_ops,
         tpch,
         training_ops,

@@ -1,0 +1,281 @@
+"""Full-text retrieval over the ``documents`` table: BM25 and hybrid
+BM25+vector reciprocal-rank fusion.
+
+The retrieval layer a training-data pipeline puts in front of its corpus
+(near-dup mining, more-like-this expansion, eval-set retrieval). Both
+queries are pure JVM DataFrame ops — token stats come from the same
+exploded groupBys as the tf-idf query, query terms broadcast, and the
+final selection is the two-phase ``topk_per_query`` (local top-k per
+partition, then a bounded global window) so no single task ever sorts
+the corpus.
+
+Determinism vs the DuckDB oracle follows the repo convention: scores are
+ROUNDed before ranking with an id tie-break, so float ulp differences
+between engines cannot reorder the cut.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from analytics_data_platform_spark.functions import vectors as V
+from analytics_data_platform_spark.operators.similarity import topk_per_query
+from analytics_data_platform_spark.queries import QuerySpec, register
+from analytics_data_platform_spark.sources.testdata import load_table
+
+K1, B = 1.2, 0.75
+TOPK = 10
+
+# fixed keyword queries over the synthetic corpus vocabulary
+QUERY_TERMS: dict[int, list[str]] = {
+    0: ["table", "hash", "merge"],
+    1: ["window", "sort", "spark"],
+    2: ["batch", "scan", "value"],
+}
+
+
+def _term_stats(d: DataFrame):
+    """(tf, dl, dfreq, stats): one exploded scan -> per-(doc,term) tf,
+    per-doc length, per-term document frequency, corpus-level stats."""
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    return tf, dl, dfreq, stats
+
+
+def _bm25_scores(spark: SparkSession, d: DataFrame, q: DataFrame) -> DataFrame:
+    """(q_id, doc_id, score): BM25 over query term table ``q(q_id, term)``.
+
+    ``q`` is broadcast into the tf join, and dfreq is semi-filtered to
+    query terms before ITS broadcast — the only corpus-sized shuffles are
+    the tf/dl groupBys (irreducible single-pass aggregations). Robertson
+    idf with +1 floor: ln(1 + (N - df + 0.5)/(df + 0.5)).
+    """
+    tf, dl, dfreq, stats = _term_stats(d)
+    dfq = dfreq.join(F.broadcast(q.select("term").distinct()), "term")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    w = idf * (
+        (F.col("tf") * F.lit(K1 + 1.0))
+        / (F.col("tf") + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(q), "term")
+        .join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("q_id", "doc_id", w.alias("w"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.round(F.sum("w"), 4).alias("score"))
+    )
+
+
+_BM25_STATS_SQL = """
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl)
+"""
+
+
+def _bm25_scored_sql(query_cte: str) -> str:
+    """Shared oracle CTE chain ending in scored(q_id, doc_id, score)."""
+    return f"""
+WITH {_BM25_STATS_SQL.strip()},
+{query_cte},
+matched AS (
+  SELECT q.q_id, tf.doc_id,
+         LN(1 + (n_docs - df + 0.5) / (df + 0.5))
+         * (tf * ({K1} + 1.0))
+         / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl)) AS w
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN dfreq ON tf.term = dfreq.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+),
+scored AS (
+  SELECT q_id, doc_id, ROUND(SUM(w), 4) AS score
+  FROM matched GROUP BY q_id, doc_id
+)
+"""
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search: top-10 documents per fixed keyword query."""
+    d = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [(qid, t) for qid, ts in QUERY_TERMS.items() for t in ts],
+        "q_id int, term string",
+    )
+    scored = _bm25_scores(spark, d, q)
+    return topk_per_query(scored, TOPK, "q_id", "doc_id", "score").select(
+        "q_id", "doc_id", "score", "rank"
+    )
+
+
+_Q_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, ts in QUERY_TERMS.items() for t in ts
+)
+
+BM25_SQL = (
+    _bm25_scored_sql(f"q(q_id, term) AS (VALUES {_Q_VALUES})")
+    + f"""
+SELECT q_id, doc_id, score, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+) WHERE rank <= {TOPK}
+"""
+)
+
+register(
+    QuerySpec(
+        "bm25_search",
+        bm25_search,
+        BM25_SQL,
+        doc="BM25 keyword retrieval, top-10 docs per query",
+        cites="training-data ops: full-text retrieval over the corpus",
+        tags=("text", "search", "topk"),
+    )
+)
+
+
+# --- hybrid retrieval: BM25 (document-as-query) + cosine, RRF-fused -------
+
+N_QUERY_DOCS = 3  # doc_id/vec_id < 3 are the query documents
+LIST_K = 50  # depth of each ranked list entering the fusion
+RRF_K = 60  # standard reciprocal-rank-fusion constant
+
+
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid more-like-this retrieval with reciprocal-rank fusion.
+
+    For each query document (doc_id < 3): rank other docs by BM25 using
+    the query doc's distinct tokens as the term set (lexical list), and
+    by embedding cosine via the aligned ``embeddings`` table (semantic
+    list, vec_id == doc_id). Fuse the top-50 of each with
+    RRF = Σ 1/(60 + rank); missing membership contributes 0. Ranks are
+    computed on ROUNDed scores, so the fused ordering is reproducible.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+
+    # lexical list: query-doc tokens as BM25 terms (self excluded)
+    q_terms = (
+        d.where(F.col("doc_id") < N_QUERY_DOCS)
+        .select(
+            F.col("doc_id").cast("int").alias("q_id"),
+            F.explode(F.split("text", " ")).alias("term"),
+        )
+        .distinct()
+    )
+    bm25 = _bm25_scores(spark, d, q_terms).where(F.col("doc_id") != F.col("q_id"))
+    bm25_top = topk_per_query(bm25, LIST_K, "q_id", "doc_id", "score").select(
+        "q_id", "doc_id", F.col("rank").alias("b_rank")
+    )
+
+    # semantic list: brute-force cosine (query side broadcast)
+    q_vec = e.where(F.col("vec_id") < N_QUERY_DOCS).select(
+        F.col("vec_id").cast("int").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        V.norm("embedding").alias("q_nrm"),
+    )
+    cand = e.select(
+        F.col("vec_id").alias("doc_id"), "embedding", V.norm("embedding").alias("c_nrm")
+    )
+    cos = F.when(
+        (F.col("q_nrm") > 0) & (F.col("c_nrm") > 0),
+        V.dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("c_nrm")),
+    )
+    cos_scored = cand.join(F.broadcast(q_vec), F.col("doc_id") != F.col("q_id")).select(
+        "q_id", "doc_id", F.round(cos, 4).alias("cos_sim")
+    )
+    cos_top = topk_per_query(cos_scored, LIST_K, "q_id", "doc_id", "cos_sim").select(
+        "q_id", "doc_id", F.col("rank").alias("c_rank")
+    )
+
+    fused = (
+        bm25_top.join(cos_top, ["q_id", "doc_id"], "full_outer")
+        .select(
+            "q_id",
+            "doc_id",
+            F.round(
+                F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("b_rank")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("c_rank")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return topk_per_query(fused, TOPK, "q_id", "doc_id", "rrf").select(
+        "q_id", "doc_id", "rrf", "rank"
+    )
+
+
+HYBRID_SQL = (
+    _bm25_scored_sql(
+        f"""q AS (
+  SELECT DISTINCT CAST(doc_id AS INTEGER) AS q_id,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE doc_id < {N_QUERY_DOCS}
+)"""
+    )
+    + f"""
+, bm25_top AS (
+  SELECT q_id, doc_id, rank AS b_rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+    FROM scored WHERE doc_id <> q_id
+  ) WHERE rank <= {LIST_K}
+),
+qv AS (
+  SELECT CAST(vec_id AS INTEGER) AS q_id, embedding AS q_emb
+  FROM embeddings WHERE vec_id < {N_QUERY_DOCS}
+),
+cos_scored AS (
+  SELECT qv.q_id, e.vec_id AS doc_id,
+         ROUND(
+           list_sum(list_transform(list_zip(qv.q_emb, e.embedding),
+                                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(qv.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(e.embedding,
+                                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+           AS cos_sim
+  FROM embeddings e CROSS JOIN qv
+  WHERE e.vec_id <> qv.q_id
+),
+cos_top AS (
+  SELECT q_id, doc_id, rank AS c_rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, doc_id) AS rank
+    FROM cos_scored
+  ) WHERE rank <= {LIST_K}
+),
+fused AS (
+  SELECT COALESCE(b.q_id, c.q_id) AS q_id,
+         COALESCE(b.doc_id, c.doc_id) AS doc_id,
+         ROUND(COALESCE(1.0 / ({RRF_K} + b_rank), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + c_rank), 0.0), 6) AS rrf
+  FROM bm25_top b FULL OUTER JOIN cos_top c
+    ON b.q_id = c.q_id AND b.doc_id = c.doc_id
+)
+SELECT q_id, doc_id, rrf, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rank
+  FROM fused
+) WHERE rank <= {TOPK}
+"""
+)
+
+register(
+    QuerySpec(
+        "hybrid_rrf_search",
+        hybrid_rrf_search,
+        HYBRID_SQL,
+        doc="hybrid BM25+cosine retrieval fused by reciprocal rank",
+        cites="training-data ops: hybrid lexical/semantic retrieval",
+        tags=("text", "vector", "search", "topk"),
+    )
+)
