@@ -53,6 +53,7 @@ def all_queries() -> dict[str, QuerySpec]:
         relational,
         scale_ops,
         search_ops,
+        sketch_ops,
         text_ops,
         tpch,
         training_ops,

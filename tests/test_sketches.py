@@ -31,3 +31,49 @@ def test_approx_percentile_within_rank_error(spark):
     )
     assert window > 0
     assert abs(approx_median - exact_median) / exact_median < 0.05
+
+
+# --- portable md5 sketches (operators.sketches) ----------------------------
+
+from analytics_data_platform_spark.operators import sketches as S
+from analytics_data_platform_spark.queries.sketch_ops import (
+    _doc_bigrams,
+    bloom_contamination,
+    cms_term_counts,
+    hll_distinct_bigrams,
+)
+
+SMOKE = "/root/testdata/sf0.001"
+
+
+def test_portable_hll_error_bound(spark):
+    """m=128 HLL has theoretical rsd ≈ 1.04/√m ≈ 9.2%; allow 3σ."""
+    rows = hll_distinct_bigrams(spark, SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.rel_err <= 0.30, (r.source, r.rel_err)
+
+
+def test_cms_never_undercounts(spark):
+    rows = cms_term_counts(spark, SMOKE).collect()
+    by_term = {r.term: r for r in rows}
+    for r in rows:
+        assert r.est_count >= r.true_count, r
+    assert by_term["zz-absent"].true_count == 0  # absent probe present in output
+
+
+def test_bloom_has_no_false_negatives(spark):
+    """Probing the eval set against its own filter must flag everything."""
+    bg = _doc_bigrams(spark, SMOKE)
+    eval_bg = bg.where(F.col("source") == "src0").select("bg").distinct()
+    bloom = S.bloom_build(eval_bg, F.col("bg"))
+    verdicts = S.bloom_maybe_contains(eval_bg, "bg", bloom).collect()
+    assert verdicts and all(v.maybe_member for v in verdicts)
+
+
+def test_bloom_contamination_rates_bounded(spark):
+    rows = bloom_contamination(spark, SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.contamination <= 1.0
+        assert r.n_flagged <= r.n_bigrams
