@@ -527,7 +527,7 @@ def minhash_signature_portable(
     )
 
 
-def minhash_lsh_candidates_portable(
+def minhash_band_rows(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -535,11 +535,12 @@ def minhash_lsh_candidates_portable(
     bands: int = 16,
     seed: int = 42,
 ) -> DataFrame:
-    """`minhash_lsh_candidates` under the portable hash family.
+    """(id, bucket): the LSH band-bucket rows for a document set.
 
-    Identical banding topology (explode → band-bucket equi-join → pair
-    groupBy); the bucket key is the band's value string instead of an
-    xxhash64 of it, so an external engine reproduces the exact pairs.
+    This IS the persistable dedup index — a production pipeline writes
+    these rows to a lakehouse table keyed by bucket, so later ingest
+    batches can join against them without re-shingling the corpus
+    (see :func:`incremental_minhash_candidates`).
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
@@ -563,9 +564,62 @@ def minhash_lsh_candidates_portable(
             ),
         ),
     )
-    banded = spread(df.select(id_col, text_col)).select(
+    return spread(df.select(id_col, text_col)).select(
         id_col, F.explode(buckets).alias("bucket")
     )
+
+
+def incremental_minhash_candidates(
+    index_rows: DataFrame,
+    new_rows: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs for an INCOMING batch against an existing corpus.
+
+    The production dedup shape at 100 TB: the corpus's band rows
+    (:func:`minhash_band_rows`) already sit in a bucket-keyed index
+    table; only the new batch is shingled/hashed, and the bucket
+    equi-join prunes the corpus side to colliding buckets. Emits exactly
+    the pairs the full batch run would emit that TOUCH a new document:
+    new×index (canonicalized to id_a < id_b) plus new×new (a < b — each
+    unordered pair counted once).
+
+    Both inputs must use the same (num_hashes, bands, seed).
+    """
+    a = new_rows.alias("a")
+    old = index_rows.alias("b")
+    new_old = a.join(old, F.col("a.bucket") == F.col("b.bucket")).select(
+        F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+        F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+    )
+    b_new = new_rows.alias("b")
+    new_new = a.join(
+        b_new,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    return (
+        new_old.unionByName(new_new)
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def minhash_lsh_candidates_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """`minhash_lsh_candidates` under the portable hash family.
+
+    Identical banding topology (explode → band-bucket equi-join → pair
+    groupBy); the bucket key is the band's value string instead of an
+    xxhash64 of it, so an external engine reproduces the exact pairs.
+    """
+    banded = minhash_band_rows(df, text_col, id_col, num_hashes, bands, seed)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

@@ -110,7 +110,7 @@ DRIVER_SHOWCASE: tuple[str, ...] = (
     "time_bucket_rollup",
     "sessionize_events",
     "window_lag_events",
-    "interval_join_tiers",
+    "incremental_minhash_dedup",
 )
 
 

@@ -72,7 +72,7 @@ def near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(pair_predicate: str = "TRUE") -> str:
     a, b = dedup.affine_params(_MH_HASHES, _MH_SEED)
     r = _MH_HASHES // _MH_BANDS
     mins = ",\n         ".join(
@@ -114,6 +114,7 @@ JOIN sh sa ON sa.doc_id = id_a
 JOIN sh sb ON sb.doc_id = id_b
 WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0
       / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+  AND ({pair_predicate})
 """
 
 
@@ -125,6 +126,48 @@ register(
         doc="MinHash-LSH near-dup candidates + exact-Jaccard verification (portable family)",
         cites="training-data ops: MinHash+LSH dedup (shingle→minhash→band→bucket-join)",
         tags=("dedup", "approx"),
+    )
+)
+
+
+# ---- incremental_minhash_dedup -------------------------------------------
+
+_NEW_MOD = 5  # docs with doc_id % 5 == 4 play the "incoming batch"
+
+
+def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs for an INCOMING batch against a persisted LSH index.
+
+    The production incremental-ingest shape: the corpus's band rows
+    (dedup.minhash_band_rows) are a bucket-keyed index table written once;
+    each new batch shingles/hashes ONLY its own documents and equi-joins
+    the index, so daily dedup cost scales with the batch, not the corpus.
+    Here docs with doc_id % 5 == 4 play the new batch; emitted pairs are
+    exactly the full batch run's pairs that touch a new document (the
+    equivalence is pinned by tests/test_operators.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    is_new = (F.col("doc_id") % _NEW_MOD) == (_NEW_MOD - 1)
+    kw = dict(num_hashes=_MH_HASHES, bands=_MH_BANDS, seed=_MH_SEED)
+    index_rows = dedup.minhash_band_rows(d.where(~is_new), **kw)
+    new_rows = dedup.minhash_band_rows(d.where(is_new), **kw)
+    cands = dedup.incremental_minhash_candidates(index_rows, new_rows)
+    return (
+        dedup.exact_jaccard_pairs(d, cands)
+        .where(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+register(
+    QuerySpec(
+        "incremental_minhash_dedup",
+        incremental_minhash_dedup,
+        _minhash_sql(
+            f"(id_a % {_NEW_MOD} = {_NEW_MOD - 1} OR id_b % {_NEW_MOD} = {_NEW_MOD - 1})"
+        ),
+        doc="incremental MinHash dedup: new batch vs persisted band index",
+        cites="training-data ops: incremental corpus dedup (index join, no re-LSH)",
+        tags=("dedup", "approx", "incremental"),
     )
 )
 

@@ -417,3 +417,27 @@ def test_ivfpq_topk_composition_recall(spark, clustered_vectors):
     a = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.7, f"IVF-PQ recall too low: {recall}"
+
+
+def test_incremental_minhash_equals_batch_restriction(spark):
+    """Incremental (index ⨝ new batch) candidates == full-batch candidates
+    restricted to pairs touching a new doc — same pair set AND same
+    shared-band counts."""
+    from analytics_data_platform_spark.operators import dedup
+    from analytics_data_platform_spark.sources.testdata import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    is_new = (F.col("doc_id") % 5) == 4
+    kw = dict(num_hashes=32, bands=16, seed=42)
+    index_rows = dedup.minhash_band_rows(d.where(~is_new), **kw)
+    new_rows = dedup.minhash_band_rows(d.where(is_new), **kw)
+    inc = {
+        (r.id_a, r.id_b): r.n_shared_bands
+        for r in dedup.incremental_minhash_candidates(index_rows, new_rows).collect()
+    }
+    full = {
+        (r.id_a, r.id_b): r.n_shared_bands
+        for r in dedup.minhash_lsh_candidates_portable(d, **kw).collect()
+        if r.id_a % 5 == 4 or r.id_b % 5 == 4
+    }
+    assert inc == full and inc
