@@ -191,3 +191,92 @@ def join_purchases_with_clicks(
     return p.join(c, cond, how).select(
         "user_id", "purchase_id", "purchase_ts", "purchase_value", "click_id", "click_ts"
     )
+
+
+def transform_with_state_available() -> bool:
+    """The Spark 4 transformWithState protocol serializes state through
+    protobuf; absent from this container, so the operator is environment-
+    gated the same way as the Excel/HDF5 engines (real logic, gated run)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def user_profile_transform_with_state(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """Per-user activity profile via ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-state API (successor to ``applyInPandasWithState``).
+
+    Requires protobuf on driver and workers (``transform_with_state_
+    available``); on clusters without it, ``user_running_totals_stateful``
+    is the applyInPandasWithState fallback with the same checkpoint/resume
+    contract.
+
+    Demonstrates the parts the old API cannot express: MULTIPLE typed
+    state variables per key — a ValueState holding the running
+    (n_events, value_total) pair plus a MapState of per-event-type counts
+    — managed through a StatefulProcessorHandle and checkpointed/resumed
+    with the query. Emits one profile row per user per batch with the
+    dominant event type (ties break lexicographically so output is
+    deterministic). State lives in the state store partitioned by
+    user_id; ``timeMode="None"`` keeps counters forever (the watermark
+    bounds replay only).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class ProfileProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.totals = handle.getValueState("totals", "n LONG, total DOUBLE")
+            self.by_type = handle.getMapState(
+                "by_type", "event_type STRING", "c LONG"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            n, total = self.totals.get() if self.totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].fillna(0.0).sum())
+                for et, c in pdf.groupby("event_type").size().items():
+                    prev = (
+                        self.by_type.getValue((et,))[0]
+                        if self.by_type.containsKey((et,))
+                        else 0
+                    )
+                    self.by_type.updateValue((et,), (prev + int(c),))
+            self.totals.update((n, float(total)))
+            counts = {k[0]: v[0] for k, v in self.by_type.iterator()}
+            # dominant type: max count, lexicographic tie-break
+            top = min(counts, key=lambda t: (-counts[t], t))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "value_total": [total],
+                    "n_types": [len(counts)],
+                    "top_type": [top],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        with_watermark(events, delay)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            ProfileProcessor(),
+            outputStructType=(
+                "user_id long, n_events long, value_total double,"
+                " n_types int, top_type string"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

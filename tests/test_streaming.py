@@ -257,3 +257,39 @@ def test_stream_stream_left_outer_emits_clickless_after_watermark(spark, tmp_pat
     got = {(r.purchase_id, r.click_id) for r in spark.read.parquet(out).collect()}
     assert (21, 20) in got
     assert (22, None) in got, f"click-less purchase never emitted: {got}"
+
+
+@pytest.mark.skipif(
+    not streams.transform_with_state_available(),
+    reason="transformWithState requires protobuf (absent in container)",
+)
+def test_transform_with_state_multi_variable_profile(spark, tmp_path):
+    """transformWithStateInPandas: BOTH state variables (ValueState totals
+    + MapState per-type counts) must survive the checkpoint across
+    availableNow ticks."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_events(spark, src, [
+        (1, T0, 7, "click", 1.0, "{}"),
+        (2, T0 + dt.timedelta(minutes=1), 7, "view", 2.0, "{}"),
+        (3, T0 + dt.timedelta(minutes=1), 8, "view", 5.0, "{}"),
+    ])
+    build = lambda: streams.user_profile_transform_with_state(_read_stream(spark, src))
+    streams.run_available_now_update(build(), ckpt, out)
+    tick1 = {r["user_id"]: r for r in spark.read.parquet(out).collect()}
+    assert tick1[7]["n_events"] == 2 and tick1[7]["n_types"] == 2
+    assert tick1[7]["top_type"] == "click"  # tie 1-1 -> lexicographic
+    assert tick1[8]["top_type"] == "view"
+
+    _write_events(spark, src, [
+        (4, T0 + dt.timedelta(minutes=5), 7, "view", 10.0, "{}"),
+        (5, T0 + dt.timedelta(minutes=6), 7, "view", 1.0, "{}"),
+    ])
+    streams.run_available_now_update(build(), ckpt, out)
+    latest = {}
+    for r in spark.read.parquet(out).collect():
+        if r["user_id"] not in latest or r["n_events"] >= latest[r["user_id"]]["n_events"]:
+            latest[r["user_id"]] = r
+    assert latest[7]["n_events"] == 4, "ValueState did not accumulate"
+    assert latest[7]["value_total"] == 14.0
+    assert latest[7]["n_types"] == 2
+    assert latest[7]["top_type"] == "view", "MapState did not accumulate (view=3 > click=1)"
