@@ -421,3 +421,52 @@ register(
         tags=("agg", "stats"),
     )
 )
+
+
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile (equi-depth) histogram of order values: NTILE(10) over the
+    exact total order (o_totalprice, o_orderkey tie-break — without the
+    unique key, ties would make bucket boundaries engine-dependent).
+    The profiling primitive behind CBO histograms and drift monitors.
+    NTILE's exact semantics force a global total order (one-task sort) —
+    correct here as the oracle-pinned exactness baseline; at 100 TB the
+    scale path is approx_percentile boundary cut-points + a broadcast
+    range join (no total sort), trading exact bucket counts for a
+    parallel plan."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+    )
+
+
+EQUI_DEPTH_SQL = """
+SELECT decile, COUNT(*) AS n_orders,
+       ROUND(MIN(o_totalprice), 2) AS lo,
+       ROUND(MAX(o_totalprice), 2) AS hi,
+       ROUND(SUM(o_totalprice), 2) AS total_value
+FROM (
+  SELECT o_totalprice,
+         NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+GROUP BY decile
+"""
+
+register(
+    QuerySpec(
+        "equi_depth_histogram",
+        equi_depth_histogram,
+        EQUI_DEPTH_SQL,
+        doc="decile equi-depth histogram of order values (deterministic NTILE)",
+        cites="SURVEY §2.4/§4: optimizer statistics; profiling primitive",
+        tags=("agg", "profile"),
+    )
+)

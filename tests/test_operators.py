@@ -441,3 +441,26 @@ def test_incremental_minhash_equals_batch_restriction(spark):
         if r.id_a % 5 == 4 or r.id_b % 5 == 4
     }
     assert inc == full and inc
+
+
+def test_brute_force_numpy_matches_rounded_jvm_pipeline(spark):
+    """The fused Arrow scorer agrees row-for-row with the oracle-pinned
+    JVM pipeline (ann_cosine_topk), which shares its round-before-rank
+    contract. The raw brute_force_topk operator ranks on unrounded
+    scores, so it is NOT the comparison target — ties at 4dp may legally
+    order differently there."""
+    from analytics_data_platform_spark.queries.vector_ops import ann_cosine_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    jvm = {
+        (r.q_id, r.rank): (r.vec_id, round(r.cos_sim, 4))
+        for r in ann_cosine_topk(spark, "/root/testdata/sf0.001").collect()
+    }
+    np_ = {
+        (r.q_id, r.rank): (r.vec_id, round(r.cos_sim, 4))
+        for r in similarity.brute_force_topk_numpy(e, q, k=10).collect()
+    }
+    assert jvm == np_ and len(jvm) == 50
