@@ -10,7 +10,7 @@ the MinHash/LSH family from rows-only to hash-verified in scale_ops).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from analytics_data_platform_spark.operators import sketches as S
 from analytics_data_platform_spark.queries import QuerySpec, register
@@ -256,5 +256,254 @@ register(
         doc="Bloom-filter train/eval bigram decontamination scan",
         cites="training-data ops: eval-set decontamination (sketch membership)",
         tags=("sketch", "text", "dedup"),
+    )
+)
+
+
+# --- HLL register MERGE (union cardinality from per-source state) ---------
+
+_UNION_SOURCES = ("src0", "src1", "src2")
+
+
+def hll_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union cardinality from MERGED per-source HLL registers.
+
+    The property that makes HLL the lakehouse cardinality primitive:
+    registers are mergeable state (elementwise max), so per-partition /
+    per-day sketches roll up without re-reading raw data. Here the
+    per-source registers (the same state `hll_distinct_bigrams` builds)
+    merge into a union estimate for src0∪src1∪src2, compared against the
+    exact union count. Merge-associativity (merged registers ==
+    registers of the union) is pinned by tests/test_sketches.py.
+    """
+    bg = _doc_bigrams(spark, sf_dir).where(F.col("source").isin(*_UNION_SOURCES))
+    per_source = S.hll_registers(bg, F.col("bg"), "source")
+    merged = (
+        per_source.groupBy("idx")
+        .agg(F.max("mj").alias("mj"))
+        .select(F.lit("|".join(_UNION_SOURCES)).alias("source_set"), "idx", "mj")
+    )
+    est = S.hll_estimate(merged, "source_set")
+    truth = bg.select(F.lit("|".join(_UNION_SOURCES)).alias("source_set"), "bg")
+    truth = truth.groupBy("source_set").agg(
+        F.count_distinct("bg").alias("true_distinct")
+    )
+    return est.join(truth, "source_set").select(
+        "source_set",
+        "v_empty",
+        "est_distinct",
+        "true_distinct",
+        F.round(
+            F.abs(F.col("est_distinct") - F.col("true_distinct"))
+            / F.col("true_distinct"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+_SRC_LIST = ", ".join(f"'{s}'" for s in _UNION_SOURCES)
+_SRC_SET = "|".join(_UNION_SOURCES)
+
+HLL_UNION_SQL = (
+    "WITH base AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),\n"
+    "bg0 AS (\n"
+    f"  SELECT source, {_BIGRAM_SQL} AS bg FROM base\n"
+    "),\n"
+    f"items0 AS (SELECT source, bg FROM bg0 WHERE bg IS NOT NULL AND source IN ({_SRC_LIST})),\n"
+    # per-source registers, then the elementwise-max MERGE
+    + S.hll_sql("bg", "source", "items0")
+    .strip()
+    .lstrip(",")
+    .replace("hll AS (", "hll_unused AS (")
+    + f""",
+merged AS (
+  SELECT '{_SRC_SET}' AS source_set, idx, MAX(mj) AS mj FROM regs GROUP BY idx
+),
+mfolded AS (
+  SELECT source_set, COUNT(*) AS used, SUM(power(2.0, -mj)) AS s_present
+  FROM merged GROUP BY source_set
+),
+mhll AS (
+  SELECT source_set,
+         ({S.HLL_M} - used) AS v_empty,
+         ROUND(
+           CASE WHEN CAST({S.HLL_ALPHA!r} AS DOUBLE) * {S.HLL_M} * {S.HLL_M}
+                     / (s_present + CAST({S.HLL_M} - used AS DOUBLE)) <= CAST({2.5 * S.HLL_M!r} AS DOUBLE)
+                 AND ({S.HLL_M} - used) > 0
+                THEN CAST({S.HLL_M} AS DOUBLE) * LN(CAST({S.HLL_M} AS DOUBLE) / ({S.HLL_M} - used))
+                ELSE CAST({S.HLL_ALPHA!r} AS DOUBLE) * {S.HLL_M} * {S.HLL_M}
+                     / (s_present + CAST({S.HLL_M} - used AS DOUBLE))
+           END, 4) AS est_distinct
+  FROM mfolded
+),
+truth AS (
+  SELECT '{_SRC_SET}' AS source_set, COUNT(DISTINCT bg) AS true_distinct FROM items0
+)
+SELECT m.source_set, v_empty, est_distinct, true_distinct,
+       ROUND(ABS(est_distinct - true_distinct) / CAST(true_distinct AS DOUBLE), 4) AS rel_err
+FROM mhll m JOIN truth USING (source_set)
+"""
+)
+
+register(
+    QuerySpec(
+        "hll_union_sources",
+        hll_union_sources,
+        HLL_UNION_SQL,
+        doc="union cardinality from merged per-source HLL registers",
+        cites="training-data ops: mergeable sketch state (rollup-without-raw-data)",
+        tags=("sketch", "text"),
+    )
+)
+
+
+# --- DDSketch quantiles (mergeable log-binned quantile sketch) ------------
+
+DD_GAMMA = 1.02  # relative-accuracy parameter: est within ±2% of true value
+DD_QS = (0.5, 0.9, 0.99)
+
+
+def ddsketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch-style quantile estimates of order value per priority.
+
+    The mergeable quantile sketch: each positive value maps to bin
+    ceil(ln(x)/ln(γ)) — bin counts are additive across partitions/days,
+    so like the HLL registers this state rolls up without raw data, and
+    any quantile is answered by a cumulative walk of ≤ a few hundred
+    bins. Estimate = 2γ^bin/(γ+1) (bucket midpoint) — within γ-1 = 2%
+    relative error by construction, which the exact rank-picked value in
+    the same row verifies. One groupBy(priority, bin) shuffle of O(bins)
+    rows per group; the quantile walk is a window over those bins.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    lg = F.lit(float(__import__("math").log(DD_GAMMA)))
+    binned = (
+        o.select(
+            "o_orderpriority",
+            F.ceil(F.log(F.col("o_totalprice")) / lg).cast("long").alias("bin"),
+        )
+        .groupBy("o_orderpriority", "bin")
+        .agg(F.count("*").alias("c"))
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = binned.select(
+        "o_orderpriority",
+        "bin",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(
+            Window.partitionBy("o_orderpriority").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    # exact rank-picked values (verification column): rn == ceil(q*n)
+    rw = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(rw).alias("rn"),
+        F.count("*").over(
+            Window.partitionBy("o_orderpriority").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    parts = []
+    for q in DD_QS:
+        rank = F.ceil(F.lit(q) * F.col("n")).cast("long")
+        est_bin = cum.where(F.col("cum") >= rank).groupBy("o_orderpriority").agg(
+            F.min("bin").alias("qbin")
+        )
+        est = est_bin.select(
+            "o_orderpriority",
+            F.lit(q).alias("quantile"),
+            F.round(
+                F.lit(2.0)
+                * F.pow(F.lit(DD_GAMMA), F.col("qbin"))
+                / F.lit(DD_GAMMA + 1.0),
+                4,
+            ).alias("est_value"),
+        )
+        exact = ranked.where(F.col("rn") == rank).select(
+            "o_orderpriority",
+            F.lit(q).alias("quantile"),
+            F.round("o_totalprice", 4).alias("exact_value"),
+        )
+        parts.append(est.join(exact, ["o_orderpriority", "quantile"]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "o_orderpriority",
+        "quantile",
+        "est_value",
+        "exact_value",
+        F.round(
+            F.abs(F.col("est_value") - F.col("exact_value")) / F.col("exact_value"), 4
+        ).alias("rel_err"),
+    )
+
+
+import math as _math
+
+_DD_LG = repr(float(_math.log(DD_GAMMA)))
+
+_DD_PER_Q = "\nUNION ALL\n".join(
+    f"""
+SELECT c.o_orderpriority, CAST({q!r} AS DOUBLE) AS quantile,
+       ROUND(2.0 * power({DD_GAMMA!r}, qbin) / ({DD_GAMMA!r} + 1.0), 4) AS est_value,
+       exact_value
+FROM (
+  SELECT o_orderpriority, MIN(bin) AS qbin
+  FROM cum WHERE cum >= CAST(ceil({q!r} * n) AS BIGINT)
+  GROUP BY o_orderpriority
+) c
+JOIN (
+  SELECT o_orderpriority, ROUND(o_totalprice, 4) AS exact_value
+  FROM ranked WHERE rn = CAST(ceil({q!r} * n) AS BIGINT)
+) e USING (o_orderpriority)
+"""
+    for q in DD_QS
+)
+
+DDSKETCH_SQL = f"""
+WITH binned AS (
+  SELECT o_orderpriority,
+         CAST(ceil(ln(o_totalprice) / CAST({_DD_LG} AS DOUBLE)) AS BIGINT) AS bin,
+         COUNT(*) AS c
+  FROM orders GROUP BY 1, 2
+),
+cum AS (
+  SELECT o_orderpriority, bin,
+         SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY o_orderpriority) AS n
+  FROM binned
+),
+ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+),
+per_q AS ({_DD_PER_Q})
+SELECT o_orderpriority, quantile, est_value, exact_value,
+       ROUND(ABS(est_value - exact_value) / exact_value, 4) AS rel_err
+FROM per_q
+"""
+
+register(
+    QuerySpec(
+        "ddsketch_price_quantiles",
+        ddsketch_price_quantiles,
+        DDSKETCH_SQL,
+        doc="DDSketch log-binned quantile estimates vs exact rank picks",
+        cites="training-data ops: mergeable quantile sketch (distribution monitoring)",
+        tags=("sketch", "agg", "percentile"),
     )
 )

@@ -77,3 +77,36 @@ def test_bloom_contamination_rates_bounded(spark):
     for r in rows:
         assert 0.0 <= r.contamination <= 1.0
         assert r.n_flagged <= r.n_bigrams
+
+
+def test_hll_register_merge_equals_direct_union(spark):
+    """Merged per-source registers == registers built over the union
+    (max is associative) — the rollup-without-raw-data property."""
+    from analytics_data_platform_spark.queries.sketch_ops import _doc_bigrams
+
+    bg = _doc_bigrams(spark, SMOKE).where(F.col("source").isin("src0", "src1", "src2"))
+    per_source = S.hll_registers(bg, F.col("bg"), "source")
+    merged = {
+        (r.idx): r.mj
+        for r in per_source.groupBy("idx").agg(F.max("mj").alias("mj")).collect()
+    }
+    direct = {
+        (r.idx): r.mj
+        for r in S.hll_registers(
+            bg.select(F.lit("all").alias("g"), "bg"), F.col("bg"), "g"
+        ).collect()
+    }
+    assert merged == direct and merged
+
+
+def test_ddsketch_within_relative_accuracy(spark):
+    """Midpoint estimate of a γ-binned sketch is within (γ-1)/(γ+1) ≈ 1%
+    of the true value by construction; assert with slack."""
+    from analytics_data_platform_spark.queries.sketch_ops import (
+        ddsketch_price_quantiles,
+    )
+
+    rows = ddsketch_price_quantiles(spark, SMOKE).collect()
+    assert len(rows) == 15  # 5 priorities x 3 quantiles
+    for r in rows:
+        assert r.rel_err <= 0.02, (r.o_orderpriority, r.quantile, r.rel_err)
