@@ -515,3 +515,63 @@ register(
         tags=("sampling",),
     )
 )
+
+
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    per source, keep the 3 docs with the largest u^(1/w), where w is the
+    doc length (longer docs proportionally likelier) and u is a
+    DETERMINISTIC uniform from md5(doc_id) — so the "random" draw is
+    reproducible across runs, engines, and cluster sizes (unlike
+    rand(seed), whose stream depends on partitioning).
+
+    The A-ES key makes weighted reservoir sampling a plain top-k: at
+    100 TB it's one scan + the two-phase top-k per group, and the keys
+    are mergeable across partitions (max survives union) just like the
+    sketch registers. Ranked on round(key, 10) with doc_id tie-break.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)) / F.lit(4294967296.0)  # (0, 1], exact dyadic
+    key = F.round(F.pow(u, F.lit(1.0) / F.col("n_chars")), 10)
+    w = Window.partitionBy("source").orderBy(F.desc("sample_key"), "doc_id")
+    return (
+        d.select("source", "doc_id", "n_chars", key.alias("sample_key"))
+        .withColumn("pick", F.row_number().over(w))
+        .where(F.col("pick") <= 3)
+        .select("source", "pick", "doc_id", "n_chars", "sample_key")
+    )
+
+
+WEIGHTED_SAMPLE_SQL = """
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         ROUND(power(
+           ((('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+            / 4294967296.0),
+           1.0 / n_chars), 10) AS sample_key
+  FROM documents
+)
+SELECT source, pick, doc_id, n_chars, sample_key
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY sample_key DESC, doc_id) AS pick
+  FROM keyed
+)
+WHERE pick <= 3
+"""
+
+register(
+    QuerySpec(
+        "weighted_sample_docs",
+        weighted_sample_docs,
+        WEIGHTED_SAMPLE_SQL,
+        doc="Efraimidis-Spirakis weighted sample (deterministic md5 uniform)",
+        cites="training-data ops: weighted corpus subsampling",
+        tags=("training", "sampling"),
+    )
+)
