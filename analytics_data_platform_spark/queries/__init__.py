@@ -105,7 +105,7 @@ DRIVER_SHOWCASE: tuple[str, ...] = (
     "grouping_sets_revenue",
     # windows / time
     "asof_purchase_click",
-    "price_percentiles",
+    "ddsketch_price_quantiles",
     "rolling_value_range_window",
     "time_bucket_rollup",
     "sessionize_events",

@@ -696,3 +696,47 @@ register(
         tags=("agg", "elt"),
     )
 )
+
+
+def variant_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion on the Spark 4 VARIANT type: props parses
+    once into a binary variant column (``parse_json``), typed fields come
+    out with ``variant_get`` path extraction. Unlike per-path
+    ``get_json_object`` over strings (events_json_props), the parse cost
+    is paid once per row regardless of how many paths are read — the
+    right shape for wide semi-structured payloads at 100 TB. Aggregates
+    per event_type over the extracted field."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "int")
+    return (
+        e.select("event_type", k.alias("k_val"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("k_val").alias("n_with_k"),
+            F.sum("k_val").alias("k_sum"),
+            F.round(F.avg("k_val"), 4).alias("k_avg"),
+        )
+    )
+
+
+VARIANT_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       COUNT(CAST(props->>'$.k' AS INTEGER)) AS n_with_k,
+       CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS k_sum,
+       ROUND(AVG(CAST(props->>'$.k' AS INTEGER)), 4) AS k_avg
+FROM events
+GROUP BY event_type
+"""
+
+register(
+    QuerySpec(
+        "variant_event_stats",
+        variant_event_stats,
+        VARIANT_SQL,
+        doc="VARIANT-typed semi-structured extraction (parse once, read many)",
+        cites="SURVEY §2.1 S6 (REST/JSON ingest) — Spark 4 VARIANT upgrade",
+        tags=("json", "variant"),
+    )
+)
