@@ -242,3 +242,55 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bm25_broadcasts_query_side_and_stays_jvm(spark, sf_dir):
+    """Query terms and the semi-filtered dfreq must broadcast (never
+    shuffle the corpus against a 9-row term list), and the whole scoring
+    pipeline stays JVM-side."""
+    from analytics_data_platform_spark.plans.audit import audit
+    from analytics_data_platform_spark.queries import all_queries
+
+    r = audit(all_queries()["bm25_search"].fn(spark, sf_dir))
+    assert r.join_strategies.get("BroadcastHashJoin", 0) >= 2, r.join_strategies
+    assert not r.python_eval
+
+
+def test_bloom_contamination_broadcasts_set_bits(spark, sf_dir):
+    """The Bloom set-bit table must be the broadcast side of the probe
+    join — the train side streams regardless of its size."""
+    from analytics_data_platform_spark.plans.audit import audit
+    from analytics_data_platform_spark.queries import all_queries
+
+    r = audit(all_queries()["bloom_contamination"].fn(spark, sf_dir))
+    assert r.join_strategies.get("BroadcastHashJoin", 0) >= 1, r.join_strategies
+    assert not r.python_eval
+
+
+def test_hll_estimate_shuffles_only_register_space(spark, sf_dir):
+    """The HLL fold must partial-aggregate map-side: the exchange after
+    the register build carries (group, idx) rows — O(m) per group — so
+    the plan shows hash aggregates around each exchange, and nothing
+    Python-side."""
+    from analytics_data_platform_spark.plans.audit import audit
+    from analytics_data_platform_spark.queries import all_queries
+
+    r = audit(all_queries()["hll_distinct_bigrams"].fn(spark, sf_dir))
+    assert not r.python_eval
+    assert "HashAggregate" in r.formatted
+
+
+def test_incremental_dedup_new_side_probes_index_as_equi_join(spark, sf_dir):
+    """Both incremental joins (new x index, new x new) must be equi-joins
+    on the band bucket — no nested-loop against the corpus index."""
+    from analytics_data_platform_spark.plans.audit import audit
+    from analytics_data_platform_spark.queries import all_queries
+
+    r = audit(all_queries()["incremental_minhash_dedup"].fn(spark, sf_dir))
+    assert r.join_strategies.get("CartesianProduct", 0) == 0
+    eq_joins = (
+        r.join_strategies.get("SortMergeJoin", 0)
+        + r.join_strategies.get("ShuffledHashJoin", 0)
+        + r.join_strategies.get("BroadcastHashJoin", 0)
+    )
+    assert eq_joins >= 2, r.join_strategies
