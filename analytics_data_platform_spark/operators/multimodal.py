@@ -141,3 +141,53 @@ def _bound_partitions(df: DataFrame, payload_col: str, target_mb: int) -> DataFr
     parts = max(1, int(total / (target_mb * 1024 * 1024)) + 1)
     current = df.rdd.getNumPartitions()
     return df.repartition(parts) if parts > current else df
+
+
+def default_resizer(payload: bytes, media_type: str, width: int, height: int) -> bytes:
+    raise NotImplementedError(
+        "no media codec available in this environment — inject a resizer "
+        "(e.g. PIL thumbnail + re-encode) via resize_media(resizer=...)"
+    )
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, str, int, int], bytes] = default_resizer,
+    payload_col: str = "payload",
+    type_col: str = "media_type",
+    id_col: str = "media_id",
+    target_partition_mb: int = 256,
+) -> DataFrame:
+    """Resize/transcode payloads to a target resolution (Arrow-batched).
+
+    ``resizer(payload, media_type, width, height) -> bytes`` is the
+    pluggable codec stage; output keeps the binary-column shape
+    (id, payload, media_type, width, height) so resized media writes
+    straight back to a lakehouse table. Same partition-size bounding as
+    the other Python stages — batches stay ~``target_partition_mb``.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_payloads, out_types = [], [], []
+            for mid, payload, mtype in zip(pdf[id_col], pdf[payload_col], pdf[type_col]):
+                out_ids.append(mid)
+                out_payloads.append(resizer(bytes(payload), mtype, width, height))
+                out_types.append(mtype)
+            yield pd.DataFrame(
+                {
+                    id_col: out_ids,
+                    "payload": out_payloads,
+                    "media_type": out_types,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    sized = _bound_partitions(df.select(id_col, payload_col, type_col), payload_col, target_partition_mb)
+    return sized.mapInPandas(
+        run,
+        schema=f"{id_col} long, payload binary, media_type string, width int, height int",
+    )

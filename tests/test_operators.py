@@ -464,3 +464,34 @@ def test_brute_force_numpy_matches_rounded_jvm_pipeline(spark):
         for r in similarity.brute_force_topk_numpy(e, q, k=10).collect()
     }
     assert jvm == np_ and len(jvm) == 50
+
+
+def test_resize_media_default_raises(spark):
+    rows = [(1, bytearray(b"\x89PNG" + b"x" * 64), "image/png", 8, 8, None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        multimodal.resize_media(media, 4, 4).collect()
+
+
+def test_resize_media_with_injected_codec(spark):
+    """Deterministic fake resizer: output keeps the binary-column shape and
+    the requested dimensions, ready to write back to a media table."""
+    rows = [
+        (1, bytearray(b"\x89PNG" + b"x" * 64), "image/png", 8, 8, None),
+        (2, bytearray(b"RIFF" + b"y" * 32), "audio/wav", None, None, 1000),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+    def fake_resizer(payload: bytes, media_type: str, w: int, h: int) -> bytes:
+        return payload[: w * h]  # deterministic truncation stands in for scaling
+
+    out = {
+        r["media_id"]: r
+        for r in multimodal.resize_media(media, 4, 4, resizer=fake_resizer).collect()
+    }
+    assert len(out) == 2
+    assert out[1]["width"] == 4 and out[1]["height"] == 4
+    assert bytes(out[1]["payload"]) == bytes(b"\x89PNG" + b"x" * 64)[:16]
+    assert out[2]["media_type"] == "audio/wav"
