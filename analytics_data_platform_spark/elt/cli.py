@@ -4,6 +4,8 @@ Subcommands:
   elt list <project-root>          discovered jobs
   elt run  <project-root> <job>    run one ingestion job end-to-end
   elt maintain <namespace...>      table maintenance over namespaces
+  elt query <name|list> [--sf-dir D] [--explain] [--limit N]
+                                   run/inspect a registry query ad hoc
 
 ``elt run`` wires: manifest discovery → dynamic import → Extract
 instantiation from ``{JOB}__*`` env config → incremental runner against
@@ -41,6 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
     p_m.add_argument("namespaces", nargs="+")
     p_m.add_argument("--retention-days", type=int, default=7)
     p_m.add_argument("--target-file-mb", type=int, default=128)
+
+    p_q = sub.add_parser("query", help="run a registry query (or 'list')")
+    p_q.add_argument("name", help="query name from the registry, or 'list'")
+    p_q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p_q.add_argument("--limit", type=int, default=20)
+    p_q.add_argument("--explain", action="store_true", help="print the formatted physical plan instead of rows")
     return p
 
 
@@ -76,6 +84,25 @@ def main(argv: list[str] | None = None) -> int:
         )
         for line in results:
             print(line)
+        return 0
+
+    if args.command == "query":
+        from analytics_data_platform_spark.queries import all_queries
+
+        qs = all_queries()
+        if args.name == "list":
+            for n, spec in qs.items():
+                print(f"{n}\t{spec.doc}")
+            return 0
+        if args.name not in qs:
+            print(f"unknown query {args.name!r}; try 'elt query list'", file=sys.stderr)
+            return 1
+        spark = get_spark(app_name=f"query-{args.name}")
+        df = qs[args.name].fn(spark, args.sf_dir)
+        if args.explain:
+            df.explain("formatted")
+        else:
+            df.show(args.limit, truncate=False)
         return 0
 
     return 2

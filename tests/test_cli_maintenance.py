@@ -152,3 +152,18 @@ def test_analyze_table_records_catalog_and_column_stats(spark):
         assert "distinct_count=7" in stats["grp"].replace(" ", "_") or "7" in stats["grp"]
     finally:
         io.drop_namespace(ns)
+
+
+def test_cli_query_list_and_run(spark, capsys):
+    """elt query: 'list' enumerates the registry; a named query prints rows."""
+    from analytics_data_platform_spark.elt.cli import main
+
+    assert main(["query", "list"]) == 0
+    out = capsys.readouterr().out
+    assert "bm25_search" in out and "q1_pricing_summary" in out
+
+    assert main(["query", "nope-no-such-query"]) == 1
+
+    assert main(["query", "distinct_segments", "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    out = capsys.readouterr().out
+    assert "BUILDING" in out or "segment" in out.lower()
