@@ -74,3 +74,16 @@ def test_read_empty_table_raises(spark, tmp_path):
     t = VersionedTable(spark, str(tmp_path / "t"))
     with pytest.raises(FileNotFoundError):
         t.read()
+
+
+def test_version_diff_classifies_changes(spark, tmp_path):
+    from analytics_data_platform_spark.tables.versioned import version_diff
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.replace(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.merge(_df(spark, [(2, "B"), (4, "d")]), keys=["id"])
+    changes = {r.id: r.change for r in version_diff(t, ["id"], 1, 2).collect()}
+    assert changes == {2: "update", 4: "insert"}
+    t.replace(_df(spark, [(2, "B")]))
+    changes = {r.id: r.change for r in version_diff(t, ["id"], 2, 3).collect()}
+    assert changes == {1: "delete", 3: "delete", 4: "delete"}
