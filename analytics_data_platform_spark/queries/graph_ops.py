@@ -103,3 +103,104 @@ register(
         tags=("graph", "iterative"),
     )
 )
+
+
+def triangle_count_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the part co-order graph: total triangles plus
+    the 10 parts participating in the most.
+
+    The cyclic-join shape no other registry query exercises: oriented
+    edges (src < dst) joined E(a,b) ⋈ E(b,c) ⋈ E(a,c) so each triangle
+    materializes exactly once. Orientation is the scale lever — ordering
+    edges (here by id; by degree in adversarial graphs) bounds the
+    wedge-join fan-out to the ordered adjacency lists, the standard
+    MapReduce triangle-count plan. Per-node counts come from exploding
+    each triangle's three corners — one extra groupBy, no second pass
+    over edges."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e1.src") == F.col("e3.src")) & (F.col("e2.dst") == F.col("e3.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("n1"),
+            F.col("e1.dst").alias("n2"),
+            F.col("e2.dst").alias("n3"),
+        )
+    )
+    per_node = (
+        tris.select(F.explode(F.array("n1", "n2", "n3")).alias("part_key"))
+        .groupBy("part_key")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    w = Window.orderBy(F.desc("n_triangles"), "part_key")
+    total = tris.agg(F.count("*").alias("t")).select(
+        F.lit(0).alias("rank"),
+        F.lit(-1).cast("long").alias("part_key"),
+        F.col("t").alias("n_triangles"),
+    )
+    top = (
+        per_node.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("rank", "part_key", "n_triangles")
+    )
+    return total.unionByName(top)
+
+
+TRIANGLE_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tris AS (
+  SELECT e1.src AS n1, e1.dst AS n2, e2.dst AS n3
+  FROM pairs e1
+  JOIN pairs e2 ON e1.dst = e2.src
+  JOIN pairs e3 ON e1.src = e3.src AND e2.dst = e3.dst
+),
+per_node AS (
+  SELECT part_key, COUNT(*) AS n_triangles
+  FROM (
+    SELECT unnest([n1, n2, n3]) AS part_key FROM tris
+  )
+  GROUP BY part_key
+),
+total AS (
+  SELECT 0 AS rank, CAST(-1 AS BIGINT) AS part_key, COUNT(*) AS n_triangles FROM tris
+),
+top AS (
+  SELECT rank, part_key, n_triangles FROM (
+    SELECT part_key, n_triangles,
+           ROW_NUMBER() OVER (ORDER BY n_triangles DESC, part_key) AS rank
+    FROM per_node
+  ) WHERE rank <= 10
+)
+SELECT rank, part_key, n_triangles FROM total
+UNION ALL
+SELECT rank, part_key, n_triangles FROM top
+"""
+
+register(
+    QuerySpec(
+        "triangle_count_coorder",
+        triangle_count_coorder,
+        TRIANGLE_SQL,
+        doc="triangle count on the co-order graph (oriented cyclic join)",
+        cites="graph analytics: clustering-coefficient primitive",
+        tags=("graph",),
+    )
+)

@@ -739,3 +739,55 @@ register(
         tags=("text", "quality"),
     )
 )
+
+
+# GPT-style pre-tokenizer (lookahead-free so RE2 engines match Java):
+# contraction suffixes, space-prefixed letter runs, digit runs, punct runs.
+_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+"
+
+
+def pretoken_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization counts per document.
+
+    Whitespace counting (text_token_stats) underestimates what a BPE
+    tokenizer's pre-tokenizer actually splits — punctuation runs, digit
+    runs and contraction suffixes become separate pre-tokens. This is
+    the cheap JVM-side estimator of tokenizer load a corpus pipeline
+    budgets with (the exact BPE merge table stays offline). The regex is
+    lookahead-free so Java (Spark) and RE2 (DuckDB/production scanners)
+    agree token-for-token."""
+    d = load_table(spark, sf_dir, "documents")
+    lowered = F.lower(F.col("text"))
+    toks = F.regexp_extract_all(lowered, F.lit(_PRETOKEN_RE), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_pretokens"),
+        T.token_count("text").alias("n_ws_tokens"),
+        F.round(
+            F.size(toks) / F.greatest(T.token_count("text"), F.lit(1)), 4
+        ).alias("expansion_ratio"),
+    )
+
+
+_PRETOKEN_RE_SQL = _PRETOKEN_RE.replace("'", "''")  # SQL string-literal escape
+
+PRETOKEN_SQL = rf"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{_PRETOKEN_RE_SQL}')) AS n_pretokens,
+       len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+       ROUND(len(regexp_extract_all(lower(text), '{_PRETOKEN_RE_SQL}'))
+             / CAST(GREATEST(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE), 4)
+         AS expansion_ratio
+FROM documents
+"""
+
+register(
+    QuerySpec(
+        "pretoken_stats",
+        pretoken_stats,
+        PRETOKEN_SQL,
+        doc="BPE-style pre-tokenizer counts vs whitespace tokens",
+        cites="training-data ops: token counting (whitespace + BPE-ish regex)",
+        tags=("text",),
+    )
+)
