@@ -490,3 +490,82 @@ register(
         tags=("analytics", "statistics"),
     )
 )
+
+
+def ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between order-value
+    distributions of URGENT vs LOW priority orders — the distribution-
+    drift monitor a data pipeline runs between corpus snapshots.
+
+    Exact ECDFs via one groupBy on distinct values + one ordered window
+    of cumulative counts (integer math until the final division), then
+    D = max |F1 - F2|. One shuffle on value, one tiny window — no
+    collect, no sampling; deterministic because cumulative counts are
+    integers and the division happens once per distinct value."""
+    pri_a, pri_b = "1-URGENT", "5-LOW"
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin(pri_a, pri_b)
+    )
+    per_val = (
+        o.select(
+            "o_totalprice",
+            (F.col("o_orderpriority") == pri_a).cast("long").alias("a"),
+            (F.col("o_orderpriority") == pri_b).cast("long").alias("b"),
+        )
+        .groupBy("o_totalprice")
+        .agg(F.sum("a").alias("ca"), F.sum("b").alias("cb"))
+    )
+    w = Window.orderBy("o_totalprice").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = per_val.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(tot).alias("n_a"),
+        F.sum("cb").over(tot).alias("n_b"),
+    )
+    return cum.agg(
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("cum_a") / F.col("n_a") - F.col("cum_b") / F.col("n_b")
+                )
+            ),
+            6,
+        ).alias("ks_stat"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+    )
+
+
+KS_SQL = """
+WITH per_val AS (
+  SELECT o_totalprice,
+         SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS cb
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+  GROUP BY o_totalprice
+),
+cum AS (
+  SELECT SUM(ca) OVER (ORDER BY o_totalprice ROWS UNBOUNDED PRECEDING) AS cum_a,
+         SUM(cb) OVER (ORDER BY o_totalprice ROWS UNBOUNDED PRECEDING) AS cum_b,
+         SUM(ca) OVER () AS n_a,
+         SUM(cb) OVER () AS n_b
+  FROM per_val
+)
+SELECT ROUND(MAX(ABS(CAST(cum_a AS DOUBLE) / n_a - CAST(cum_b AS DOUBLE) / n_b)), 6) AS ks_stat,
+       CAST(MAX(n_a) AS BIGINT) AS n_a,
+       CAST(MAX(n_b) AS BIGINT) AS n_b
+FROM cum
+"""
+
+register(
+    QuerySpec(
+        "ks_two_sample_drift",
+        ks_two_sample_drift,
+        KS_SQL,
+        doc="exact two-sample KS statistic (distribution drift monitor)",
+        cites="training-data ops: snapshot drift detection",
+        tags=("analytics", "stats"),
+    )
+)
