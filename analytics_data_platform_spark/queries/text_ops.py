@@ -791,3 +791,85 @@ register(
         tags=("text",),
     )
 )
+
+
+def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy match over part names: character-trigram
+    blocking → candidate pairs → exact edit-distance verify (≤ 3).
+
+    The scale-correct fuzzy-join: dedupe to DISTINCT name strings first
+    (entities, not rows — avoids the quadratic blowup of matching every
+    row pair that shares a popular name), block on shared trigrams so
+    only plausibly-close names ever meet, and run levenshtein only on
+    blocked candidates. Part counts per name ride along as merge
+    weights."""
+    p = load_table(spark, sf_dir, "part")
+    names = p.groupBy(F.col("p_name").alias("name")).agg(
+        F.count("*").alias("n_parts")
+    )
+    # substring with a dynamic start needs expr(); build (name, trigram) pairs
+    grams = names.select(
+        "name",
+        F.explode(
+            F.array_distinct(
+                F.expr("transform(sequence(1, greatest(length(name) - 2, 1)), i -> substring(name, i, 3))")
+            )
+        ).alias("g"),
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.name") < F.col("b.name")),
+        )
+        .select(F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"))
+        .distinct()
+    )
+    verified = cands.select(
+        "name_a", "name_b", F.levenshtein("name_a", "name_b").alias("edit_dist")
+    ).where(F.col("edit_dist") <= 3)
+    na = names.select(F.col("name").alias("name_a"), F.col("n_parts").alias("parts_a"))
+    nb = names.select(F.col("name").alias("name_b"), F.col("n_parts").alias("parts_b"))
+    return verified.join(na, "name_a").join(nb, "name_b").select(
+        "name_a", "name_b", "edit_dist", "parts_a", "parts_b"
+    )
+
+
+FUZZY_SQL = """
+WITH names AS (
+  SELECT p_name AS name, COUNT(*) AS n_parts FROM part GROUP BY p_name
+),
+grams AS (
+  SELECT DISTINCT name, g
+  FROM (
+    SELECT name,
+           unnest(list_transform(range(1, GREATEST(len(name) - 2, 1) + 1),
+                                 i -> substr(name, i, 3))) AS g
+    FROM names
+  )
+),
+cands AS (
+  SELECT DISTINCT a.name AS name_a, b.name AS name_b
+  FROM grams a JOIN grams b ON a.g = b.g AND a.name < b.name
+),
+verified AS (
+  SELECT name_a, name_b, levenshtein(name_a, name_b) AS edit_dist
+  FROM cands
+  WHERE levenshtein(name_a, name_b) <= 3
+)
+SELECT name_a, name_b, edit_dist, na.n_parts AS parts_a, nb.n_parts AS parts_b
+FROM verified
+JOIN names na ON na.name = name_a
+JOIN names nb ON nb.name = name_b
+"""
+
+register(
+    QuerySpec(
+        "fuzzy_part_names",
+        fuzzy_part_names,
+        FUZZY_SQL,
+        doc="fuzzy name matching: trigram blocking + edit-distance verify",
+        cites="training-data ops: entity resolution / fuzzy dedup",
+        tags=("text", "dedup", "fuzzy"),
+    )
+)
