@@ -569,3 +569,170 @@ register(
         tags=("analytics", "stats"),
     )
 )
+
+
+def chi_square_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test between event_type and
+    hour-of-day — "does traffic mix shift by hour?", the categorical
+    counterpart of the KS drift monitor.
+
+    The contingency table is one groupBy over (type, hour); marginals are
+    window sums over that tiny table; absent cells are restored by a
+    distinct-types × distinct-hours cross join so zero-observation cells
+    still contribute their expectation. All counts stay integers until
+    the final (rounded) statistic, and every shuffle after the first
+    aggregation moves at most |types|·24 rows."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hr")
+    )
+    cells = e.groupBy("event_type", "hr").agg(F.count("*").alias("n"))
+    full = (
+        cells.select("event_type").distinct()
+        .crossJoin(cells.select("hr").distinct())
+        .join(cells, ["event_type", "hr"], "left")
+        .withColumn("n", F.coalesce("n", F.lit(0)))
+    )
+    wt = Window.partitionBy("event_type")
+    wh = Window.partitionBy("hr")
+    wn = Window.partitionBy()
+    t = full.select(
+        "n",
+        F.sum("n").over(wt).alias("row_tot"),
+        F.sum("n").over(wh).alias("col_tot"),
+        F.sum("n").over(wn).alias("grand"),
+    ).withColumn("exp", F.col("row_tot") * F.col("col_tot") / F.col("grand"))
+    return t.agg(
+        F.round(F.sum(F.pow(F.col("n") - F.col("exp"), 2) / F.col("exp")), 6).alias(
+            "chi2"
+        ),
+        F.max("grand").alias("n_events"),
+    )
+
+
+CHI2_SQL = """
+WITH e AS (SELECT event_type, EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS hr FROM events),
+cells AS (SELECT event_type, hr, COUNT(*) AS n FROM e GROUP BY event_type, hr),
+full_t AS (
+  SELECT t.event_type, h.hr, COALESCE(c.n, 0) AS n
+  FROM (SELECT DISTINCT event_type FROM cells) t
+  CROSS JOIN (SELECT DISTINCT hr FROM cells) h
+  LEFT JOIN cells c ON c.event_type = t.event_type AND c.hr = h.hr
+),
+m AS (
+  SELECT n,
+         SUM(n) OVER (PARTITION BY event_type) AS row_tot,
+         SUM(n) OVER (PARTITION BY hr) AS col_tot,
+         SUM(n) OVER () AS grand
+  FROM full_t
+)
+SELECT ROUND(SUM(POW(n - CAST(row_tot AS DOUBLE) * col_tot / grand, 2)
+                  / (CAST(row_tot AS DOUBLE) * col_tot / grand)), 6) AS chi2,
+       CAST(MAX(grand) AS BIGINT) AS n_events
+FROM m
+"""
+
+register(
+    QuerySpec(
+        "chi_square_type_hour",
+        chi_square_type_hour,
+        CHI2_SQL,
+        doc="chi-square independence of event_type vs hour-of-day",
+        cites="training-data ops: categorical drift monitor (KS companion)",
+        tags=("analytics", "stats"),
+    )
+)
+
+
+def lang_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of the language mix per document source —
+    the diversity metric a corpus-curation pipeline tracks per crawl.
+
+    One groupBy builds (source, lang) counts; per-source totals are a
+    window over that small table; H = -Σ p·ln p with integer counts until
+    the single rounded division."""
+    d = load_table(spark, sf_dir, "documents").select("source", "lang")
+    cells = d.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("source")
+    t = cells.withColumn("tot", F.sum("n").over(w))
+    return (
+        t.withColumn("p", F.col("n") / F.col("tot"))
+        .groupBy("source")
+        .agg(
+            F.max("tot").alias("n_docs"),
+            F.count("*").alias("n_langs"),
+            F.round(-F.sum(F.col("p") * F.log("p")), 6).alias("lang_entropy"),
+        )
+    )
+
+
+ENTROPY_SQL = """
+WITH cells AS (SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang),
+t AS (SELECT source, lang, n, SUM(n) OVER (PARTITION BY source) AS tot FROM cells)
+SELECT source,
+       CAST(MAX(tot) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_langs,
+       ROUND(-SUM((CAST(n AS DOUBLE) / tot) * LN(CAST(n AS DOUBLE) / tot)), 6) AS lang_entropy
+FROM t GROUP BY source
+"""
+
+register(
+    QuerySpec(
+        "lang_entropy_by_source",
+        lang_entropy_by_source,
+        ENTROPY_SQL,
+        doc="Shannon entropy of language mix per source",
+        cites="corpus curation: diversity tracking",
+        tags=("analytics", "stats", "text"),
+    )
+)
+
+
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem numeric measures —
+    the one-pass profile step before feature selection. All six
+    correlations come out of ONE aggregation over the table (no per-pair
+    scans), then unpivot to (col_a, col_b, corr) rows."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = load_table(spark, sf_dir, "lineitem").select(
+        *[F.col(c).cast("double").alias(c) for c in cols]
+    )
+    aggs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(F.round(F.corr(a, b), 6).alias(f"{a}|{b}"))
+    wide = li.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name.split("|")[0]).alias("col_a"),
+                F.lit(name.split("|")[1]).alias("col_b"),
+                F.col(f"`{name}`").alias("corr"),
+            )
+            for name in wide.columns
+        ]
+    )
+    return wide.select(F.explode(pairs).alias("p")).select("p.col_a", "p.col_b", "p.corr")
+
+
+def _corr_sql() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    rows = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            rows.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+                f"ROUND(CORR(CAST({a} AS DOUBLE), CAST({b} AS DOUBLE)), 6) AS corr FROM lineitem"
+            )
+    return "\nUNION ALL\n".join(rows)
+
+
+register(
+    QuerySpec(
+        "corr_matrix_lineitem",
+        corr_matrix_lineitem,
+        _corr_sql(),
+        doc="pairwise Pearson correlation matrix in one aggregation pass",
+        cites="feature profiling: one-pass co-moment statistics",
+        tags=("analytics", "stats"),
+    )
+)

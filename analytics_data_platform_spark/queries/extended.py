@@ -470,3 +470,92 @@ register(
         tags=("agg", "profile"),
     )
 )
+
+
+GAP_BUCKET_S = 21600  # 6-hour buckets
+
+
+def gap_fill_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-user time series with gap filling: a 6-hour bucket spine
+    from each user's first to last event, empty buckets filled by LOCF
+    (last observation carried forward) — the resampling step every
+    time-series feature pipeline needs before a model sees the data.
+
+    The spine is `sequence()` over integer epoch buckets exploded per
+    user (no driver loop, no cross join against a global calendar — each
+    user generates exactly their own span), then one left join back to
+    the observed bucket averages and one ordered window for the
+    carry-forward. Shuffles are keyed on user_id throughout, so the plan
+    is a linear pass at any scale; bucket keys stay integer epochs end
+    to end (timezone-proof and hash-stable)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.floor(F.unix_timestamp("ts") / GAP_BUCKET_S) * GAP_BUCKET_S).alias("bucket_epoch"),
+        "value",
+    )
+    observed = e.groupBy("user_id", "bucket_epoch").agg(
+        F.round(F.avg("value"), 6).alias("bucket_value")
+    )
+    spine = (
+        observed.groupBy("user_id")
+        .agg(F.min("bucket_epoch").alias("lo"), F.max("bucket_epoch").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.lit(GAP_BUCKET_S))).alias("bucket_epoch"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_epoch")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(observed, ["user_id", "bucket_epoch"], "left")
+        .select(
+            "user_id",
+            "bucket_epoch",
+            F.last("bucket_value", ignorenulls=True).over(w).alias("value_filled"),
+            F.col("bucket_value").isNull().alias("is_gap"),
+        )
+    )
+
+
+GAP_FILL_SQL = f"""
+WITH e AS (
+  SELECT user_id,
+         (CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / {GAP_BUCKET_S}) AS BIGINT)) * {GAP_BUCKET_S} AS bucket_epoch,
+         value
+  FROM events
+),
+observed AS (
+  SELECT user_id, bucket_epoch, ROUND(AVG(value), 6) AS bucket_value
+  FROM e GROUP BY user_id, bucket_epoch
+),
+spans AS (
+  SELECT user_id, MIN(bucket_epoch) AS lo, MAX(bucket_epoch) AS hi
+  FROM observed GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, UNNEST(generate_series(lo, hi, {GAP_BUCKET_S})) AS bucket_epoch
+  FROM spans
+)
+SELECT s.user_id, s.bucket_epoch,
+       LAST_VALUE(o.bucket_value IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.bucket_epoch
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value_filled,
+       o.bucket_value IS NULL AS is_gap
+FROM spine s
+LEFT JOIN observed o ON s.user_id = o.user_id AND s.bucket_epoch = o.bucket_epoch
+"""
+
+register(
+    QuerySpec(
+        "gap_fill_user_values",
+        gap_fill_user_values,
+        GAP_FILL_SQL,
+        doc="per-user time-series gap fill (dense bucket spine + LOCF)",
+        cites="hypertable resampling / interpolation family",
+        tags=("timeseries", "window"),
+    )
+)

@@ -204,3 +204,163 @@ register(
         tags=("graph",),
     )
 )
+
+
+# A sparse multi-component slice of the co-order graph: small parts
+# (p_size <= 5) co-ordered during 1995-H1. At sf0.001/0.01/0.1 this yields
+# 3/24/237 components — real cluster structure, unlike the full co-order
+# graph which is one giant component.
+_SPARSE_EDGE_SQL = """
+  sel AS (SELECT p_partkey FROM part WHERE p_size <= 5),
+  ord AS (
+    SELECT o_orderkey FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-07-01'
+  ),
+  li AS (
+    SELECT l_orderkey, l_partkey FROM lineitem
+    JOIN sel ON l_partkey = p_partkey
+    JOIN ord ON l_orderkey = o_orderkey
+  ),
+  pairs AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  ),
+  edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst AS src, src AS dst FROM pairs)
+"""
+
+
+def _sparse_coorder_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oriented (src < dst) co-order edges of the sparse slice above."""
+    sel = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 5).select("p_partkey")
+    ords = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1995-07-01").cast("date"))
+        )
+        .select("o_orderkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(F.broadcast(sel), F.col("l_partkey") == F.col("p_partkey"))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+
+
+def connected_components_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the sparse co-order slice: every part with
+    its component id (minimum member part key) and the component size.
+
+    Runs the O(log n)-round large-star/small-star operator
+    (operators/dedup.cluster_duplicates_star) — the billion-edge-safe CC —
+    so this registry row is the hard oracle check for that operator: the
+    DuckDB side recomputes components from first principles as a recursive
+    transitive closure + MIN over each reachable set. The closure oracle is
+    O(Σ component²) and only viable because the slice is sparse; the Spark
+    side stays O(|E| log n) at any scale."""
+    from analytics_data_platform_spark.operators.dedup import cluster_duplicates_star
+
+    pairs = _sparse_coorder_pairs(spark, sf_dir)
+    cc = cluster_duplicates_star(pairs, a_col="src", b_col="dst")
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("component_size"))
+    return (
+        cc.join(sizes, "cluster_id")
+        .select(F.col("doc_id").alias("part_key"), "cluster_id", "component_size")
+    )
+
+
+CC_SQL = f"""
+WITH RECURSIVE {_SPARSE_EDGE_SQL},
+reach(a, b) AS (
+  SELECT src AS a, src AS b FROM edges
+  UNION
+  SELECT r.a, e.dst AS b FROM reach r JOIN edges e ON r.b = e.src
+),
+cc AS (SELECT a AS node, MIN(b) AS cluster_id FROM reach GROUP BY a),
+sizes AS (SELECT cluster_id, COUNT(*) AS component_size FROM cc GROUP BY cluster_id)
+SELECT cc.node AS part_key, cc.cluster_id, sizes.component_size
+FROM cc JOIN sizes ON cc.cluster_id = sizes.cluster_id
+"""
+
+register(
+    QuerySpec(
+        "connected_components_coorder",
+        connected_components_coorder,
+        CC_SQL,
+        doc="large-star/small-star connected components vs a recursive-closure oracle",
+        cites="operators/dedup.py cluster_duplicates_star (Kiveris et al.)",
+        tags=("graph", "iterative"),
+    )
+)
+
+
+BFS_MAX_HOPS = 4
+
+
+def bfs_hops_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop distance (<= 4) from the graph's highest-degree node
+    (ties broken by smallest part key) over the sparse co-order slice —
+    the frontier-expansion BFS pattern, seeded in the dense region so the
+    wavefront actually grows.
+
+    The seed is picked as a 1-row aggregate DataFrame (no collect); each
+    BFS round joins only the new frontier against the edge list."""
+    from analytics_data_platform_spark.operators.graph import bfs_hops
+
+    pairs = _sparse_coorder_pairs(spark, sf_dir)
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .agg(
+            F.min_by(
+                "src", F.struct((-F.col("deg")).alias("nd"), F.col("src").alias("s"))
+            ).alias("node")
+        )
+    )
+    return bfs_hops(edges, seeds, max_hops=BFS_MAX_HOPS).select(
+        F.col("node").alias("part_key"), "hops"
+    )
+
+
+BFS_SQL = f"""
+WITH RECURSIVE {_SPARSE_EDGE_SQL},
+seed AS (
+  SELECT src AS node FROM (
+    SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+  ) ORDER BY deg DESC, src LIMIT 1
+),
+walk(node, hops) AS (
+  SELECT node, 0 FROM seed
+  UNION
+  SELECT e.dst AS node, w.hops + 1 FROM walk w JOIN edges e ON w.node = e.src
+  WHERE w.hops < {BFS_MAX_HOPS}
+)
+SELECT node AS part_key, CAST(MIN(hops) AS INT) AS hops FROM walk GROUP BY node
+"""
+
+register(
+    QuerySpec(
+        "bfs_hops_coorder",
+        bfs_hops_coorder,
+        BFS_SQL,
+        doc="frontier-expansion BFS hop distance vs a recursive-CTE oracle",
+        cites="operators/graph.py bfs_hops (Pregel BFS pattern)",
+        tags=("graph", "iterative"),
+    )
+)

@@ -142,3 +142,32 @@ def test_bin_join_rejects_bad_width(spark, pts_and_ivals):
     pts, ivals = pts_and_ivals
     with pytest.raises(ValueError):
         bin_interval_join(pts, ivals, "x", "lo", "hi", 0.0)
+
+
+# --- bfs_hops -------------------------------------------------------------
+
+
+def test_bfs_hops_path_graph(spark):
+    # path 0-1-2-3-4-5 (symmetric), seed 0, max_hops 3 -> nodes 0..3 only
+    from analytics_data_platform_spark.operators.graph import bfs_hops
+
+    path = [(i, i + 1) for i in range(5)]
+    edges = spark.createDataFrame(
+        path + [(b, a) for a, b in path], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_hops_min_distance_and_multi_seed(spark):
+    # diamond 0->{1,2}->3 plus a shortcut 0->3: hops(3) must be 1, not 2;
+    # a second seed 9 (isolated) stays at hop 0
+    from analytics_data_platform_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3), (0, 3)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,), (9,)], "node long")
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, max_hops=4).collect()}
+    assert got == {0: 0, 9: 0, 1: 1, 2: 1, 3: 1}
