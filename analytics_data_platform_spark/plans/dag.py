@@ -4,8 +4,8 @@ dbt-on-Trino transform layer (SURVEY.md §3.3).
 A :class:`Model` is a named build function over ``ref()``/``source()``
 inputs with a materialization (view|table), optional Iceberg-style
 partition/sort specs, and attached data tests (not_null / unique /
-accepted_values — the dbt data-test surface the reference uses,
-e.g. cycles.yml:5-21). The runner topologically orders models, builds each
+accepted_values / relationships / expression — the dbt + dbt_utils
+data-test surface the reference uses, e.g. cycles.yml:5-21). The runner topologically orders models, builds each
 as a DataFrame, materializes tables through TableIO, and evaluates data
 tests distributed (one aggregate pass per model, no collect of data rows).
 
@@ -32,9 +32,12 @@ from analytics_data_platform_spark.tables.io import TableIO
 
 @dataclass(frozen=True)
 class DataTest:
-    kind: str  # not_null | unique | accepted_values
+    kind: str  # not_null | unique | accepted_values | relationships | expression
     column: str
     values: tuple | None = None
+    to: str | None = None  # relationships: target model name
+    to_column: str | None = None
+    expr: str | None = None  # expression: SQL predicate every row must satisfy
 
 
 def not_null(column: str) -> DataTest:
@@ -47,6 +50,19 @@ def unique(column: str) -> DataTest:
 
 def accepted_values(column: str, values: list) -> DataTest:
     return DataTest("accepted_values", column, tuple(values))
+
+
+def relationships(column: str, to: str, to_column: str) -> DataTest:
+    """dbt ``relationships`` (referential integrity): every non-null value
+    of ``column`` must exist in ``to.to_column`` (``to`` is a model name
+    or, at report time, any DataFrame bound under that name)."""
+    return DataTest("relationships", column, to=to, to_column=to_column)
+
+
+def expression(name: str, expr: str) -> DataTest:
+    """dbt_utils ``expression_is_true``: rows violating the SQL predicate
+    count as failures. ``name`` labels the check in reports."""
+    return DataTest("expression", name, expr=expr)
 
 
 class Refs:
@@ -184,7 +200,7 @@ class TransformDag:
                 df = io.read(table)
             built[name] = df
             if run_tests and model.tests:
-                failures.extend(self._test_model(model, df))
+                failures.extend(self._test_model(model, df, built))
         if failures:
             raise DataTestError(failures)
         return built
@@ -209,24 +225,106 @@ class TransformDag:
                 out[(schema, table)] = spark.table(f"{schema}.{table}")
         return out
 
-    def _test_model(self, model: Model, df: DataFrame) -> Iterator[TestFailure]:
-        """All of a model's tests in ONE aggregate pass (single job)."""
-        aggs = []
-        for i, t in enumerate(model.tests):
-            c = F.col(t.column)
-            if t.kind == "not_null":
-                aggs.append(F.sum(F.when(c.isNull(), 1).otherwise(0)).alias(f"t{i}"))
-            elif t.kind == "unique":
-                aggs.append(
-                    (F.count(c) - F.count_distinct(c)).alias(f"t{i}")
+    def _test_model(
+        self, model: Model, df: DataFrame, built: dict[str, DataFrame] | None = None
+    ) -> Iterator[TestFailure]:
+        """All of a model's in-row tests in ONE aggregate pass (single job);
+        each ``relationships`` test adds one anti-join count against its
+        (already-built) target model."""
+        report = self._model_report_df(model.name, model.tests, df, built or {})
+        for row in report.where(F.col("violations") > 0).collect():
+            t = model.tests[row["test_idx"]]
+            yield TestFailure(model.name, t, int(row["violations"]))
+
+    def _model_report_df(
+        self,
+        model_name: str,
+        tests: list[DataTest],
+        df: DataFrame,
+        built: dict[str, DataFrame],
+    ) -> DataFrame:
+        """Lazy (model, check, column, violations) rows for one model:
+        every in-row test folds into a single wide aggregation (then
+        explodes to one row per test); each relationships test is one
+        anti-join aggregate unioned in. Nothing here is an action — the
+        report composes into larger plans (the dq_expectations registry
+        query) or is collected by run()'s gate."""
+        inrow: list[tuple[int, DataTest]] = []
+        rels: list[tuple[int, DataTest]] = []
+        for i, t in enumerate(tests):
+            (rels if t.kind == "relationships" else inrow).append((i, t))
+
+        parts: list[DataFrame] = []
+        if inrow:
+            aggs = []
+            for i, t in inrow:
+                c = F.col(t.column)
+                if t.kind == "not_null":
+                    aggs.append(F.sum(F.when(c.isNull(), 1).otherwise(0)).alias(f"t{i}"))
+                elif t.kind == "unique":
+                    aggs.append((F.count(c) - F.count_distinct(c)).alias(f"t{i}"))
+                elif t.kind == "accepted_values":
+                    bad = ~c.isin(list(t.values or ())) & c.isNotNull()
+                    aggs.append(F.sum(F.when(bad, 1).otherwise(0)).alias(f"t{i}"))
+                elif t.kind == "expression":
+                    aggs.append(
+                        F.sum(F.when(~F.expr(t.expr or "true"), 1).otherwise(0)).alias(f"t{i}")
+                    )
+                else:
+                    raise ValueError(f"unknown data test kind {t.kind!r}")
+            wide = df.agg(*aggs)
+            rows = F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("test_idx"),
+                        F.lit(model_name).alias("model"),
+                        F.lit(t.kind).alias("check"),
+                        F.lit(t.column).alias("column"),
+                        F.coalesce(F.col(f"t{i}"), F.lit(0)).cast("long").alias("violations"),
+                    )
+                    for i, t in inrow
+                ]
+            )
+            parts.append(wide.select(F.explode(rows).alias("r")).select("r.*"))
+        for i, t in rels:
+            if t.to not in built:
+                raise KeyError(
+                    f"relationships target {t.to!r} not available for {model_name}"
                 )
-            elif t.kind == "accepted_values":
-                bad = ~c.isin(list(t.values or ())) & c.isNotNull()
-                aggs.append(F.sum(F.when(bad, 1).otherwise(0)).alias(f"t{i}"))
-            else:
-                raise ValueError(f"unknown data test kind {t.kind!r}")
-        row = df.agg(*aggs).collect()[0]
-        for i, t in enumerate(model.tests):
-            n = row[f"t{i}"] or 0
-            if n > 0:
-                yield TestFailure(model.name, t, int(n))
+            target = built[t.to].select(F.col(t.to_column).alias(t.column)).distinct()
+            orphans = (
+                df.where(F.col(t.column).isNotNull())
+                .join(target, t.column, "left_anti")
+                .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+                .select(
+                    F.lit(i).alias("test_idx"),
+                    F.lit(model_name).alias("model"),
+                    F.lit("relationships").alias("check"),
+                    F.lit(f"{t.column}->{t.to}.{t.to_column}").alias("column"),
+                    "violations",
+                )
+            )
+            parts.append(orphans)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def test_report(
+        self,
+        tables: dict[str, DataFrame],
+        tests: dict[str, list[DataTest]],
+    ) -> DataFrame:
+        """dbt-`test`-style report over arbitrary bound tables: one row per
+        check — (model, check, column, violations) — passes included, all
+        lazy (unions of per-table aggregates; counts never touch the
+        driver)."""
+        parts = [
+            self._model_report_df(name, ts, tables[name], tables)
+            for name, ts in tests.items()
+            if ts
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.select("model", "check", "column", "violations")

@@ -163,3 +163,128 @@ register(
         tags=("profile", "agg"),
     )
 )
+
+
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-`test`-style data-quality report over the corpus: one row per
+    declared expectation — uniqueness, not-null, accepted values,
+    referential integrity (relationships), and SQL expression checks —
+    with its violation count, passes included.
+
+    Runs through TransformDag.test_report (plans/dag.py), the same engine
+    the warehouse DAG gates its models with (reference: dbt data_tests,
+    cycles.yml not_null/unique/accepted_values + dbt_utils expression /
+    relationships). Each table contributes ONE wide aggregation pass for
+    its in-row checks; each relationships check is one anti-join count;
+    the report is a lazy union — no driver-side loop over data."""
+    from analytics_data_platform_spark.plans.dag import (
+        TransformDag,
+        accepted_values,
+        expression,
+        not_null,
+        relationships,
+        unique,
+    )
+
+    tables = {
+        t: load_table(spark, sf_dir, t)
+        for t in ("orders", "lineitem", "customer", "nation", "documents", "events")
+    }
+    tests = {
+        "orders": [
+            unique("o_orderkey"),
+            not_null("o_custkey"),
+            accepted_values("o_orderstatus", ["F", "O", "P"]),
+            relationships("o_custkey", "customer", "c_custkey"),
+            expression("positive_total", "o_totalprice > 0"),
+        ],
+        "lineitem": [
+            not_null("l_orderkey"),
+            relationships("l_orderkey", "orders", "o_orderkey"),
+            expression("discount_in_unit_range", "l_discount >= 0.0 AND l_discount <= 0.1"),
+            expression("ship_before_2000", "l_shipdate < DATE '2000-01-01'"),
+        ],
+        "customer": [
+            unique("c_custkey"),
+            relationships("c_nationkey", "nation", "n_nationkey"),
+        ],
+        "documents": [
+            unique("doc_id"),
+            not_null("text"),
+            expression("n_chars_matches_text", "n_chars = length(text)"),
+        ],
+        "events": [
+            not_null("user_id"),
+            accepted_values("event_type", ["view", "click", "purchase", "signup", "error"]),
+        ],
+    }
+    return TransformDag().test_report(tables, tests)
+
+
+DQ_SQL = """
+SELECT 'orders' AS model, 'unique' AS check, 'o_orderkey' AS "column",
+       CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS violations FROM orders
+UNION ALL
+SELECT 'orders', 'not_null', 'o_custkey',
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'orders', 'accepted_values', 'o_orderstatus',
+       CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') AND o_orderstatus IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'orders', 'relationships', 'o_custkey->customer.c_custkey',
+       CAST(COUNT(*) AS BIGINT) FROM orders
+WHERE o_custkey IS NOT NULL AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'orders', 'expression', 'positive_total',
+       CAST(SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'lineitem', 'not_null', 'l_orderkey',
+       CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'lineitem', 'relationships', 'l_orderkey->orders.o_orderkey',
+       CAST(COUNT(*) AS BIGINT) FROM lineitem
+WHERE l_orderkey IS NOT NULL AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'lineitem', 'expression', 'discount_in_unit_range',
+       CAST(SUM(CASE WHEN NOT (l_discount >= 0.0 AND l_discount <= 0.1) THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem', 'expression', 'ship_before_2000',
+       CAST(SUM(CASE WHEN NOT (l_shipdate < DATE '2000-01-01') THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'customer', 'unique', 'c_custkey',
+       CAST(COUNT(c_custkey) - COUNT(DISTINCT c_custkey) AS BIGINT) FROM customer
+UNION ALL
+SELECT 'customer', 'relationships', 'c_nationkey->nation.n_nationkey',
+       CAST(COUNT(*) AS BIGINT) FROM customer
+WHERE c_nationkey IS NOT NULL AND c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+UNION ALL
+SELECT 'documents', 'unique', 'doc_id',
+       CAST(COUNT(doc_id) - COUNT(DISTINCT doc_id) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'documents', 'not_null', 'text',
+       CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'documents', 'expression', 'n_chars_matches_text',
+       CAST(SUM(CASE WHEN NOT (n_chars = length(text)) THEN 1 ELSE 0 END) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'events', 'not_null', 'user_id',
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+UNION ALL
+SELECT 'events', 'accepted_values', 'event_type',
+       CAST(SUM(CASE WHEN event_type NOT IN ('view','click','purchase','signup','error')
+                AND event_type IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+"""
+
+register(
+    QuerySpec(
+        "dq_expectations",
+        dq_expectations,
+        DQ_SQL,
+        doc="dbt-style data-quality expectation report (16 checks, violations per check)",
+        cites="reference dbt data_tests: cycles.yml:5-21; dbt_utils expression/relationships",
+        tags=("warehouse", "quality"),
+    )
+)

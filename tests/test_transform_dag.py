@@ -314,3 +314,59 @@ def test_dag_selection_closure(spark):
     up_only = dag.order(select=["cycles"], downstream=False)
     assert up_only[-1] == "cycles"
     assert "stg_statusdisplay__cycles" in up_only
+
+
+# --- relationships / expression tests + test_report -----------------------
+
+
+def test_relationships_and_expression_tests(spark):
+    from analytics_data_platform_spark.plans.dag import (
+        Model,
+        TransformDag,
+        expression,
+        relationships,
+    )
+
+    d = TransformDag()
+    d.add(Model(name="dim", build=lambda s, r: s.createDataFrame([(1,), (2,)], "k long")))
+    d.add(
+        Model(
+            name="fact",
+            build=lambda s, r: s.createDataFrame(
+                [(1, 5.0), (2, -1.0), (9, 3.0)], "k long, v double"
+            ),
+            deps=("dim",),
+            tests=[relationships("k", "dim", "k"), expression("v_positive", "v > 0")],
+        )
+    )
+    with pytest.raises(DataTestError) as ei:
+        d.run(spark)
+    msgs = str(ei.value)
+    assert "relationships" in msgs and "1 failing" in msgs  # k=9 orphan
+    assert "v_positive" in msgs  # v=-1 violation
+
+
+def test_test_report_includes_passes(spark):
+    from analytics_data_platform_spark.plans.dag import (
+        TransformDag,
+        not_null,
+        relationships,
+        unique,
+    )
+
+    tables = {
+        "dim": spark.createDataFrame([(1,), (2,)], "k long"),
+        "fact": spark.createDataFrame([(1,), (1,), (7,)], "k long"),
+    }
+    tests = {
+        "dim": [unique("k"), not_null("k")],
+        "fact": [unique("k"), relationships("k", "dim", "k")],
+    }
+    rep = {
+        (r["model"], r["check"]): r["violations"]
+        for r in TransformDag().test_report(tables, tests).collect()
+    }
+    assert rep[("dim", "unique")] == 0
+    assert rep[("dim", "not_null")] == 0
+    assert rep[("fact", "unique")] == 1  # duplicated k=1
+    assert rep[("fact", "relationships")] == 1  # k=7 orphan
