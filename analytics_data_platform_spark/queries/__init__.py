@@ -79,15 +79,17 @@ DRIVER_SHOWCASE: tuple[str, ...] = (
     # training-data pipeline
     "pack_sequences",
     "contamination_ngrams",
-    "domain_mixture_sample",
+    "chi_square_type_hour",
     "embedding_quantize_int8",
     "train_val_test_split",
-    # warehouse modeling
+    # warehouse modeling + data quality
     "scd2_customer_segments",
     "cube_orders_status_priority",
     "profile_documents",
+    "dq_expectations",
     # graph
     "pagerank_part_coorder",
+    "connected_components_coorder",
     # corpus prep
     "chunk_documents",
     "redact_pii",
@@ -106,10 +108,8 @@ DRIVER_SHOWCASE: tuple[str, ...] = (
     # windows / time
     "asof_purchase_click",
     "ddsketch_price_quantiles",
-    "rolling_value_range_window",
-    "time_bucket_rollup",
+    "gap_fill_user_values",
     "sessionize_events",
-    "window_lag_events",
     "incremental_minhash_dedup",
 )
 
