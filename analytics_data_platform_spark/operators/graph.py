@@ -112,3 +112,43 @@ def bfs_hops(
         if frontier.isEmpty():
             break
     return visited
+
+
+def sssp_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Single-source shortest path cost within ``max_hops`` edges —
+    bounded Bellman-Ford over a weighted edge list.
+
+    Returns (node, cost) where cost is the minimum path weight from any
+    seed using at most ``max_hops`` edges. Each round is one shuffle join
+    (dist ⋈ edges on the node id) + one shuffled min-aggregation — the
+    Pregel relaxation step — so a round is a linear pass at any scale and
+    the whole run is ``max_hops`` rounds regardless of cluster size.
+    Integer weights keep costs engine-portable (no float path-sum ties).
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
+    )
+    dist = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("cost", F.lit(0).cast("long"))
+    )
+    for _ in range(max_hops):
+        relaxed = (
+            dist.join(e, dist.node == e.src)
+            .select(F.col("dst").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

@@ -736,3 +736,124 @@ register(
         tags=("analytics", "stats"),
     )
 )
+
+
+def ols_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary-least-squares trend of daily order revenue over time —
+    slope/intercept/R² from closed-form moment sums, the scale-correct
+    way to fit a line on 100 TB: ONE aggregation pass computes the five
+    moments; no gradient loop, no collect of points.
+
+    Both engines evaluate the same covariance/variance formulation
+    (rounded), not their built-in regr_* functions, so the arithmetic is
+    engine-portable."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("double")
+        .alias("x"),
+        F.col("o_totalprice").alias("y"),
+    )
+    daily = o.groupBy("x").agg(F.sum("y").alias("rev"))
+    m = daily.agg(
+        F.count("*").alias("n"),
+        F.covar_pop("x", "rev").alias("sxy"),
+        F.var_pop("x").alias("sxx"),
+        F.var_pop("rev").alias("syy"),
+        F.avg("x").alias("mx"),
+        F.avg("rev").alias("my"),
+    )
+    slope = F.col("sxy") / F.col("sxx")
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.round(slope, 6).alias("slope"),
+        F.round(F.col("my") - slope * F.col("mx"), 4).alias("intercept"),
+        F.round(
+            (F.col("sxy") * F.col("sxy")) / (F.col("sxx") * F.col("syy")), 6
+        ).alias("r2"),
+    )
+
+
+OLS_SQL = """
+WITH pts AS (
+  SELECT CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS DOUBLE) AS x,
+         SUM(o_totalprice) AS rev
+  FROM orders GROUP BY o_orderdate
+),
+m AS (
+  SELECT COUNT(*) AS n, COVAR_POP(x, rev) AS sxy, VAR_POP(x) AS sxx,
+         VAR_POP(rev) AS syy, AVG(x) AS mx, AVG(rev) AS my
+  FROM pts
+)
+SELECT n AS n_days,
+       ROUND(sxy / sxx, 6) AS slope,
+       ROUND(my - (sxy / sxx) * mx, 4) AS intercept,
+       ROUND((sxy * sxy) / (sxx * syy), 6) AS r2
+FROM m
+"""
+
+register(
+    QuerySpec(
+        "ols_daily_revenue_trend",
+        ols_daily_revenue_trend,
+        OLS_SQL,
+        doc="closed-form OLS trend (slope/intercept/R²) of daily revenue",
+        cites="one-pass moment statistics; feature/metric trend fitting",
+        tags=("analytics", "stats"),
+    )
+)
+
+
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs Benford's
+    law — the classic anomaly screen for fabricated numeric data, run as
+    one groupBy over a digit extraction.
+
+    Emits per-digit observed share, Benford expectation log10(1+1/d),
+    and the absolute deviation; integer counts throughout, doubles only
+    in the final rounded columns."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.substring(F.col("o_totalprice").cast("string"), 1, 1).cast("int").alias("d")
+    )
+    counts = o.where(F.col("d").between(1, 9)).groupBy("d").agg(
+        F.count("*").alias("n")
+    )
+    tot = Window.partitionBy()
+    return (
+        counts.withColumn("total", F.sum("n").over(tot))
+        .select(
+            "d",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("observed_p"),
+            F.round(F.log10(1 + 1 / F.col("d")), 6).alias("benford_p"),
+            F.round(
+                F.abs(F.col("n") / F.col("total") - F.log10(1 + 1 / F.col("d"))), 6
+            ).alias("abs_dev"),
+        )
+    )
+
+
+BENFORD_SQL = """
+WITH digits AS (
+  SELECT CAST(SUBSTRING(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT) AS d
+  FROM orders
+),
+counts AS (
+  SELECT d, COUNT(*) AS n FROM digits WHERE d BETWEEN 1 AND 9 GROUP BY d
+)
+SELECT d, n,
+       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS observed_p,
+       ROUND(LOG10(1 + 1.0 / d), 6) AS benford_p,
+       ROUND(ABS(CAST(n AS DOUBLE) / SUM(n) OVER () - LOG10(1 + 1.0 / d)), 6) AS abs_dev
+FROM counts
+"""
+
+register(
+    QuerySpec(
+        "benford_first_digit",
+        benford_first_digit,
+        BENFORD_SQL,
+        doc="Benford first-digit anomaly screen on order totals",
+        cites="data-quality family: numeric-fabrication screen",
+        tags=("analytics", "stats", "quality"),
+    )
+)

@@ -364,3 +364,110 @@ register(
         tags=("graph", "iterative"),
     )
 )
+
+
+SSSP_MAX_HOPS = 4
+
+
+def sssp_cost_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded Bellman-Ford shortest-path cost (<= 4 edges) from the
+    graph's highest-degree node over the WEIGHTED sparse co-order slice:
+    edge weight = max(1, 6 - #shared orders), so frequently co-ordered
+    parts are "closer". Integer costs end to end — the multi-hop
+    affinity-distance query a recommender derives from basket data."""
+    from analytics_data_platform_spark.operators.graph import sssp_hops
+
+    sel = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 5).select("p_partkey")
+    ords = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1995-07-01").cast("date"))
+        )
+        .select("o_orderkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(F.broadcast(sel), F.col("l_partkey") == F.col("p_partkey"))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    wpairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_orderkey").alias("ok"),
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+        .groupBy("src", "dst")
+        .agg(F.greatest(F.lit(1), F.lit(6) - F.count("*")).cast("long").alias("w"))
+    )
+    edges = wpairs.unionByName(
+        wpairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    seeds = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .agg(
+            F.min_by(
+                "src", F.struct((-F.col("deg")).alias("nd"), F.col("src").alias("s"))
+            ).alias("node")
+        )
+    )
+    return sssp_hops(edges, seeds, max_hops=SSSP_MAX_HOPS).select(
+        F.col("node").alias("part_key"), "cost"
+    )
+
+
+SSSP_SQL = f"""
+WITH RECURSIVE sel AS (SELECT p_partkey FROM part WHERE p_size <= 5),
+ord AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-07-01'
+),
+li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  JOIN sel ON l_partkey = p_partkey
+  JOIN ord ON l_orderkey = o_orderkey
+),
+opairs AS (
+  SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+wpairs AS (
+  SELECT src, dst, CAST(GREATEST(1, 6 - COUNT(*)) AS BIGINT) AS w
+  FROM opairs GROUP BY src, dst
+),
+edges AS (SELECT src, dst, w FROM wpairs UNION ALL SELECT dst AS src, src AS dst, w FROM wpairs),
+seed AS (
+  SELECT src AS node FROM (
+    SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+  ) ORDER BY deg DESC, src LIMIT 1
+),
+walk(node, cost, hops) AS (
+  SELECT node, CAST(0 AS BIGINT), 0 FROM seed
+  UNION
+  SELECT e.dst AS node, w.cost + e.w AS cost, w.hops + 1 FROM walk w JOIN edges e ON w.node = e.src
+  WHERE w.hops < {SSSP_MAX_HOPS}
+)
+SELECT node AS part_key, MIN(cost) AS cost FROM walk GROUP BY node
+"""
+
+register(
+    QuerySpec(
+        "sssp_cost_coorder",
+        sssp_cost_coorder,
+        SSSP_SQL,
+        doc="bounded Bellman-Ford shortest-path cost on the weighted co-order graph",
+        cites="operators/graph.py sssp_hops (Pregel relaxation)",
+        tags=("graph", "iterative"),
+    )
+)
