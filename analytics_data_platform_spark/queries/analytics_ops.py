@@ -857,3 +857,193 @@ register(
         tags=("analytics", "stats", "quality"),
     )
 )
+
+
+MIN_PAIR_ORDERS = 2
+TOP_RULES = 20
+
+
+def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over part co-occurrence: for the
+    top pairs by lift, emit support / confidence / lift — the classic
+    recommendation primitive, computed with one self-join bounded by
+    lines-per-order plus two small aggregations.
+
+    Counts stay integers until the final rounded ratios; ranking is on
+    the ROUNDED lift with a full key tie-break so both engines agree."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.select("l_orderkey").distinct().agg(F.count("*").alias("n_orders"))
+    item = li.groupBy(F.col("l_partkey").alias("k")).agg(F.count("*").alias("item_n"))
+    a, b = li.alias("a"), li.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count("*").alias("pair_n"))
+        .where(F.col("pair_n") >= MIN_PAIR_ORDERS)
+    )
+    ia = item.select(F.col("k").alias("part_a"), F.col("item_n").alias("n_a"))
+    ib = item.select(F.col("k").alias("part_b"), F.col("item_n").alias("n_b"))
+    scored = (
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_n",
+            F.round(F.col("pair_n") / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("pair_n") / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                (F.col("pair_n") * F.col("n_orders")) / (F.col("n_a") * F.col("n_b")), 4
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.desc("lift"), "part_a", "part_b")
+    return (
+        scored.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= TOP_RULES)
+        .select("pos", "part_a", "part_b", "pair_n", "support", "confidence", "lift")
+    )
+
+
+ASSOC_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+item AS (SELECT l_partkey AS k, COUNT(*) AS item_n FROM li GROUP BY l_partkey),
+pair AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS pair_n
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {MIN_PAIR_ORDERS}
+),
+scored AS (
+  SELECT p.part_a, p.part_b, p.pair_n,
+         ROUND(CAST(p.pair_n AS DOUBLE) / n.n_orders, 6) AS support,
+         ROUND(CAST(p.pair_n AS DOUBLE) / ia.item_n, 6) AS confidence,
+         ROUND(CAST(p.pair_n AS DOUBLE) * n.n_orders / (ia.item_n * ib.item_n), 4) AS lift
+  FROM pair p
+  JOIN item ia ON p.part_a = ia.k
+  JOIN item ib ON p.part_b = ib.k
+  CROSS JOIN n_orders n
+)
+SELECT pos, part_a, part_b, pair_n, support, confidence, lift FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, part_a, part_b) AS pos FROM scored
+) WHERE pos <= {TOP_RULES}
+"""
+
+register(
+    QuerySpec(
+        "association_rules_parts",
+        association_rules_parts,
+        ASSOC_SQL,
+        doc="market-basket association rules (support/confidence/lift, top-k by lift)",
+        cites="basket analytics: recommendation primitive",
+        tags=("analytics", "join"),
+    )
+)
+
+
+def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth: yearly totals then a lag window —
+    the first chart on every revenue dashboard. Yearly sums are rounded
+    before the ratio so the growth percentages are engine-portable."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"), "o_totalprice"
+    )
+    yearly = o.groupBy("yr").agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "yr",
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev * 100, 4).alias("yoy_growth_pct"),
+    )
+
+
+YOY_SQL = """
+WITH yearly AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS yr, ROUND(SUM(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT CAST(yr AS INT) AS yr, revenue,
+       ROUND((revenue - LAG(revenue) OVER (ORDER BY yr))
+             / LAG(revenue) OVER (ORDER BY yr) * 100, 4) AS yoy_growth_pct
+FROM yearly
+"""
+
+register(
+    QuerySpec(
+        "yoy_revenue_growth",
+        yoy_revenue_growth,
+        YOY_SQL,
+        doc="year-over-year revenue growth (lag over yearly totals)",
+        cites="interactive-analytics surface (SURVEY §3.3 audience)",
+        tags=("analytics", "window"),
+    )
+)
+
+
+PARETO_CUTOFF = 0.8
+
+
+def pareto_customer_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto analysis: the smallest set of customers covering 80% of
+    revenue, with each customer's cumulative share — "how concentrated is
+    the business?". Revenue is rounded per customer BEFORE the ordered
+    cumulative sum, so the running share (and therefore the cutoff row
+    set) is identical across engines."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = Window.orderBy(F.desc("revenue"), "o_custkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy()
+    ranked = per_cust.select(
+        "o_custkey",
+        "revenue",
+        (F.sum("revenue").over(w) / F.sum("revenue").over(tot)).alias("cum_share_raw"),
+        (F.col("revenue") / F.sum("revenue").over(tot)).alias("share"),
+    )
+    return (
+        # keep every customer whose PREVIOUS cumulative share was below
+        # the cutoff: the minimal prefix reaching 80%
+        ranked.where((F.col("cum_share_raw") - F.col("share")) < PARETO_CUTOFF)
+        .select("o_custkey", "revenue", F.round("cum_share_raw", 6).alias("cum_share"))
+    )
+
+
+PARETO_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT o_custkey, revenue,
+         SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                            ROWS UNBOUNDED PRECEDING) / SUM(revenue) OVER () AS cum_share_raw,
+         revenue / SUM(revenue) OVER () AS share
+  FROM per_cust
+)
+SELECT o_custkey, revenue, ROUND(cum_share_raw, 6) AS cum_share
+FROM ranked WHERE cum_share_raw - share < {PARETO_CUTOFF}
+"""
+
+register(
+    QuerySpec(
+        "pareto_customer_share",
+        pareto_customer_share,
+        PARETO_SQL,
+        doc="Pareto revenue concentration: minimal customer prefix reaching 80%",
+        cites="interactive-analytics surface (SURVEY §3.3 audience)",
+        tags=("analytics", "window"),
+    )
+)
