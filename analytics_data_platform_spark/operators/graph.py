@@ -34,7 +34,12 @@ def pagerank(
     broadcast into the update, never a driver collect. Returns
     (node, rank) with ranks summing to 1.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # every iteration joins against the edge list; materialize it once so
+    # an expensive upstream build (e.g. a distinct'd self-join) is not
+    # re-evaluated per round
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=False
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

