@@ -274,6 +274,9 @@ def cluster_duplicates(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        # joined against every round; materialize once so an expensive
+        # candidate-pair build is not re-evaluated per iteration
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -337,6 +340,9 @@ def cluster_duplicates_star(
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
+        # round 1 references this twice (symmetrize + aggregate) and the
+        # input is typically an expensive pair build — materialize once
+        .localCheckpoint(eager=False)
     )
 
     def _signature(e: DataFrame) -> tuple[int, int]:
