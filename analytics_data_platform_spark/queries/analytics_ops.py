@@ -1047,3 +1047,141 @@ register(
         tags=("analytics", "window"),
     )
 )
+
+
+RFM_ASOF = "1998-08-02"  # day after the last order date in the corpus
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation: each
+    active customer scored 1-5 by NTILE quintile on days-since-last-order,
+    order count, and rounded lifetime spend, plus the classic
+    champion/loyal/at-risk/hibernating labels on the R×F grid.
+
+    One groupBy(customer) computes all three metrics; the three quintile
+    windows share full-key tie-breaks (metric, custkey) so bucket
+    boundaries are engine-deterministic. Window input is one row per
+    customer — already aggregated, so the global NTILE sorts |customers|
+    rows, not |orders|."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit(RFM_ASOF).cast("date"), F.max("o_orderdate")).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    r_w = Window.orderBy("recency_days", "o_custkey")
+    f_w = Window.orderBy(F.desc("frequency"), "o_custkey")
+    m_w = Window.orderBy(F.desc("monetary"), "o_custkey")
+    scored = per_cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(r_w).alias("r_score"),  # 1 = most recent
+        F.ntile(5).over(f_w).alias("f_score"),  # 1 = most frequent
+        F.ntile(5).over(m_w).alias("m_score"),  # 1 = highest spend
+    )
+    seg = (
+        F.when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "champion")
+        .when(F.col("f_score") <= 2, "loyal_lapsing")
+        .when(F.col("r_score") <= 2, "recent_casual")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "hibernating")
+        .otherwise("middling")
+    )
+    return scored.withColumn("segment", seg)
+
+
+RFM_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         date_diff('day', MAX(o_orderdate), DATE '{RFM_ASOF}') AS recency_days,
+         COUNT(*) AS frequency,
+         ROUND(SUM(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey, CAST(recency_days AS INT) AS recency_days, frequency, monetary,
+         NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+         NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+         NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+  FROM per_cust
+)
+SELECT *,
+       CASE WHEN r_score <= 2 AND f_score <= 2 THEN 'champion'
+            WHEN f_score <= 2 THEN 'loyal_lapsing'
+            WHEN r_score <= 2 THEN 'recent_casual'
+            WHEN r_score >= 4 AND f_score >= 4 THEN 'hibernating'
+            ELSE 'middling' END AS segment
+FROM scored
+"""
+
+register(
+    QuerySpec(
+        "rfm_segments",
+        rfm_segments,
+        RFM_SQL,
+        doc="RFM quintile segmentation with champion/at-risk grid labels",
+        cites="interactive-analytics surface (SURVEY §3.3 audience)",
+        tags=("analytics", "window"),
+    )
+)
+
+
+def conversion_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of view→purchase conversion latency: for each user
+    whose first purchase follows their first view, the hours between,
+    bucketed into an hour histogram — the "how long does conversion
+    take?" follow-up to funnel_conversion. Two user-keyed min-aggregations
+    and one small groupBy; integer epoch math end to end."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    first_view = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    first_purchase = (
+        e.where(F.col("event_type") == "purchase")
+        .join(first_view, "user_id")
+        .where(F.col("ts") >= F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"), F.min("view_ts").alias("view_ts2"))
+    )
+    hours = F.floor(
+        (F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts2")) / 3600
+    )
+    return (
+        first_purchase.select(hours.alias("latency_hours"))
+        .groupBy("latency_hours")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+CONV_LATENCY_SQL = """
+WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+first_view AS (
+  SELECT user_id, MIN(ts) AS view_ts FROM e WHERE event_type = 'view' GROUP BY user_id
+),
+first_purchase AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts, MIN(v.view_ts) AS view_ts2
+  FROM e JOIN first_view v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= v.view_ts
+  GROUP BY e.user_id
+)
+SELECT CAST(FLOOR((epoch(purchase_ts) - epoch(view_ts2)) / 3600) AS BIGINT) AS latency_hours,
+       COUNT(*) AS n_users
+FROM first_purchase
+GROUP BY 1
+"""
+
+register(
+    QuerySpec(
+        "conversion_latency_histogram",
+        conversion_latency_histogram,
+        CONV_LATENCY_SQL,
+        doc="view-to-purchase conversion latency histogram (hours)",
+        cites="interactive-analytics surface; funnel_conversion companion",
+        tags=("analytics", "window"),
+    )
+)
