@@ -1185,3 +1185,54 @@ register(
         tags=("analytics", "window"),
     )
 )
+
+
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day — the windowed
+    COUNT(DISTINCT) no engine can express as a plain window function.
+
+    Scalable formulation: each (user, active-day) row contributes to the
+    7 window-end days it falls in (sequence + explode — a bounded 7×
+    row expansion), then ONE groupBy(day) distinct-count. This is the
+    standard trick that turns an unbounded sliding-distinct into a
+    shuffle keyed on (day), linear at any scale; the self-join
+    formulation the oracle uses would be quadratic in window count.
+    Reported days are restricted to days with any activity."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.floor(F.unix_timestamp("ts") / 86400).alias("d")
+    )
+    days = e.distinct()
+    spine = days.select("d").distinct()
+    contrib = days.select(
+        "user_id", F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("win_d")
+    )
+    return (
+        contrib.join(spine.withColumnRenamed("d", "win_d"), "win_d", "left_semi")
+        .groupBy("win_d")
+        .agg(F.count_distinct("user_id").alias("active_users_7d"))
+        .select(F.col("win_d").alias("day_epoch"), "active_users_7d")
+    )
+
+
+ROLLING_DAU_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS d
+  FROM events
+),
+spine AS (SELECT DISTINCT d FROM days)
+SELECT s.d AS day_epoch, COUNT(DISTINCT y.user_id) AS active_users_7d
+FROM spine s JOIN days y ON y.d BETWEEN s.d - 6 AND s.d
+GROUP BY s.d
+"""
+
+register(
+    QuerySpec(
+        "rolling_7d_active_users",
+        rolling_7d_active_users,
+        ROLLING_DAU_SQL,
+        doc="rolling 7-day distinct actives via contribution explode (no sliding-distinct window)",
+        cites="interactive-analytics surface; scalable windowed-distinct pattern",
+        tags=("analytics", "window"),
+    )
+)
