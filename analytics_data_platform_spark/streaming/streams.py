@@ -49,6 +49,29 @@ def windowed_event_counts(
     )
 
 
+def sliding_event_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Sliding-window counts per event_type: each event lands in
+    window/slide overlapping windows (bounded row expansion, exactly the
+    batch contribution-explode trick — Spark plans it natively here).
+    State per key is bounded by the watermark horizon."""
+    return (
+        with_watermark(events, delay)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def sessionize_stream(
     events: DataFrame, gap: str = "30 minutes", delay: str = "10 minutes"
 ) -> DataFrame:

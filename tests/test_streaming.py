@@ -293,3 +293,30 @@ def test_transform_with_state_multi_variable_profile(spark, tmp_path):
     assert latest[7]["value_total"] == 14.0
     assert latest[7]["n_types"] == 2
     assert latest[7]["top_type"] == "view", "MapState did not accumulate (view=3 > click=1)"
+
+
+def test_sliding_window_counts_overlap(spark, events_dir, tmp_path):
+    out, ckpt = str(tmp_path / "out_slide"), str(tmp_path / "ck_slide")
+    build = lambda: streams.sliding_event_counts(
+        _read_stream(spark, events_dir), window="10 minutes", slide="5 minutes"
+    )
+
+    streams.run_available_now(build(), ckpt, out)
+    _heartbeat(spark, events_dir)
+    streams.run_available_now(build(), ckpt, out)
+
+    rows = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # the 10:00-10:02 clicks/views land in BOTH the [09:55,10:05) and
+    # [10:00,10:10) windows (slide < window -> overlap)
+    t_0955 = T0 - dt.timedelta(minutes=5)
+    assert rows[(t_0955, "click")] == 3  # includes duplicate event row
+    assert rows[(T0, "click")] == 3
+    assert rows[(t_0955, "view")] == 2
+    assert rows[(T0, "view")] == 2
+    # the minute-90 click appears in its own two windows only
+    t_90 = T0 + dt.timedelta(minutes=90)
+    assert rows[(t_90, "click")] == 1
+    assert rows[(t_90 - dt.timedelta(minutes=5), "click")] == 1
