@@ -724,3 +724,81 @@ def simhash_near_pairs_portable(
     return pairs.select("id_a", "id_b", hamming.cast("long").alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+def setsim_join_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    shingle_k: int | None = None,
+) -> DataFrame:
+    """EXACT set-similarity self-join (token Jaccard >= threshold) via
+    prefix filtering — the PPJoin family (Xiao et al., "Efficient
+    Similarity Joins for Near Duplicate Detection"), complementing the
+    probabilistic MinHash path with a no-false-negative algorithm.
+
+    Each document's distinct tokens are ordered by ascending global
+    document frequency (rarest first); two sets with Jaccard >= t MUST
+    share a token within each one's first |x| - ceil(t*|x|) + 1 tokens,
+    so candidates come from an equi-join on prefix tokens only — the
+    frequency order makes those prefixes the rarest tokens, collapsing
+    candidate counts by orders of magnitude vs joining on all tokens.
+    Exact Jaccard then verifies candidates. Every shuffle is keyed on a
+    token or an id; no all-pairs stage exists at any scale.
+
+    ``shingle_k`` switches the compared sets from distinct normalized
+    unigrams to distinct token k-gram shingles (the right granularity for
+    near-dup text, where shared vocabulary makes unigram sets collide).
+    """
+    if shingle_k:
+        toks_col = shingle_tokens(text_col, shingle_k)
+    else:
+        toks_col = F.array_distinct(
+            F.filter(F.split(normalized_text(text_col), " "), lambda x: x != "")
+        )
+    toks = (
+        df.select(F.col(id_col).alias("_id"), toks_col.alias("_toks"))
+        .where(F.size("_toks") > 0)
+        .localCheckpoint(eager=False)  # reused by prefix build AND verification
+    )
+    tok = toks.select("_id", F.explode("_toks").alias("_t"))
+    freq = tok.groupBy("_t").agg(F.count("*").alias("_df"))
+    ranked = (
+        tok.join(freq, "_t")
+        .groupBy("_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_df"), F.col("_t")))
+            ).alias("_ordered")
+        )
+        .select(
+            "_id",
+            F.transform("_ordered", lambda s: s["_t"]).alias("_ord_toks"),
+        )
+    )
+    n = F.size("_ord_toks")
+    prefix_len = (n - F.ceil(F.lit(threshold) * n) + 1).cast("int")
+    prefixes = ranked.select(
+        "_id", F.explode(F.slice("_ord_toks", 1, prefix_len)).alias("_t")
+    )
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    cand = (
+        a.join(b, (F.col("a._t") == F.col("b._t")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    ta = toks.select(F.col("_id").alias("id_a"), F.col("_toks").alias("_toks_a"))
+    tb = toks.select(F.col("_id").alias("id_b"), F.col("_toks").alias("_toks_b"))
+    inter = F.size(F.array_intersect("_toks_a", "_toks_b"))
+    union = F.size("_toks_a") + F.size("_toks_b") - inter
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -424,3 +424,53 @@ register(
         tags=("dedup", "vector", "approx"),
     )
 )
+
+
+# ---- setsim_jaccard_join --------------------------------------------------
+
+_SS_THRESHOLD = 0.6
+
+
+def setsim_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT shingle-Jaccard similarity self-join (>= 0.6) via prefix
+    filtering (PPJoin family) — the deterministic, no-false-negative
+    complement to the MinHash path: candidates only from rare prefix
+    tokens, never an all-pairs stage. The oracle brute-forces all pairs
+    (viable only at oracle scale), so this row PROVES the pruned join
+    returns exactly the all-pairs answer."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.setsim_join_prefix(d, threshold=_SS_THRESHOLD, shingle_k=3).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+SETSIM_SQL = f"""
+WITH norm AS (SELECT doc_id, {_NORM_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+              ELSE [] END AS sh
+  FROM norm
+),
+ne AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+  FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+)
+WHERE jaccard >= {_SS_THRESHOLD}
+"""
+
+register(
+    QuerySpec(
+        "setsim_jaccard_join",
+        setsim_jaccard_join,
+        SETSIM_SQL,
+        doc="exact set-similarity join via prefix filtering vs an all-pairs oracle",
+        cites="operators/dedup.py setsim_join_prefix (PPJoin, Xiao et al.)",
+        tags=("dedup", "join"),
+    )
+)

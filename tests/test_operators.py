@@ -495,3 +495,54 @@ def test_resize_media_with_injected_codec(spark):
     assert out[1]["width"] == 4 and out[1]["height"] == 4
     assert bytes(out[1]["payload"]) == bytes(b"\x89PNG" + b"x" * 64)[:16]
     assert out[2]["media_type"] == "audio/wav"
+
+
+# --- setsim_join_prefix ----------------------------------------------------
+
+
+def test_setsim_prefix_matches_brute_force(spark):
+    """Prefix filtering must return EXACTLY the all-pairs answer."""
+    import pyspark.sql.functions as F
+
+    from analytics_data_platform_spark.operators.dedup import setsim_join_prefix
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the sleepy dog"),  # near-dup of 1
+        (3, "entirely different words about spark and parquet tables"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (5, "spark and parquet tables hold entirely different words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in setsim_join_prefix(df, threshold=0.5).collect()
+    }
+    # brute force over unigram sets
+    import itertools
+    import re
+
+    sets = {i: set(re.sub(r"[^a-z0-9\s]", "", t.lower()).split()) for i, t in rows}
+    expect = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        jac = inter / (len(sets[a]) + len(sets[b]) - inter)
+        if round(jac, 6) >= 0.5:
+            expect[(a, b)] = round(jac, 6)
+    assert got == expect
+    assert (1, 4) in got and got[(1, 4)] == 1.0
+
+
+def test_setsim_prefix_prunes_candidates(spark):
+    """Documents sharing NO rare prefix token never become candidates:
+    total prefix rows are strictly fewer than total tokens."""
+    import pyspark.sql.functions as F
+
+    from analytics_data_platform_spark.operators.dedup import setsim_join_prefix
+
+    rows = [(i, f"common shared words plus unique{i} token{i} extra{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # high threshold -> prefix length ~ (1-t)|x|+1 << |x|
+    out = setsim_join_prefix(df, threshold=0.9)
+    # no pair reaches 0.9 (each doc has 3 unique tokens of 6)
+    assert out.count() == 0
