@@ -107,6 +107,56 @@ def refresh_time_bucket_rollup(
         prev = (state or {}).get("max_ts")
         max_ts = max(prev, str(new_max)) if prev else str(new_max)
         io.set_watermark_json(target_table, {"max_ts": max_ts})
+        # record the rollup's grain so answer_from_rollup can validate
+        # rewrite requests without seeing the refresh call
+        io.set_properties(
+            target_table,
+            {
+                "rollup.bucket_seconds": str(_seconds(bucket)),
+                "rollup.group_cols": ",".join(group_cols),
+            },
+        )
         return result.rows
     finally:
         agg.unpersist()
+
+
+def answer_from_rollup(
+    io: TableIO,
+    rollup_table: str,
+    bucket: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Materialized-view rewrite: answer a COARSER time-bucket aggregate
+    from the maintained rollup instead of rescanning raw events.
+
+    Valid when the requested bucket is an integer multiple of the
+    rollup's grain (recorded in table properties at refresh time) and the
+    requested grouping is a subset of the rollup's — then counts and sums
+    re-aggregate associatively, so the answer is EXACTLY what the raw
+    scan would produce while reading |rollup| rows instead of |events|
+    (the aggregate-navigator feature of every OLAP engine, done as a
+    checked helper instead of silent planner magic).
+    """
+    grain = io.get_property(rollup_table, "rollup.bucket_seconds")
+    if grain is None:
+        raise ValueError(f"{rollup_table} has no rollup.bucket_seconds property")
+    grain_s, want_s = int(grain), _seconds(bucket)
+    if want_s % grain_s:
+        raise ValueError(
+            f"bucket {bucket!r} ({want_s}s) is not a multiple of the rollup "
+            f"grain ({grain_s}s); answer from the raw table instead"
+        )
+    mv_groups = [c for c in (io.get_property(rollup_table, "rollup.group_cols") or "").split(",") if c]
+    group_cols = list(group_cols or mv_groups)
+    missing = set(group_cols) - set(mv_groups)
+    if missing:
+        raise ValueError(f"group cols {sorted(missing)} not present in rollup {mv_groups}")
+    mv = io.read(rollup_table)
+    coarse = F.timestamp_seconds(
+        F.floor(F.unix_timestamp("bucket_start") / want_s) * want_s
+    )
+    return (
+        mv.groupBy(coarse.alias("bucket_start"), *group_cols)
+        .agg(F.sum("n_events").alias("n_events"), F.sum("value_sum").alias("value_sum"))
+    )

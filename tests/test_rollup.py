@@ -91,3 +91,45 @@ def test_refresh_is_idempotent_and_bounded(spark, ns):
     assert n <= 1  # only buckets within the 1h horizon of the watermark
     wm = io.get_watermark_json(tgt)
     assert wm and wm["max_ts"].startswith("2024-01-01 13:00")
+
+
+def test_answer_from_rollup_matches_raw_aggregation(spark, ns):
+    from analytics_data_platform_spark.tables.rollup import answer_from_rollup
+
+    io = TableIO(spark)
+    src, tgt = f"{ns}.events", f"{ns}.rollup"
+    _append(io, src, [
+        (1, T0, 1.0),
+        (2, T0 + dt.timedelta(minutes=5), 2.0),
+        (3, T0 + dt.timedelta(minutes=20), 3.0),
+        (4, T0 + dt.timedelta(minutes=70), 4.0),
+    ])
+    refresh_time_bucket_rollup(io, src, tgt)
+
+    got = sorted(
+        map(tuple, answer_from_rollup(io, tgt, "1 hour").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            io.read(src)
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n_events"), F.sum("value").alias("value_sum"))
+            .select(F.col("w.start").alias("bucket_start"), "n_events", "value_sum")
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_answer_from_rollup_rejects_non_multiple_and_bad_groups(spark, ns):
+    from analytics_data_platform_spark.tables.rollup import answer_from_rollup
+
+    io = TableIO(spark)
+    src, tgt = f"{ns}.events", f"{ns}.rollup"
+    _append(io, src, [(1, T0, 1.0)])
+    refresh_time_bucket_rollup(io, src, tgt)
+    with pytest.raises(ValueError, match="not a multiple"):
+        answer_from_rollup(io, tgt, "25 minutes")
+    with pytest.raises(ValueError, match="not present"):
+        answer_from_rollup(io, tgt, "1 hour", group_cols=["event_type"])
