@@ -341,44 +341,113 @@ def ivf_topk(
     """
     if len(centroids) > MAX_LITERAL_CENTROIDS:
         c = spread(corpus).withColumn("_cell", assign_centroid_udf(centroids)(F.col(vec_col)))
-        q = queries.select(
+    else:
+        c = spread(corpus).withColumn("_cell", assign_centroid_col(vec_col, centroids))
+    q = _probe_queries(queries, centroids, nprobe, q_id_col, q_vec_col)
+    score = cosine(q_vec_col, vec_col)
+    if score_round is not None:
+        # round BEFORE ranking (id tie-break) — oracle-stable ordering
+        score = F.round(score, score_round)
+    scored = c.join(
+        F.broadcast(q), (F.col("_cell") == F.col("_qcell")) & (F.col(id_col) != F.col(q_id_col))
+    ).select(q_id_col, id_col, score.alias("cos_sim"))
+    return topk_per_query(scored, k, q_id_col, id_col, "cos_sim")
+
+
+def _probe_queries(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int,
+    q_id_col: str,
+    q_vec_col: str,
+) -> DataFrame:
+    """(q_id, q_vec, _qcell) with one row per probed cell — literal-
+    distance struct-sort for small nlist, Arrow matmul above
+    MAX_LITERAL_CENTROIDS (identical cell order either way)."""
+    if len(centroids) > MAX_LITERAL_CENTROIDS:
+        return queries.select(
             q_id_col,
             q_vec_col,
             F.explode(nprobe_cells_udf(centroids, nprobe)(F.col(q_vec_col))).alias("_qcell"),
         )
-    else:
-        c = spread(corpus).withColumn("_cell", assign_centroid_col(vec_col, centroids))
-        # per-query nprobe nearest cells, via the same literal-centroid distances
-        dists = [
-            F.aggregate(
-                F.zip_with(
-                    F.col(q_vec_col),
-                    F.array(*[F.lit(float(x)) for x in cent]),
-                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias(f"d{i}")
-            for i, cent in enumerate(centroids)
-        ]
-        q = queries.select(q_id_col, q_vec_col, F.array(*dists).alias("_qd"))
-        cells = F.slice(
-            F.transform(
-                F.array_sort(
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-                        lambda i: F.struct(F.element_at("_qd", i + 1).alias("d"), i.alias("cell")),
-                    )
-                ),
-                lambda s: s["cell"],
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                F.col(q_vec_col),
+                F.array(*[F.lit(float(x)) for x in cent]),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
             ),
-            1,
-            nprobe,
-        )
-        q = q.select(q_id_col, q_vec_col, F.explode(cells).alias("_qcell"))
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"d{i}")
+        for i, cent in enumerate(centroids)
+    ]
+    q = queries.select(q_id_col, q_vec_col, F.array(*dists).alias("_qd"))
+    cells = F.slice(
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                    lambda i: F.struct(F.element_at("_qd", i + 1).alias("d"), i.alias("cell")),
+                )
+            ),
+            lambda s: s["cell"],
+        ),
+        1,
+        nprobe,
+    )
+    return q.select(q_id_col, q_vec_col, F.explode(cells).alias("_qcell"))
+
+
+def write_ivf_table(
+    io,
+    corpus: DataFrame,
+    table: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the corpus as an IVF index IN THE TABLE LAYOUT: rows are
+    partitioned by nearest-centroid cell, so the inverted lists are
+    parquet partitions and a probe is a partition prune, not a scan.
+
+    This is the 100 TB form of the index — Faiss keeps inverted lists in
+    RAM; a lakehouse keeps them as partition directories that any engine
+    (and Spark's dynamic partition pruning) can skip without reading."""
+    if len(centroids) > MAX_LITERAL_CENTROIDS:
+        cell = assign_centroid_udf(centroids)(F.col(vec_col))
+    else:
+        cell = assign_centroid_col(vec_col, centroids)
+    df = spread(corpus).withColumn("_cell", cell.cast("int"))
+    io.write_table(df, table, mode="replace", partition_spec={"_cell": "identity"})
+
+
+def ivf_table_topk(
+    io,
+    table: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_emb",
+    score_round: int | None = None,
+) -> DataFrame:
+    """IVF search against a :func:`write_ivf_table` layout.
+
+    The probe side (queries × nprobe cells) broadcasts; joining it to the
+    table on the PARTITION column lets dynamic partition pruning skip
+    every unprobed cell directory at scan time — the executed plan reads
+    only nprobe/nlist of the data, which a plan test asserts. Results are
+    identical to :func:`ivf_topk` over the raw corpus with the same
+    centroids (same assignment, same probe order, same two-phase top-k).
+    """
+    c = io.read(table)
+    q = _probe_queries(queries, centroids, nprobe, q_id_col, q_vec_col)
     score = cosine(q_vec_col, vec_col)
     if score_round is not None:
-        # round BEFORE ranking (id tie-break) — oracle-stable ordering
         score = F.round(score, score_round)
     scored = c.join(
         F.broadcast(q), (F.col("_cell") == F.col("_qcell")) & (F.col(id_col) != F.col(q_id_col))

@@ -546,3 +546,38 @@ def test_setsim_prefix_prunes_candidates(spark):
     out = setsim_join_prefix(df, threshold=0.9)
     # no pair reaches 0.9 (each doc has 3 unique tokens of 6)
     assert out.count() == 0
+
+
+# --- IVF as table layout ---------------------------------------------------
+
+
+def test_ivf_table_topk_equals_raw_and_prunes_partitions(spark, clustered_vectors, tmp_path):
+    import uuid
+
+    from analytics_data_platform_spark.plans.audit import audit
+    from analytics_data_platform_spark.tables.io import TableIO
+
+    io = TableIO(spark)
+    ns = f"ivf_{uuid.uuid4().hex[:8]}"
+    io.ensure_namespace(ns)
+    table = f"{ns}.vectors_ivf"
+    try:
+        cents = similarity.train_ivf_centroids(clustered_vectors, n_centroids=4, max_iter=8)
+        similarity.write_ivf_table(io, clustered_vectors, table, cents)
+
+        q = _queries_from(clustered_vectors)
+        from_table = similarity.ivf_table_topk(io, table, q, cents, k=10, nprobe=2)
+        from_raw = similarity.ivf_topk(clustered_vectors, q, cents, k=10, nprobe=2)
+        t = {(r["q_id"], r["vec_id"]) for r in from_table.collect()}
+        r = {(r["q_id"], r["vec_id"]) for r in from_raw.collect()}
+        assert t == r
+
+        # the executed scan must be prunable on the cell partition column:
+        # either static partition filters or a DPP subquery on _cell
+        rep = audit(from_table)
+        pruned = any(s.partition_filters for s in rep.scans) or (
+            "dynamicpruning" in rep.formatted.lower()
+        )
+        assert pruned, rep.formatted[:2000]
+    finally:
+        io.drop_namespace(ns)
