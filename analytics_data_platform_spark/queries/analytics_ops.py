@@ -1236,3 +1236,48 @@ register(
         tags=("analytics", "window"),
     )
 )
+
+
+def cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly new users + running cumulative uniques — the growth curve.
+
+    Running COUNT(DISTINCT) needs no distinct at all: a user is "new" in
+    exactly one hour (their min-hour row), so one user-keyed aggregation
+    plus a tiny hour-level window gives the exact cumulative uniques.
+    The groupBy(user) shuffle is the only data-sized move."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.floor(F.unix_timestamp("ts") / 3600).alias("h")
+    )
+    first_hour = e.groupBy("user_id").agg(F.min("h").alias("h"))
+    hourly_new = first_hour.groupBy("h").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    return hourly_new.select(
+        F.col("h").alias("hour_epoch"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
+CUM_NEW_USERS_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS h
+  FROM events
+),
+first_hour AS (SELECT user_id, MIN(h) AS h FROM e GROUP BY user_id),
+hourly_new AS (SELECT h, COUNT(*) AS new_users FROM first_hour GROUP BY h)
+SELECT h AS hour_epoch, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cumulative_users
+FROM hourly_new
+"""
+
+register(
+    QuerySpec(
+        "cumulative_new_users",
+        cumulative_new_users,
+        CUM_NEW_USERS_SQL,
+        doc="hourly new users + exact running cumulative uniques (first-seen trick)",
+        cites="interactive-analytics surface; growth-curve primitive",
+        tags=("analytics", "window"),
+    )
+)
