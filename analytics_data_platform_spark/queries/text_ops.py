@@ -873,3 +873,125 @@ register(
         tags=("text", "dedup", "fuzzy"),
     )
 )
+
+
+# --- RAKE keyword extraction ----------------------------------------------
+
+RAKE_STOPWORDS = (
+    "the a an and or of to in is on for with as at by it this that "
+    "from be are was were"
+).split()
+RAKE_TOP = 20
+
+
+def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al.): candidate phrases are
+    maximal stopword-free token runs; each word scores degree/frequency
+    over the whole corpus; a phrase scores the sum of its word scores.
+    Top phrases by score — unsupervised keyword mining as four key-
+    partitioned shuffles (phrase explode → word stats → score join →
+    phrase rollup), no Python anywhere.
+
+    The stopword split is a single regexp_replace: the normalized text is
+    double-spaced first so ADJACENT stopwords each keep their own
+    delimiting spaces (an alternation with shared boundaries would
+    otherwise consume them)."""
+    alt = "|".join(RAKE_STOPWORDS)
+    norm = T.normalized_text(F.col("text"))
+    spaced = F.concat(F.lit(" "), F.regexp_replace(norm, " ", "  "), F.lit(" "))
+    cut = F.regexp_replace(spaced, f" ({alt}) ", " | ")
+    phrases = F.filter(
+        F.transform(
+            F.split(cut, "\\|"),
+            lambda s: F.trim(F.regexp_replace(s, "\\s+", " ")),
+        ),
+        lambda p: p != "",
+    )
+    d = load_table(spark, sf_dir, "documents")
+    ph = d.select(F.explode(phrases).alias("phrase")).where(
+        F.size(F.split(F.col("phrase"), " ")) <= 4
+    )
+    ph = ph.select("phrase", F.split("phrase", " ").alias("words"))
+    w = ph.select(F.col("phrase"), F.explode("words").alias("word"), F.size("words").alias("plen"))
+    stats = w.groupBy("word").agg(
+        F.count("*").alias("freq"), F.sum("plen").alias("degree")
+    )
+    scored_words = w.join(stats, "word").select(
+        "phrase", (F.col("degree") / F.col("freq")).alias("wscore")
+    )
+    agg = (
+        scored_words.groupBy("phrase")
+        .agg(F.round(F.sum("wscore"), 4).alias("score_sum"), F.count("*").alias("n_words"))
+    )
+    # identical phrases appear once per occurrence above; normalize:
+    # score is per-phrase (same every occurrence) -> divide by occurrences
+    occ = ph.groupBy("phrase").agg(F.count("*").alias("n_occ"))
+    final = (
+        agg.join(occ, "phrase")
+        .select(
+            "phrase",
+            "n_occ",
+            F.round(F.col("score_sum") / F.col("n_occ"), 4).alias("rake_score"),
+        )
+    )
+    rank = Window.orderBy(F.desc("rake_score"), "phrase")
+    return (
+        final.withColumn("pos", F.row_number().over(rank))
+        .where(F.col("pos") <= RAKE_TOP)
+        .select("pos", "phrase", "n_occ", "rake_score")
+    )
+
+
+def _rake_sql() -> str:
+    alt = "|".join(RAKE_STOPWORDS)
+    norm = (
+        r"trim(regexp_replace(regexp_replace(lower(text),"
+        r" '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))"
+    )
+    return f"""
+WITH cutup AS (
+  SELECT regexp_replace(' ' || regexp_replace({norm}, ' ', '  ', 'g') || ' ',
+                        ' ({alt}) ', ' | ', 'g') AS cut
+  FROM documents
+),
+ph AS (
+  SELECT trim(regexp_replace(seg, '\\s+', ' ', 'g')) AS phrase
+  FROM (SELECT UNNEST(string_split(cut, '|')) AS seg FROM cutup)
+  WHERE trim(regexp_replace(seg, '\\s+', ' ', 'g')) <> ''
+    AND len(string_split(trim(regexp_replace(seg, '\\s+', ' ', 'g')), ' ')) <= 4
+),
+w AS (
+  SELECT phrase, UNNEST(string_split(phrase, ' ')) AS word,
+         len(string_split(phrase, ' ')) AS plen
+  FROM ph
+),
+stats AS (SELECT word, COUNT(*) AS freq, SUM(plen) AS degree FROM w GROUP BY word),
+scored AS (
+  SELECT w.phrase, CAST(s.degree AS DOUBLE) / s.freq AS wscore
+  FROM w JOIN stats s ON w.word = s.word
+),
+agg AS (
+  SELECT phrase, ROUND(SUM(wscore), 4) AS score_sum, COUNT(*) AS n_words
+  FROM scored GROUP BY phrase
+),
+occ AS (SELECT phrase, COUNT(*) AS n_occ FROM ph GROUP BY phrase),
+final AS (
+  SELECT a.phrase, o.n_occ, ROUND(a.score_sum / o.n_occ, 4) AS rake_score
+  FROM agg a JOIN occ o ON a.phrase = o.phrase
+)
+SELECT pos, phrase, n_occ, rake_score FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rake_score DESC, phrase) AS pos FROM final
+) WHERE pos <= {RAKE_TOP}
+"""
+
+
+register(
+    QuerySpec(
+        "rake_keywords",
+        rake_keywords,
+        _rake_sql(),
+        doc="RAKE keyword extraction (stopword-run phrases, degree/freq scores)",
+        cites="text mining: unsupervised keyword extraction (Rose et al.)",
+        tags=("text",),
+    )
+)
