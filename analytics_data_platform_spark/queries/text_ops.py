@@ -995,3 +995,97 @@ register(
         tags=("text",),
     )
 )
+
+
+# --- source term-distribution similarity ----------------------------------
+
+SOURCE_SIM_TOP = 10
+
+
+def source_term_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity of per-source unigram count vectors —
+    "which crawls look alike?", the corpus-mix diagnostic run before
+    domain-mixture decisions.
+
+    The vectors are never materialized: the dot product is a word-keyed
+    self-join of (source, word, count) rows (sparse-vector algebra as
+    joins — the only formulation that survives a vocabulary too wide for
+    any dense array), norms are per-source aggregates, and everything
+    stays integer until the one rounded division. Top pairs by rounded
+    cosine with a full tie-break."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "source",
+        F.explode(
+            F.filter(F.split(T.normalized_text(F.col("text")), " "), lambda x: x != "")
+        ).alias("word"),
+    )
+    counts = words.groupBy("source", "word").agg(F.count("*").alias("n"))
+    norms = counts.groupBy("source").agg(F.sum(F.col("n") * F.col("n")).alias("sq"))
+    a, b = counts.alias("a"), counts.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.sum(F.col("a.n") * F.col("b.n")).alias("dot"))
+    )
+    na = norms.select(F.col("source").alias("src_a"), F.col("sq").alias("sq_a"))
+    nb = norms.select(F.col("source").alias("src_b"), F.col("sq").alias("sq_b"))
+    scored = (
+        dots.join(na, "src_a")
+        .join(nb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.round(
+                F.col("dot") / (F.sqrt("sq_a") * F.sqrt("sq_b")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.orderBy(F.desc("cos_sim"), "src_a", "src_b")
+    return (
+        scored.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= SOURCE_SIM_TOP)
+        .select("pos", "src_a", "src_b", "cos_sim")
+    )
+
+
+SOURCE_SIM_SQL = f"""
+WITH words AS (
+  SELECT source,
+         UNNEST(list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), ' '), x -> x <> '')) AS word
+  FROM documents
+),
+counts AS (SELECT source, word, COUNT(*) AS n FROM words GROUP BY source, word),
+norms AS (SELECT source, SUM(n * n) AS sq FROM counts GROUP BY source),
+dots AS (
+  SELECT a.source AS src_a, b.source AS src_b, SUM(a.n * b.n) AS dot
+  FROM counts a JOIN counts b ON a.word = b.word AND a.source < b.source
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.src_a, d.src_b,
+         ROUND(d.dot / (SQRT(na.sq) * SQRT(nb.sq)), 6) AS cos_sim
+  FROM dots d
+  JOIN norms na ON na.source = d.src_a
+  JOIN norms nb ON nb.source = d.src_b
+)
+SELECT pos, src_a, src_b, cos_sim FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, src_a, src_b) AS pos FROM scored
+) WHERE pos <= {SOURCE_SIM_TOP}
+"""
+
+
+register(
+    QuerySpec(
+        "source_term_cosine",
+        source_term_cosine,
+        SOURCE_SIM_SQL,
+        doc="per-source term-distribution cosine via word-keyed sparse dot products",
+        cites="corpus-mix diagnostics; sparse-vector algebra as joins",
+        tags=("text", "stats"),
+    )
+)
