@@ -97,8 +97,8 @@ DRIVER_SHOWCASE: tuple[str, ...] = (
     "dedup_exact_stats",
     "text_token_stats",
     "text_quality_by_source",
-    "repetition_quality",
-    "tfidf_top_terms",
+    "setsim_jaccard_join",
+    "rake_keywords",
     "unigram_surprisal_score",
     # event analytics
     "funnel_conversion",
