@@ -1281,3 +1281,102 @@ register(
         tags=("analytics", "window"),
     )
 )
+
+
+# Poisson(1) CDF thresholds: resample count k is the number of thresholds
+# below the row's deterministic uniform draw.
+_POIS_CDF = (
+    0.3678794411714423,
+    0.7357588823428846,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+BOOTSTRAP_B = 32
+
+
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of the mean order value: B=32 deterministic
+    resamples computed in ONE pass — the scalable bootstrap (each row
+    draws an independent Poisson(1) replication count per resample from
+    a seeded md5 uniform, so no resample ever materializes and no
+    sampling shuffle exists; the pass is embarrassingly parallel).
+
+    Determinism: prices are converted to exact integer cents and summed
+    as DECIMAL (order-independent), so each resample mean is bit-stable
+    across engines and partitionings — the driver hashes all 32 rows."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    cents = F.round(F.col("o_totalprice") * 100).cast("decimal(18,0)")
+
+    def draw(b: int):
+        u = (
+            F.conv(F.substring(F.md5(F.concat_ws("#", F.col("o_orderkey"), F.lit(b))), 1, 8), 16, 10)
+            .cast("long")
+            / F.lit(4294967296.0)
+        )
+        c = F.lit(0)
+        for t in _POIS_CDF:
+            c = c + (u >= F.lit(t)).cast("int")
+        return c
+
+    proj = o.select(
+        cents.alias("cents"),
+        *[draw(b).alias(f"c{b}") for b in range(BOOTSTRAP_B)],
+    )
+    aggs = []
+    for b in range(BOOTSTRAP_B):
+        aggs.append(F.sum(F.col("cents") * F.col(f"c{b}")).alias(f"s{b}"))
+        aggs.append(F.sum(F.col(f"c{b}")).cast("long").alias(f"n{b}"))
+    wide = proj.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("resample"),
+                F.col(f"n{b}").alias("n_eff"),
+                F.round(F.col(f"s{b}").cast("double") / F.col(f"n{b}") / 100.0, 4).alias(
+                    "resample_mean"
+                ),
+            )
+            for b in range(BOOTSTRAP_B)
+        ]
+    )
+    return wide.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def _bootstrap_sql() -> str:
+    cols = []
+    for b in range(BOOTSTRAP_B):
+        u = f"(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '#{b}'), 1, 8))::BIGINT / 4294967296.0)"
+        c = " + ".join(f"CASE WHEN {u} >= {t!r} THEN 1 ELSE 0 END" for t in _POIS_CDF)
+        cols.append(f"({c}) AS c{b}")
+    sums = ", ".join(
+        f"SUM(cents * c{b}) AS s{b}, CAST(SUM(c{b}) AS BIGINT) AS n{b}"
+        for b in range(BOOTSTRAP_B)
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT {b} AS resample, n{b} AS n_eff,"
+        f" ROUND(CAST(s{b} AS DOUBLE) / n{b} / 100.0, 4) AS resample_mean FROM wide"
+        for b in range(BOOTSTRAP_B)
+    )
+    return f"""
+WITH proj AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS DECIMAL(18,0)) AS cents,
+         {', '.join(cols)}
+  FROM orders
+),
+wide AS (SELECT {sums} FROM proj)
+{rows}
+"""
+
+
+register(
+    QuerySpec(
+        "bootstrap_mean_ci",
+        bootstrap_mean_ci,
+        _bootstrap_sql(),
+        doc="Poisson bootstrap of mean order value (32 one-pass deterministic resamples)",
+        cites="scalable resampling: Poisson bootstrap (Chamandy et al.)",
+        tags=("analytics", "stats", "sampling"),
+    )
+)
