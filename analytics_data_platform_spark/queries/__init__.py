@@ -121,6 +121,8 @@ def all_queries() -> dict[str, QuerySpec]:
         corpus_ops,
         extended,
         graph_ops,
+        ml_ops,
+        reco_ops,
         relational,
         scale_ops,
         search_ops,

@@ -8,7 +8,7 @@ PII-shaped spans. Both pure JVM expressions with DuckDB oracles.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from analytics_data_platform_spark.queries import QuerySpec, register
 from analytics_data_platform_spark.sources.testdata import load_table
@@ -150,5 +150,115 @@ register(
         doc="regex PII redaction (emails/phones) with hit accounting",
         cites="training-data ops: corpus scrubbing",
         tags=("text", "redaction"),
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Exact duplicated-passage detection (substring-level dedup signal)
+# --------------------------------------------------------------------------
+
+PASSAGE_N = 8  # tokens per passage
+PASSAGE_MAX_DOCS = 50  # ignore grams so common they carry no pair signal
+PASSAGE_TOP = 100
+
+
+def duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing verbatim 8-token passages — the exact
+    substring-dedup signal (Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better" §4.1, adapted from suffix arrays to a
+    shuffle-friendly shingle formulation).
+
+    Every doc emits its distinct 8-gram md5 fingerprints (JVM transform/
+    slice HOFs, one pass); one hash-shuffle groups grams; grams seen in
+    2..50 distinct docs expand to doc pairs. Work is Σ bucket² over gram
+    buckets — the common-gram cap bounds the quadratic term, and the cap
+    is an explicit, logged predicate (not silent sampling): grams above
+    it are boilerplate that substring dedup handles via per-doc masking,
+    not pairing. Output: top pairs by shared-passage count.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).where(
+        F.size("t") >= PASSAGE_N
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {PASSAGE_N}),"
+                f" i -> md5(concat_ws(' ', slice(t, i + 1, {PASSAGE_N}))))"
+            )
+        ).alias("g"),
+    ).distinct()
+    # count first, THEN collect: the per-gram doc arrays are built only for
+    # grams already known to be in [2, 50] docs, so no array ever exceeds
+    # the cap even when a boilerplate gram appears in millions of docs
+    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("nd"))
+    keep = counts.where((F.col("nd") >= 2) & (F.col("nd") <= PASSAGE_MAX_DOCS)).select("g")
+    eligible = (
+        grams.join(keep, "g")
+        .groupBy("g")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+    )
+    pairs = (
+        eligible.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(docs, (a, i) ->"
+                    " transform(slice(docs, i + 2, size(docs)), b -> struct(a, b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared_passages"))
+    )
+    w = Window.orderBy(F.desc("shared_passages"), "doc_a", "doc_b")
+    return (
+        pairs.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= PASSAGE_TOP)
+        .select("pos", "doc_a", "doc_b", "shared_passages")
+    )
+
+
+DUP_PASSAGES_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= {PASSAGE_N}
+),
+grams AS (
+  SELECT DISTINCT doc_id, g
+  FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(range(0, len(t) - {PASSAGE_N} + 1),
+                  i -> md5(array_to_string(t[i + 1: i + {PASSAGE_N}], ' ')))) AS g
+    FROM toks
+  )
+),
+by_gram AS (
+  SELECT g, COUNT(*) AS nd FROM grams GROUP BY g
+),
+eligible AS (
+  SELECT g FROM by_gram WHERE nd BETWEEN 2 AND {PASSAGE_MAX_DOCS}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_passages
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  JOIN eligible e ON a.g = e.g
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT pos, doc_a, doc_b, shared_passages FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY shared_passages DESC, doc_a, doc_b) AS pos
+  FROM pairs
+) WHERE pos <= {PASSAGE_TOP}
+"""
+
+register(
+    QuerySpec(
+        "duplicate_passages",
+        duplicate_passages,
+        DUP_PASSAGES_SQL,
+        doc="verbatim shared 8-token passages across doc pairs (substring-dedup signal)",
+        cites="training-data ops: exact substring dedup (Lee et al. 2022)",
+        tags=("text", "dedup"),
     )
 )
