@@ -119,6 +119,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from analytics_data_platform_spark.queries import (  # noqa: F401
         analytics_ops,
         corpus_ops,
+        eval_ops,
         extended,
         graph_ops,
         ml_ops,

@@ -1,0 +1,315 @@
+"""Model/experiment evaluation queries: ROC AUC, A/B testing, attribution.
+
+The platform's downstream users score corpora and run experiments; these
+queries close the loop with the standard evaluation statistics, each as
+one or two aggregation passes and each exactly reproducible:
+
+- **AUC** via the Mann-Whitney rank-sum identity with midrank tie
+  handling — ranks are integers, midranks are half-integers, so the
+  statistic is an exact rational and the hash is bit-stable.
+- **A/B test** arms are assigned by md5 (deterministic, rerun-safe —
+  never `rand()`); conversion counts are integers and the z statistic is
+  one textually-mirrored expression over them.
+- **Linear multi-touch attribution** splits purchase value across
+  preceding clicks by *integer* division with the remainder assigned to
+  the earliest touch — allocations sum exactly to the purchase amount
+  (the money-splitting pattern), so per-touch credit sums stay integers
+  end to end.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from analytics_data_platform_spark.queries import QuerySpec, register
+from analytics_data_platform_spark.sources.testdata import load_table
+
+
+def roc_auc_value_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of `value` as a classifier score for event_type='purchase',
+    overall and per weekday.
+
+    AUC = (R⁺ - n⁺(n⁺+1)/2) / (n⁺·n⁻) where R⁺ is the positive-class
+    midrank sum. Midranks come from one rank() window plus a per-value
+    tie count — (2·min_rank + ties - 1)/2 — summed as integer halves, so
+    the whole computation is exact until the final division. One
+    sort-shuffle on the group key serves the ranking; the aggregate is
+    group-sized.
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        F.dayofweek("ts").alias("grp"),
+        (F.col("event_type") == "purchase").cast("int").alias("pos"),
+        # quantize once so both engines rank the identical key (value is
+        # already 2-decimal data; the cast is exact)
+        F.round(F.col("value") * 100).cast("bigint").alias("score"),
+    )
+    w = Window.partitionBy("grp").orderBy("score")
+    ranked = base.select(
+        "grp",
+        "pos",
+        "score",
+        F.rank().over(w).alias("min_rank"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp", "score")).alias("ties"),
+    )
+    # midrank*2 = 2*min_rank + ties - 1 stays integral
+    agg = ranked.groupBy("grp").agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("pos")).alias("n_neg"),
+        F.sum(
+            F.col("pos") * (2 * F.col("min_rank") + F.col("ties") - 1)
+        ).alias("rank2_pos"),
+    )
+    auc = (
+        F.col("rank2_pos") / 2.0 - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0
+    ) / (F.col("n_pos") * F.col("n_neg"))
+    return agg.select(
+        F.col("grp").alias("weekday"),
+        "n_pos",
+        "n_neg",
+        F.round(auc, 6).alias("auc"),
+    )
+
+
+ROC_AUC_SQL = """
+WITH base AS (
+  SELECT dayofweek(ts) + 1 AS grp,
+         CAST(event_type = 'purchase' AS INT) AS pos,
+         CAST(ROUND(value * 100) AS BIGINT) AS score
+  FROM events
+),
+ranked AS (
+  SELECT grp, pos,
+         RANK() OVER (PARTITION BY grp ORDER BY score) AS min_rank,
+         COUNT(*) OVER (PARTITION BY grp, score) AS ties
+  FROM base
+),
+agg AS (
+  SELECT grp, CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(1 - pos) AS BIGINT) AS n_neg,
+         CAST(SUM(pos * (2 * min_rank + ties - 1)) AS BIGINT) AS rank2_pos
+  FROM ranked GROUP BY grp
+)
+SELECT grp AS weekday, n_pos, n_neg,
+       ROUND((rank2_pos / 2.0 - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6) AS auc
+FROM agg
+"""
+
+register(
+    QuerySpec(
+        "roc_auc_value_purchase",
+        roc_auc_value_purchase,
+        ROC_AUC_SQL,
+        doc="ROC AUC via Mann-Whitney midrank sums (exact rational statistic)",
+        cites="model-evaluation family",
+        tags=("ml", "evaluation", "window"),
+    )
+)
+
+
+def ab_test_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-arm experiment readout: users are hash-assigned (md5 of
+    user_id — deterministic under reruns and repartitioning, the same
+    rule the sampling operators use), the metric is per-user purchase
+    spend, and the output is each arm's mean plus Welch's t statistic.
+
+    Per-user spend is quantized to cents at the event level, so user
+    totals and the arm-level Σx, Σx² moments are exact BIGINT sums and
+    the t expression — textually mirrored on both sides — sees identical
+    inputs. One groupBy(user_id), one tiny per-arm aggregate.
+    """
+    e = load_table(spark, sf_dir, "events")
+    users = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    )
+    arms = users.select(
+        (F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+         .cast("bigint") % 2).alias("arm"),
+        "cents",
+    )
+    per_arm = arms.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    wide = per_arm.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("s"))).alias("s0"),
+        F.max(F.when(F.col("arm") == 0, F.col("ss"))).alias("ss0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("arm") == 1, F.col("ss"))).alias("ss1"),
+    )
+    # sample variance s² = (ss - s²/n) / (n-1); Welch t on the means
+    v0 = "((CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE)*s0/n0) / (n0 - 1))"
+    v1 = "((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE)*s1/n1) / (n1 - 1))"
+    denom = f"sqrt({v0}/n0 + {v1}/n1)"
+    t = (
+        f"CASE WHEN {denom} > 0.0 THEN"
+        f" (CAST(s1 AS DOUBLE)/n1 - CAST(s0 AS DOUBLE)/n0) / {denom}"
+        " ELSE NULL END"
+    )
+    return wide.selectExpr(
+        "n0",
+        "n1",
+        "round(CAST(s0 AS DOUBLE)/n0/100.0, 4) AS mean_spend0",
+        "round(CAST(s1 AS DOUBLE)/n1/100.0, 4) AS mean_spend1",
+        f"round({t}, 4) AS t_welch",
+    )
+
+
+def _ab_sql() -> str:
+    v0 = "((CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE)*s0/n0) / (n0 - 1))"
+    v1 = "((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE)*s1/n1) / (n1 - 1))"
+    denom = f"sqrt({v0}/n0 + {v1}/n1)"
+    t = (
+        f"CASE WHEN {denom} > 0.0 THEN"
+        f" (CAST(s1 AS DOUBLE)/n1 - CAST(s0 AS DOUBLE)/n0) / {denom}"
+        " ELSE NULL END"
+    )
+    return f"""
+WITH users AS (
+  SELECT user_id, SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+arms AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm,
+         cents
+  FROM users
+),
+per_arm AS (
+  SELECT arm, COUNT(*) AS n, SUM(cents) AS s, SUM(cents * cents) AS ss
+  FROM arms GROUP BY arm
+),
+wide AS (
+  SELECT CAST(MAX(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n0,
+         CAST(MAX(CASE WHEN arm = 0 THEN s END) AS BIGINT) AS s0,
+         CAST(MAX(CASE WHEN arm = 0 THEN ss END) AS BIGINT) AS ss0,
+         CAST(MAX(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n1,
+         CAST(MAX(CASE WHEN arm = 1 THEN s END) AS BIGINT) AS s1,
+         CAST(MAX(CASE WHEN arm = 1 THEN ss END) AS BIGINT) AS ss1
+  FROM per_arm
+)
+SELECT n0, n1,
+       ROUND(CAST(s0 AS DOUBLE)/n0/100.0, 4) AS mean_spend0,
+       ROUND(CAST(s1 AS DOUBLE)/n1/100.0, 4) AS mean_spend1,
+       ROUND({t}, 4) AS t_welch
+FROM wide
+"""
+
+
+register(
+    QuerySpec(
+        "ab_test_spend",
+        ab_test_spend,
+        _ab_sql(),
+        doc="hash-assigned A/B arms with Welch's t on per-user spend (exact integer moments)",
+        cites="experimentation family; md5 assignment matches the sampling operators",
+        tags=("ml", "statistics"),
+    )
+)
+
+
+ATTR_WINDOW_HOURS = 24
+
+
+def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch linear attribution: each purchase's value (in cents)
+    is split across the same user's clicks in the preceding 24 h; the
+    integer remainder goes to the EARLIEST touch so allocations sum
+    exactly to the purchase amount. Credit is aggregated per click-hour.
+
+    The purchase⋈click pairing is a user-keyed range join (equi on
+    user_id + time-band predicate) — one shuffle on a high-cardinality
+    key; everything after is integer arithmetic, which is what makes a
+    fractional-allocation query hashable at all.
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("purchase_id"),
+        us.alias("p_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("click_id"),
+        us.alias("c_us"),
+    )
+    span = ATTR_WINDOW_HOURS * 3_600_000_000
+    touched = purchases.join(
+        clicks,
+        (purchases.u == clicks.u)
+        & (F.col("c_us") <= F.col("p_us"))
+        & (F.col("c_us") > F.col("p_us") - span),
+    ).select("purchase_id", "cents", "click_id", "c_us")
+    w_cnt = Window.partitionBy("purchase_id")
+    w_first = Window.partitionBy("purchase_id").orderBy("c_us", "click_id")
+    n_touch = F.count(F.lit(1)).over(w_cnt)
+    alloc = touched.select(
+        "click_id",
+        "c_us",
+        "cents",
+        n_touch.alias("nt"),
+        (F.row_number().over(w_first) == 1).cast("int").alias("is_first"),
+    ).select(
+        "click_id",
+        "c_us",
+        (
+            F.expr("cents div nt") + F.expr("cents % nt") * F.col("is_first")
+        ).alias("credit_cents"),
+    )
+    return (
+        alloc.groupBy(F.date_trunc("hour", F.timestamp_micros("c_us")).alias("click_hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("credit_cents").alias("credit_cents"),
+        )
+    )
+
+
+ATTRIBUTION_SQL = f"""
+WITH purchases AS (
+  SELECT user_id AS u, event_id AS purchase_id, epoch_us(ts) AS p_us,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id AS u, event_id AS click_id, epoch_us(ts) AS c_us
+  FROM events WHERE event_type = 'click'
+),
+touched AS (
+  SELECT p.purchase_id, p.cents, c.click_id, c.c_us
+  FROM purchases p JOIN clicks c
+    ON p.u = c.u AND c.c_us <= p.p_us
+   AND c.c_us > p.p_us - {ATTR_WINDOW_HOURS} * 3600000000
+),
+alloc AS (
+  SELECT click_id, c_us,
+         cents // COUNT(*) OVER (PARTITION BY purchase_id)
+         + (cents % COUNT(*) OVER (PARTITION BY purchase_id))
+           * CASE WHEN ROW_NUMBER() OVER (PARTITION BY purchase_id ORDER BY c_us, click_id) = 1
+                  THEN 1 ELSE 0 END AS credit_cents
+  FROM touched
+)
+SELECT date_trunc('hour', make_timestamp(c_us)) AS click_hour,
+       COUNT(*) AS n_touches,
+       CAST(SUM(credit_cents) AS BIGINT) AS credit_cents
+FROM alloc
+GROUP BY date_trunc('hour', make_timestamp(c_us))
+"""
+
+register(
+    QuerySpec(
+        "linear_attribution",
+        linear_attribution,
+        ATTRIBUTION_SQL,
+        doc="multi-touch linear attribution with exact integer allocation (remainder to first touch)",
+        cites="marketing-analytics family; range-join + money-splitting pattern",
+        tags=("analytics", "join", "window"),
+    )
+)

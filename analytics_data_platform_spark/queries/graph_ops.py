@@ -494,3 +494,95 @@ register(
         tags=("graph", "iterative"),
     )
 )
+
+
+# --------------------------------------------------------------------------
+# k-core peeling (fixed rounds) on the part co-order graph
+# --------------------------------------------------------------------------
+
+KCORE_K = 40
+KCORE_ROUNDS = 3
+
+
+def kcore_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nodes surviving 3 rounds of k-core peeling (k=40) on the part
+    co-order graph, with their residual degrees.
+
+    Each round recomputes degrees on the alive-induced subgraph (one
+    semi-join per endpoint + one count aggregate — frontier-proportional,
+    no driver data access) and drops nodes below k. Rounds are FIXED so
+    the DuckDB oracle can unroll them as CTEs; the peel is monotone, so a
+    fixed prefix is well-defined regardless of whether the fixpoint has
+    been reached (the operator variant that iterates to convergence lives
+    with the other iterative ops and shares this round body). The edge
+    list is materialized once (localCheckpoint) — the same
+    evaluate-once guard the PageRank/CC loops use.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    edges = (
+        pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    alive = edges.select(F.col("src").alias("node")).distinct()
+    deg = None
+    for _ in range(KCORE_ROUNDS):
+        sub = (
+            edges.join(alive.select(F.col("node").alias("src")), "src")
+            .join(alive.select(F.col("node").alias("dst")), "dst")
+        )
+        deg = sub.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        alive = deg.where(F.col("deg") >= KCORE_K).select(F.col("src").alias("node"))
+    survivors = deg.where(F.col("deg") >= KCORE_K)
+    return survivors.select(F.col("src").alias("part_key"), F.col("deg").alias("residual_deg"))
+
+
+def _kcore_sql() -> str:
+    parts = [
+        """WITH p AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (SELECT src, dst FROM p UNION ALL SELECT dst AS src, src AS dst FROM p),
+alive0 AS (SELECT DISTINCT src AS node FROM edges)"""
+    ]
+    for i in range(1, KCORE_ROUNDS + 1):
+        parts.append(
+            f""",
+deg{i} AS (
+  SELECT e.src, COUNT(*) AS deg
+  FROM edges e
+  JOIN alive{i - 1} s ON e.src = s.node
+  JOIN alive{i - 1} d ON e.dst = d.node
+  GROUP BY e.src
+),
+alive{i} AS (SELECT src AS node FROM deg{i} WHERE deg >= {KCORE_K})"""
+        )
+    parts.append(
+        f"""
+SELECT src AS part_key, CAST(deg AS BIGINT) AS residual_deg
+FROM deg{KCORE_ROUNDS} WHERE deg >= {KCORE_K}"""
+    )
+    return "".join(parts)
+
+
+register(
+    QuerySpec(
+        "kcore_coorder",
+        kcore_coorder,
+        _kcore_sql(),
+        doc="k-core peeling (3 fixed rounds, k=40) with residual degrees",
+        cites="iterative graph family; shares the CC/PageRank round pattern",
+        tags=("graph", "iterative"),
+    )
+)

@@ -11,7 +11,7 @@ import pyspark.sql.functions as F
 
 from analytics_data_platform_spark.queries import all_queries
 
-SF = "/root/testdata/sf0.001"
+SF = SF_DIR = "/root/testdata/sf0.001"
 
 
 def _run(spark, name):
@@ -103,3 +103,46 @@ def test_item_item_cosine_bounds(spark):
     assert rows, "expected some co-purchase pairs"
     assert all(0.0 < r.cosine <= 1.0 for r in rows)
     assert all(r.p1 < r.p2 for r in rows)
+
+
+def test_roc_auc_within_bounds(spark):
+    rows = _run(spark, "roc_auc_value_purchase").collect()
+    assert len(rows) == 7  # one per weekday
+    assert all(0.0 <= r.auc <= 1.0 for r in rows)
+    assert all(r.n_pos > 0 and r.n_neg > 0 for r in rows)
+
+
+def test_ab_test_arms_cover_users(spark):
+    row = _run(spark, "ab_test_spend").collect()[0]
+    assert row.n0 > 0 and row.n1 > 0
+    assert row.mean_spend0 > 0 and row.mean_spend1 > 0
+    # deterministic assignment: rerun produces identical split
+    again = _run(spark, "ab_test_spend").collect()[0]
+    assert (row.n0, row.n1) == (again.n0, again.n1)
+
+
+def test_linear_attribution_conserves_money(spark):
+    import pyspark.sql.functions as SF
+    from analytics_data_platform_spark.sources.testdata import load_table
+
+    credit = _run(spark, "linear_attribution").agg(SF.sum("credit_cents")).collect()[0][0]
+    # total credit == total cents of purchases that HAVE >=1 click in window
+    e = load_table(spark, SF_DIR, "events")
+    us = SF.unix_micros("ts")
+    p = e.where(SF.col("event_type") == "purchase").select(
+        SF.col("user_id").alias("u"), SF.col("event_id").alias("pid"),
+        us.alias("p_us"), SF.round(SF.col("value") * 100).cast("bigint").alias("cents"))
+    c = e.where(SF.col("event_type") == "click").select(
+        SF.col("user_id").alias("u2"), us.alias("c_us"))
+    span = 24 * 3_600_000_000
+    attributable = (
+        p.join(c, (p.u == c.u2) & (SF.col("c_us") <= SF.col("p_us"))
+               & (SF.col("c_us") > SF.col("p_us") - span), "leftsemi")
+        .agg(SF.sum("cents")).collect()[0][0]
+    )
+    assert credit == attributable
+
+
+def test_kcore_survivors_meet_threshold(spark):
+    rows = _run(spark, "kcore_coorder").collect()
+    assert all(r.residual_deg >= 40 for r in rows)
