@@ -58,30 +58,31 @@ DRIVER_SHOWCASE: tuple[str, ...] = (
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q13_customer_distribution",
-    "q16_supplier_part_coverage",
-    "q18_large_orders",
     "q21_suppliers_kept_waiting",
     # similarity search / embeddings
     "ann_cosine_topk",
     "embedding_centroid_norms",
     "near_dup_minhash",
-    "simhash_near_dups",
-    "ann_lsh_topk",
     "ann_ivf_topk",
     "embedding_near_dups",
     # retrieval
     "bm25_search",
-    "hybrid_rrf_search",
     # portable sketches
     "hll_distinct_bigrams",
-    "cms_term_counts",
     "bloom_contamination",
     # training-data pipeline
     "pack_sequences",
     "contamination_ngrams",
     "chi_square_type_hour",
-    "embedding_quantize_int8",
     "train_val_test_split",
+    "duplicate_passages",
+    # classical ML / evaluation
+    "kmeans_embeddings",
+    "naive_bayes_source",
+    "roc_auc_value_purchase",
+    "kaplan_meier_retention",
+    "item_item_cosine",
+    "linear_attribution",
     # warehouse modeling + data quality
     "scd2_customer_segments",
     "cube_orders_status_priority",

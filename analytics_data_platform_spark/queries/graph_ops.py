@@ -500,13 +500,18 @@ register(
 # k-core peeling (fixed rounds) on the part co-order graph
 # --------------------------------------------------------------------------
 
-KCORE_K = 40
 KCORE_ROUNDS = 3
 
 
 def kcore_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nodes surviving 3 rounds of k-core peeling (k=40) on the part
-    co-order graph, with their residual degrees.
+    """Nodes surviving 3 rounds of k-core peeling on the part co-order
+    graph, with their residual degrees. k adapts to the graph: it is the
+    10th-percentile initial degree, selected by row position with the
+    integer identity ceil(0.1·n) = (n+9) div 10 — no float quantile, so
+    both engines pick the identical k at any scale (a fixed absolute k
+    peels everything at small SF and nothing at large SF; on this
+    near-regular graph k above the mean cascades to an empty core, so the
+    decile keeps the peel informative at every scale).
 
     Each round recomputes degrees on the alive-induced subgraph (one
     semi-join per endpoint + one count aggregate — frontier-proportional,
@@ -533,6 +538,15 @@ def kcore_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .localCheckpoint(eager=False)
     )
+    deg0 = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    w_rank = Window.orderBy("deg", "src")
+    n_nodes = deg0.agg(F.count(F.lit(1)).alias("cnt"))
+    kth = (
+        deg0.withColumn("rn", F.row_number().over(w_rank))
+        .crossJoin(F.broadcast(n_nodes))
+        .where(F.col("rn") == F.expr("(cnt + 9) div 10"))
+        .select(F.col("deg").alias("k"))
+    )
     alive = edges.select(F.col("src").alias("node")).distinct()
     deg = None
     for _ in range(KCORE_ROUNDS):
@@ -540,10 +554,14 @@ def kcore_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.join(alive.select(F.col("node").alias("src")), "src")
             .join(alive.select(F.col("node").alias("dst")), "dst")
         )
-        deg = sub.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        alive = deg.where(F.col("deg") >= KCORE_K).select(F.col("src").alias("node"))
-    survivors = deg.where(F.col("deg") >= KCORE_K)
-    return survivors.select(F.col("src").alias("part_key"), F.col("deg").alias("residual_deg"))
+        deg = sub.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).crossJoin(
+            F.broadcast(kth)
+        )
+        alive = deg.where(F.col("deg") >= F.col("k")).select(F.col("src").alias("node"))
+    survivors = deg.where(F.col("deg") >= F.col("k"))
+    return survivors.select(
+        F.col("src").alias("part_key"), F.col("deg").alias("residual_deg"), "k"
+    )
 
 
 def _kcore_sql() -> str:
@@ -554,6 +572,13 @@ def _kcore_sql() -> str:
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 ),
 edges AS (SELECT src, dst FROM p UNION ALL SELECT dst AS src, src AS dst FROM p),
+deg0 AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+nn AS (SELECT COUNT(*) AS cnt FROM deg0),
+kth AS (
+  SELECT CAST(deg AS BIGINT) AS k FROM (
+    SELECT deg, ROW_NUMBER() OVER (ORDER BY deg, src) AS rn FROM deg0
+  ), nn WHERE rn = (cnt + 9) // 10
+),
 alive0 AS (SELECT DISTINCT src AS node FROM edges)"""
     ]
     for i in range(1, KCORE_ROUNDS + 1):
@@ -566,12 +591,12 @@ deg{i} AS (
   JOIN alive{i - 1} d ON e.dst = d.node
   GROUP BY e.src
 ),
-alive{i} AS (SELECT src AS node FROM deg{i} WHERE deg >= {KCORE_K})"""
+alive{i} AS (SELECT src AS node FROM deg{i}, kth WHERE deg >= k)"""
         )
     parts.append(
         f"""
-SELECT src AS part_key, CAST(deg AS BIGINT) AS residual_deg
-FROM deg{KCORE_ROUNDS} WHERE deg >= {KCORE_K}"""
+SELECT src AS part_key, CAST(deg AS BIGINT) AS residual_deg, k
+FROM deg{KCORE_ROUNDS}, kth WHERE deg >= k"""
     )
     return "".join(parts)
 
