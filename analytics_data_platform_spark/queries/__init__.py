@@ -122,6 +122,7 @@ def all_queries() -> dict[str, QuerySpec]:
         corpus_ops,
         eval_ops,
         extended,
+        feature_ops,
         graph_ops,
         ml_ops,
         reco_ops,

@@ -1,0 +1,237 @@
+"""Feature-engineering and forecast-evaluation queries.
+
+Three patterns a feature pipeline runs constantly, each formulated so the
+statistic is exact-integer (and therefore bit-stable against the DuckDB
+oracle) rather than float-accumulated:
+
+- **winsorization** clamps at per-group p05/p95 chosen by *row position*
+  (the same integer-quantile idiom as the adaptive k-core threshold) —
+  the clamped values stay integers, so before/after moments are exact;
+- **sequence mining** counts event-type trigrams from two stacked lead()
+  windows sharing one user-keyed sort;
+- **seasonal-naive forecasting** is scored with WAPE (Σ|err| / Σ actual),
+  which unlike MAPE is a ratio of two exact integer sums.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from analytics_data_platform_spark.queries import QuerySpec, register
+from analytics_data_platform_spark.sources.testdata import load_table
+
+
+def winsorized_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorization of `value` at [p05, p95] with
+    before/after means.
+
+    The percentile cut points are the cent values at row positions
+    ceil(0.05·n) and ceil(0.95·n) of the per-group sort — integer
+    selection, no interpolated quantile, so both engines clamp at the
+    identical boundary. One sort-shuffle on the group key serves the
+    ranking; clamped sums stay BIGINT.
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.col("event_id").alias("eid"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "eid")
+    ranked = base.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    cuts = (
+        ranked.where(
+            (F.col("rn") == F.expr("(5 * n + 99) div 100"))
+            | (F.col("rn") == F.expr("(95 * n + 99) div 100"))
+        )
+        .groupBy("event_type")
+        .agg(F.min("cents").alias("lo_c"), F.max("cents").alias("hi_c"))
+    )
+    clamped = base.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        "cents",
+        F.least(F.greatest(F.col("cents"), F.col("lo_c")), F.col("hi_c")).alias("wc"),
+        "lo_c",
+        "hi_c",
+    )
+    return clamped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.first("lo_c").alias("lo_cents"),
+        F.first("hi_c").alias("hi_cents"),
+        F.round(F.sum("cents") / F.count(F.lit(1)) / 100.0, 4).alias("mean_raw"),
+        F.round(F.sum("wc") / F.count(F.lit(1)) / 100.0, 4).alias("mean_winsorized"),
+    )
+
+
+WINSOR_SQL = """
+WITH base AS (
+  SELECT event_type, event_id AS eid, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+ranked AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents, eid) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM base
+),
+cuts AS (
+  SELECT event_type, MIN(cents) AS lo_c, MAX(cents) AS hi_c
+  FROM ranked
+  WHERE rn = (5 * n + 99) // 100 OR rn = (95 * n + 99) // 100
+  GROUP BY event_type
+),
+clamped AS (
+  SELECT b.event_type, b.cents,
+         LEAST(GREATEST(b.cents, c.lo_c), c.hi_c) AS wc,
+         c.lo_c, c.hi_c
+  FROM base b JOIN cuts c ON b.event_type = c.event_type
+)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(ANY_VALUE(lo_c) AS BIGINT) AS lo_cents,
+       CAST(ANY_VALUE(hi_c) AS BIGINT) AS hi_cents,
+       ROUND(SUM(cents) / COUNT(*) / 100.0, 4) AS mean_raw,
+       ROUND(SUM(wc) / COUNT(*) / 100.0, 4) AS mean_winsorized
+FROM clamped GROUP BY event_type
+"""
+
+register(
+    QuerySpec(
+        "winsorized_stats_by_type",
+        winsorized_stats_by_type,
+        WINSOR_SQL,
+        doc="per-group p05/p95 winsorization via integer-position quantiles",
+        cites="feature-engineering family; integer-quantile idiom shared with kcore",
+        tags=("ml", "feature", "window"),
+    )
+)
+
+
+TRIGRAM_TOP = 20
+
+
+def event_trigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 event-type trigrams across per-user ordered event
+    sequences — the sequence-mining step behind session-pattern
+    dashboards. Both lead() offsets share the single user-keyed sort
+    window (one shuffle); the trigram aggregate is |types|³-bounded.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        e.select(
+            F.col("event_type").alias("t1"),
+            F.lead("event_type", 1).over(w).alias("t2"),
+            F.lead("event_type", 2).over(w).alias("t3"),
+        )
+        .where(F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wr = Window.orderBy(F.desc("n"), "t1", "t2", "t3")
+    return (
+        tri.withColumn("pos", F.row_number().over(wr))
+        .where(F.col("pos") <= TRIGRAM_TOP)
+        .select("pos", "t1", "t2", "t3", "n")
+    )
+
+
+TRIGRAM_SQL = f"""
+WITH seq AS (
+  SELECT event_type AS t1,
+         LEAD(event_type, 1) OVER w AS t2,
+         LEAD(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tri AS (
+  SELECT t1, t2, t3, COUNT(*) AS n FROM seq WHERE t3 IS NOT NULL
+  GROUP BY t1, t2, t3
+)
+SELECT pos, t1, t2, t3, n FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, t1, t2, t3) AS pos FROM tri
+) WHERE pos <= {TRIGRAM_TOP}
+"""
+
+register(
+    QuerySpec(
+        "event_trigrams_top",
+        event_trigrams_top,
+        TRIGRAM_SQL,
+        doc="top event-type trigrams over per-user sequences (sequence mining)",
+        cites="sequence-mining family; extends event_transition_matrix to order 2",
+        tags=("analytics", "window"),
+    )
+)
+
+
+def seasonal_naive_wape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast evaluation: predict each day's order
+    revenue as the revenue 7 days earlier, score with WAPE per weekday.
+
+    Daily revenue is an exact cent sum; the lag(7) runs over the ordered
+    day spine (one tiny window over |days| rows). WAPE = Σ|err|/Σactual
+    is a ratio of two exact BIGINT sums — unlike MAPE there is no
+    per-row float division to accumulate, which is what makes a
+    forecast-accuracy metric hashable.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"))
+    )
+    w = Window.orderBy("d")
+    scored = daily.select(
+        "d",
+        "cents",
+        F.lag("cents", 7).over(w).alias("fc"),
+    ).where(F.col("fc").isNotNull())
+    return (
+        scored.groupBy(F.dayofweek("d").alias("weekday"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(F.abs(F.col("cents") - F.col("fc"))).alias("abs_err_cents"),
+            F.sum("cents").alias("actual_cents"),
+        )
+        .select(
+            "weekday",
+            "n_days",
+            "abs_err_cents",
+            "actual_cents",
+            F.round(F.col("abs_err_cents") / F.col("actual_cents"), 6).alias("wape"),
+        )
+    )
+
+
+SEASONAL_WAPE_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+),
+scored AS (
+  SELECT d, cents, LAG(cents, 7) OVER (ORDER BY d) AS fc FROM daily
+)
+SELECT dayofweek(d) + 1 AS weekday, COUNT(*) AS n_days,
+       CAST(SUM(ABS(cents - fc)) AS BIGINT) AS abs_err_cents,
+       CAST(SUM(cents) AS BIGINT) AS actual_cents,
+       ROUND(CAST(SUM(ABS(cents - fc)) AS DOUBLE) / SUM(cents), 6) AS wape
+FROM scored WHERE fc IS NOT NULL
+GROUP BY dayofweek(d)
+"""
+
+register(
+    QuerySpec(
+        "seasonal_naive_wape",
+        seasonal_naive_wape,
+        SEASONAL_WAPE_SQL,
+        doc="seasonal-naive (lag-7) revenue forecast scored by per-weekday WAPE",
+        cites="forecast-evaluation family; complements ols_daily_revenue_trend",
+        tags=("ml", "timeseries"),
+    )
+)

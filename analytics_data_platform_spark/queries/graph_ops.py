@@ -547,9 +547,11 @@ def kcore_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == F.expr("(cnt + 9) div 10"))
         .select(F.col("deg").alias("k"))
     )
-    alive = edges.select(F.col("src").alias("node")).distinct()
-    deg = None
-    for _ in range(KCORE_ROUNDS):
+    # round 1's alive set is ALL nodes, so its induced-subgraph joins are
+    # no-ops: seed the peel from deg0 directly and join only from round 2
+    deg = deg0.crossJoin(F.broadcast(kth))
+    alive = deg.where(F.col("deg") >= F.col("k")).select(F.col("src").alias("node"))
+    for _ in range(KCORE_ROUNDS - 1):
         sub = (
             edges.join(alive.select(F.col("node").alias("src")), "src")
             .join(alive.select(F.col("node").alias("dst")), "dst")
@@ -578,10 +580,14 @@ kth AS (
   SELECT CAST(deg AS BIGINT) AS k FROM (
     SELECT deg, ROW_NUMBER() OVER (ORDER BY deg, src) AS rn FROM deg0
   ), nn WHERE rn = (cnt + 9) // 10
-),
-alive0 AS (SELECT DISTINCT src AS node FROM edges)"""
+)"""
     ]
-    for i in range(1, KCORE_ROUNDS + 1):
+    parts.append(
+        """,
+deg1 AS (SELECT src, deg FROM deg0),
+alive1 AS (SELECT src AS node FROM deg1, kth WHERE deg >= k)"""
+    )
+    for i in range(2, KCORE_ROUNDS + 1):
         parts.append(
             f""",
 deg{i} AS (

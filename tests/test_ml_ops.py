@@ -149,3 +149,26 @@ def test_kcore_survivors_meet_threshold(spark):
     k = rows[0].k
     assert all(r.k == k for r in rows)
     assert all(r.residual_deg >= k for r in rows)
+
+
+def test_winsorized_means_are_tamer(spark):
+    rows = _run(spark, "winsorized_stats_by_type").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.lo_cents <= r.hi_cents
+        # the clamped mean must land inside the clamp interval
+        assert r.lo_cents / 100.0 <= r.mean_winsorized <= r.hi_cents / 100.0
+
+
+def test_event_trigrams_bounded_by_types(spark):
+    rows = _run(spark, "event_trigrams_top").collect()
+    assert 0 < len(rows) <= 20
+    types = {"click", "error", "purchase", "signup", "view"}
+    assert all({r.t1, r.t2, r.t3} <= types for r in rows)
+
+
+def test_seasonal_naive_wape_positive(spark):
+    rows = _run(spark, "seasonal_naive_wape").collect()
+    assert len(rows) == 7
+    assert all(r.wape >= 0 for r in rows)
+    assert all(r.actual_cents > 0 for r in rows)
