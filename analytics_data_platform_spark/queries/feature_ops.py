@@ -235,3 +235,130 @@ register(
         tags=("ml", "timeseries"),
     )
 )
+
+
+def quantile_normalize_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of doc length across sources: the i-th of a
+    source's m docs (by n_chars) is remapped to the GLOBAL n_chars value
+    at integer position ceil(i·N/m) — after which every source has an
+    identical length distribution (the cross-assay normalization trick,
+    applied to per-source corpus drift).
+
+    Two rank windows (one per grain) + an equi-join on the computed
+    position; every value is an integer, the position formula is integer
+    arithmetic, so the mapping is engine-exact. The global window is the
+    scale bound — at 100 TB rank globally via approx partition boundaries
+    (range partitioner) or normalize within date shards.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w_src = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    w_all = Window.orderBy("n_chars", "doc_id")
+    n_all = d.agg(F.count(F.lit(1)).alias("n_total"))
+    ranked = (
+        d.select("doc_id", "source", "n_chars")
+        .withColumn("i", F.row_number().over(w_src))
+        .withColumn("m", F.count(F.lit(1)).over(Window.partitionBy("source")))
+        .crossJoin(F.broadcast(n_all))
+        .withColumn("gpos", F.expr("(i * n_total + m - 1) div m"))
+    )
+    glob = d.select(F.row_number().over(w_all).alias("gpos"),
+                    F.col("n_chars").alias("qn_chars"))
+    return ranked.join(glob, "gpos").select(
+        "doc_id", "source", "n_chars", "qn_chars"
+    )
+
+
+QN_SQL = """
+WITH n_all AS (SELECT COUNT(*) AS n_total FROM documents),
+ranked AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS i,
+         COUNT(*) OVER (PARTITION BY source) AS m
+  FROM documents
+),
+pos AS (
+  SELECT r.doc_id, r.source, r.n_chars,
+         (r.i * a.n_total + r.m - 1) // r.m AS gpos
+  FROM ranked r CROSS JOIN n_all a
+),
+gq AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS gpos, n_chars AS qn_chars
+  FROM documents
+)
+SELECT p.doc_id, p.source, p.n_chars, g.qn_chars
+FROM pos p JOIN gq g ON p.gpos = g.gpos
+"""
+
+register(
+    QuerySpec(
+        "quantile_normalize_chars",
+        quantile_normalize_chars,
+        QN_SQL,
+        doc="cross-source quantile normalization of doc length (integer rank remap)",
+        cites="feature-engineering family; distribution alignment for corpus drift",
+        tags=("ml", "feature", "window"),
+    )
+)
+
+
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostics for the fact table's join keys: per-key frequency
+    histograms bucketed by floor(log2(count)), plus each bucket's max.
+
+    This is the observability query behind salting/AQE decisions — run it
+    before picking a shuffle strategy. Two groupBys per key column (key
+    counts, then |buckets| rows); log2 of an exact integer is exact at
+    the power-of-two boundaries in both engines, so bucket edges agree.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    outs = []
+    for keycol in ("l_orderkey", "l_partkey", "l_suppkey"):
+        counts = li.groupBy(F.col(keycol).alias("key")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        outs.append(
+            counts.groupBy(
+                F.lit(keycol).alias("key_column"),
+                F.floor(F.log2("n")).cast("bigint").alias("log2_bucket"),
+            ).agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.max("n").alias("max_count"),
+                F.sum("n").alias("n_rows"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+SKEW_SQL = """
+WITH k1 AS (SELECT l_orderkey AS key, COUNT(*) AS n FROM lineitem GROUP BY l_orderkey),
+k2 AS (SELECT l_partkey AS key, COUNT(*) AS n FROM lineitem GROUP BY l_partkey),
+k3 AS (SELECT l_suppkey AS key, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey),
+b AS (
+  SELECT 'l_orderkey' AS key_column, CAST(FLOOR(LOG2(n)) AS BIGINT) AS log2_bucket,
+         COUNT(*) AS n_keys, MAX(n) AS max_count, SUM(n) AS n_rows
+  FROM k1 GROUP BY 2
+  UNION ALL
+  SELECT 'l_partkey', CAST(FLOOR(LOG2(n)) AS BIGINT), COUNT(*), MAX(n), SUM(n)
+  FROM k2 GROUP BY 2
+  UNION ALL
+  SELECT 'l_suppkey', CAST(FLOOR(LOG2(n)) AS BIGINT), COUNT(*), MAX(n), SUM(n)
+  FROM k3 GROUP BY 2
+)
+SELECT key_column, log2_bucket, CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(max_count AS BIGINT) AS max_count, CAST(n_rows AS BIGINT) AS n_rows
+FROM b
+"""
+
+register(
+    QuerySpec(
+        "join_key_skew_profile",
+        join_key_skew_profile,
+        SKEW_SQL,
+        doc="per-join-key skew histogram (log2 frequency buckets) for shuffle planning",
+        cites="observability family; feeds operators/skew.py salting decisions",
+        tags=("observability", "agg"),
+    )
+)

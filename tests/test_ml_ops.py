@@ -172,3 +172,30 @@ def test_seasonal_naive_wape_positive(spark):
     assert len(rows) == 7
     assert all(r.wape >= 0 for r in rows)
     assert all(r.actual_cents > 0 for r in rows)
+
+
+def test_quantile_normalization_aligns_distributions(spark):
+    import pyspark.sql.functions as SF
+
+    df = _run(spark, "quantile_normalize_chars")
+    # after normalization every source's value multiset is drawn from the
+    # global sorted values — per-source medians should be (near) identical
+    med = (
+        df.groupBy("source")
+        .agg(SF.expr("percentile(qn_chars, 0.5)").alias("med"))
+        .collect()
+    )
+    meds = [r.med for r in med]
+    assert max(meds) - min(meds) <= 30  # raw per-source medians vary far more
+    n = df.count()
+    assert n == 500
+
+
+def test_skew_profile_accounts_every_row(spark):
+    import pyspark.sql.functions as SF
+
+    df = _run(spark, "join_key_skew_profile")
+    per_col = df.groupBy("key_column").agg(SF.sum("n_rows").alias("rows")).collect()
+    assert {r.key_column for r in per_col} == {"l_orderkey", "l_partkey", "l_suppkey"}
+    totals = {r.key_column: r.rows for r in per_col}
+    assert len(set(totals.values())) == 1  # each histogram covers all lineitem rows
