@@ -682,3 +682,257 @@ register(
         tags=("ml", "window", "timeseries"),
     )
 )
+
+
+# --------------------------------------------------------------------------
+# One-pass k-fold cross-validation for the OLS model
+# --------------------------------------------------------------------------
+
+CV_FOLDS = 5
+
+
+def _cramer_exprs(p: str) -> tuple[str, str, str]:
+    """Cramer solve for A·b = c with A=[[n,s1,s2],[s1,s11,s12],[s2,s12,s22]],
+    c=[sy,s1y,s2y]; `p` prefixes the moment column names."""
+    det = (
+        f"({p}n*({p}s11*{p}s22 - {p}s12*{p}s12) - {p}s1*({p}s1*{p}s22 - {p}s12*{p}s2)"
+        f" + {p}s2*({p}s1*{p}s12 - {p}s11*{p}s2))"
+    )
+    det0 = (
+        f"({p}sy*({p}s11*{p}s22 - {p}s12*{p}s12) - {p}s1*({p}s1y*{p}s22 - {p}s12*{p}s2y)"
+        f" + {p}s2*({p}s1y*{p}s12 - {p}s11*{p}s2y))"
+    )
+    det1 = (
+        f"({p}n*({p}s1y*{p}s22 - {p}s12*{p}s2y) - {p}sy*({p}s1*{p}s22 - {p}s12*{p}s2)"
+        f" + {p}s2*({p}s1*{p}s2y - {p}s1y*{p}s2))"
+    )
+    det2 = (
+        f"({p}n*({p}s11*{p}s2y - {p}s1y*{p}s12) - {p}s1*({p}s1*{p}s2y - {p}s1y*{p}s2)"
+        f" + {p}sy*({p}s1*{p}s12 - {p}s11*{p}s2))"
+    )
+    return f"({det0}/{det})", f"({det1}/{det})", f"({det2}/{det})"
+
+
+_CV_MOMENTS = ["n", "s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y", "syy"]
+
+
+def cross_validate_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation of the order-price OLS model in ONE pass
+    over the data.
+
+    Per-fold integer moments are the only data-sized aggregation; the
+    train-side moments are totals-minus-fold (a window sum over 5 rows),
+    and the held-out SSE expands algebraically from the fold moments —
+    SSE = Σyy + b'Ab - 2b'c — so no second scan scores the held-out rows.
+    Folds are md5-assigned (rerun-stable). Everything before the final
+    Cramer/SSE algebra is exact BIGINT; the algebra is one textually
+    mirrored expression per side.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    feats = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("x1"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("x2"),
+        )
+        .join(o.select("o_orderkey", "o_totalprice"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 8), 16, 10)
+             .cast("bigint") % CV_FOLDS).alias("fold"),
+            "x1",
+            "x2",
+            F.round("o_totalprice").cast("bigint").alias("y"),
+        )
+    )
+    fm = feats.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    train = fm.select(
+        "fold",
+        *[F.col(m).alias(f"f_{m}") for m in _CV_MOMENTS],
+        *[(F.sum(m).over(w_all) - F.col(m)).cast("double").alias(f"t_{m}") for m in _CV_MOMENTS],
+    )
+    b0, b1, b2 = _cramer_exprs("t_")
+    sse = (
+        f"(f_syy + {b0}*{b0}*f_n + {b1}*{b1}*f_s11 + {b2}*{b2}*f_s22"
+        f" + 2*{b0}*{b1}*f_s1 + 2*{b0}*{b2}*f_s2 + 2*{b1}*{b2}*f_s12"
+        f" - 2*{b0}*f_sy - 2*{b1}*f_s1y - 2*{b2}*f_s2y)"
+    )
+    return train.selectExpr(
+        "fold",
+        "CAST(f_n AS BIGINT) AS n_holdout",
+        f"round({b0}, 4) AS b0",
+        f"round({b1}, 4) AS b1",
+        f"round({b2}, 4) AS b2",
+        f"round(sqrt({sse}/f_n), 4) AS rmse_holdout",
+    )
+
+
+def _cv_sql() -> str:
+    b0, b1, b2 = _cramer_exprs("t_")
+    sse = (
+        f"(f_syy + {b0}*{b0}*f_n + {b1}*{b1}*f_s11 + {b2}*{b2}*f_s22"
+        f" + 2*{b0}*{b1}*f_s1 + 2*{b0}*{b2}*f_s2 + 2*{b1}*{b2}*f_s12"
+        f" - 2*{b0}*f_sy - 2*{b1}*f_s1y - 2*{b2}*f_s2y)"
+    )
+    t_cols = ",\n         ".join(
+        f"CAST(SUM({m}) OVER () - {m} AS DOUBLE) AS t_{m}" for m in _CV_MOMENTS
+    )
+    f_cols = ",\n         ".join(f"CAST({m} AS DOUBLE) AS f_{m}" for m in _CV_MOMENTS)
+    return f"""
+WITH feats AS (
+  SELECT ('0x' || substr(md5(CAST(f.l_orderkey AS VARCHAR)), 1, 8))::BIGINT % {CV_FOLDS} AS fold,
+         f.x1, f.x2, CAST(ROUND(o.o_totalprice) AS BIGINT) AS y
+  FROM (
+    SELECT l_orderkey, COUNT(*) AS x1, SUM(CAST(l_quantity AS BIGINT)) AS x2
+    FROM lineitem GROUP BY l_orderkey
+  ) f JOIN orders o ON f.l_orderkey = o.o_orderkey
+),
+fm AS (
+  SELECT fold, COUNT(*) AS n, SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+         SUM(x1*x1) AS s11, SUM(x1*x2) AS s12, SUM(x2*x2) AS s22,
+         SUM(x1*y) AS s1y, SUM(x2*y) AS s2y, SUM(y*y) AS syy
+  FROM feats GROUP BY fold
+),
+train AS (
+  SELECT fold,
+         {f_cols},
+         {t_cols}
+  FROM fm
+)
+SELECT fold, CAST(f_n AS BIGINT) AS n_holdout,
+       ROUND({b0}, 4) AS b0,
+       ROUND({b1}, 4) AS b1,
+       ROUND({b2}, 4) AS b2,
+       ROUND(sqrt({sse}/f_n), 4) AS rmse_holdout
+FROM train
+"""
+
+
+register(
+    QuerySpec(
+        "cross_validate_ols",
+        cross_validate_ols,
+        _cv_sql(),
+        doc="one-pass 5-fold CV: train moments = totals-minus-fold, holdout SSE by moment algebra",
+        cites="ML-diagnostics family; extends ols_order_price",
+        tags=("ml", "statistics"),
+    )
+)
+
+
+def learning_curve_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R² of the order-price OLS fit as the training set grows from 10%
+    to 100% (md5-decile nesting), from ONE aggregation pass: per-decile
+    moments accumulate through an ordered window, and each prefix's
+    Cramer solve + R² is closed-form algebra over those running sums.
+    The whole curve costs one shuffle more than a single fit.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    feats = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("x1"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("x2"),
+        )
+        .join(o.select("o_orderkey", "o_totalprice"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 8), 16, 10)
+             .cast("bigint") % 10).alias("decile"),
+            "x1",
+            "x2",
+            F.round("o_totalprice").cast("bigint").alias("y"),
+        )
+    )
+    dm = feats.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    w_run = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run = dm.select(
+        "decile",
+        *[F.sum(m).over(w_run).cast("double").alias(f"t_{m}") for m in _CV_MOMENTS],
+    )
+    b0, b1, b2 = _cramer_exprs("t_")
+    sse = (
+        f"(t_syy + {b0}*{b0}*t_n + {b1}*{b1}*t_s11 + {b2}*{b2}*t_s22"
+        f" + 2*{b0}*{b1}*t_s1 + 2*{b0}*{b2}*t_s2 + 2*{b1}*{b2}*t_s12"
+        f" - 2*{b0}*t_sy - 2*{b1}*t_s1y - 2*{b2}*t_s2y)"
+    )
+    sst = "(t_syy - t_sy*t_sy/t_n)"
+    return run.selectExpr(
+        "(decile + 1) * 10 AS train_pct",
+        "CAST(t_n AS BIGINT) AS n_train",
+        f"round(1.0 - {sse}/{sst}, 6) AS r2",
+    )
+
+
+def _lc_sql() -> str:
+    b0, b1, b2 = _cramer_exprs("t_")
+    sse = (
+        f"(t_syy + {b0}*{b0}*t_n + {b1}*{b1}*t_s11 + {b2}*{b2}*t_s22"
+        f" + 2*{b0}*{b1}*t_s1 + 2*{b0}*{b2}*t_s2 + 2*{b1}*{b2}*t_s12"
+        f" - 2*{b0}*t_sy - 2*{b1}*t_s1y - 2*{b2}*t_s2y)"
+    )
+    sst = "(t_syy - t_sy*t_sy/t_n)"
+    t_cols = ",\n         ".join(
+        f"CAST(SUM({m}) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS t_{m}"
+        for m in _CV_MOMENTS
+    )
+    return f"""
+WITH feats AS (
+  SELECT ('0x' || substr(md5(CAST(f.l_orderkey AS VARCHAR)), 1, 8))::BIGINT % 10 AS decile,
+         f.x1, f.x2, CAST(ROUND(o.o_totalprice) AS BIGINT) AS y
+  FROM (
+    SELECT l_orderkey, COUNT(*) AS x1, SUM(CAST(l_quantity AS BIGINT)) AS x2
+    FROM lineitem GROUP BY l_orderkey
+  ) f JOIN orders o ON f.l_orderkey = o.o_orderkey
+),
+dm AS (
+  SELECT decile, COUNT(*) AS n, SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+         SUM(x1*x1) AS s11, SUM(x1*x2) AS s12, SUM(x2*x2) AS s22,
+         SUM(x1*y) AS s1y, SUM(x2*y) AS s2y, SUM(y*y) AS syy
+  FROM feats GROUP BY decile
+),
+run AS (
+  SELECT decile,
+         {t_cols}
+  FROM dm
+)
+SELECT (decile + 1) * 10 AS train_pct,
+       CAST(t_n AS BIGINT) AS n_train,
+       ROUND(1.0 - {sse}/{sst}, 6) AS r2
+FROM run
+"""
+
+
+register(
+    QuerySpec(
+        "learning_curve_ols",
+        learning_curve_ols,
+        _lc_sql(),
+        doc="OLS learning curve (R² vs nested md5-decile train sizes) from one pass",
+        cites="ML-diagnostics family",
+        tags=("ml", "statistics", "window"),
+    )
+)

@@ -199,3 +199,30 @@ def test_skew_profile_accounts_every_row(spark):
     assert {r.key_column for r in per_col} == {"l_orderkey", "l_partkey", "l_suppkey"}
     totals = {r.key_column: r.rows for r in per_col}
     assert len(set(totals.values())) == 1  # each histogram covers all lineitem rows
+
+
+def test_cross_validation_folds_partition_orders(spark):
+    rows = _run(spark, "cross_validate_ols").collect()
+    assert len(rows) == 5
+    assert all(r.rmse_holdout >= 0 for r in rows)
+    # folds partition the order set
+    from analytics_data_platform_spark.sources.testdata import load_table
+
+    import pyspark.sql.functions as SF
+
+    o = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    n_fittable = o.join(
+        li.select("l_orderkey").distinct(),
+        o.o_orderkey == SF.col("l_orderkey"),
+        "leftsemi",
+    ).count()
+    assert sum(r.n_holdout for r in rows) == n_fittable
+
+
+def test_learning_curve_monotone_sizes(spark):
+    rows = sorted(_run(spark, "learning_curve_ols").collect(), key=lambda r: r.train_pct)
+    assert [r.train_pct for r in rows] == [10, 20, 30, 40, 50, 60, 70, 80, 90, 100]
+    sizes = [r.n_train for r in rows]
+    assert all(a < b for a, b in zip(sizes, sizes[1:]))
+    assert all(0.0 <= r.r2 <= 1.0 for r in rows)
