@@ -313,3 +313,160 @@ register(
         tags=("analytics", "join", "window"),
     )
 )
+
+
+def next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the first-order Markov next-event model: transitions
+    trained on 80% of users (md5 bucket) predict the held-out users' next
+    event as argmax P(to|from); output per-from accuracy.
+
+    Train is one |types|²-row aggregate; evaluation joins the held-out
+    transition pairs (one lead() window) against the broadcast model.
+    Counts are integers so the argmax (count desc, type asc) and the
+    accuracy ratio are engine-exact.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 5
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        bucket.alias("b"),
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = (
+        seq.where(F.col("b") != 0)
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_best = Window.partitionBy("from_type").orderBy(F.desc("n"), "to_type")
+    model = (
+        counts.withColumn("rn", F.row_number().over(w_best))
+        .where(F.col("rn") == 1)
+        .select("from_type", F.col("to_type").alias("predicted"))
+    )
+    test = seq.where(F.col("b") == 0)
+    return (
+        test.join(F.broadcast(model), "from_type")
+        .groupBy("from_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.sum((F.col("to_type") == F.col("predicted")).cast("int")).alias("n_correct"),
+        )
+        .select(
+            "from_type",
+            "n_transitions",
+            "n_correct",
+            F.round(F.col("n_correct") / F.col("n_transitions"), 6).alias("accuracy"),
+        )
+    )
+
+
+NEXT_EVENT_SQL = """
+WITH seq AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 5 AS b,
+         event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+pairs AS (SELECT * FROM seq WHERE to_type IS NOT NULL),
+counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n FROM pairs WHERE b <> 0
+  GROUP BY from_type, to_type
+),
+model AS (
+  SELECT from_type, to_type AS predicted FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY from_type ORDER BY n DESC, to_type) AS rn
+    FROM counts
+  ) WHERE rn = 1
+)
+SELECT p.from_type, COUNT(*) AS n_transitions,
+       CAST(SUM(CAST(p.to_type = m.predicted AS INT)) AS BIGINT) AS n_correct,
+       ROUND(CAST(SUM(CAST(p.to_type = m.predicted AS INT)) AS DOUBLE) / COUNT(*), 6) AS accuracy
+FROM pairs p JOIN model m ON p.from_type = m.from_type
+WHERE p.b = 0
+GROUP BY p.from_type
+"""
+
+register(
+    QuerySpec(
+        "next_event_accuracy",
+        next_event_accuracy,
+        NEXT_EVENT_SQL,
+        doc="Markov next-event model backtest on held-out users (per-state accuracy)",
+        cites="sequence-model evaluation; pairs with event_transition_matrix",
+        tags=("ml", "evaluation", "window"),
+    )
+)
+
+
+def ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime value per signup cohort: users cohorted by the
+    epoch-week of their first event, purchase cents accumulated over
+    weeks-since-signup. Epoch-week integer division sidesteps ISO-week /
+    timezone semantics entirely; cents cumsums are exact.
+
+    One groupBy(user_id) for cohorts, one join back (user-keyed), one
+    bounded |cohorts × weeks| aggregate with an ordered cumsum window.
+    """
+    e = load_table(spark, sf_dir, "events")
+    week_us = 7 * 86_400_000_000
+    firsts = e.groupBy("user_id").agg(
+        F.expr(f"min(unix_micros(ts)) div {week_us}").alias("cohort_week")
+    )
+    spend = (
+        e.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.expr(f"unix_micros(ts) div {week_us}").alias("wk"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .join(firsts, "user_id")
+        .groupBy("cohort_week", (F.col("wk") - F.col("cohort_week")).alias("weeks_since"))
+        .agg(F.sum("cents").alias("cents"))
+    )
+    sizes = firsts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_users"))
+    w_cum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("weeks_since")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spend.withColumn("cum_cents", F.sum("cents").over(w_cum))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select("cohort_week", "weeks_since", "n_users", "cents", "cum_cents")
+    )
+
+
+LTV_SQL = """
+WITH firsts AS (
+  SELECT user_id, MIN(epoch_us(ts)) // 604800000000 AS cohort_week
+  FROM events GROUP BY user_id
+),
+spend AS (
+  SELECT f.cohort_week,
+         epoch_us(e.ts) // 604800000000 - f.cohort_week AS weeks_since,
+         SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS cents
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+),
+sizes AS (SELECT cohort_week, COUNT(*) AS n_users FROM firsts GROUP BY cohort_week)
+SELECT s.cohort_week, s.weeks_since, z.n_users, CAST(s.cents AS BIGINT) AS cents,
+       CAST(SUM(s.cents) OVER (PARTITION BY s.cohort_week ORDER BY s.weeks_since
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+FROM spend s JOIN sizes z ON s.cohort_week = z.cohort_week
+"""
+
+register(
+    QuerySpec(
+        "ltv_cohort_curve",
+        ltv_cohort_curve,
+        LTV_SQL,
+        doc="cumulative LTV per epoch-week signup cohort (exact cent cumsums)",
+        cites="business-analytics family; pairs with cohort_retention",
+        tags=("analytics", "window"),
+    )
+)

@@ -362,3 +362,67 @@ register(
         tags=("observability", "agg"),
     )
 )
+
+
+CUSUM_TOP = 5
+
+
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point screen over daily order revenue: the days where
+    the cumulative deviation from the series mean peaks.
+
+    Scaled to stay integral: D·CUSUM_d = D·prefix_d − d·total (prefix via
+    one ordered window over the |days|-row daily aggregate), so the
+    statistic is an exact BIGINT and the top-|5| selection cannot be
+    reordered by float noise. The only data-sized work is the daily
+    cent aggregation.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
+    )
+    w = Window.orderBy("d")
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    scored = daily.select(
+        "d",
+        (
+            F.count(F.lit(1)).over(w_all) * F.sum("cents").over(w)
+            - F.row_number().over(w) * F.sum("cents").over(w_all)
+        ).alias("cusum_scaled"),
+    )
+    wr = Window.orderBy(F.abs(F.col("cusum_scaled")).desc(), F.col("d"))
+    return (
+        scored.withColumn("pos", F.row_number().over(wr))
+        .where(F.col("pos") <= CUSUM_TOP)
+        .select("pos", "d", "cusum_scaled")
+    )
+
+
+CUSUM_SQL = f"""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS d,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY date_trunc('day', o_orderdate)
+),
+scored AS (
+  SELECT d,
+         CAST(COUNT(*) OVER () *
+              SUM(cents) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - ROW_NUMBER() OVER (ORDER BY d) * SUM(cents) OVER () AS BIGINT) AS cusum_scaled
+  FROM daily
+)
+SELECT pos, d, cusum_scaled FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY ABS(cusum_scaled) DESC, d) AS pos FROM scored
+) WHERE pos <= {CUSUM_TOP}
+"""
+
+register(
+    QuerySpec(
+        "cusum_changepoints",
+        cusum_changepoints,
+        CUSUM_SQL,
+        doc="CUSUM change-point screen on daily revenue (integer-scaled statistic)",
+        cites="time-series diagnostics family",
+        tags=("ml", "timeseries", "window"),
+    )
+)

@@ -226,3 +226,31 @@ def test_learning_curve_monotone_sizes(spark):
     sizes = [r.n_train for r in rows]
     assert all(a < b for a, b in zip(sizes, sizes[1:]))
     assert all(0.0 <= r.r2 <= 1.0 for r in rows)
+
+
+def test_cusum_top_is_ordered(spark):
+    rows = _run(spark, "cusum_changepoints").collect()
+    assert len(rows) == 5
+    mags = [abs(r.cusum_scaled) for r in rows]
+    assert mags == sorted(mags, reverse=True)
+
+
+def test_next_event_accuracy_bounds(spark):
+    rows = _run(spark, "next_event_accuracy").collect()
+    assert {r.from_type for r in rows} == {"click", "error", "purchase", "signup", "view"}
+    assert all(0.0 <= r.accuracy <= 1.0 for r in rows)
+    assert all(r.n_correct <= r.n_transitions for r in rows)
+
+
+def test_ltv_curve_monotone_within_cohort(spark):
+    from collections import defaultdict
+
+    rows = _run(spark, "ltv_cohort_curve").collect()
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r.cohort_week].append(r)
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r.weeks_since)
+        cums = [r.cum_cents for r in rs]
+        assert cums == sorted(cums)  # cumulative LTV never decreases
+        assert all(r.weeks_since >= 0 for r in rs)
