@@ -294,3 +294,34 @@ def test_incremental_dedup_new_side_probes_index_as_equi_join(spark, sf_dir):
         + r.join_strategies.get("BroadcastHashJoin", 0)
     )
     assert eq_joins >= 2, r.join_strategies
+
+
+def test_kmeans_centroids_broadcast_not_literals(spark, sf_dir):
+    # centroid tables must join as broadcast DATA (so nlist can grow) and
+    # the per-iteration argmin must not plan a cartesian
+    plan = plan_of(spark, "kmeans_embeddings", sf_dir, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_item_item_restricts_before_self_join(spark, sf_dir):
+    # the top-N item dimension joins broadcast; the self-join is an
+    # equi-join on customer, never a nested loop
+    plan = plan_of(spark, "item_item_cosine", sf_dir, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_attribution_range_join_is_user_keyed(spark, sf_dir):
+    # the purchase x click pairing must hash-join on user_id with the
+    # time band as a post-filter, not degrade to a nested loop
+    plan = plan_of(spark, "linear_attribution", sf_dir, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cv_single_scan_of_lineitem(spark, sf_dir):
+    # one-pass CV: lineitem must be scanned exactly once
+    plan = plan_of(spark, "cross_validate_ols", sf_dir, "simple")
+    assert plan.count("lineitem.parquet") <= 1 or plan.lower().count("filescan") <= 2

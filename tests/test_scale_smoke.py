@@ -1,0 +1,82 @@
+"""Opt-in scale smoke: run the quadratic-risk corpus operators on an 8×
+replicated+perturbed documents table (SPARK_GRAFT_SCALE_SMOKE=1 to enable).
+
+The replication is adversarial for dedup operators on purpose: every
+document gains 7 near-copies (one unique marker token each), so the true
+near-dup pair count grows 28× per doc while the corpus grows 8×. A
+banding design that silently degrades toward all-pairs blows past the
+time budget here long before it would OOM a cluster; a correct one
+scales with Σ bucket².
+
+Numbers recorded at sf0.1 ×8 (40k docs, local[8] test session) in
+SCALE.md §scale-smoke.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from analytics_data_platform_spark.queries import all_queries
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SCALE_SMOKE") != "1",
+    reason="scale smoke is opt-in (SPARK_GRAFT_SCALE_SMOKE=1)",
+)
+
+SRC_SF = "/root/testdata/sf0.1"
+SMOKE_DIR = "/tmp/adps-scale-smoke"
+REPLICAS = 8
+BUDGET_S = 300.0
+
+
+@pytest.fixture(scope="module")
+def smoke_dir(spark):
+    docs = spark.read.parquet(f"{SRC_SF}/documents.parquet")
+    reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
+    big = (
+        docs.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+            # one unique marker token per replica: near-dup, never exact-dup
+            F.concat(
+                F.col("text"), F.lit(" rmark"), F.col("rep"), F.lit("d"), F.col("doc_id")
+            ).alias("text"),
+            "lang",
+            "source",
+            (F.length("text") + 10).alias("n_chars"),
+        )
+    )
+    big.write.mode("overwrite").parquet(f"{SMOKE_DIR}/documents.parquet")
+    return SMOKE_DIR
+
+
+def _timed(spark, name, sf_dir):
+    t0 = time.time()
+    n = all_queries()[name].fn(spark, sf_dir).count()
+    dt = time.time() - t0
+    assert dt < BUDGET_S, f"{name} took {dt:.0f}s at 8x — quadratic regression?"
+    return n, dt
+
+
+def test_minhash_near_dup_survives_8x(spark, smoke_dir):
+    n, dt = _timed(spark, "near_dup_minhash", smoke_dir)
+    # every replica family is pairwise near-dup: expect far more candidate
+    # pairs than docs, far fewer than all-pairs
+    assert n > 0
+    print(f"near_dup_minhash 8x: {n} rows in {dt:.1f}s")
+
+
+def test_duplicate_passages_survives_8x(spark, smoke_dir):
+    n, dt = _timed(spark, "duplicate_passages", smoke_dir)
+    assert n > 0
+    print(f"duplicate_passages 8x: {n} rows in {dt:.1f}s")
+
+
+def test_exact_dedup_survives_8x(spark, smoke_dir):
+    n, dt = _timed(spark, "dedup_exact_stats", smoke_dir)
+    assert n > 0
+    print(f"dedup_exact_stats 8x: {n} rows in {dt:.1f}s")
