@@ -575,3 +575,242 @@ register(
         tags=("training", "sampling"),
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Distributed BPE tokenizer training (fixed merge rounds)
+# --------------------------------------------------------------------------
+
+BPE_MERGES = 5
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 5 BPE merges from the corpus, fully distributed.
+
+    The classic frequency-compression trick makes this cheap: the corpus
+    collapses to a (word, freq) table ONCE (one shuffle over tokens), and
+    every merge round runs over that |vocab|-sized table — pair counting
+    is an explode + weighted count, the argmax pair broadcasts back, and
+    the merge itself is a plain string replace over an engine-portable
+    representation: symbols joined by DOUBLE spaces with double-space
+    boundaries, merged by replacing ' a  b ' with ' ab '. The single
+    outer spaces the pattern consumes restore the invariant, and plain
+    leftmost non-overlapping replace() IS textbook greedy BPE (e.g.
+    'a a a' merges its first pair only) — identically in both engines,
+    which is what makes a trained tokenizer hash-verifiable.
+
+    Rounds are fixed so the DuckDB oracle unrolls them as CTEs; the
+    selection key (count DESC, pair ASC) is integer/string-deterministic.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.concat(
+                F.lit("  "),
+                F.array_join(F.split(F.col("word"), ""), "  "),
+                F.lit("  "),
+            ).alias("w"),
+            "freq",
+        )
+        # the corpus-sized token explode must run once, not once per
+        # unrolled round (each best{i} roots its own lineage chain)
+        .localCheckpoint(eager=False)
+    )
+    merges = []
+    for step in range(1, BPE_MERGES + 1):
+        syms = words.select(
+            "freq", F.split(F.trim(F.col("w")), "  ").alias("s")
+        )
+        pairs = syms.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(slice(s, 1, size(s) - 1),"
+                    " (x, i) -> struct(x AS a, s[i + 1] AS b))"
+                )
+            ).alias("p"),
+        ).groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+            F.sum("freq").alias("cnt")
+        )
+        w_best = Window.orderBy(F.desc("cnt"), "a", "b")
+        best = (
+            pairs.withColumn("rn", F.row_number().over(w_best))
+            .where(F.col("rn") == 1)
+            .select(F.lit(step).alias("step"), "a", "b", "cnt")
+        )
+        merges.append(best)
+        words = (
+            words.crossJoin(F.broadcast(best.select("a", "b")))
+            .select(
+                F.expr(
+                    "replace(w, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ')"
+                ).alias("w"),
+                "freq",
+            )
+            # vocab-sized: checkpointing bounds the per-round recompute the
+            # final 5-way union would otherwise trigger
+            .localCheckpoint(eager=False)
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.select("step", F.col("a").alias("merge_left"),
+                      F.col("b").alias("merge_right"), F.col("cnt").alias("pair_count"))
+
+
+def _bpe_sql() -> str:
+    parts = [
+        """WITH words0 AS (
+  SELECT '  ' || array_to_string(string_split(word, ''), '  ') || '  ' AS w,
+         COUNT(*) AS freq
+  FROM (
+    SELECT UNNEST(string_split(text, ' ')) AS word FROM documents
+  ) t(word)
+  WHERE word <> ''
+  GROUP BY word
+)"""
+    ]
+    for i in range(1, BPE_MERGES + 1):
+        parts.append(
+            f""",
+pairs{i} AS (
+  SELECT s[i] AS a, s[i + 1] AS b, SUM(freq) AS cnt
+  FROM (
+    SELECT string_split(trim(w), '  ') AS s, freq FROM words{i - 1}
+  ), range(1, 1000) r(i)
+  WHERE i < len(s)
+  GROUP BY s[i], s[i + 1]
+),
+best{i} AS (
+  SELECT {i} AS step, a, b, CAST(cnt AS BIGINT) AS cnt FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, a, b) AS rn FROM pairs{i}
+  ) WHERE rn = 1
+),
+words{i} AS (
+  SELECT replace(w, ' ' || x.a || '  ' || x.b || ' ', ' ' || x.a || x.b || ' ') AS w,
+         freq
+  FROM words{i - 1} CROSS JOIN best{i} x
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT step, a AS merge_left, b AS merge_right, cnt AS pair_count FROM best{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+    parts.append("\n" + union)
+    return "".join(parts)
+
+
+register(
+    QuerySpec(
+        "bpe_train_merges",
+        bpe_train_merges,
+        _bpe_sql(),
+        doc="distributed BPE tokenizer training: first 5 merges via freq-compressed words",
+        cites="training-data ops: tokenizer training (Sennrich et al. BPE)",
+        tags=("training", "text", "iterative"),
+    )
+)
+
+
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus compression from applying the 5 learned BPE merges: total
+    token count and symbol-vocabulary size before vs after. The encode
+    side of bpe_train_merges — same freq-compressed iteration, final
+    aggregate instead of the merge list."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.concat(
+                F.lit("  "),
+                F.array_join(F.split(F.col("word"), ""), "  "),
+                F.lit("  "),
+            ).alias("w"),
+            "freq",
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def stats(ws: DataFrame, label: str) -> DataFrame:
+        syms = ws.select("freq", F.split(F.trim(F.col("w")), "  ").alias("s"))
+        return syms.select(
+            F.lit(label).alias("stage"),
+            F.explode("s").alias("sym"),
+            "freq",
+        ).groupBy("stage").agg(
+            F.sum("freq").alias("total_tokens"),
+            F.count_distinct("sym").alias("vocab_size"),
+        )
+
+    before = stats(words, "before")
+    for _ in range(BPE_MERGES):
+        syms = words.select("freq", F.split(F.trim(F.col("w")), "  ").alias("s"))
+        pairs = syms.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(slice(s, 1, size(s) - 1),"
+                    " (x, i) -> struct(x AS a, s[i + 1] AS b))"
+                )
+            ).alias("p"),
+        ).groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+            F.sum("freq").alias("cnt")
+        )
+        w_best = Window.orderBy(F.desc("cnt"), "a", "b")
+        best = (
+            pairs.withColumn("rn", F.row_number().over(w_best))
+            .where(F.col("rn") == 1)
+            .select("a", "b")
+        )
+        words = (
+            words.crossJoin(F.broadcast(best))
+            .select(
+                F.expr(
+                    "replace(w, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ')"
+                ).alias("w"),
+                "freq",
+            )
+            .localCheckpoint(eager=False)
+        )
+    return before.unionByName(stats(words, "after"))
+
+
+def _bpe_encode_sql() -> str:
+    # reuse the merge-round CTE chain (words0..words5), swap the final
+    # projection: one unnested row per symbol occurrence, so SUM(freq)
+    # IS the corpus token count (mirrors the Spark explode + sum)
+    full = _bpe_sql()
+    chain = full[: full.find("\nSELECT step, a AS merge_left")]
+    return (
+        chain
+        + f"""
+SELECT stage, CAST(total_tokens AS BIGINT) AS total_tokens,
+       CAST(vocab_size AS BIGINT) AS vocab_size
+FROM (
+  SELECT 'before' AS stage, SUM(freq) AS total_tokens,
+         COUNT(DISTINCT sym) AS vocab_size
+  FROM (SELECT freq, UNNEST(string_split(trim(w), '  ')) AS sym FROM words0)
+  UNION ALL
+  SELECT 'after', SUM(freq), COUNT(DISTINCT sym)
+  FROM (SELECT freq, UNNEST(string_split(trim(w), '  ')) AS sym FROM words{BPE_MERGES})
+)"""
+    )
+
+
+register(
+    QuerySpec(
+        "bpe_encode_stats",
+        bpe_encode_stats,
+        _bpe_encode_sql(),
+        doc="corpus token/vocab compression from the 5 learned BPE merges",
+        cites="training-data ops: tokenizer encode statistics",
+        tags=("training", "text"),
+    )
+)

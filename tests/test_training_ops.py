@@ -89,3 +89,27 @@ def test_pack_sharded_matches_policy_within_each_shard(spark):
             else:
                 acc += r.n_tokens
             assert r.pack_id == pack, (shard, r.doc_id)
+
+
+def test_bpe_merges_are_learned_in_frequency_order(spark):
+    from analytics_data_platform_spark.queries import all_queries
+
+    rows = sorted(
+        all_queries()["bpe_train_merges"].fn(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r.step,
+    )
+    assert [r.step for r in rows] == [1, 2, 3, 4, 5]
+    assert all(len(r.merge_left) >= 1 and len(r.merge_right) >= 1 for r in rows)
+    # the first merge has the highest pair count of its round; later rounds
+    # can only see counts <= the earlier winning count
+    assert rows[0].pair_count >= rows[1].pair_count
+
+
+def test_bpe_encode_compresses_corpus(spark):
+    from analytics_data_platform_spark.queries import all_queries
+
+    rows = {r.stage: r for r in
+            all_queries()["bpe_encode_stats"].fn(spark, "/root/testdata/sf0.001").collect()}
+    assert rows["after"].total_tokens < rows["before"].total_tokens
+    # 5 merges add exactly <=5 new symbols (some base symbols may vanish)
+    assert rows["after"].vocab_size <= rows["before"].vocab_size + 5
