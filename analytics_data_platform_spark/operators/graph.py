@@ -36,9 +36,14 @@ def pagerank(
     """
     # every iteration joins against the edge list; materialize it once so
     # an expensive upstream build (e.g. a distinct'd self-join) is not
-    # re-evaluated per round
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
-        eager=False
+    # re-evaluated per round. Pre-partition by dst: with the (small) rank
+    # table broadcast into the per-round join, the groupBy(dst) then
+    # satisfies its clustering from this one upfront shuffle — the five
+    # iteration rounds move no edge data at all
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition("dst")
+        .localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -58,7 +63,7 @@ def pagerank(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling")
         )
         contribs = (
-            ranks.join(e, ranks.node == e.src)
+            e.join(F.broadcast(ranks), ranks.node == e.src)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
         )

@@ -111,7 +111,7 @@ DRIVER_SHOWCASE: tuple[str, ...] = (
     "ddsketch_price_quantiles",
     "gap_fill_user_values",
     "sessionize_events",
-    "incremental_minhash_dedup",
+    "bpe_train_merges",
 )
 
 
