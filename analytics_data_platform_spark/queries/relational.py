@@ -740,3 +740,80 @@ register(
         tags=("json", "variant"),
     )
 )
+
+
+def null_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling fidelity in one query: synthetic NULLs are injected
+    into customer balances (every 7th key), then the result exercises the
+    semantics that differ across engines if anything is off — null-safe
+    equality (<=> / IS NOT DISTINCT FROM) vs plain equality in a join
+    condition, aggregate null-skipping (COUNT vs COUNT(col), SUM/AVG over
+    all-null groups), and COALESCE fallbacks. A platform migration is
+    exactly where these diverge silently; this row set pins them.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    nulled = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 7 != 0, F.col("c_acctbal")).alias("bal"),
+    )
+    a = nulled.select(
+        F.col("c_custkey").alias("ak"),
+        F.col("c_mktsegment").alias("aseg"),
+        F.col("bal").alias("abal"),
+    )
+    b = nulled.select(
+        F.col("c_custkey").alias("bk"),
+        F.col("bal").alias("bbal"),
+    )
+    # null-safe self-join on the NULLABLE column within the same key:
+    # <=> matches NULL with NULL, = never does
+    joined = a.join(
+        b,
+        (F.col("ak") == F.col("bk")) & F.col("abal").eqNullSafe(F.col("bbal")),
+        "left",
+    )
+    return joined.groupBy("aseg").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("abal").alias("n_nonnull_bal"),
+        F.count(F.when(F.col("bk").isNotNull() & F.col("abal").isNull(), 1)).alias(
+            "n_nullsafe_matches_on_null"
+        ),
+        F.round(F.coalesce(F.sum("abal"), F.lit(0.0)), 2).alias("sum_bal"),
+        F.round(
+            F.avg(F.when(F.col("ak") % 7 == 0, F.col("abal"))), 2
+        ).alias("avg_of_all_null_slice"),
+    )
+
+
+NULL_AUDIT_SQL = """
+WITH nulled AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_custkey % 7 <> 0 THEN c_acctbal END AS bal
+  FROM customer
+),
+j AS (
+  SELECT a.c_mktsegment AS aseg, a.c_custkey AS ak, a.bal AS abal, b.bk
+  FROM nulled a LEFT JOIN (
+    SELECT c_custkey AS bk, bal AS bbal FROM nulled
+  ) b ON a.c_custkey = b.bk AND a.bal IS NOT DISTINCT FROM b.bbal
+)
+SELECT aseg, COUNT(*) AS n_rows,
+       COUNT(abal) AS n_nonnull_bal,
+       COUNT(CASE WHEN bk IS NOT NULL AND abal IS NULL THEN 1 END)
+         AS n_nullsafe_matches_on_null,
+       ROUND(COALESCE(SUM(abal), 0.0), 2) AS sum_bal,
+       ROUND(AVG(CASE WHEN ak % 7 = 0 THEN abal END), 2) AS avg_of_all_null_slice
+FROM j GROUP BY aseg
+"""
+
+register(
+    QuerySpec(
+        "null_semantics_audit",
+        null_semantics_audit,
+        NULL_AUDIT_SQL,
+        doc="null-safe equality joins + aggregate null-skipping fidelity audit",
+        cites="SQL-semantics parity family (dialect traps, functions/dialect.py)",
+        tags=("relational", "semantics"),
+    )
+)
