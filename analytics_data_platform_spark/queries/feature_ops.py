@@ -426,3 +426,74 @@ register(
         tags=("ml", "timeseries", "window"),
     )
 )
+
+
+ACTIVITY_PAD_MIN = 30
+
+
+def interval_coverage_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-time coverage per user: every event opens a ±30-minute
+    activity interval; overlaps are merged by the sweep-line operator
+    (operators/intervals.merge_intervals) so the covered minutes are a
+    true union measure, never double-counted. Integer epoch math end to
+    end; one user-keyed sort-shuffle serves the whole sweep.
+    """
+    from analytics_data_platform_spark.operators.intervals import merge_intervals
+
+    e = load_table(spark, sf_dir, "events")
+    pad = ACTIVITY_PAD_MIN * 60_000_000
+    iv = e.select(
+        "user_id",
+        (F.unix_micros("ts") - pad).alias("s"),
+        (F.unix_micros("ts") + pad).alias("e"),
+    )
+    merged = merge_intervals(iv, "user_id", "s", "e")
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_activity_windows"),
+        F.sum("n_source").alias("n_events"),
+        F.expr("sum(e - s) div 60000000").alias("covered_minutes"),
+    )
+
+
+COVERAGE_SQL = f"""
+WITH iv AS (
+  SELECT user_id,
+         epoch_us(ts) - {ACTIVITY_PAD_MIN} * 60000000 AS s,
+         epoch_us(ts) + {ACTIVITY_PAD_MIN} * 60000000 AS e
+  FROM events
+),
+flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                OR s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_grp
+  FROM iv
+),
+grouped AS (
+  SELECT user_id, s, e,
+         SUM(new_grp) OVER (PARTITION BY user_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM flagged
+),
+merged AS (
+  SELECT user_id, MIN(s) AS s, MAX(e) AS e, COUNT(*) AS n_source
+  FROM grouped GROUP BY user_id, grp
+)
+SELECT user_id, COUNT(*) AS n_activity_windows,
+       CAST(SUM(n_source) AS BIGINT) AS n_events,
+       CAST(SUM(e - s) // 60000000 AS BIGINT) AS covered_minutes
+FROM merged GROUP BY user_id
+"""
+
+register(
+    QuerySpec(
+        "interval_coverage_per_user",
+        interval_coverage_per_user,
+        COVERAGE_SQL,
+        doc="union measure of per-user activity intervals (sweep-line merge, no double count)",
+        cites="operators/intervals.py merge_intervals",
+        tags=("analytics", "window", "timeseries"),
+    )
+)

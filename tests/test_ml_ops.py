@@ -254,3 +254,42 @@ def test_ltv_curve_monotone_within_cohort(spark):
         cums = [r.cum_cents for r in rs]
         assert cums == sorted(cums)  # cumulative LTV never decreases
         assert all(r.weeks_since >= 0 for r in rs)
+
+
+def test_interval_coverage_never_exceeds_span(spark):
+    import pyspark.sql.functions as SF
+    from analytics_data_platform_spark.sources.testdata import load_table
+
+    cov = _run(spark, "interval_coverage_per_user")
+    e = load_table(spark, SF_DIR, "events")
+    spans = e.groupBy("user_id").agg(
+        (
+            (SF.max(SF.unix_micros("ts")) - SF.min(SF.unix_micros("ts")))
+            / 60_000_000
+            + 60  # two 30-min pads
+        ).alias("max_minutes")
+    )
+    bad = (
+        cov.join(spans, "user_id")
+        .where(SF.col("covered_minutes") > SF.col("max_minutes") + 1)
+        .count()
+    )
+    assert bad == 0
+    # merged windows absorb every event exactly once
+    n_events = e.count()
+    assert cov.agg(SF.sum("n_events")).collect()[0][0] == n_events
+
+
+def test_merge_intervals_handbuilt(spark):
+    from analytics_data_platform_spark.operators.intervals import merge_intervals
+
+    df = spark.createDataFrame(
+        [
+            ("u", 0, 10), ("u", 5, 20), ("u", 20, 30),  # chain: one hull 0-30
+            ("u", 100, 110),                             # isolated
+            ("v", 0, 1), ("v", 2, 3),                    # disjoint (gap of 1)
+        ],
+        "k string, s long, e long",
+    )
+    rows = {(r.k, r.s, r.e): r.n_source for r in merge_intervals(df, "k", "s", "e").collect()}
+    assert rows == {("u", 0, 30): 3, ("u", 100, 110): 1, ("v", 0, 1): 1, ("v", 2, 3): 1}
