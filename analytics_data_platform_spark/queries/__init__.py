@@ -123,6 +123,7 @@ def all_queries() -> dict[str, QuerySpec]:
         eval_ops,
         extended,
         feature_ops,
+        governance_ops,
         graph_ops,
         ml_ops,
         reco_ops,

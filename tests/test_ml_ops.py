@@ -293,3 +293,20 @@ def test_merge_intervals_handbuilt(spark):
     )
     rows = {(r.k, r.s, r.e): r.n_source for r in merge_intervals(df, "k", "s", "e").collect()}
     assert rows == {("u", 0, 30): 3, ("u", 100, 110): 1, ("v", 0, 1): 1, ("v", 2, 3): 1}
+
+
+def test_k_anonymity_rows_partition(spark):
+    import pyspark.sql.functions as SF
+    from analytics_data_platform_spark.sources.testdata import load_table
+
+    rows = _run(spark, "k_anonymity_audit").collect()
+    n_customers = load_table(spark, SF_DIR, "customer").count()
+    assert sum(r.n_rows for r in rows) == n_customers  # every row bucketed once
+    assert all(r.n_groups <= r.n_rows for r in rows)
+
+
+def test_dp_noise_is_laplace_shaped_and_deterministic(spark):
+    rows = _run(spark, "dp_noisy_counts").collect()
+    again = _run(spark, "dp_noisy_counts").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))  # seeded
+    assert all(abs(r.released_count - r.true_count - r.laplace_noise) < 0.02 for r in rows)
