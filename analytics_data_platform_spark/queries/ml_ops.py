@@ -936,3 +936,150 @@ register(
         tags=("ml", "statistics", "window"),
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Distributed logistic regression (fixed-round IRLS)
+# --------------------------------------------------------------------------
+
+IRLS_ROUNDS = 2
+_Z_CLAMP = 30.0
+_W_FLOOR = 1e-6
+
+
+def logistic_purchase_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression P(event is a purchase | value, hour) trained by
+    2 fixed IRLS rounds, fully distributed.
+
+    Each round is ONE aggregation pass: with the current coefficients
+    attached as a broadcast 1-row table, every event contributes its
+    weighted moments (w = p(1-p), working response z + (y-p)/w), and the
+    3×3 weighted normal equations solve in the projection via the same
+    mirrored Cramer expressions the OLS family uses — no driver-side
+    math, no collect. z is clamped to ±30 and w floored at 1e-6 in both
+    engines so saturated rows cannot divide by zero. Rounds are fixed so
+    the oracle unrolls them; float sums cross engines agree to ~1e-15
+    relative, far inside the round-4 output quantum.
+    """
+    e = load_table(spark, sf_dir, "events")
+    feats = e.select(
+        (F.col("event_type") == "purchase").cast("double").alias("y"),
+        F.col("value").alias("x1"),
+        F.hour("ts").cast("double").alias("x2"),
+    )
+    b = spark.range(1).select(
+        F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"), F.lit(0.0).alias("b2")
+    )
+    b0c, b1c, b2c = _cramer_exprs("m_")
+    for _ in range(IRLS_ROUNDS):
+        z = F.greatest(
+            F.lit(-_Z_CLAMP),
+            F.least(
+                F.lit(_Z_CLAMP),
+                F.col("b0") + F.col("b1") * F.col("x1") + F.col("b2") * F.col("x2"),
+            ),
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        w = F.greatest(F.lit(_W_FLOOR), p * (F.lit(1.0) - p))
+        u = z + (F.col("y") - p) / w
+        m = (
+            feats.crossJoin(F.broadcast(b))
+            .select("x1", "x2", w.alias("w"), u.alias("u"))
+            .agg(
+                F.sum("w").alias("m_n"),
+                F.sum(F.col("w") * F.col("x1")).alias("m_s1"),
+                F.sum(F.col("w") * F.col("x2")).alias("m_s2"),
+                F.sum(F.col("w") * F.col("u")).alias("m_sy"),
+                F.sum(F.col("w") * F.col("x1") * F.col("x1")).alias("m_s11"),
+                F.sum(F.col("w") * F.col("x1") * F.col("x2")).alias("m_s12"),
+                F.sum(F.col("w") * F.col("x2") * F.col("x2")).alias("m_s22"),
+                F.sum(F.col("w") * F.col("x1") * F.col("u")).alias("m_s1y"),
+                F.sum(F.col("w") * F.col("x2") * F.col("u")).alias("m_s2y"),
+            )
+        )
+        b = m.selectExpr(
+            f"{b0c} AS b0", f"{b1c} AS b1", f"{b2c} AS b2"
+        )
+    z = F.greatest(
+        F.lit(-_Z_CLAMP),
+        F.least(
+            F.lit(_Z_CLAMP),
+            F.col("b0") + F.col("b1") * F.col("x1") + F.col("b2") * F.col("x2"),
+        ),
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    scored = feats.crossJoin(F.broadcast(b))
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.first("b0"), 4).alias("b0"),
+        F.round(F.first("b1"), 4).alias("b1"),
+        F.round(F.first("b2"), 4).alias("b2"),
+        F.round(
+            F.avg(F.when((p >= 0.5) == (F.col("y") == 1.0), 1.0).otherwise(0.0)), 4
+        ).alias("train_accuracy"),
+    )
+
+
+def _logistic_sql() -> str:
+    b0c, b1c, b2c = _cramer_exprs("m_")
+
+    def z_expr(bsrc: str) -> str:
+        return (
+            f"GREATEST(-{_Z_CLAMP}, LEAST({_Z_CLAMP},"
+            f" {bsrc}.b0 + {bsrc}.b1 * f.x1 + {bsrc}.b2 * f.x2))"
+        )
+
+    rounds = [
+        """WITH feats AS (
+  SELECT CAST(event_type = 'purchase' AS DOUBLE) AS y,
+         value AS x1,
+         CAST(EXTRACT(hour FROM ts) AS DOUBLE) AS x2
+  FROM events
+),
+b0_t AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2)"""
+    ]
+    for i in range(1, IRLS_ROUNDS + 1):
+        z = z_expr(f"b{i - 1}_t")
+        rounds.append(
+            f""",
+m{i} AS (
+  SELECT SUM(w) AS m_n, SUM(w*x1) AS m_s1, SUM(w*x2) AS m_s2, SUM(w*u) AS m_sy,
+         SUM(w*x1*x1) AS m_s11, SUM(w*x1*x2) AS m_s12, SUM(w*x2*x2) AS m_s22,
+         SUM(w*x1*u) AS m_s1y, SUM(w*x2*u) AS m_s2y
+  FROM (
+    SELECT f.x1, f.x2,
+           GREATEST({_W_FLOOR}, pp * (1.0 - pp)) AS w,
+           zz + (f.y - pp) / GREATEST({_W_FLOOR}, pp * (1.0 - pp)) AS u
+    FROM (
+      SELECT f.x1, f.x2, f.y, {z} AS zz,
+             1.0 / (1.0 + EXP(-({z}))) AS pp
+      FROM feats f CROSS JOIN b{i - 1}_t
+    ) f
+  )
+),
+b{i}_t AS (SELECT {b0c} AS b0, {b1c} AS b1, {b2c} AS b2 FROM m{i})"""
+        )
+    zf = z_expr("b")
+    rounds.append(
+        f"""
+SELECT COUNT(*) AS n_events,
+       ROUND(ANY_VALUE(b.b0), 4) AS b0,
+       ROUND(ANY_VALUE(b.b1), 4) AS b1,
+       ROUND(ANY_VALUE(b.b2), 4) AS b2,
+       ROUND(AVG(CASE WHEN (1.0 / (1.0 + EXP(-({zf}))) >= 0.5) = (f.y = 1.0)
+                      THEN 1.0 ELSE 0.0 END), 4) AS train_accuracy
+FROM feats f CROSS JOIN b{IRLS_ROUNDS}_t b"""
+    )
+    return "".join(rounds)
+
+
+register(
+    QuerySpec(
+        "logistic_purchase_model",
+        logistic_purchase_model,
+        _logistic_sql(),
+        doc="distributed logistic regression (2 fixed IRLS rounds, no driver math)",
+        cites="iterative-ML family; weighted-moment Cramer solve shared with OLS/CV",
+        tags=("ml", "iterative"),
+    )
+)

@@ -310,3 +310,16 @@ def test_dp_noise_is_laplace_shaped_and_deterministic(spark):
     again = _run(spark, "dp_noisy_counts").collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))  # seeded
     assert all(abs(r.released_count - r.true_count - r.laplace_noise) < 0.02 for r in rows)
+
+
+def test_logistic_irls_produces_finite_model(spark):
+    import math
+
+    row = _run(spark, "logistic_purchase_model").collect()[0]
+    assert row.n_events == 1000
+    for b in (row.b0, row.b1, row.b2):
+        assert math.isfinite(b)
+    # near the ~80% majority-class baseline (value/hour carry weak signal);
+    # the point is the distributed IRLS machinery, not this toy fit
+    assert 0.7 <= row.train_accuracy <= 1.0
+    assert row.b0 < 0  # base purchase rate ~20% -> negative intercept
