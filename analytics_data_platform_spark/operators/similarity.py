@@ -504,7 +504,14 @@ def lsh_near_dup_pairs(
     """
     planes = _hyperplanes(dim, n_bands * bits_per_band, seed)
     keys = lsh_band_keys(vec_col, planes, n_bands, bits_per_band)
-    banded = spread(corpus).select(F.col(id_col), F.explode(keys).alias("_bucket"))
+    # both sides of the candidate self-join reference the banding; the
+    # n_bands·bits_per_band interpreted projections are the expensive part,
+    # so materialize them once instead of evaluating per join side
+    banded = (
+        spread(corpus)
+        .select(F.col(id_col), F.explode(keys).alias("_bucket"))
+        .localCheckpoint(eager=False)
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

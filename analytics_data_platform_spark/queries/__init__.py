@@ -74,7 +74,7 @@ DRIVER_SHOWCASE: tuple[str, ...] = (
     "pack_sequences",
     "contamination_ngrams",
     "chi_square_type_hour",
-    "train_val_test_split",
+    "cross_validate_ols",
     "duplicate_passages",
     # classical ML / evaluation
     "kmeans_embeddings",
@@ -105,7 +105,7 @@ DRIVER_SHOWCASE: tuple[str, ...] = (
     "funnel_conversion",
     "cohort_retention",
     "cdc_snapshot_diff",
-    "grouping_sets_revenue",
+    "logistic_purchase_model",
     # windows / time
     "asof_purchase_click",
     "ddsketch_price_quantiles",
