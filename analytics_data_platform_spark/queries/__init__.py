@@ -120,6 +120,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from analytics_data_platform_spark.queries import (  # noqa: F401
         analytics_ops,
         corpus_ops,
+        econ_ops,
         eval_ops,
         extended,
         feature_ops,

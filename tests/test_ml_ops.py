@@ -323,3 +323,25 @@ def test_logistic_irls_produces_finite_model(spark):
     # the point is the distributed IRLS machinery, not this toy fit
     assert 0.7 <= row.train_accuracy <= 1.0
     assert row.b0 < 0  # base purchase rate ~20% -> negative intercept
+
+
+def test_gini_in_unit_interval(spark):
+    row = _run(spark, "gini_customer_revenue").collect()[0]
+    assert 0.0 <= row.gini <= 1.0
+    assert row.total_cents > 0
+
+
+def test_lorenz_curve_is_convex_increasing(spark):
+    rows = sorted(_run(spark, "lorenz_curve_deciles").collect(), key=lambda r: r.decile)
+    shares = [r.revenue_share for r in rows]
+    assert shares == sorted(shares)  # increasing
+    assert abs(shares[-1] - 1.0) < 1e-6  # 100% of customers -> 100% of revenue
+    # Lorenz curve lies under the diagonal: share at decile d <= d/10
+    for r in rows:
+        assert r.revenue_share <= r.decile / 10 + 1e-9
+
+
+def test_hhi_bounds(spark):
+    rows = _run(spark, "herfindahl_supplier_share").collect()
+    for r in rows:
+        assert 1.0 / r.n_suppliers - 1e-9 <= r.hhi <= 1.0
