@@ -80,3 +80,44 @@ def test_exact_dedup_survives_8x(spark, smoke_dir):
     n, dt = _timed(spark, "dedup_exact_stats", smoke_dir)
     assert n > 0
     print(f"dedup_exact_stats 8x: {n} rows in {dt:.1f}s")
+
+
+@pytest.fixture(scope="module")
+def smoke_dir_vec(spark):
+    import pyspark.sql.functions as SF
+
+    emb = spark.read.parquet(f"{SRC_SF}/embeddings.parquet")
+    reps = spark.range(REPLICAS).select(SF.col("id").alias("rep"))
+    big = (
+        emb.crossJoin(SF.broadcast(reps))
+        .select(
+            (SF.col("vec_id") + SF.col("rep") * 10_000_000).alias("vec_id"),
+            # deterministic jitter on the first component: replicas are
+            # near- but not exact-duplicates, adversarial for near-dup LSH
+            SF.expr(
+                "transform(embedding, (x, i) -> CASE WHEN i = 0"
+                " THEN CAST(x + rep * 0.001 AS FLOAT) ELSE x END)"
+            ).alias("embedding"),
+            "label",
+        )
+    )
+    big.write.mode("overwrite").parquet(f"{SMOKE_DIR}-vec/embeddings.parquet")
+    return f"{SMOKE_DIR}-vec"
+
+
+def test_ann_cosine_survives_8x(spark, smoke_dir_vec):
+    n, dt = _timed(spark, "ann_cosine_topk", smoke_dir_vec)
+    assert n == 50  # 5 queries x top-10, unchanged by corpus size
+    print(f"ann_cosine_topk 8x (16k vecs): {dt:.1f}s")
+
+
+def test_embedding_near_dups_survives_8x(spark, smoke_dir_vec):
+    n, dt = _timed(spark, "embedding_near_dups", smoke_dir_vec)
+    assert n > 0  # replica families are near-dups by construction
+    print(f"embedding_near_dups 8x: {n} pairs in {dt:.1f}s")
+
+
+def test_kmeans_survives_8x(spark, smoke_dir_vec):
+    n, dt = _timed(spark, "kmeans_embeddings", smoke_dir_vec)
+    assert n == 8
+    print(f"kmeans_embeddings 8x: {dt:.1f}s")
