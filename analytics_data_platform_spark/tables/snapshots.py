@@ -1,0 +1,471 @@
+"""Manifest snapshots: Iceberg's metadata layer re-built on bare parquet.
+
+`tables/versioned.py` gives the parquet fallback an atomic commit protocol,
+but each version is a FULL copy — an append or a small merge rewrites the
+whole table, which is exactly what Iceberg's manifests exist to avoid
+(reference: elt-common/src/elt_common/iceberg/io.py:63-144 works on a real
+Iceberg catalog; maintenance/__init__.py:28-62 drives the four maintenance
+procedures). This module implements the same metadata design directly:
+
+    root/
+      data/<op-uuid>/part-*.parquet   immutable data files
+      manifests/v<NNNN>.json          snapshot = file list + per-file stats
+      _latest                         pointer to the live snapshot (atomic)
+
+A snapshot manifest lists every live data file with row count, byte size
+and per-column min/max/null-count stats. That single structure buys, at
+any table size:
+
+- **O(batch) append** — new manifest = parent's file list + the new files;
+  nothing is rewritten, commit cost is independent of table size.
+- **Copy-on-write merge / delete that SKIPS files** — only files whose
+  stats range intersects the update keys / delete predicate are rewritten;
+  the rest carry over by reference. A 1 GB merge into a 100 TB table
+  touches the overlapping files, not the table (Iceberg CoW MERGE's file
+  skipping, realized with the same min/max pruning).
+- **Stats-based scan pruning** — `scan()` drops files whose min/max
+  cannot satisfy the filter BEFORE Spark ever lists them (the manifest
+  half of Iceberg scan planning; parquet footer pruning still applies
+  within each file that survives).
+- **Executable maintenance** — the reference's four nightly procedures
+  (rewrite_data_files / rewrite_manifests / expire_snapshots /
+  remove_orphan_files, maintenance/__init__.py:34-51) run for real here:
+  see :func:`snapshot_maintenance`.
+
+Commit protocol: data files are written first (invisible until
+referenced), the manifest is created with ``O_EXCL`` (two racing writers
+for the same version → exactly one wins, the loser gets
+:class:`CommitConflict` and retries on the new parent), then the pointer
+flips via ``os.replace`` (atomic on POSIX). A crash at ANY point leaves
+readers on the previous snapshot; half-written data dirs are garbage
+collected later by ``remove_orphan_files``. Object stores without atomic
+rename need a catalog for the pointer flip — same caveat as every
+filesystem commit protocol, documented not hidden.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+_POINTER = "_latest"
+
+# stats are kept for leaf columns of these Spark simpleString() types —
+# orderable scalars where min/max pruning is sound
+_STATS_TYPES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "date", "string", "boolean",
+}
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the same snapshot version first. The data
+    files written by the losing writer are unreferenced (orphans); retry
+    the operation against the new live snapshot."""
+
+
+@dataclass
+class DataFile:
+    path: str
+    rows: int
+    bytes: int
+    # col -> {"min": v, "max": v, "nulls": n} (JSON-encodable scalars)
+    stats: dict[str, dict] = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {"path": self.path, "rows": self.rows, "bytes": self.bytes, "stats": self.stats}
+
+    @staticmethod
+    def from_json(d: dict) -> "DataFile":
+        return DataFile(d["path"], d["rows"], d["bytes"], d.get("stats", {}))
+
+    def may_contain(self, col: str, lo, hi) -> bool:
+        """Could this file hold a row with ``col`` in [lo, hi]? True when
+        unknown (no stats / all-null col tracked as nulls-only → False
+        only for non-null ranges). Date/datetime bounds are compared in
+        the same ISO-string form the manifest stores (order-preserving)."""
+        s = self.stats.get(col)
+        if s is None:
+            return True
+        if s.get("min") is None or s.get("max") is None:
+            # nulls-only file: cannot satisfy a non-null range predicate
+            return False
+        lo, hi = _jsonable(lo), _jsonable(hi)
+        return not (s["max"] < lo or s["min"] > hi)
+
+
+@dataclass
+class Snapshot:
+    version: int
+    parent: int | None
+    op: str
+    ts: float
+    files: list[DataFile]
+
+    @property
+    def rows(self) -> int:
+        return sum(f.rows for f in self.files)
+
+
+class SnapshotTable:
+    def __init__(self, spark: SparkSession, root: str, stats_cols: list[str] | None = None):
+        """``stats_cols`` limits per-file stats collection (None = every
+        orderable leaf column). Stats collection is ONE extra aggregation
+        over the freshly written batch — per-file, map-side, grouped by
+        ``input_file_name()`` — never over the whole table."""
+        self.spark = spark
+        self.root = root
+        self.stats_cols = stats_cols
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
+
+    # -- snapshot bookkeeping ------------------------------------------------
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, "manifests", f"v{version:06d}.json")
+
+    def current_version(self) -> int | None:
+        try:
+            with open(os.path.join(self.root, _POINTER)) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(os.path.join(self.root, "manifests")):
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"snapshot table {self.root} has no committed snapshot")
+        with open(self._manifest_path(v)) as f:
+            d = json.load(f)
+        return Snapshot(
+            d["version"], d.get("parent"), d["op"], d["ts"],
+            [DataFile.from_json(x) for x in d["files"]],
+        )
+
+    def history(self) -> list[dict]:
+        """Snapshot log (version, op, ts, file/row counts) — the audit
+        surface Iceberg exposes as the ``snapshots`` metadata table."""
+        out = []
+        for v in self.versions():
+            s = self.snapshot(v)
+            out.append({
+                "version": s.version, "parent": s.parent, "op": s.op,
+                "ts": s.ts, "n_files": len(s.files), "rows": s.rows,
+            })
+        return out
+
+    def _commit(self, files: list[DataFile], op: str) -> int:
+        parent = self.current_version()
+        next_v = (max(self.versions(), default=0)) + 1
+        manifest = {
+            "version": next_v,
+            "parent": parent,
+            "op": op,
+            "ts": time.time(),
+            "files": [f.to_json() for f in files],
+        }
+        path = self._manifest_path(next_v)
+        try:
+            fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        except FileExistsError as exc:
+            raise CommitConflict(
+                f"snapshot v{next_v} of {self.root} was committed concurrently; "
+                "retry against the new live snapshot"
+            ) from exc
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        tmp = os.path.join(self.root, _POINTER + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(str(next_v))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.root, _POINTER))
+        return next_v
+
+    # -- data-file production ------------------------------------------------
+
+    def _write_files(self, df: DataFrame) -> list[DataFile]:
+        """Write ``df`` into a fresh immutable dir and enumerate the files
+        with stats. The stats pass is one per-file (map-side) aggregation
+        over just-written data — O(batch), not O(table)."""
+        d = os.path.join(self.root, "data", uuid.uuid4().hex)
+        df.write.mode("errorifexists").parquet(d)
+        written = self.spark.read.parquet(d)
+        cols = self._statable_cols(written)
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in cols:
+            aggs += [
+                F.min(c).alias(f"__min_{c}"),
+                F.max(c).alias(f"__max_{c}"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+            ]
+        per_file = (
+            written.groupBy(F.input_file_name().alias("__path")).agg(*aggs).collect()
+        )
+        by_path = {_strip_scheme(r["__path"]): r for r in per_file}
+        out = []
+        for name in sorted(os.listdir(d)):
+            if not name.endswith(".parquet"):
+                continue
+            p = os.path.join(d, name)
+            r = by_path.get(p)
+            if r is None:
+                continue  # zero-row part file: reference nothing, GC later
+            stats = {
+                c: {
+                    "min": _jsonable(r[f"__min_{c}"]),
+                    "max": _jsonable(r[f"__max_{c}"]),
+                    "nulls": r[f"__nulls_{c}"],
+                }
+                for c in cols
+            }
+            out.append(DataFile(p, r["__rows"], os.path.getsize(p), stats))
+        return out
+
+    def _statable_cols(self, df: DataFrame) -> list[str]:
+        cols = [
+            f.name for f in df.schema.fields
+            if f.dataType.simpleString() in _STATS_TYPES
+        ]
+        if self.stats_cols is not None:
+            cols = [c for c in cols if c in self.stats_cols]
+        return cols
+
+    # -- writes --------------------------------------------------------------
+
+    def replace(self, df: DataFrame) -> int:
+        return self._commit(self._write_files(df), "replace")
+
+    def append(self, df: DataFrame) -> int:
+        """O(batch): parent files carried over by reference."""
+        new = self._write_files(df)
+        parent = self.snapshot().files if self.current_version() else []
+        return self._commit(parent + new, "append")
+
+    def merge(self, updates: DataFrame, keys: list[str]) -> int:
+        """Copy-on-write upsert with file skipping.
+
+        Files whose key-range stats cannot intersect the update batch's
+        key range carry over BY REFERENCE; only intersecting files are
+        read, anti-joined and rewritten together with the updates. This is
+        the pruning Iceberg's CoW MERGE performs from manifest stats — the
+        reason merging 1 GB into 100 TB does not rewrite 100 TB.
+        """
+        if self.current_version() is None:
+            return self._commit(self._write_files(updates), "merge")
+        updates = updates.persist()
+        try:
+            row = updates.agg(
+                *[F.min(k).alias(f"lo_{k}") for k in keys],
+                *[F.max(k).alias(f"hi_{k}") for k in keys],
+            ).collect()[0]
+            lows = {k: row[f"lo_{k}"] for k in keys}
+            his = {k: row[f"hi_{k}"] for k in keys}
+            files = self.snapshot().files
+            if any(lows[k] is None for k in keys):
+                # empty batch or null keys: no sound pruning bound
+                touched, kept = list(files), []
+            else:
+                touched, kept = [], []
+                for fl in files:
+                    hit = all(fl.may_contain(k, lows[k], his[k]) for k in keys)
+                    (touched if hit else kept).append(fl)
+            if touched:
+                current = self.spark.read.parquet(*[f.path for f in touched])
+                survivors = current.join(
+                    updates.select(*keys).distinct(), keys, "left_anti"
+                )
+                rewritten = self._write_files(
+                    survivors.unionByName(updates.select(*current.columns))
+                )
+            else:
+                rewritten = self._write_files(updates)
+            return self._commit(kept + rewritten, "merge")
+        finally:
+            updates.unpersist()
+
+    def delete_where(self, predicate_sql: str, prune_col: str | None = None,
+                     lo=None, hi=None) -> int:
+        """Copy-on-write row-level DELETE. With ``prune_col``+[lo, hi]
+        bounds, files that cannot contain matching rows carry over by
+        reference; only candidates are rewritten with ``NOT predicate``."""
+        files = self.snapshot().files
+        if prune_col is not None:
+            touched = [f for f in files if f.may_contain(prune_col, lo, hi)]
+            kept = [f for f in files if not f.may_contain(prune_col, lo, hi)]
+        else:
+            touched, kept = files, []
+        if not touched:
+            return self._commit(kept, "delete")
+        cand = self.spark.read.parquet(*[f.path for f in touched])
+        rewritten = self._write_files(cand.where(f"NOT ({predicate_sql})"))
+        return self._commit(kept + rewritten, "delete")
+
+    # -- reads ---------------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        s = self.snapshot(version)
+        if not s.files:
+            raise FileNotFoundError(f"snapshot v{s.version} of {self.root} is empty")
+        return self.spark.read.parquet(*[f.path for f in s.files])
+
+    def scan(self, col: str, lo, hi, version: int | None = None) -> DataFrame:
+        """Manifest-pruned range scan: only files whose [min, max] for
+        ``col`` intersects [lo, hi] reach Spark's file listing; the range
+        filter is still applied (stats prune files, not rows)."""
+        s = self.snapshot(version)
+        candidates = [f.path for f in s.files if f.may_contain(col, lo, hi)]
+        if not candidates:
+            return self.read(version).where(F.lit(False))
+        return (
+            self.spark.read.parquet(*candidates)
+            .where((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+        )
+
+    def rollback(self, version: int) -> int:
+        """Roll back = new snapshot referencing the old snapshot's files
+        (Iceberg's rollback keeps history linear; a raw pointer flip would
+        orphan the intermediate snapshots' lineage)."""
+        old = self.snapshot(version)
+        return self._commit(old.files, f"rollback(v{version})")
+
+    # -- maintenance (executable M1-M4) --------------------------------------
+
+    def rewrite_data_files(self, target_file_bytes: int = 128 * 1024 * 1024,
+                           min_input_files: int = 2) -> dict:
+        """M1 ``rewrite_data_files`` (binpack): coalesce undersized files
+        into ~target-size files; files already at target carry over BY
+        REFERENCE. Commits a new snapshot; old files stay for time travel
+        until expired."""
+        s = self.snapshot()
+        small = [f for f in s.files if f.bytes < target_file_bytes // 2]
+        big = [f for f in s.files if f.bytes >= target_file_bytes // 2]
+        if len(small) < min_input_files:
+            return {"rewritten": 0, "kept": len(s.files), "version": s.version}
+        df = self.spark.read.parquet(*[f.path for f in small])
+        total = sum(f.bytes for f in small)
+        parts = max(1, -(-total // target_file_bytes))
+        rewritten = self._write_files(df.repartition(parts))
+        v = self._commit(big + rewritten, "rewrite_data_files")
+        return {"rewritten": len(small), "kept": len(big), "version": v}
+
+    def rewrite_manifests(self) -> int:
+        """M2 ``rewrite_manifests``: re-emit the live manifest with
+        re-verified file sizes and deterministic ordering (our manifests
+        are one JSON per snapshot; the Iceberg operation re-groups avro
+        manifest files — the invariant re-established is the same: the
+        metadata exactly matches the live data files)."""
+        s = self.snapshot()
+        files = sorted(
+            (DataFile(f.path, f.rows, os.path.getsize(f.path), f.stats) for f in s.files),
+            key=lambda f: f.path,
+        )
+        return self._commit(files, "rewrite_manifests")
+
+    def expire_snapshots(self, keep_last: int = 3, older_than_ts: float | None = None) -> dict:
+        """M3 ``expire_snapshots``: drop old manifests (never the live
+        one), then delete data files no surviving snapshot references.
+        Bounds time-travel history AND reclaims storage — running it is
+        what makes copy-on-write sustainable."""
+        live = self.current_version()
+        vs = self.versions()
+        expire = set(vs[:-keep_last]) if keep_last else set(vs)
+        if older_than_ts is not None:
+            expire = {v for v in expire if self.snapshot(v).ts < older_than_ts}
+        expire.discard(live)
+        survivors = [v for v in vs if v not in expire]
+        referenced = {
+            f.path for v in survivors for f in self.snapshot(v).files
+        }
+        removed_files = 0
+        doomed = {
+            f.path for v in expire for f in self.snapshot(v).files
+        } - referenced
+        for p in doomed:
+            if os.path.exists(p):
+                os.remove(p)
+                removed_files += 1
+        for v in expire:
+            os.remove(self._manifest_path(v))
+        self._sweep_empty_data_dirs()
+        return {"expired_snapshots": sorted(expire), "removed_files": removed_files}
+
+    def remove_orphan_files(self, older_than_s: float = 0.0) -> list[str]:
+        """M4 ``remove_orphan_files``: delete files under ``data/`` that no
+        manifest references (crashed writes, losers of commit races).
+        ``older_than_s`` guards in-flight writers — production default is
+        hours; tests pass 0."""
+        referenced = {
+            f.path for v in self.versions() for f in self.snapshot(v).files
+        }
+        now = time.time()
+        removed = []
+        data_root = os.path.join(self.root, "data")
+        for sub in os.listdir(data_root):
+            d = os.path.join(data_root, sub)
+            for name in os.listdir(d):
+                p = os.path.join(d, name)
+                if p in referenced or not os.path.isfile(p):
+                    continue
+                if now - os.path.getmtime(p) >= older_than_s:
+                    os.remove(p)
+                    removed.append(p)
+        self._sweep_empty_data_dirs()
+        return removed
+
+    def _sweep_empty_data_dirs(self) -> None:
+        data_root = os.path.join(self.root, "data")
+        for sub in os.listdir(data_root):
+            d = os.path.join(data_root, sub)
+            if os.path.isdir(d) and not any(
+                n.endswith(".parquet") for n in os.listdir(d)
+            ):
+                shutil.rmtree(d)
+
+
+def snapshot_maintenance(table: SnapshotTable, keep_last: int = 3,
+                         target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+    """The reference's nightly maintenance sequence
+    (maintenance/__init__.py:34-51) EXECUTED: binpack data files, rewrite
+    the manifest, expire old snapshots, remove orphans. Returns one report
+    dict per procedure — the loop `tables/maintenance.py::run_maintenance`
+    emits for catalog tables."""
+    report = {"rewrite_data_files": table.rewrite_data_files(target_file_bytes)}
+    table.rewrite_manifests()
+    report["rewrite_manifests"] = table.current_version()
+    report["expire_snapshots"] = table.expire_snapshots(keep_last=keep_last)
+    report["remove_orphan_files"] = len(table.remove_orphan_files())
+    return report
+
+
+def _strip_scheme(p: str) -> str:
+    """file:///x/y (input_file_name URI form) -> /x/y."""
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+    return p
+
+
+def _jsonable(v):
+    import datetime as dt
+
+    if isinstance(v, (dt.date, dt.datetime)):
+        return v.isoformat()
+    return v

@@ -1,0 +1,177 @@
+"""Manifest snapshots (tables/snapshots.py): O(batch) append, file-skipping
+copy-on-write merge/delete, stats-pruned scans, crash consistency, and the
+four maintenance procedures EXECUTED (reference drives them as Iceberg
+stored procedures, maintenance/__init__.py:34-51)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from analytics_data_platform_spark.tables.snapshots import (
+    CommitConflict,
+    SnapshotTable,
+    snapshot_maintenance,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, val string")
+
+
+def _paths(t, version=None):
+    return {f.path for f in t.snapshot(version).files}
+
+
+def test_append_is_o_batch_and_time_travels(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.replace(_df(spark, [(1, "a"), (2, "b")]))
+    v1_paths = _paths(t)
+    t.append(_df(spark, [(3, "c")]))
+    # O(batch): every v1 file carried over BY REFERENCE, only new files added
+    assert v1_paths < _paths(t)
+    assert {r.id for r in t.read().collect()} == {1, 2, 3}
+    assert {r.id for r in t.read(version=1).collect()} == {1, 2}
+    ops = [h["op"] for h in t.history()]
+    assert ops == ["replace", "append"]
+
+
+def test_merge_skips_files_outside_key_range(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    # two appends → disjoint id ranges live in separate files
+    t.replace(_df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    t.append(_df(spark, [(100, "x"), (101, "y")]).coalesce(1))
+    low_files = _paths(t, 1)
+    t.merge(_df(spark, [(100, "X"), (102, "z")]), keys=["id"])
+    # file holding ids 1-2 cannot intersect [100, 102] → carried over untouched
+    assert low_files < _paths(t)
+    rows = {r.id: r.val for r in t.read().collect()}
+    assert rows == {1: "a", 2: "b", 100: "X", 101: "y", 102: "z"}
+    # pre-merge state intact (time travel)
+    assert {r.val for r in t.read(version=2).collect()} == {"a", "b", "x", "y"}
+
+
+def test_merge_into_empty_and_null_bounds_fall_back_sound(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.merge(_df(spark, [(1, "a")]), keys=["id"])  # merge into nothing = insert
+    t.merge(
+        spark.createDataFrame([(None, "n")], "id long, val string"), keys=["id"]
+    )  # null key bounds → prune disabled, not wrong
+    assert {r.val for r in t.read().collect()} == {"a", "n"}
+
+
+def test_delete_where_prunes_and_deletes(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.replace(_df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    t.append(_df(spark, [(10, "x"), (11, "y")]).coalesce(1))
+    low = _paths(t, 1)
+    t.delete_where("id = 10", prune_col="id", lo=10, hi=10)
+    assert low < _paths(t)  # non-matching file untouched
+    assert {r.id for r in t.read().collect()} == {1, 2, 11}
+
+
+def test_scan_prunes_files_from_manifest_stats(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.replace(_df(spark, [(i, "lo") for i in range(5)]).coalesce(1))
+    t.append(_df(spark, [(i, "hi") for i in range(100, 105)]).coalesce(1))
+    scanned = t.scan("id", 100, 200)
+    # manifest pruning: the scan's file list excludes the low-range file
+    assert len(scanned.inputFiles()) == 1 < len(t.snapshot().files)
+    assert {r.id for r in scanned.collect()} == {100, 101, 102, 103, 104}
+    # out-of-range scan: zero files, empty result, still a valid plan
+    assert t.scan("id", 1000, 2000).count() == 0
+
+
+def test_crash_before_commit_is_invisible_then_orphan_collected(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.replace(_df(spark, [(1, "a")]))
+    # simulate a crash: data files written, manifest never committed
+    t._write_files(_df(spark, [(99, "zz")]))
+    assert {r.id for r in t.read().collect()} == {1}  # readers unaffected
+    removed = t.remove_orphan_files(older_than_s=0.0)
+    assert removed  # the stray files are gone
+    assert {r.id for r in t.read().collect()} == {1}
+
+
+def test_commit_conflict_single_winner(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.replace(_df(spark, [(1, "a")]))
+    # simulate the race: a rival takes manifest slot 2 AFTER this writer
+    # has planned its commit (versions() pinned to the pre-race listing)
+    rival = t._manifest_path(2)
+    with open(rival, "w") as f:
+        f.write("{}")
+    orig_versions = t.versions
+    t.versions = lambda: [1]
+    try:
+        with pytest.raises(CommitConflict):
+            t.append(_df(spark, [(2, "b")]))
+    finally:
+        t.versions = orig_versions
+    os.remove(rival)
+    # loser's data files are orphans; a retry then succeeds
+    t.remove_orphan_files(older_than_s=0.0)
+    t.append(_df(spark, [(2, "b")]))
+    assert {r.id for r in t.read().collect()} == {1, 2}
+
+
+def test_rollback_commits_new_snapshot(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.replace(_df(spark, [(1, "a")]))
+    t.replace(_df(spark, [(2, "b")]))
+    v = t.rollback(1)
+    assert v == 3  # history stays linear — rollback is itself a snapshot
+    assert {r.id for r in t.read().collect()} == {1}
+    assert {r.id for r in t.read(version=2).collect()} == {2}
+
+
+def test_expire_snapshots_reclaims_unreferenced_files(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.replace(_df(spark, [(1, "a")]))
+    old_paths = _paths(t)
+    t.replace(_df(spark, [(2, "b")]))
+    t.append(_df(spark, [(3, "c")]))
+    out = t.expire_snapshots(keep_last=2)
+    assert out["expired_snapshots"] == [1]
+    assert all(not os.path.exists(p) for p in old_paths)  # v1-only files gone
+    # v2's files survive: v3 still references them
+    assert {r.id for r in t.read(version=2).collect()} == {2}
+    assert {r.id for r in t.read().collect()} == {2, 3}
+    with pytest.raises(FileNotFoundError):
+        t.snapshot(1)
+
+
+def test_rewrite_data_files_binpacks_small_keeps_big(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    # 4 tiny files via 4 separate appends
+    for i in range(4):
+        t.append(_df(spark, [(i, f"v{i}")]).coalesce(1))
+    before = t.snapshot()
+    assert len(before.files) == 4
+    out = t.rewrite_data_files(target_file_bytes=1 << 20)
+    after = t.snapshot()
+    assert out["rewritten"] == 4 and len(after.files) < 4
+    assert {r.id for r in t.read().collect()} == {0, 1, 2, 3}
+
+
+def test_snapshot_maintenance_runs_all_four(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    for i in range(4):
+        t.append(_df(spark, [(i, f"v{i}")]).coalesce(1))
+    t._write_files(_df(spark, [(999, "orphan")]))  # crashed write
+    report = snapshot_maintenance(t, keep_last=2, target_file_bytes=1 << 20)
+    assert set(report) == {
+        "rewrite_data_files", "rewrite_manifests",
+        "expire_snapshots", "remove_orphan_files",
+    }
+    assert report["remove_orphan_files"] >= 1
+    assert {r.id for r in t.read().collect()} == {0, 1, 2, 3}
+
+
+def test_stats_cols_restricts_manifest_stats(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_cols=["id"])
+    t.replace(_df(spark, [(1, "a")]))
+    stats = t.snapshot().files[0].stats
+    assert "id" in stats and "val" not in stats
+    assert stats["id"]["min"] == 1 and stats["id"]["nulls"] == 0
