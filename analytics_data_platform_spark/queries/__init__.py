@@ -124,6 +124,7 @@ def all_queries() -> dict[str, QuerySpec]:
         eval_ops,
         extended,
         feature_ops,
+        geo_ops,
         governance_ops,
         graph_ops,
         ml_ops,
@@ -135,6 +136,7 @@ def all_queries() -> dict[str, QuerySpec]:
         text_ops,
         tpch,
         training_ops,
+        tsa_ops,
         warehouse_ops,
         vector_ops,
     )

@@ -325,3 +325,15 @@ def test_cv_single_scan_of_lineitem(spark, sf_dir):
     # one-pass CV: lineitem must be scanned exactly once
     plan = plan_of(spark, "cross_validate_ols", sf_dir, "simple")
     assert plan.count("lineitem.parquet") <= 1 or plan.lower().count("filescan") <= 2
+
+
+def test_geo_pair_join_is_grid_equi_join(spark, sf_dir):
+    """geo_neighbor_pairs must plan as a hash equi-join on the grid cell
+    key — never a cross/nested-loop pair enumeration (the all-pairs shape
+    lives only in the DuckDB oracle, as the losslessness proof)."""
+    from analytics_data_platform_spark.queries import all_queries
+
+    df = all_queries()["geo_neighbor_pairs"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
