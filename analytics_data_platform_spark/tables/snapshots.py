@@ -338,6 +338,24 @@ class SnapshotTable:
             .where((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
         )
 
+    def read_incremental(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Incremental scan (Iceberg's ``incremental read``): rows in data
+        files ADDED after ``from_version`` up to ``to_version`` (default
+        live). For append-only ingestion this hands a downstream consumer
+        exactly the new rows — no diff join, no re-read of the base table;
+        the file-set subtraction happens entirely in manifest metadata.
+
+        Snapshots that REWRITE files (merge/delete/compaction) surface the
+        rewritten files' full contents — same contract as Iceberg, which
+        restricts incremental reads to append lineage; pair with
+        ``history()`` to detect non-append ops in the range.
+        """
+        old = {f.path for f in self.snapshot(from_version).files}
+        new = [f.path for f in self.snapshot(to_version).files if f.path not in old]
+        if not new:
+            return self.read(to_version).where(F.lit(False))
+        return self.spark.read.parquet(*new)
+
     def rollback(self, version: int) -> int:
         """Roll back = new snapshot referencing the old snapshot's files
         (Iceberg's rollback keeps history linear; a raw pointer flip would

@@ -175,3 +175,16 @@ def test_stats_cols_restricts_manifest_stats(spark, tmp_path):
     stats = t.snapshot().files[0].stats
     assert "id" in stats and "val" not in stats
     assert stats["id"]["min"] == 1 and stats["id"]["nulls"] == 0
+
+
+def test_incremental_read_returns_only_appended_rows(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.replace(_df(spark, [(1, "a"), (2, "b")]))
+    t.append(_df(spark, [(3, "c")]))
+    t.append(_df(spark, [(4, "d"), (5, "e")]))
+    # consume everything since v1 — no diff join, pure manifest subtraction
+    assert {r.id for r in t.read_incremental(1).collect()} == {3, 4, 5}
+    # bounded range: v1 -> v2 sees only the first append
+    assert {r.id for r in t.read_incremental(1, 2).collect()} == {3}
+    # no-change range is empty but well-formed
+    assert t.read_incremental(3, 3).count() == 0
