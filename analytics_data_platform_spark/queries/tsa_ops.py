@@ -105,6 +105,120 @@ sums AS (
 """
 
 
+_HOLT_WINDOW = 16  # last N observed weekly points per series
+_HOLT_HORIZON = 4
+
+
+def holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend forecast (level+trend smoothing, α=β=1/2) of
+    weekly revenue per order priority, horizons 1-4.
+
+    Dyadic smoothing makes the recurrence EXACT: tracking the scaled
+    integers Lnumₜ = lₜ·4ᵗ and Bnumₜ = bₜ·4ᵗ,
+
+        Lnumₜ = yₜ·2^(2t−1) + 2(Lnumₜ₋₁ + Bnumₜ₋₁)
+        Bnumₜ = (Lnumₜ − 4·Lnumₜ₋₁)/2 + 2·Bnumₜ₋₁   (always even → exact)
+
+    stays in BIGINT for a 16-point window of k$-quantized values, so the
+    sequential fold (one `aggregate` HOF over the per-group sorted array —
+    inherently ordered, 16 elements, zero Python) reproduces bit-identically
+    in the oracle's recursive CTE. Forecast ŷ(h) = (Lnum + h·Bnum)/4ᵀ with
+    one final rounded double division.
+
+    Scale: the raw orders scan reduces via one partial-agg shuffle to
+    |groups|×16 rows before any sequential work.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    weekly = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr("CAST(datediff(o_orderdate, DATE'1970-01-01') div 7 AS BIGINT)").alias("wk"),
+    ).agg(
+        F.expr(f"CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) div {_KD} AS BIGINT)").alias(
+            "y"
+        )
+    )
+    w = Window.partitionBy("priority").orderBy(F.col("wk").desc())
+    last = (
+        weekly.withColumn("rdesc", F.row_number().over(w))
+        .where(F.col("rdesc") <= _HOLT_WINDOW)
+        .groupBy("priority")
+        .agg(F.expr("transform(sort_array(collect_list(struct(wk, y))), p -> p.y)").alias("ys"))
+    )
+    ln_t = "shiftleft(y, CAST(2 * (a.t + 1) - 1 AS INT)) + 2 * (a.ln + a.bn)"
+    fold = (
+        "aggregate(ys, named_struct('t', 0L, 'ln', 0L, 'bn', 0L), "
+        "(a, y) -> IF(a.t = 0, named_struct('t', 1L, 'ln', 4 * y, 'bn', 0L), "
+        f"named_struct('t', a.t + 1, 'ln', {ln_t}, "
+        f"'bn', (({ln_t}) - 4 * a.ln) div 2 + 2 * a.bn)))"
+    )
+    acc = last.select("priority", F.expr(fold).alias("acc"))
+    return acc.select(
+        "priority",
+        F.explode(F.expr(f"sequence(1, {_HOLT_HORIZON})")).alias("horizon"),
+        F.col("acc.t").alias("n_points"),
+        "acc.ln",
+        "acc.bn",
+    ).select(
+        "priority",
+        "horizon",
+        "n_points",
+        F.expr(
+            "ROUND(CAST(ln + horizon * bn AS DOUBLE) / "
+            "CAST(shiftleft(1L, CAST(2 * n_points AS INT)) AS DOUBLE), 4)"
+        ).alias("forecast_kusd"),
+    )
+
+
+HOLT_SQL = f"""
+WITH RECURSIVE weekly AS (
+  SELECT o_orderpriority AS priority,
+         date_diff('day', DATE '1970-01-01', o_orderdate) // 7 AS wk,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) // {_KD} AS y
+  FROM orders GROUP BY 1, 2
+),
+last16 AS (
+  SELECT priority, wk, y,
+         ROW_NUMBER() OVER (PARTITION BY priority ORDER BY wk DESC) AS rdesc
+  FROM weekly
+),
+ser AS (
+  SELECT priority, y,
+         ROW_NUMBER() OVER (PARTITION BY priority ORDER BY wk) AS t
+  FROM last16 WHERE rdesc <= {_HOLT_WINDOW}
+),
+holt(priority, t, ln, bn) AS (
+  SELECT priority, CAST(1 AS BIGINT), 4 * y, CAST(0 AS BIGINT) FROM ser WHERE t = 1
+  UNION ALL
+  SELECT s.priority, CAST(s.t AS BIGINT),
+         (s.y << (2 * s.t - 1)) + 2 * (h.ln + h.bn),
+         ((s.y << (2 * s.t - 1)) + 2 * (h.ln + h.bn) - 4 * h.ln) // 2 + 2 * h.bn
+  FROM holt h JOIN ser s ON s.priority = h.priority AND s.t = h.t + 1
+),
+final AS (
+  SELECT priority, t, ln, bn,
+         ROW_NUMBER() OVER (PARTITION BY priority ORDER BY t DESC) AS rr
+  FROM holt
+)
+SELECT f.priority, hz.horizon, f.t AS n_points,
+       ROUND(CAST(f.ln + hz.horizon * f.bn AS DOUBLE)
+             / CAST(CAST(1 AS BIGINT) << (2 * f.t) AS DOUBLE), 4) AS forecast_kusd
+FROM final f
+CROSS JOIN (SELECT unnest(generate_series(1, {_HOLT_HORIZON})) AS horizon) hz
+WHERE f.rr = 1
+"""
+
+
+register(
+    QuerySpec(
+        "holt_trend_forecast",
+        holt_trend_forecast,
+        HOLT_SQL,
+        doc="Holt level+trend forecast (dyadic alpha/beta, exact integer recurrence) per priority",
+        cites="extends ewma_user_values (ml_ops) to trended smoothing; recursive-CTE oracle",
+        tags=("timeseries", "forecast", "ml"),
+    )
+)
+
 register(
     QuerySpec(
         "acf_daily_revenue",
