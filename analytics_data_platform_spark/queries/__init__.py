@@ -64,7 +64,6 @@ DRIVER_SHOWCASE: tuple[str, ...] = (
     "embedding_centroid_norms",
     "near_dup_minhash",
     "ann_ivf_topk",
-    "embedding_near_dups",
     # retrieval
     "bm25_search",
     # portable sketches
@@ -75,7 +74,6 @@ DRIVER_SHOWCASE: tuple[str, ...] = (
     "contamination_ngrams",
     "chi_square_type_hour",
     "cross_validate_ols",
-    "duplicate_passages",
     # classical ML / evaluation
     "kmeans_embeddings",
     "naive_bayes_source",
@@ -99,13 +97,16 @@ DRIVER_SHOWCASE: tuple[str, ...] = (
     "text_token_stats",
     "text_quality_by_source",
     "setsim_jaccard_join",
-    "rake_keywords",
     "unigram_surprisal_score",
     # event analytics
     "funnel_conversion",
     "cohort_retention",
     "cdc_snapshot_diff",
     "logistic_purchase_model",
+    # geo / time-series analysis
+    "geo_neighbor_pairs",
+    "acf_daily_revenue",
+    "holt_trend_forecast",
     # windows / time
     "asof_purchase_click",
     "ddsketch_price_quantiles",
