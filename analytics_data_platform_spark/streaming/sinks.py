@@ -58,3 +58,51 @@ def upsert_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def snapshot_append_sink(
+    stream_df: DataFrame,
+    table,
+    checkpoint: str,
+    app_id: str = "stream",
+    available_now: bool = True,
+):
+    """Exactly-once streaming APPEND into a manifest SnapshotTable.
+
+    Structured Streaming's foreachBatch is at-least-once: after a crash
+    between sink commit and checkpoint advance, the SAME micro-batch id is
+    replayed. Transactional sinks deduplicate by recording a transactional
+    watermark inside their own commit (Delta's ``txnAppId``/``txnVersion``
+    pattern) — this sink does the same with the manifest layer: each
+    append commits with op ``stream-append:<app_id>:<batchId>``; a
+    replayed (app_id, batch) already in the snapshot lineage is skipped,
+    so rows land EXACTLY once no matter where the crash fell — including
+    full checkpoint loss, as long as the caller keeps ``app_id`` stable.
+    (`tables/snapshots.py` commits are atomic, so the op marker and the
+    data files appear together or not at all.) Start a logically new
+    stream into the same table with a NEW app_id.
+    """
+
+    def committed_batch_ids(t) -> set[int]:
+        ids = set()
+        prefix = f"stream-append:{app_id}:"
+        for h in t.history():
+            if h["op"].startswith(prefix):
+                ids.add(int(h["op"].rsplit(":", 1)[1]))
+        return ids
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in committed_batch_ids(table):
+            return  # replayed micro-batch: already in the table lineage
+        new = table._write_files(batch_df)
+        parent = table.snapshot().files if table.current_version() else []
+        table._commit(parent + new, f"stream-append:{app_id}:{batch_id}")
+
+    writer = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

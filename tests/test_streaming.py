@@ -320,3 +320,38 @@ def test_sliding_window_counts_overlap(spark, events_dir, tmp_path):
     t_90 = T0 + dt.timedelta(minutes=90)
     assert rows[(t_90, "click")] == 1
     assert rows[(t_90 - dt.timedelta(minutes=5), "click")] == 1
+
+
+def test_snapshot_append_sink_exactly_once_on_replay(spark, events_dir, tmp_path):
+    """Stream → manifest SnapshotTable: each micro-batch is one atomic
+    snapshot commit tagged with its batch id; a replayed batch (checkpoint
+    loss / crash-rewind simulation) is skipped, so rows land exactly once."""
+    from analytics_data_platform_spark.streaming.sinks import snapshot_append_sink
+    from analytics_data_platform_spark.tables.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "snap"))
+    ckpt = str(tmp_path / "ck_snap")
+    q = snapshot_append_sink(_read_stream(spark, events_dir), t, ckpt, app_id="ingest")
+    q.awaitTermination()
+    n1 = t.read().count()
+    assert n1 == 6  # append sink: raw rows, one commit per micro-batch
+    assert any(h["op"].startswith("stream-append:ingest:") for h in t.history())
+
+    # crash-rewind: wipe the checkpoint so Spark REPLAYS batch 0 from
+    # scratch; the stable app_id makes the replay a no-op (Delta txnAppId
+    # pattern)
+    import shutil
+
+    shutil.rmtree(ckpt)
+    q2 = snapshot_append_sink(_read_stream(spark, events_dir), t, ckpt, app_id="ingest")
+    q2.awaitTermination()
+    assert t.read().count() == n1  # replayed batch id skipped — no duplicates
+
+    # genuinely new data arrives as batch 1 of the SAME checkpoint lineage
+    _write_events(
+        spark, events_dir, [(42, T0 + dt.timedelta(hours=5), 9, "click", 1.0, "{}")]
+    )
+    q3 = snapshot_append_sink(_read_stream(spark, events_dir), t, ckpt, app_id="ingest")
+    q3.awaitTermination()
+    assert t.read().where("event_id = 42").count() == 1
+    assert t.read().count() == n1 + 1
