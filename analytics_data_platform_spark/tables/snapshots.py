@@ -317,6 +317,35 @@ class SnapshotTable:
         rewritten = self._write_files(cand.where(f"NOT ({predicate_sql})"))
         return self._commit(kept + rewritten, "delete")
 
+    def update_where(self, set_exprs: dict[str, str], predicate_sql: str,
+                     prune_col: str | None = None, lo=None, hi=None) -> int:
+        """Copy-on-write row-level UPDATE: files that cannot contain
+        matching rows (by ``prune_col`` stats bounds) carry over by
+        reference; candidate files are rewritten with each ``set_exprs``
+        column applied under ``CASE WHEN predicate``. Together with
+        ``delete_where``/``merge`` this completes the DML surface the
+        reference gets from Iceberg row-level operations."""
+        files = self.snapshot().files
+        if prune_col is not None:
+            touched = [f for f in files if f.may_contain(prune_col, lo, hi)]
+            kept = [f for f in files if not f.may_contain(prune_col, lo, hi)]
+        else:
+            touched, kept = files, []
+        if not touched:
+            return self._commit(kept, "update")
+        cand = self.spark.read.parquet(*[f.path for f in touched])
+        updated = cand.select(
+            *[
+                F.expr(
+                    f"CASE WHEN ({predicate_sql}) THEN ({set_exprs[c]}) ELSE `{c}` END"
+                ).cast(cand.schema[c].dataType).alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in cand.columns
+            ]
+        )
+        return self._commit(kept + self._write_files(updated), "update")
+
     # -- reads ---------------------------------------------------------------
 
     def read(self, version: int | None = None) -> DataFrame:

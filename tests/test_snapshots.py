@@ -188,3 +188,16 @@ def test_incremental_read_returns_only_appended_rows(spark, tmp_path):
     assert {r.id for r in t.read_incremental(1, 2).collect()} == {3}
     # no-change range is empty but well-formed
     assert t.read_incremental(3, 3).count() == 0
+
+
+def test_update_where_rewrites_only_candidate_files(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.replace(_df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    t.append(_df(spark, [(10, "x"), (11, "y")]).coalesce(1))
+    low = _paths(t, 1)
+    t.update_where({"val": "upper(val)"}, "id >= 10", prune_col="id", lo=10, hi=11)
+    assert low < _paths(t)  # low-range file untouched by reference
+    rows = {r.id: r.val for r in t.read().collect()}
+    assert rows == {1: "a", 2: "b", 10: "X", 11: "Y"}
+    # pre-update snapshot intact
+    assert {r.val for r in t.read(version=2).collect()} == {"a", "b", "x", "y"}
