@@ -115,6 +115,65 @@ HAVING COUNT(*) >= 2
 """
 
 
+def geo_nearest_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest neighbor per customer (within the 2° radius): symmetrize
+    the grid-join pairs, then one min_by-style struct-min per point —
+    ties broken by neighbor id, so the winner is unique and engine-stable.
+    Points with no neighbor inside the radius are excluded (bounded-search
+    semantics; an unbounded nearest-neighbor needs an expanding-ring scan,
+    which trades determinism for coverage)."""
+    pts = _customer_points(spark, sf_dir)
+    pairs = pairs_within_radius(pts, RADIUS_MICRO, id_col="id").select(
+        "id_a",
+        "id_b",
+        F.greatest(
+            F.abs(F.col("lat_a") - F.col("lat_b")),
+            F.abs(F.col("lon_a") - F.col("lon_b")),
+        ).alias("dist"),
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("nb"), "dist"
+    ).unionAll(pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("nb"), "dist"))
+    best = sym.groupBy("id").agg(F.min(F.struct("dist", "nb")).alias("m"))
+    return best.select(
+        "id", F.col("m.nb").alias("neighbor_id"), F.col("m.dist").alias("dist_micro")
+    )
+
+
+GEO_NEAREST_SQL = f"""
+WITH pts AS ({_POINTS_SQL}),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         GREATEST(ABS(a.lat_micro - b.lat_micro), ABS(a.lon_micro - b.lon_micro)) AS dist
+  FROM pts a JOIN pts b ON a.id < b.id
+  WHERE GREATEST(ABS(a.lat_micro - b.lat_micro), ABS(a.lon_micro - b.lon_micro))
+        <= {RADIUS_MICRO}
+),
+sym AS (
+  SELECT id_a AS id, id_b AS nb, dist FROM pairs
+  UNION ALL
+  SELECT id_b AS id, id_a AS nb, dist FROM pairs
+),
+ranked AS (
+  SELECT id, nb, dist, ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, nb) AS rn
+  FROM sym
+)
+SELECT id, nb AS neighbor_id, dist AS dist_micro FROM ranked WHERE rn = 1
+"""
+
+
+register(
+    QuerySpec(
+        "geo_nearest_within_radius",
+        geo_nearest_within_radius,
+        GEO_NEAREST_SQL,
+        doc="bounded nearest-neighbor per point from symmetrized grid-join pairs (struct-min argmin)",
+        cites="operators/geo.py pairs_within_radius",
+        tags=("geo", "join"),
+    )
+)
+
+
 register(
     QuerySpec(
         "geo_neighbor_pairs",

@@ -208,6 +208,84 @@ WHERE f.rr = 1
 """
 
 
+def theil_sen_weekly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of weekly revenue: the median of all
+    pairwise slopes (yⱼ−yᵢ)/(wⱼ−wᵢ). Outlier weeks shift OLS arbitrarily
+    but move a median-of-slopes by one rank — the robust estimator a
+    revenue series with promo spikes needs.
+
+    Scale shape: the O(m²) pair enumeration runs on the AGGREGATED weekly
+    series (m ≈ calendar weeks, m² ≈ 60k pairs — bounded by the calendar,
+    independent of data volume; the heavy orders scan reduces first).
+    Median by integer row position over a fully deterministic sort key
+    (double slope, then exact Δy, Δx, week ids) — both engines select the
+    identical pair, so the result is bit-stable.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    weekly = o.groupBy(
+        F.expr("CAST(datediff(o_orderdate, DATE'1970-01-01') div 7 AS BIGINT)").alias("wk")
+    ).agg(
+        F.expr(f"CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) div {_KD} AS BIGINT)").alias(
+            "y"
+        )
+    )
+    a, b = weekly.alias("a"), weekly.alias("b")
+    slopes = (
+        a.join(b, F.col("a.wk") < F.col("b.wk"))
+        .select(
+            (F.col("b.y") - F.col("a.y")).alias("dy"),
+            (F.col("b.wk") - F.col("a.wk")).alias("dx"),
+            F.col("a.wk").alias("wi"),
+            F.col("b.wk").alias("wj"),
+        )
+        .withColumn("slope", F.col("dy").cast("double") / F.col("dx").cast("double"))
+    )
+    w = Window.orderBy("slope", "dy", "dx", "wi", "wj")
+    ranked = slopes.select(
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("np"),
+    )
+    return ranked.where(F.col("rn") == F.expr("(np + 1) div 2")).select(
+        F.round("slope", 6).alias("trend_kusd_per_week"),
+        F.col("np").alias("n_pairs"),
+    )
+
+
+THEIL_SEN_SQL = f"""
+WITH weekly AS (
+  SELECT date_diff('day', DATE '1970-01-01', o_orderdate) // 7 AS wk,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) // {_KD} AS y
+  FROM orders GROUP BY 1
+),
+slopes AS (
+  SELECT b.y - a.y AS dy, b.wk - a.wk AS dx, a.wk AS wi, b.wk AS wj,
+         CAST(b.y - a.y AS DOUBLE) / CAST(b.wk - a.wk AS DOUBLE) AS slope
+  FROM weekly a JOIN weekly b ON a.wk < b.wk
+),
+ranked AS (
+  SELECT slope,
+         ROW_NUMBER() OVER (ORDER BY slope, dy, dx, wi, wj) AS rn,
+         COUNT(*) OVER () AS np
+  FROM slopes
+)
+SELECT ROUND(slope, 6) AS trend_kusd_per_week, np AS n_pairs
+FROM ranked WHERE rn = (np + 1) // 2
+"""
+
+
+register(
+    QuerySpec(
+        "theil_sen_weekly_trend",
+        theil_sen_weekly_trend,
+        THEIL_SEN_SQL,
+        doc="Theil-Sen robust slope: position-selected median of pairwise weekly-revenue slopes",
+        cites="robust twin of ols_daily_revenue_trend (econ_ops)",
+        tags=("timeseries", "stats", "robust"),
+    )
+)
+
+
 register(
     QuerySpec(
         "holt_trend_forecast",
