@@ -814,3 +814,107 @@ register(
         tags=("training", "text"),
     )
 )
+
+
+# ---- Hamilton-apportioned stratified sampling ------------------------------
+
+_QUOTA_PCT = 10  # sample budget = 10% of the corpus
+
+
+def stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with EXACT largest-remainder (Hamilton) quotas.
+
+    `domain_mixture_sample` draws each stratum independently (hash-mod
+    coin), so realized stratum sizes drift from the target mixture by
+    ±O(√n). A curated training mix wants exact apportionment: total
+    budget B = ⌊corpus·10%⌋ split as quotaₛ = ⌊B·nₛ/N⌋ plus one extra doc
+    for the (B − Σ⌊·⌋) largest remainders (B·nₛ mod N, ties by source id)
+    — quotas sum to B exactly, all in BIGINT arithmetic. Within each
+    stratum the quota picks the smallest md5(doc_id) keys: deterministic,
+    rerun-safe, order-independent.
+
+    Scale shape: the allocation runs on the per-source count table
+    (|sources| rows); the only corpus-sized work is one md5 rank window
+    per source — the same single sort-shuffle any per-group top-k costs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").alias("n_total"), F.count(F.lit(1)).alias("n_sources")
+    )
+    alloc = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.expr(f"(n_total * {_QUOTA_PCT}) div 100").alias("budget"),
+        F.expr(f"(((n_total * {_QUOTA_PCT}) div 100) * n_docs) div n_total").alias("base"),
+        F.expr(f"(((n_total * {_QUOTA_PCT}) div 100) * n_docs) % n_total").alias("rem"),
+    )
+    w = Window.orderBy(F.col("rem").desc(), F.col("source"))
+    wsum = Window.partitionBy()
+    quotas = alloc.select(
+        "source",
+        "n_docs",
+        (
+            F.col("base")
+            + (F.row_number().over(w) <= (F.col("budget") - F.sum("base").over(wsum))).cast(
+                "bigint"
+            )
+        ).alias("quota"),
+    )
+    ranked = d.select(
+        "source", "doc_id", "n_chars", F.md5(F.col("doc_id").cast("string")).alias("h")
+    ).withColumn("rn", F.row_number().over(Window.partitionBy("source").orderBy("h", "doc_id")))
+    picked = ranked.join(F.broadcast(quotas), "source").where(F.col("rn") <= F.col("quota"))
+    return picked.groupBy("source").agg(
+        F.min("n_docs").alias("n_docs"),
+        F.min("quota").alias("quota"),
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_chars").alias("sampled_chars"),
+    )
+
+
+QUOTA_SQL = f"""
+WITH counts AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM counts),
+alloc AS (
+  SELECT source, n_docs,
+         (n_total * {_QUOTA_PCT}) // 100 AS budget,
+         (((n_total * {_QUOTA_PCT}) // 100) * n_docs) // n_total AS base,
+         (((n_total * {_QUOTA_PCT}) // 100) * n_docs) % n_total AS rem
+  FROM counts, tot
+),
+quotas AS (
+  SELECT source, n_docs,
+         base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                      <= budget - CAST(SUM(base) OVER () AS BIGINT)
+                THEN 1 ELSE 0 END AS quota
+  FROM alloc
+),
+ranked AS (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT r.source,
+       MIN(q.n_docs) AS n_docs,
+       MIN(q.quota) AS quota,
+       COUNT(*) AS n_sampled,
+       CAST(SUM(r.n_chars) AS BIGINT) AS sampled_chars
+FROM ranked r JOIN quotas q ON r.source = q.source
+WHERE r.rn <= q.quota
+GROUP BY 1
+"""
+
+
+register(
+    QuerySpec(
+        "stratified_quota_sample",
+        stratified_quota_sample,
+        QUOTA_SQL,
+        doc="Hamilton largest-remainder stratified sampling: exact integer quotas, md5-keyed picks",
+        cites="training mixture curation; exact-apportionment twin of domain_mixture_sample",
+        tags=("training", "sampling"),
+    )
+)

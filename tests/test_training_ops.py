@@ -113,3 +113,19 @@ def test_bpe_encode_compresses_corpus(spark):
     assert rows["after"].total_tokens < rows["before"].total_tokens
     # 5 merges add exactly <=5 new symbols (some base symbols may vanish)
     assert rows["after"].vocab_size <= rows["before"].vocab_size + 5
+
+
+def test_stratified_quota_sample_hamilton_conservation(spark, sf_dir):
+    """Largest-remainder apportionment: quotas sum EXACTLY to the budget,
+    every quota is within 1 of its exact proportional share, and no
+    stratum samples more docs than it has."""
+    from analytics_data_platform_spark.queries import all_queries
+
+    rows = all_queries()["stratified_quota_sample"].fn(spark, sf_dir).collect()
+    n_total = sum(r.n_docs for r in rows)
+    budget = n_total * 10 // 100
+    assert sum(r.quota for r in rows) == budget
+    assert all(r.n_sampled == r.quota <= r.n_docs for r in rows)
+    for r in rows:
+        exact = budget * r.n_docs / n_total
+        assert exact - 1 <= r.quota <= exact + 1
