@@ -168,14 +168,18 @@ class SnapshotTable:
             })
         return out
 
-    def _commit(self, files: list[DataFile], op: str) -> int:
+    def _commit(self, files: list[DataFile], op: str,
+                schema_json: str | None = None) -> int:
         parent = self.current_version()
+        if schema_json is None and parent is not None:
+            schema_json = self._schema_json(parent)
         next_v = (max(self.versions(), default=0)) + 1
         manifest = {
             "version": next_v,
             "parent": parent,
             "op": op,
             "ts": time.time(),
+            "schema": schema_json,
             "files": [f.to_json() for f in files],
         }
         path = self._manifest_path(next_v)
@@ -250,13 +254,22 @@ class SnapshotTable:
     # -- writes --------------------------------------------------------------
 
     def replace(self, df: DataFrame) -> int:
-        return self._commit(self._write_files(df), "replace")
+        return self._commit(self._write_files(df), "replace", df.schema.json())
 
     def append(self, df: DataFrame) -> int:
-        """O(batch): parent files carried over by reference."""
+        """O(batch): parent files carried over by reference.
+
+        Additive schema evolution: batch columns the table lacks extend
+        the table schema (recorded in the manifest — readers project old
+        files to the merged schema, surfacing NULLs, with no per-file
+        footer merge); table columns the batch lacks arrive as NULLs.
+        Type changes on an existing column are rejected."""
         new = self._write_files(df)
-        parent = self.snapshot().files if self.current_version() else []
-        return self._commit(parent + new, "append")
+        if self.current_version() is None:
+            return self._commit(new, "append", df.schema.json())
+        merged = self._merge_schema(self._read_schema(), df.schema)
+        parent = self.snapshot().files
+        return self._commit(parent + new, "append", merged.json())
 
     def merge(self, updates: DataFrame, keys: list[str]) -> int:
         """Copy-on-write upsert with file skipping.
@@ -287,7 +300,7 @@ class SnapshotTable:
                     hit = all(fl.may_contain(k, lows[k], his[k]) for k in keys)
                     (touched if hit else kept).append(fl)
             if touched:
-                current = self.spark.read.parquet(*[f.path for f in touched])
+                current = self._read_files([f.path for f in touched])
                 survivors = current.join(
                     updates.select(*keys).distinct(), keys, "left_anti"
                 )
@@ -313,7 +326,7 @@ class SnapshotTable:
             touched, kept = files, []
         if not touched:
             return self._commit(kept, "delete")
-        cand = self.spark.read.parquet(*[f.path for f in touched])
+        cand = self._read_files([f.path for f in touched])
         rewritten = self._write_files(cand.where(f"NOT ({predicate_sql})"))
         return self._commit(kept + rewritten, "delete")
 
@@ -333,7 +346,7 @@ class SnapshotTable:
             touched, kept = files, []
         if not touched:
             return self._commit(kept, "update")
-        cand = self.spark.read.parquet(*[f.path for f in touched])
+        cand = self._read_files([f.path for f in touched])
         updated = cand.select(
             *[
                 F.expr(
@@ -348,11 +361,58 @@ class SnapshotTable:
 
     # -- reads ---------------------------------------------------------------
 
+    def _read_files(self, paths: list[str]) -> DataFrame:
+        """Read specific data files projected to the LIVE table schema
+        (post-evolution files and pre-evolution files align; missing
+        columns surface as NULL)."""
+        reader = self.spark.read
+        schema = self._read_schema()
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*paths)
+
+    def _schema_json(self, version: int | None = None) -> str | None:
+        v = self.current_version() if version is None else version
+        if v is None:
+            return None
+        with open(self._manifest_path(v)) as f:
+            return json.load(f).get("schema")
+
+    def _read_schema(self, version: int | None = None):
+        from pyspark.sql.types import StructType
+
+        sj = self._schema_json(version)
+        return StructType.fromJson(json.loads(sj)) if sj else None
+
+    @staticmethod
+    def _merge_schema(current, incoming):
+        """Additive union: current fields keep their order/types; unseen
+        incoming fields append. A type change is an error, not a cast."""
+        from pyspark.sql.types import StructType
+
+        if current is None:
+            return incoming
+        by_name = {f.name: f for f in incoming.fields}
+        for f in current.fields:
+            inc = by_name.get(f.name)
+            if inc is not None and inc.dataType != f.dataType:
+                raise ValueError(
+                    f"schema evolution is additive-only: column {f.name!r} "
+                    f"changed type {f.dataType.simpleString()} -> "
+                    f"{inc.dataType.simpleString()}"
+                )
+        extra = [f for f in incoming.fields if f.name not in {g.name for g in current.fields}]
+        return StructType(current.fields + extra)
+
     def read(self, version: int | None = None) -> DataFrame:
         s = self.snapshot(version)
         if not s.files:
             raise FileNotFoundError(f"snapshot v{s.version} of {self.root} is empty")
-        return self.spark.read.parquet(*[f.path for f in s.files])
+        reader = self.spark.read
+        schema = self._read_schema(version)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*[f.path for f in s.files])
 
     def scan(self, col: str, lo, hi, version: int | None = None) -> DataFrame:
         """Manifest-pruned range scan: only files whose [min, max] for
@@ -362,8 +422,12 @@ class SnapshotTable:
         candidates = [f.path for f in s.files if f.may_contain(col, lo, hi)]
         if not candidates:
             return self.read(version).where(F.lit(False))
+        reader = self.spark.read
+        schema = self._read_schema(version)
+        if schema is not None:
+            reader = reader.schema(schema)
         return (
-            self.spark.read.parquet(*candidates)
+            reader.parquet(*candidates)
             .where((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
         )
 

@@ -201,3 +201,20 @@ def test_update_where_rewrites_only_candidate_files(spark, tmp_path):
     assert rows == {1: "a", 2: "b", 10: "X", 11: "Y"}
     # pre-update snapshot intact
     assert {r.val for r in t.read(version=2).collect()} == {"a", "b", "x", "y"}
+
+
+def test_append_evolves_schema_additively(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.replace(_df(spark, [(1, "a")]))
+    t.append(
+        spark.createDataFrame([(2, "b", 9.5)], "id long, val string, score double")
+    )
+    live = t.read()
+    assert live.columns == ["id", "val", "score"]
+    rows = {r.id: (r.val, r.score) for r in live.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}  # old file surfaces NULL
+    # the pre-evolution snapshot still reads with its own schema
+    assert t.read(version=1).columns == ["id", "val"]
+    # type changes are rejected, not silently cast
+    with pytest.raises(ValueError, match="additive-only"):
+        t.append(spark.createDataFrame([("x", "y")], "id string, val string"))
