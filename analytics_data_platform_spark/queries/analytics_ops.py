@@ -13,6 +13,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from analytics_data_platform_spark.functions.expr import spread
 from analytics_data_platform_spark.queries import QuerySpec, register
 from analytics_data_platform_spark.sources.testdata import load_table
 
@@ -1306,40 +1307,41 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: prices are converted to exact integer cents and summed
     as DECIMAL (order-independent), so each resample mean is bit-stable
     across engines and partitionings — the driver hashes all 32 rows."""
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # the orders scan is a handful of splits at test SFs while the per-row
+    # hash work is large — spread() widens compute to the session's cores
+    # (a no-op on real wide scans)
+    o = spread(load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"))
     cents = F.round(F.col("o_totalprice") * 100).cast("decimal(18,0)")
 
-    def draw(b: int):
+    # Expressions are built as SQL strings (one py4j call per column, not
+    # one per operator node — the fluent form spent ~2.5 s of DRIVER time
+    # constructing 32x8 comparison Columns). Four 32-bit uniforms per md5:
+    # resamples 4j..4j+3 slice hash j. The CDF inversion stays a chained
+    # comparison — it codegens (an equivalent size(filter(...)) HOF form
+    # executes interpreted and measured ~6x slower at sf0.1).
+    def draw(b: int) -> str:
         u = (
-            F.conv(F.substring(F.md5(F.concat_ws("#", F.col("o_orderkey"), F.lit(b))), 1, 8), 16, 10)
-            .cast("long")
-            / F.lit(4294967296.0)
+            f"(CAST(conv(substring(md5(concat_ws('#', o_orderkey, {b // 4})), "
+            f"{(b % 4) * 8 + 1}, 8), 16, 10) AS BIGINT) / 4294967296.0D)"
         )
-        c = F.lit(0)
-        for t in _POIS_CDF:
-            c = c + (u >= F.lit(t)).cast("int")
-        return c
+        c = " + ".join(f"CAST({u} >= {t!r}D AS INT)" for t in _POIS_CDF)
+        return f"({c}) AS c{b}"
 
     proj = o.select(
         cents.alias("cents"),
-        *[draw(b).alias(f"c{b}") for b in range(BOOTSTRAP_B)],
+        *[F.expr(draw(b)) for b in range(BOOTSTRAP_B)],
     )
-    aggs = []
-    for b in range(BOOTSTRAP_B):
-        aggs.append(F.sum(F.col("cents") * F.col(f"c{b}")).alias(f"s{b}"))
-        aggs.append(F.sum(F.col(f"c{b}")).cast("long").alias(f"n{b}"))
-    wide = proj.agg(*aggs)
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("resample"),
-                F.col(f"n{b}").alias("n_eff"),
-                F.round(F.col(f"s{b}").cast("double") / F.col(f"n{b}") / 100.0, 4).alias(
-                    "resample_mean"
-                ),
-            )
+    wide = proj.agg(
+        *[F.expr(e) for b in range(BOOTSTRAP_B) for e in (
+            f"sum(cents * c{b}) AS s{b}", f"CAST(sum(c{b}) AS BIGINT) AS n{b}"
+        )]
+    )
+    rows = F.expr(
+        "array(" + ", ".join(
+            f"struct({b} AS resample, n{b} AS n_eff, "
+            f"round(CAST(s{b} AS DOUBLE) / n{b} / 100.0D, 4) AS resample_mean)"
             for b in range(BOOTSTRAP_B)
-        ]
+        ) + ")"
     )
     return wide.select(F.explode(rows).alias("r")).select("r.*")
 
@@ -1347,7 +1349,10 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bootstrap_sql() -> str:
     cols = []
     for b in range(BOOTSTRAP_B):
-        u = f"(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '#{b}'), 1, 8))::BIGINT / 4294967296.0)"
+        u = (
+            f"(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '#{b // 4}'), "
+            f"{(b % 4) * 8 + 1}, 8))::BIGINT / 4294967296.0)"
+        )
         c = " + ".join(f"CASE WHEN {u} >= {t!r} THEN 1 ELSE 0 END" for t in _POIS_CDF)
         cols.append(f"({c}) AS c{b}")
     sums = ", ".join(
