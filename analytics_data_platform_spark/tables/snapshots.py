@@ -115,14 +115,24 @@ class Snapshot:
 
 
 class SnapshotTable:
-    def __init__(self, spark: SparkSession, root: str, stats_cols: list[str] | None = None):
+    def __init__(self, spark: SparkSession, root: str, stats_cols: list[str] | None = None,
+                 cluster_by: list[str] | None = None):
         """``stats_cols`` limits per-file stats collection (None = every
         orderable leaf column). Stats collection is ONE extra aggregation
         over the freshly written batch — per-file, map-side, grouped by
-        ``input_file_name()`` — never over the whole table."""
+        ``input_file_name()`` — never over the whole table.
+
+        ``cluster_by`` range-partitions each written batch on the given
+        columns: every data file then covers a TIGHT value range, which is
+        what makes the manifest min/max stats actually prune (on unsorted
+        data every file spans the whole domain and ``scan``/CoW skipping
+        degrade to full scans — same reason Iceberg pairs its metadata
+        with a write sort order). Multi-dimensional layouts use
+        ``TableIO.write_table(zorder=...)``'s Morton keys instead."""
         self.spark = spark
         self.root = root
         self.stats_cols = stats_cols
+        self.cluster_by = cluster_by
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
 
@@ -209,6 +219,10 @@ class SnapshotTable:
         with stats. The stats pass is one per-file (map-side) aggregation
         over just-written data — O(batch), not O(table)."""
         d = os.path.join(self.root, "data", uuid.uuid4().hex)
+        if self.cluster_by:
+            df = df.repartitionByRange(*self.cluster_by).sortWithinPartitions(
+                *self.cluster_by
+            )
         df.write.mode("errorifexists").parquet(d)
         written = self.spark.read.parquet(d)
         cols = self._statable_cols(written)

@@ -218,3 +218,21 @@ def test_append_evolves_schema_additively(spark, tmp_path):
     # type changes are rejected, not silently cast
     with pytest.raises(ValueError, match="additive-only"):
         t.append(spark.createDataFrame([("x", "y")], "id string, val string"))
+
+
+def test_cluster_by_makes_stats_prune_unsorted_data(spark, tmp_path):
+    """Range-clustered writes give each file a tight value range; a point
+    scan then touches one file. The same data written unclustered spans
+    the domain in every file — stats cannot prune anything."""
+    rows = [(i * 37 % 1000, f"v{i}") for i in range(1000)]  # shuffled ids
+
+    flat = SnapshotTable(spark, str(tmp_path / "flat"))
+    flat.replace(_df(spark, rows).repartition(4))
+    clustered = SnapshotTable(spark, str(tmp_path / "clus"), cluster_by=["id"])
+    clustered.replace(_df(spark, rows).repartition(4))
+
+    assert len(clustered.scan("id", 5, 10).inputFiles()) == 1
+    assert len(flat.scan("id", 5, 10).inputFiles()) == len(flat.snapshot().files)
+    assert {r.id for r in clustered.scan("id", 5, 10).collect()} == {
+        r.id for r in flat.scan("id", 5, 10).collect()
+    }
