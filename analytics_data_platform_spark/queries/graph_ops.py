@@ -604,3 +604,88 @@ register(
         tags=("graph", "iterative"),
     )
 )
+
+
+# ---- bipartite HITS (2 exact rounds) ---------------------------------------
+
+HITS_TOP_N = 20
+
+
+def hits_bipartite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-round HITS on the customer→part purchase bipartite graph:
+    authorities are parts, hubs are customers.
+
+        a₁(p) = |buyers(p)|            (init h = 1)
+        h₁(c) = Σ_{p bought by c} a₁(p)
+        a₂(p) = Σ_{c buying p} h₁(c)
+
+    a₂ rewards parts bought by customers who buy many POPULAR parts — the
+    mutual-reinforcement signal degree alone misses. Unrolled to a fixed
+    two rounds with no normalization, every score is an exact BIGINT sum
+    of BIGINT counts, so the ranking is engine-stable (normalizing turns
+    HITS into float power iteration — same reason k-means/PageRank here
+    quantize). Edge build: one orders⋈lineitem join keyed on l_orderkey,
+    then distinct (cust, part) — two hash shuffles total; the two HITS
+    rounds are groupBy re-aggregations of the SAME edge list.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+        .localCheckpoint(eager=False)  # reused by both rounds
+    )
+    a1 = edges.groupBy("part").agg(F.count(F.lit(1)).alias("a1"))
+    h1 = (
+        edges.join(a1, "part")
+        .groupBy("cust")
+        .agg(F.sum("a1").alias("h1"))
+    )
+    a2 = (
+        edges.join(h1, "cust")
+        .groupBy("part")
+        .agg(F.sum("h1").alias("authority"), F.count(F.lit(1)).alias("n_buyers"))
+    )
+    w = Window.orderBy(F.desc("authority"), "part")
+    return (
+        a2.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= HITS_TOP_N)
+        .select("pos", F.col("part").alias("part_key"), "authority", "n_buyers")
+    )
+
+
+HITS_SQL = f"""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+a1 AS (SELECT part, COUNT(*) AS a1 FROM edges GROUP BY 1),
+h1 AS (
+  SELECT e.cust, CAST(SUM(a1.a1) AS BIGINT) AS h1
+  FROM edges e JOIN a1 ON e.part = a1.part GROUP BY 1
+),
+a2 AS (
+  SELECT e.part, CAST(SUM(h1.h1) AS BIGINT) AS authority, COUNT(*) AS n_buyers
+  FROM edges e JOIN h1 ON e.cust = h1.cust GROUP BY 1
+),
+ranked AS (
+  SELECT part, authority, n_buyers,
+         ROW_NUMBER() OVER (ORDER BY authority DESC, part) AS pos
+  FROM a2
+)
+SELECT pos, part AS part_key, authority, n_buyers
+FROM ranked WHERE pos <= {HITS_TOP_N}
+"""
+
+
+register(
+    QuerySpec(
+        "hits_bipartite_parts",
+        hits_bipartite_parts,
+        HITS_SQL,
+        doc="2-round HITS authorities on the customer-part purchase graph (exact integer scores)",
+        cites="graph family; unnormalized-fixed-rounds idiom shared with pagerank_part_coorder",
+        tags=("graph", "join"),
+    )
+)

@@ -208,6 +208,93 @@ WHERE f.rr = 1
 """
 
 
+_BURST_MIN_EVENTS = 10
+
+
+def user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-process burstiness per user: B = (σ−μ)/(σ+μ) over the
+    inter-event gaps (B→−1 periodic, 0 Poisson, →1 bursty) — the
+    diagnostic separating machine heartbeats from human sessions.
+
+    Gaps are integer MINUTES from epoch-µs subtraction (minute grain
+    keeps n·Σg² inside BIGINT for any realistic per-user history); n, Σg,
+    Σg² are exact integer sums, σ² = (nΣg²−(Σg)²)/n² only becomes a
+    double for the final σ/B — IEEE sqrt and division agree across
+    engines, so the rounded result hash-matches. One user-keyed sort
+    window for the lag, one partial-agg shuffle — the standard
+    sessionization shuffle shape.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = (
+        e.select(
+            "user_id",
+            "event_id",
+            F.expr("unix_micros(ts)").alias("us"),
+        )
+        .withColumn("prev", F.lag("us").over(w))
+        .where(F.col("prev").isNotNull())
+        .select("user_id", F.expr("(us - prev) div 60000000").alias("g"))
+    )
+    stats = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("g").alias("sg"),
+        F.sum(F.col("g") * F.col("g")).alias("sg2"),
+    ).where((F.col("n") >= _BURST_MIN_EVENTS - 1) & (F.col("sg") > 0))
+    return stats.select(
+        "user_id",
+        F.col("n").alias("n_gaps"),
+        F.round(F.col("sg").cast("double") / F.col("n"), 4).alias("mean_gap_min"),
+        F.round(
+            (
+                F.sqrt((F.col("n") * F.col("sg2") - F.col("sg") * F.col("sg")).cast("double"))
+                - F.col("sg").cast("double")
+            )
+            / (
+                F.sqrt((F.col("n") * F.col("sg2") - F.col("sg") * F.col("sg")).cast("double"))
+                + F.col("sg").cast("double")
+            ),
+            6,
+        ).alias("burstiness"),
+    )
+
+
+BURST_SQL = f"""
+WITH gaps AS (
+  SELECT user_id,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           // 60000000 AS g
+  FROM events
+),
+stats AS (
+  SELECT user_id, COUNT(*) AS n,
+         CAST(SUM(g) AS BIGINT) AS sg,
+         CAST(SUM(g * g) AS BIGINT) AS sg2
+  FROM gaps WHERE g IS NOT NULL
+  GROUP BY 1
+  HAVING COUNT(*) >= {_BURST_MIN_EVENTS - 1} AND CAST(SUM(g) AS BIGINT) > 0
+)
+SELECT user_id, n AS n_gaps,
+       ROUND(CAST(sg AS DOUBLE) / n, 4) AS mean_gap_min,
+       ROUND((sqrt(CAST(n * sg2 - sg * sg AS DOUBLE)) - CAST(sg AS DOUBLE))
+             / (sqrt(CAST(n * sg2 - sg * sg AS DOUBLE)) + CAST(sg AS DOUBLE)), 6)
+         AS burstiness
+FROM stats
+"""
+
+
+register(
+    QuerySpec(
+        "user_burstiness",
+        user_burstiness,
+        BURST_SQL,
+        doc="inter-event burstiness (sigma-mu)/(sigma+mu) from exact integer gap moments",
+        cites="point-process twin of sessionize_events; integer-moment idiom of eval_ops",
+        tags=("timeseries", "stats", "behavior"),
+    )
+)
+
+
 def theil_sen_weekly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil–Sen robust trend of weekly revenue: the median of all
     pairwise slopes (yⱼ−yᵢ)/(wⱼ−wᵢ). Outlier weeks shift OLS arbitrarily
