@@ -262,3 +262,100 @@ register(
         tags=("text", "dedup"),
     )
 )
+
+
+# ---- Heaps'-law vocabulary growth ------------------------------------------
+
+
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law curve: cumulative vocabulary size after each decile of
+    the corpus (by doc_id order) vs cumulative token count — the
+    sublinear V(n) growth that sizes tokenizers and dedup memory.
+
+    Distributed shape: one explode+groupBy finds each word's FIRST doc
+    (min doc_id) and each doc's token count; decile thresholds come from
+    integer row positions over the |docs|-sized count table (an exists()
+    HOF against the in-window position — no driver scalar); the curve is
+    then two small-side range joins (10 threshold rows broadcast).
+    'Cumulative' is computed as first-seen ≤ threshold — the same trick
+    as cumulative_new_users, so nothing scans sequentially.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("w"),
+    )
+    first_seen = words.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    doc_tokens = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("toks"))
+    wpos = Window.orderBy("doc_id")
+    thresholds = (
+        doc_tokens.select(
+            "doc_id",
+            F.row_number().over(wpos).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        .where(F.expr("exists(sequence(1, 10), k -> rn = greatest(1, (k * n) div 10))"))
+        .select(F.col("doc_id").alias("cut"), F.col("rn").cast("bigint").alias("docs_seen"))
+    )
+    vocab = (
+        F.broadcast(thresholds)
+        .join(first_seen, F.col("first_doc") <= F.col("cut"))
+        .groupBy("cut", "docs_seen")
+        .agg(F.count(F.lit(1)).alias("vocab_size"))
+    )
+    toks = (
+        F.broadcast(thresholds)
+        .join(doc_tokens, F.col("doc_id") <= F.col("cut"))
+        .groupBy("cut", "docs_seen")
+        .agg(F.sum("toks").alias("tokens_seen"))
+    )
+    return (
+        vocab.join(toks, ["cut", "docs_seen"])
+        .select("docs_seen", "tokens_seen", "vocab_size")
+        .orderBy("docs_seen")
+    )
+
+
+VOCAB_GROWTH_SQL = """
+WITH words AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+),
+first_seen AS (SELECT w, MIN(doc_id) AS first_doc FROM words GROUP BY 1),
+doc_tokens AS (SELECT doc_id, COUNT(*) AS toks FROM words GROUP BY 1),
+pos AS (
+  SELECT doc_id, toks, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM doc_tokens
+),
+thresholds AS (
+  SELECT DISTINCT doc_id AS cut, CAST(rn AS BIGINT) AS docs_seen
+  FROM pos, (SELECT UNNEST(generate_series(1, 10)) AS k) ks
+  WHERE rn = GREATEST(1, (k * n) // 10)
+),
+vocab AS (
+  SELECT t.cut, t.docs_seen, COUNT(*) AS vocab_size
+  FROM thresholds t JOIN first_seen f ON f.first_doc <= t.cut
+  GROUP BY 1, 2
+),
+toks AS (
+  SELECT t.cut, t.docs_seen, CAST(SUM(d.toks) AS BIGINT) AS tokens_seen
+  FROM thresholds t JOIN doc_tokens d ON d.doc_id <= t.cut
+  GROUP BY 1, 2
+)
+SELECT v.docs_seen, tk.tokens_seen, v.vocab_size
+FROM vocab v JOIN toks tk ON v.cut = tk.cut AND v.docs_seen = tk.docs_seen
+ORDER BY v.docs_seen
+"""
+
+
+register(
+    QuerySpec(
+        "vocab_growth_curve",
+        vocab_growth_curve,
+        VOCAB_GROWTH_SQL,
+        doc="Heaps-law vocabulary growth at corpus deciles via first-seen thresholds",
+        cites="corpus statistics; first-seen idiom of cumulative_new_users",
+        tags=("corpus", "text", "stats"),
+    )
+)

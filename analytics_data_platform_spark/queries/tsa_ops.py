@@ -394,3 +394,102 @@ register(
         tags=("timeseries", "stats", "window"),
     )
 )
+
+
+# ---- floor-at-zero running balance (non-associative stateful fold) ---------
+
+
+def user_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running balance with a floor at zero:
+
+        balₜ = max(0, balₜ₋₁ + Δₜ)   (Δ = +cents for purchases, −cents else)
+
+    The floor makes the fold NON-associative — no prefix-sum/window
+    rewrite exists (unlike plain running totals), which is exactly why
+    inventory/credit pipelines end up with UDFs. Here it is a per-user
+    `aggregate` HOF over the time-sorted delta array: pure JVM, exact
+    BIGINT state, distributed across users (the only shuffle is the
+    per-user collect — bounded by a user's own history, same shape as
+    sessionization). The oracle replays the identical recurrence as a
+    recursive CTE.
+    """
+    e = load_table(spark, sf_dir, "events")
+    deltas = e.select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        "event_id",
+        F.expr(
+            "IF(event_type = 'purchase', CAST(round(value * 100) AS BIGINT), "
+            "-CAST(round(value * 100) AS BIGINT))"
+        ).alias("delta"),
+    )
+    arr = deltas.groupBy("user_id").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(us, event_id, delta))), p -> p.delta)"
+        ).alias("ds")
+    )
+    fold = (
+        "aggregate(ds, named_struct('bal', 0L, 'mx', 0L, 'floors', 0L), "
+        "(a, d) -> named_struct("
+        "'bal', greatest(0L, a.bal + d), "
+        "'mx', greatest(a.mx, greatest(0L, a.bal + d)), "
+        "'floors', a.floors + IF(a.bal + d < 0, 1L, 0L)))"
+    )
+    # inline(array(fold)) evaluates the interpreted fold ONCE per row —
+    # referencing fold.bal/.mx/.floors separately would re-run it 3x after
+    # CollapseProject inlines the defining expression (functions/expr.py)
+    gen = arr.select(
+        "user_id",
+        F.size("ds").cast("bigint").alias("n_events"),
+        F.expr(f"inline(array({fold}))"),
+    )
+    return gen.select(
+        "user_id",
+        F.col("bal").alias("balance_cents"),
+        F.col("mx").alias("peak_cents"),
+        F.col("floors").alias("n_floor_hits"),
+        "n_events",
+    )
+
+
+BALANCE_SQL = """
+WITH RECURSIVE ser AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS t,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(ROUND(value * 100) AS BIGINT)
+              ELSE -CAST(ROUND(value * 100) AS BIGINT) END AS delta,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events
+),
+walk(user_id, t, bal, mx, floors, n_events) AS (
+  SELECT user_id, t, GREATEST(0, delta), GREATEST(0, delta),
+         CASE WHEN delta < 0 THEN 1 ELSE 0 END, n_events
+  FROM ser WHERE t = 1
+  UNION ALL
+  SELECT s.user_id, s.t,
+         GREATEST(0, w.bal + s.delta),
+         GREATEST(w.mx, GREATEST(0, w.bal + s.delta)),
+         w.floors + CASE WHEN w.bal + s.delta < 0 THEN 1 ELSE 0 END,
+         w.n_events
+  FROM walk w JOIN ser s ON s.user_id = w.user_id AND s.t = w.t + 1
+)
+SELECT user_id,
+       CAST(bal AS BIGINT) AS balance_cents,
+       CAST(mx AS BIGINT) AS peak_cents,
+       CAST(floors AS BIGINT) AS n_floor_hits,
+       CAST(n_events AS BIGINT) AS n_events
+FROM walk WHERE t = n_events
+"""
+
+
+register(
+    QuerySpec(
+        "user_running_balance",
+        user_running_balance,
+        BALANCE_SQL,
+        doc="floor-at-zero balance walk per user: non-associative fold, no window rewrite exists",
+        cites="stateful-fold family with holt_trend_forecast; recursive-CTE oracle",
+        tags=("timeseries", "stateful", "fold"),
+    )
+)
