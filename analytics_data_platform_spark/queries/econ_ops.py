@@ -191,3 +191,98 @@ register(
         tags=("analytics", "agg"),
     )
 )
+
+
+# ---- price-volume-mix revenue decomposition --------------------------------
+
+_PVM_Y1, _PVM_Y2 = 1994, 1995
+
+
+def pvm_revenue_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue bridge per return flag: ΔRevenue split into
+    a VOLUME effect (quantity change at old average price) and a PRICE
+    effect (the residual) — the finance-standard PVM waterfall.
+
+        volume = (q₂ − q₁) · (rev₁ / q₁)
+        price  = Δrev − volume
+
+    Everything up to the final division is exact integer sums (quantity
+    units, revenue cents) from ONE conditional-aggregation pass over the
+    two years — no join between year snapshots, no second scan. The two
+    effects reconcile to Δrev by construction; the oracle recomputes the
+    identical single-division doubles.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    two = li.where(
+        F.year(F.col("l_shipdate")).isin(_PVM_Y1, _PVM_Y2)
+    ).select(
+        "l_returnflag",
+        F.year("l_shipdate").alias("yr"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+        ).alias("rev_cents"),
+    )
+    agg = two.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("yr") == _PVM_Y1, F.col("qty")).otherwise(F.lit(0))).alias("q1"),
+        F.sum(F.when(F.col("yr") == _PVM_Y1, F.col("rev_cents")).otherwise(F.lit(0))).alias("r1"),
+        F.sum(F.when(F.col("yr") == _PVM_Y2, F.col("qty")).otherwise(F.lit(0))).alias("q2"),
+        F.sum(F.when(F.col("yr") == _PVM_Y2, F.col("rev_cents")).otherwise(F.lit(0))).alias("r2"),
+    )
+    agg = agg.where((F.col("q1") > 0) & (F.col("q2") > 0))  # bridge needs a base year
+    vol = (F.col("q2") - F.col("q1")).cast("double") * F.col("r1").cast("double") / F.col(
+        "q1"
+    ).cast("double")
+    return agg.select(
+        "l_returnflag",
+        F.round(F.col("r1") / 100.0, 2).alias("rev_y1"),
+        F.round(F.col("r2") / 100.0, 2).alias("rev_y2"),
+        F.round((F.col("r2") - F.col("r1")) / 100.0, 2).alias("delta_rev"),
+        F.round(vol / 100.0, 2).alias("volume_effect"),
+        F.round(((F.col("r2") - F.col("r1")).cast("double") - vol) / 100.0, 2).alias(
+            "price_effect"
+        ),
+    )
+
+
+PVM_SQL = f"""
+WITH two AS (
+  SELECT l_returnflag, EXTRACT(year FROM l_shipdate) AS yr,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev_cents
+  FROM lineitem
+  WHERE EXTRACT(year FROM l_shipdate) IN ({_PVM_Y1}, {_PVM_Y2})
+),
+agg AS (
+  SELECT l_returnflag,
+         CAST(SUM(CASE WHEN yr = {_PVM_Y1} THEN qty ELSE 0 END) AS BIGINT) AS q1,
+         CAST(SUM(CASE WHEN yr = {_PVM_Y1} THEN rev_cents ELSE 0 END) AS BIGINT) AS r1,
+         CAST(SUM(CASE WHEN yr = {_PVM_Y2} THEN qty ELSE 0 END) AS BIGINT) AS q2,
+         CAST(SUM(CASE WHEN yr = {_PVM_Y2} THEN rev_cents ELSE 0 END) AS BIGINT) AS r2
+  FROM two GROUP BY 1
+  HAVING SUM(CASE WHEN yr = 1994 THEN qty ELSE 0 END) > 0
+     AND SUM(CASE WHEN yr = 1995 THEN qty ELSE 0 END) > 0
+)
+SELECT l_returnflag,
+       ROUND(r1 / 100.0, 2) AS rev_y1,
+       ROUND(r2 / 100.0, 2) AS rev_y2,
+       ROUND((r2 - r1) / 100.0, 2) AS delta_rev,
+       ROUND(CAST(q2 - q1 AS DOUBLE) * CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE) / 100.0, 2)
+         AS volume_effect,
+       ROUND((CAST(r2 - r1 AS DOUBLE)
+              - CAST(q2 - q1 AS DOUBLE) * CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)) / 100.0, 2)
+         AS price_effect
+FROM agg
+"""
+
+
+register(
+    QuerySpec(
+        "pvm_revenue_decomposition",
+        pvm_revenue_decomposition,
+        PVM_SQL,
+        doc="YoY price-volume-mix revenue bridge from one conditional-agg pass",
+        cites="finance waterfall twin of yoy_revenue_growth",
+        tags=("analytics", "econ"),
+    )
+)

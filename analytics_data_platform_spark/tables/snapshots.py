@@ -463,6 +463,43 @@ class SnapshotTable:
             return self.read(to_version).where(F.lit(False))
         return self.spark.read.parquet(*new)
 
+    # -- metadata tables (Iceberg's `snapshots` / `files` inspection) --------
+
+    def history_df(self) -> DataFrame:
+        """The snapshot log as a DataFrame — Iceberg's ``<table>.snapshots``
+        metadata table (version, parent, op, commit ts, file/row counts),
+        queryable with plain SQL for audit dashboards."""
+        rows = [
+            (
+                h["version"],
+                h["parent"],
+                h["op"],
+                float(h["ts"]),
+                h["n_files"],
+                h["rows"],
+            )
+            for h in self.history()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "version int, parent int, op string, committed_at double, "
+            "n_files int, n_rows long",
+        )
+
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """The live file inventory as a DataFrame — Iceberg's
+        ``<table>.files``: path, rows, bytes, and per-column min/max/null
+        stats (stats as a JSON string column; manifests are metadata, not
+        data, so this never touches a parquet file)."""
+        s = self.snapshot(version)
+        rows = [
+            (f.path, f.rows, f.bytes, json.dumps(f.stats, sort_keys=True))
+            for f in s.files
+        ]
+        return self.spark.createDataFrame(
+            rows, "path string, n_rows long, n_bytes long, stats_json string"
+        )
+
     def rollback(self, version: int) -> int:
         """Roll back = new snapshot referencing the old snapshot's files
         (Iceberg's rollback keeps history linear; a raw pointer flip would

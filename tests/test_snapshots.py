@@ -236,3 +236,22 @@ def test_cluster_by_makes_stats_prune_unsorted_data(spark, tmp_path):
     assert {r.id for r in clustered.scan("id", 5, 10).collect()} == {
         r.id for r in flat.scan("id", 5, 10).collect()
     }
+
+
+def test_metadata_tables_queryable_with_sql(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.replace(_df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    t.append(_df(spark, [(3, "c")]).coalesce(1))
+    t.history_df().createOrReplaceTempView("snap_history")
+    t.files_df().createOrReplaceTempView("snap_files")
+    ops = [r.op for r in spark.sql("SELECT op FROM snap_history ORDER BY version").collect()]
+    assert ops == ["replace", "append"]
+    agg = spark.sql(
+        "SELECT COUNT(*) AS files, SUM(n_rows) AS rows FROM snap_files"
+    ).collect()[0]
+    assert (agg.files, agg.rows) == (2, 3)
+    # stats are present and json-parseable
+    import json as _json
+
+    stats = _json.loads(spark.sql("SELECT stats_json FROM snap_files LIMIT 1").collect()[0][0])
+    assert "id" in stats
