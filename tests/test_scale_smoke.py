@@ -121,3 +121,37 @@ def test_kmeans_survives_8x(spark, smoke_dir_vec):
     n, dt = _timed(spark, "kmeans_embeddings", smoke_dir_vec)
     assert n == 8
     print(f"kmeans_embeddings 8x: {dt:.1f}s")
+
+
+# ---- geo 8x: grid join must scale with cell density, not n^2 ---------------
+
+
+@pytest.fixture(scope="module")
+def smoke_dir_geo(spark):
+    """8x customers: replicas keep their md5-derived coordinates DISTINCT
+    (new custkeys hash elsewhere), so point density rises 8x uniformly —
+    candidate pairs should grow ~64x (density^2 per cell), never n^2
+    against the whole corpus."""
+    cust = spark.read.parquet(f"{SRC_SF}/customer.parquet")
+    reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
+    big = cust.crossJoin(F.broadcast(reps)).select(
+        (F.col("c_custkey") + F.col("rep") * 50_000_000).alias("c_custkey"),
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    big.write.mode("overwrite").parquet(f"{SMOKE_DIR}-geo/customer.parquet")
+    return f"{SMOKE_DIR}-geo"
+
+
+def test_geo_pairs_survive_8x(spark, smoke_dir_geo):
+    n, dt = _timed(spark, "geo_neighbor_pairs", smoke_dir_geo)
+    assert n > 0
+    print(f"geo_neighbor_pairs 8x: {n} pairs in {dt:.1f}s")
+
+
+def test_geo_nearest_survives_8x(spark, smoke_dir_geo):
+    n, dt = _timed(spark, "geo_nearest_within_radius", smoke_dir_geo)
+    assert n > 0
+    print(f"geo_nearest_within_radius 8x: {n} rows in {dt:.1f}s")
