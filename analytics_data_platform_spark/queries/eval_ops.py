@@ -470,3 +470,230 @@ register(
         tags=("analytics", "window"),
     )
 )
+
+
+# ---- CUPED variance reduction + difference-in-differences ------------------
+
+_SPLIT_TS = "2024-01-16 00:00:00"
+
+
+def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B readout: per-user PRE-period spend is the
+    covariate, POST-period spend the metric; the adjusted metric
+    y − θ(x − x̄) removes the variance that pre-existing behavior
+    explains (θ = cov(x,y)/var(x)).
+
+    Everything is moment algebra over exact BIGINT sums (n, Σx, Σy, Σx²,
+    Σy², Σxy per arm): θ clears denominators to a ratio of two integer
+    expressions, the adjusted means/variances expand algebraically —
+    NO per-row float adjustment ever happens, so there is no float-sum
+    reassociation and the result hash-matches. One groupBy(user_id), one
+    per-arm aggregate, one scalar combine: the ab_test_spend shuffle
+    shape with a covariate riding along.
+    """
+    e = load_table(spark, sf_dir, "events")
+    users = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ts") < F.lit(_SPLIT_TS).cast("timestamp"),
+                    F.round(F.col("value") * 100).cast("bigint"),
+                ).otherwise(F.lit(0))
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    F.col("ts") >= F.lit(_SPLIT_TS).cast("timestamp"),
+                    F.round(F.col("value") * 100).cast("bigint"),
+                ).otherwise(F.lit(0))
+            ).alias("y"),
+        )
+    )
+    arms = users.select(
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % 2
+        ).alias("arm"),
+        "x",
+        "y",
+    )
+    per_arm = arms.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    tot = per_arm.agg(
+        F.sum("n").alias("tn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxx").alias("tsxx"),
+        F.sum("sxy").alias("tsxy"),
+    )
+    j = per_arm.crossJoin(F.broadcast(tot))
+    theta = (
+        "(CAST(tn * tsxy - tsx * tsy AS DOUBLE) / CAST(tn * tsxx - tsx * tsx AS DOUBLE))"
+    )
+    mean_adj = (
+        f"(CAST(sy AS DOUBLE)/n - {theta} * (CAST(sx AS DOUBLE)/n - CAST(tsx AS DOUBLE)/tn))"
+    )
+    var_y = "((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*sy/n) / (n - 1))"
+    var_x = "((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*sx/n) / (n - 1))"
+    cov_xy = "((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*sy/n) / (n - 1))"
+    var_adj = f"({var_y} - 2*{theta}*{cov_xy} + {theta}*{theta}*{var_x})"
+    return j.selectExpr(
+        "arm",
+        "n",
+        "round(CAST(sy AS DOUBLE)/n/100.0, 4) AS mean_post",
+        f"round({mean_adj}/100.0, 4) AS mean_cuped",
+        f"round((1.0 - {var_adj}/{var_y}) * 100.0, 2) AS var_reduction_pct",
+    ).orderBy("arm")
+
+
+def _cuped_sql() -> str:
+    theta = (
+        "(CAST(tn * tsxy - tsx * tsy AS DOUBLE) / CAST(tn * tsxx - tsx * tsx AS DOUBLE))"
+    )
+    mean_adj = (
+        f"(CAST(sy AS DOUBLE)/n - {theta} * (CAST(sx AS DOUBLE)/n - CAST(tsx AS DOUBLE)/tn))"
+    )
+    var_y = "((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*sy/n) / (n - 1))"
+    var_x = "((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*sx/n) / (n - 1))"
+    cov_xy = "((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*sy/n) / (n - 1))"
+    var_adj = f"({var_y} - 2*{theta}*{cov_xy} + {theta}*{theta}*{var_x})"
+    return f"""
+WITH users AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '{_SPLIT_TS}'
+                       THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_SPLIT_TS}'
+                       THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+arms AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm, x, y
+  FROM users
+),
+per_arm AS (
+  SELECT arm, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM arms GROUP BY arm
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(sx) AS BIGINT) AS tsx,
+         CAST(SUM(sy) AS BIGINT) AS tsy, CAST(SUM(sxx) AS BIGINT) AS tsxx,
+         CAST(SUM(sxy) AS BIGINT) AS tsxy
+  FROM per_arm
+)
+SELECT arm, n,
+       ROUND(CAST(sy AS DOUBLE)/n/100.0, 4) AS mean_post,
+       ROUND({mean_adj}/100.0, 4) AS mean_cuped,
+       ROUND((1.0 - {var_adj}/{var_y}) * 100.0, 2) AS var_reduction_pct
+FROM per_arm, tot
+ORDER BY arm
+"""
+
+
+register(
+    QuerySpec(
+        "cuped_adjusted_ab",
+        cuped_adjusted_ab,
+        _cuped_sql(),
+        doc="CUPED variance-reduced A/B means via pure moment algebra (no per-row adjustment)",
+        cites="experimentation family; extends ab_test_spend with a pre-period covariate",
+        tags=("eval", "experimentation", "stats"),
+    )
+)
+
+
+def did_spend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: arm 1 relative to arm 0, post-period
+    relative to pre-period — the causal-effect template when assignment
+    correlates with level. Four cell means from ONE conditional-agg pass
+    over exact cent sums; the DiD point estimate is pure arithmetic on
+    those four means."""
+    e = load_table(spark, sf_dir, "events")
+    cells = e.where(F.col("event_type") == "purchase").select(
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % 2
+        ).alias("arm"),
+        (F.col("ts") >= F.lit(_SPLIT_TS).cast("timestamp")).cast("int").alias("post"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    wide = cells.agg(
+        *[
+            F.sum(
+                F.when((F.col("arm") == a) & (F.col("post") == p), F.col("cents")).otherwise(
+                    F.lit(0)
+                )
+            ).alias(f"s{a}{p}")
+            for a in (0, 1)
+            for p in (0, 1)
+        ],
+        *[
+            F.sum(
+                F.when((F.col("arm") == a) & (F.col("post") == p), F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"n{a}{p}")
+            for a in (0, 1)
+            for p in (0, 1)
+        ],
+    )
+    m = {f"m{a}{p}": f"(CAST(s{a}{p} AS DOUBLE)/n{a}{p}/100.0)" for a in (0, 1) for p in (0, 1)}
+    did = f"(({m['m11']} - {m['m10']}) - ({m['m01']} - {m['m00']}))"
+    return wide.selectExpr(
+        "n00", "n01", "n10", "n11",
+        f"round({m['m00']}, 4) AS mean_ctrl_pre",
+        f"round({m['m01']}, 4) AS mean_ctrl_post",
+        f"round({m['m10']}, 4) AS mean_treat_pre",
+        f"round({m['m11']}, 4) AS mean_treat_post",
+        f"round({did}, 4) AS did_estimate",
+    )
+
+
+def _did_sql() -> str:
+    m = {f"m{a}{p}": f"(CAST(s{a}{p} AS DOUBLE)/n{a}{p}/100.0)" for a in (0, 1) for p in (0, 1)}
+    did = f"(({m['m11']} - {m['m10']}) - ({m['m01']} - {m['m00']}))"
+    sums = ", ".join(
+        f"CAST(SUM(CASE WHEN arm = {a} AND post = {p} THEN cents ELSE 0 END) AS BIGINT) AS s{a}{p}"
+        for a in (0, 1) for p in (0, 1)
+    )
+    counts = ", ".join(
+        f"CAST(SUM(CASE WHEN arm = {a} AND post = {p} THEN 1 ELSE 0 END) AS BIGINT) AS n{a}{p}"
+        for a in (0, 1) for p in (0, 1)
+    )
+    return f"""
+WITH cells AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm,
+         CASE WHEN ts >= TIMESTAMP '{_SPLIT_TS}' THEN 1 ELSE 0 END AS post,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+wide AS (SELECT {sums}, {counts} FROM cells)
+SELECT n00, n01, n10, n11,
+       ROUND({m['m00']}, 4) AS mean_ctrl_pre,
+       ROUND({m['m01']}, 4) AS mean_ctrl_post,
+       ROUND({m['m10']}, 4) AS mean_treat_pre,
+       ROUND({m['m11']}, 4) AS mean_treat_post,
+       ROUND({did}, 4) AS did_estimate
+FROM wide
+"""
+
+
+register(
+    QuerySpec(
+        "did_spend_effect",
+        did_spend_effect,
+        _did_sql(),
+        doc="difference-in-differences from one conditional-agg pass over exact cent cells",
+        cites="causal-inference twin of ab_test_spend",
+        tags=("eval", "experimentation", "causal"),
+    )
+)
