@@ -62,7 +62,7 @@ DRIVER_SHOWCASE: tuple[str, ...] = (
     # similarity search / embeddings
     "ann_cosine_topk",
     "embedding_centroid_norms",
-    "near_dup_minhash",
+    "dedup_canonical_corpus",
     "ann_ivf_topk",
     # retrieval
     "bm25_search",
@@ -80,7 +80,7 @@ DRIVER_SHOWCASE: tuple[str, ...] = (
     "roc_auc_value_purchase",
     "kaplan_meier_retention",
     "item_item_cosine",
-    "linear_attribution",
+    "cuped_adjusted_ab",
     # warehouse modeling + data quality
     "scd2_customer_segments",
     "cube_orders_status_priority",
@@ -109,7 +109,7 @@ DRIVER_SHOWCASE: tuple[str, ...] = (
     "holt_trend_forecast",
     # windows / time
     "asof_purchase_click",
-    "ddsketch_price_quantiles",
+    "user_running_balance",
     "gap_fill_user_values",
     "sessionize_events",
     "bpe_train_merges",

@@ -474,3 +474,79 @@ register(
         tags=("dedup", "join"),
     )
 )
+
+
+# ---- end-to-end corpus canonicalization ------------------------------------
+
+
+def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup dedup pipeline as ONE query: MinHash-LSH
+    candidates → exact-Jaccard verify (≥ 0.5) → large-star/small-star
+    connected components → canonical doc per cluster (minimum doc_id),
+    with the byte savings a dedup pass would realize.
+
+    This is the end-to-end contract the individual registry rows
+    (near_dup_minhash, connected_components) verify piecewise; the oracle
+    rebuilds the identical pair set from scratch and closes it with a
+    recursive transitive closure. Scale: pairs come from the banded
+    equi-join (never all-pairs), CC is O(|E| log n) rounds — the closure
+    shape exists only on the oracle side.
+    """
+    from analytics_data_platform_spark.operators.dedup import cluster_duplicates_star
+
+    pairs = near_dup_minhash(spark, sf_dir).select("id_a", "id_b")
+    cc = cluster_duplicates_star(pairs, a_col="id_a", b_col="id_b")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    joined = cc.join(d, "doc_id")
+    return joined.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - 1).alias("n_dropped"),
+        F.sum(
+            F.when(F.col("doc_id") != F.col("cluster_id"), F.col("n_chars")).otherwise(
+                F.lit(0)
+            )
+        ).alias("chars_dropped"),
+    ).select(
+        F.col("cluster_id").alias("canonical_doc"), "n_docs", "n_dropped", "chars_dropped"
+    )
+
+
+def _canonical_sql() -> str:
+    from analytics_data_platform_spark.queries import REGISTRY
+
+    pair_sql = REGISTRY["near_dup_minhash"].oracle
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({pair_sql}) q
+),
+cedges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(a, b) AS (
+  SELECT src AS a, src AS b FROM cedges
+  UNION
+  SELECT r.a, e.dst AS b FROM reach r JOIN cedges e ON r.b = e.src
+),
+cc AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
+SELECT cc.cluster_id AS canonical_doc,
+       COUNT(*) AS n_docs,
+       COUNT(*) - 1 AS n_dropped,
+       CAST(SUM(CASE WHEN cc.doc_id != cc.cluster_id THEN d.n_chars ELSE 0 END) AS BIGINT)
+         AS chars_dropped
+FROM cc JOIN documents d ON cc.doc_id = d.doc_id
+GROUP BY 1
+"""
+
+
+register(
+    QuerySpec(
+        "dedup_canonical_corpus",
+        dedup_canonical_corpus,
+        _canonical_sql(),
+        doc="end-to-end near-dup dedup: LSH candidates -> Jaccard verify -> star CC -> canonical pick",
+        cites="operators/dedup.py minhash_lsh_candidates_portable + cluster_duplicates_star",
+        tags=("dedup", "graph", "scale"),
+    )
+)
