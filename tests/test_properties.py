@@ -160,3 +160,66 @@ def test_dialect_minutes_match_python(spark, _):
         secs = (r["b"] - r["a"]).total_seconds()
         want = int(secs / 60)  # truncation toward zero (Trino date_diff)
         assert r["m"] == want, f"{secs}s -> {r['m']} != {want}"
+
+
+# --- stateful-fold equivalence (one Spark job, many generated walks) -------
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=-10_000, max_value=10_000), min_size=1, max_size=40),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=1, deadline=None)
+def test_floor_balance_fold_matches_python_model(spark, walks):
+    """The aggregate-HOF floor-at-zero fold (user_running_balance) must
+    replay EXACTLY like the sequential Python model, for arbitrary delta
+    sequences — all examples batched into one Spark job."""
+    rows = [(i, ds) for i, ds in enumerate(walks)]
+    df = spark.createDataFrame(rows, "wid long, ds array<long>")
+    fold = (
+        "aggregate(ds, named_struct('bal', 0L, 'mx', 0L, 'floors', 0L), "
+        "(a, d) -> named_struct("
+        "'bal', greatest(0L, a.bal + d), "
+        "'mx', greatest(a.mx, greatest(0L, a.bal + d)), "
+        "'floors', a.floors + IF(a.bal + d < 0, 1L, 0L)))"
+    )
+    got = {
+        r.wid: (r.acc.bal, r.acc.mx, r.acc.floors)
+        for r in df.select("wid", F.expr(fold).alias("acc")).collect()
+    }
+    for wid, ds in rows:
+        bal = mx = floors = 0
+        for d in ds:
+            if bal + d < 0:
+                floors += 1
+            bal = max(0, bal + d)
+            mx = max(mx, bal)
+        assert got[wid] == (bal, mx, floors), f"walk {wid}: {ds}"
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=10_000), min_size=1, max_size=30),
+    st.integers(min_value=1, max_value=99),
+)
+@settings(max_examples=25, deadline=None)
+def test_hamilton_apportionment_invariants(counts, pct):
+    """Largest-remainder quotas (stratified_quota_sample's allocation):
+    quotas sum EXACTLY to the budget and each is within 1 of the exact
+    proportional share — pure-python mirror of the SQL arithmetic."""
+    n_total = sum(counts)
+    budget = n_total * pct // 100
+    base = [budget * c // n_total for c in counts]
+    rem = [(budget * c) % n_total for c in counts]
+    extra = budget - sum(base)
+    order = sorted(range(len(counts)), key=lambda i: (-rem[i], i))
+    quota = list(base)
+    for i in order[:extra]:
+        quota[i] += 1
+    assert sum(quota) == budget
+    for c, q in zip(counts, quota):
+        exact = budget * c / n_total
+        assert exact - 1 <= q <= exact + 1
+        assert q <= c or budget > n_total  # never oversample a stratum at <=100%
