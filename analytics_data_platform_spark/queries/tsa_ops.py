@@ -493,3 +493,126 @@ register(
         tags=("timeseries", "stateful", "fold"),
     )
 )
+
+
+# ---- day-of-week seasonal decomposition ------------------------------------
+
+
+def dow_seasonal_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive day-of-week decomposition of daily revenue: per-weekday
+    effect (weekday mean − grand mean) plus the count of days whose
+    residual |x − grand − effect| exceeds 2 residual sigmas — the
+    seasonality-aware outlier screen (a plain z-score flags every
+    weekend as anomalous when weekends genuinely differ).
+
+    Integer discipline: daily revenue in k$ (BIGINT); each mean is one
+    double division of exact sums; the residual variance clears
+    denominators like the ACF (all products of BIGINTs), so the cutoff
+    comparison is identical on both engines. Two aggregation passes over
+    the |calendar|-sized daily table (one for effects, one for
+    residuals) — the heavy orders scan reduces first.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderdate").agg(
+        F.expr(f"CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) div {_KD} AS BIGINT)").alias(
+            "x"
+        )
+    ).select(
+        # ISO numbering (Mon=1) — Spark dayofweek() is Sun=1, DuckDB's Sun=0
+        F.expr("CAST(weekday(o_orderdate) + 1 AS BIGINT)").alias("dow"),
+        "o_orderdate",
+        "x",
+    )
+    per_dow = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("x").alias("sd")
+    )
+    tot = per_dow.agg(F.sum("nd").alias("n"), F.sum("sd").alias("s"))
+    # the outlier residual is x - sd/nd (the grand mean cancels out of
+    # x - grand - effect), tested in cleared-denominator integer form
+    mom = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("x").alias("sd"),
+        F.sum(F.col("x") * F.col("x")).alias("sdd"),
+    )
+    out = (
+        daily.join(F.broadcast(mom), "dow")
+        .select(
+            "dow",
+            "x",
+            "nd",
+            "sd",
+            # (nd*x - sd)² > 4 * nd * (nd*sdd - sd*sd) / nd  — cleared form of
+            # (x - sd/nd)² > 4 σ², σ² = (nd*sdd - sd²)/nd²  (population var)
+            (
+                (F.col("nd") * F.col("x") - F.col("sd"))
+                * (F.col("nd") * F.col("x") - F.col("sd"))
+                > 4 * (F.col("nd") * F.col("sdd") - F.col("sd") * F.col("sd"))
+            ).cast("int").alias("is_outlier"),
+        )
+        .groupBy("dow")
+        .agg(
+            F.min("nd").alias("n_days"),
+            F.min("sd").alias("sd"),
+            F.sum("is_outlier").alias("n_outliers"),
+        )
+    )
+    return (
+        out.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "n_days",
+            F.round(F.col("sd").cast("double") / F.col("n_days"), 4).alias("dow_mean_kusd"),
+            F.round(
+                F.col("sd").cast("double") / F.col("n_days")
+                - F.col("s").cast("double") / F.col("n"),
+                4,
+            ).alias("dow_effect_kusd"),
+            "n_outliers",
+        )
+        .orderBy("dow")
+    )
+
+
+DOW_SQL = f"""
+WITH daily AS (
+  SELECT CAST(isodow(o_orderdate) AS BIGINT) AS dow, o_orderdate,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) // {_KD} AS x
+  FROM orders GROUP BY 2
+),
+mom AS (
+  SELECT dow, COUNT(*) AS nd, CAST(SUM(x) AS BIGINT) AS sd,
+         CAST(SUM(x * x) AS BIGINT) AS sdd
+  FROM daily GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(nd) AS BIGINT) AS n, CAST(SUM(sd) AS BIGINT) AS s FROM mom),
+flags AS (
+  SELECT d.dow, m.nd, m.sd,
+         CASE WHEN (m.nd * d.x - m.sd) * (m.nd * d.x - m.sd)
+                   > 4 * (m.nd * m.sdd - m.sd * m.sd)
+              THEN 1 ELSE 0 END AS is_outlier
+  FROM daily d JOIN mom m ON d.dow = m.dow
+),
+agg AS (
+  SELECT dow, MIN(nd) AS n_days, MIN(sd) AS sd,
+         CAST(SUM(is_outlier) AS BIGINT) AS n_outliers
+  FROM flags GROUP BY 1
+)
+SELECT dow, n_days,
+       ROUND(CAST(sd AS DOUBLE) / n_days, 4) AS dow_mean_kusd,
+       ROUND(CAST(sd AS DOUBLE) / n_days - CAST(s AS DOUBLE) / n, 4) AS dow_effect_kusd,
+       n_outliers
+FROM agg, tot
+ORDER BY dow
+"""
+
+
+register(
+    QuerySpec(
+        "dow_seasonal_effects",
+        dow_seasonal_effects,
+        DOW_SQL,
+        doc="day-of-week additive effects + seasonality-aware outlier counts (cleared-denominator test)",
+        cites="seasonal twin of zscore_events_by_type; integer-moment idiom of acf_daily_revenue",
+        tags=("timeseries", "seasonality", "stats"),
+    )
+)
