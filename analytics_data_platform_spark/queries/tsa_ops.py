@@ -616,3 +616,98 @@ register(
         tags=("timeseries", "seasonality", "stats"),
     )
 )
+
+
+# ---- rolling correlation of two daily series -------------------------------
+
+_ROLL_W = 28  # 28-day trailing window
+
+
+def rolling_corr_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """28-day trailing correlation between daily revenue and daily order
+    count — the co-movement monitor that flags when volume decouples from
+    value (mix shift, pricing bug).
+
+    Window co-moments (Σx, Σy, Σxy, Σx², Σy², n) are EXACT BIGINT window
+    sums over the k$-quantized daily table; each day's correlation is one
+    closed-form double expression over them, so no float state ever
+    accumulates across rows. The window runs on the calendar-sized daily
+    aggregate (single partition, ~2.4k rows) — the orders scan reduces
+    first, as in every TSA query here. Emitted monthly (1st of month) to
+    keep the row set stable across SFs.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderdate").agg(
+        F.expr(f"CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) div {_KD} AS BIGINT)").alias(
+            "x"
+        ),
+        F.count(F.lit(1)).alias("y"),
+    )
+    w = (
+        Window.orderBy("o_orderdate").rowsBetween(-(_ROLL_W - 1), 0)
+    )
+    mom = daily.select(
+        "o_orderdate",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    )
+    corr = (
+        "CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0 THEN "
+        "CAST(n*sxy - sx*sy AS DOUBLE) / "
+        "(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) "
+        "ELSE NULL END"
+    )
+    return (
+        mom.where((F.dayofmonth("o_orderdate") == 1) & (F.col("n") == _ROLL_W))
+        .selectExpr(
+            "o_orderdate AS obs_date",
+            "n AS window_days",
+            f"round({corr}, 6) AS corr_rev_orders",
+        )
+        .orderBy("obs_date")
+    )
+
+
+ROLLCORR_SQL = f"""
+WITH daily AS (
+  SELECT o_orderdate,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) // {_KD} AS x,
+         COUNT(*) AS y
+  FROM orders GROUP BY 1
+),
+mom AS (
+  SELECT o_orderdate,
+         COUNT(*) OVER wnd AS n,
+         CAST(SUM(x) OVER wnd AS BIGINT) AS sx,
+         CAST(SUM(y) OVER wnd AS BIGINT) AS sy,
+         CAST(SUM(x * y) OVER wnd AS BIGINT) AS sxy,
+         CAST(SUM(x * x) OVER wnd AS BIGINT) AS sxx,
+         CAST(SUM(y * y) OVER wnd AS BIGINT) AS syy
+  FROM daily
+  WINDOW wnd AS (ORDER BY o_orderdate ROWS BETWEEN {_ROLL_W - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT o_orderdate AS obs_date, n AS window_days,
+       ROUND(CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0 THEN
+         CAST(n*sxy - sx*sy AS DOUBLE)
+         / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+       ELSE NULL END, 6) AS corr_rev_orders
+FROM mom
+WHERE EXTRACT(day FROM o_orderdate) = 1 AND n = {_ROLL_W}
+ORDER BY obs_date
+"""
+
+
+register(
+    QuerySpec(
+        "rolling_corr_revenue_orders",
+        rolling_corr_revenue_orders,
+        ROLLCORR_SQL,
+        doc="28-day rolling revenue/volume correlation from exact integer window co-moments",
+        cites="TSA family; window-moment idiom of cuped_adjusted_ab",
+        tags=("timeseries", "window", "stats"),
+    )
+)
