@@ -1385,3 +1385,106 @@ register(
         tags=("analytics", "stats", "sampling"),
     )
 )
+
+
+# ---- time-constrained funnel ------------------------------------------------
+
+_FUNNEL_WINDOW_H = 24
+
+
+def timed_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel with per-step time budgets: first view → first click within
+    24 h of that view → first purchase within 24 h of that click.
+    `funnel_conversion` orders steps but never bounds the wait; bounded
+    steps are what campaign/journey analysis actually measures.
+
+    Greedy-earliest semantics make the chain unique and deterministic:
+    v₀ = user's first view; c₀ = first click in (v₀, v₀+24h]; p₀ = first
+    purchase in (c₀, c₀+24h]. Three user-keyed aggregations/joins (the
+    sessionization shuffle key), integer epoch-µs arithmetic end to end;
+    latency sums stay BIGINT seconds until two final rounded divisions.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("unix_micros(ts)").alias("us")
+    )
+    win = _FUNNEL_WINDOW_H * 3_600_000_000
+    v0 = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v0"))
+    )
+    c0 = (
+        e.where(F.col("event_type") == "click")
+        .join(v0, "user_id")
+        .where((F.col("us") > F.col("v0")) & (F.col("us") <= F.col("v0") + F.lit(win)))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c0"), F.min("v0").alias("v0"))
+    )
+    p0 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c0, "user_id")
+        .where((F.col("us") > F.col("c0")) & (F.col("us") <= F.col("c0") + F.lit(win)))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p0"), F.min("c0").alias("c0"), F.min("v0").alias("v0"))
+    )
+    counts = (
+        v0.agg(F.count(F.lit(1)).alias("users_view"))
+        .crossJoin(c0.agg(F.count(F.lit(1)).alias("users_click_24h")))
+        .crossJoin(
+            p0.agg(
+                F.count(F.lit(1)).alias("users_purchase_24h"),
+                F.sum(F.expr("(c0 - v0) div 1000000")).alias("s_vc"),
+                F.sum(F.expr("(p0 - c0) div 1000000")).alias("s_cp"),
+            )
+        )
+    )
+    return counts.selectExpr(
+        "users_view",
+        "users_click_24h",
+        "users_purchase_24h",
+        "round(CAST(s_vc AS DOUBLE) / users_purchase_24h / 3600.0, 4) AS avg_view_to_click_h",
+        "round(CAST(s_cp AS DOUBLE) / users_purchase_24h / 3600.0, 4) AS avg_click_to_buy_h",
+    )
+
+
+def _timed_funnel_sql() -> str:
+    win = _FUNNEL_WINDOW_H * 3_600_000_000
+    return f"""
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+v0 AS (SELECT user_id, MIN(us) AS v0 FROM ev WHERE event_type = 'view' GROUP BY 1),
+c0 AS (
+  SELECT e.user_id, MIN(e.us) AS c0, MIN(v.v0) AS v0
+  FROM ev e JOIN v0 v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.us > v.v0 AND e.us <= v.v0 + {win}
+  GROUP BY 1
+),
+p0 AS (
+  SELECT e.user_id, MIN(e.us) AS p0, MIN(c.c0) AS c0, MIN(c.v0) AS v0
+  FROM ev e JOIN c0 c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.us > c.c0 AND e.us <= c.c0 + {win}
+  GROUP BY 1
+),
+agg AS (
+  SELECT (SELECT COUNT(*) FROM v0) AS users_view,
+         (SELECT COUNT(*) FROM c0) AS users_click_24h,
+         (SELECT COUNT(*) FROM p0) AS users_purchase_24h,
+         (SELECT CAST(SUM((c0 - v0) // 1000000) AS BIGINT) FROM p0) AS s_vc,
+         (SELECT CAST(SUM((p0 - c0) // 1000000) AS BIGINT) FROM p0) AS s_cp
+)
+SELECT users_view, users_click_24h, users_purchase_24h,
+       ROUND(CAST(s_vc AS DOUBLE) / users_purchase_24h / 3600.0, 4) AS avg_view_to_click_h,
+       ROUND(CAST(s_cp AS DOUBLE) / users_purchase_24h / 3600.0, 4) AS avg_click_to_buy_h
+FROM agg
+"""
+
+
+register(
+    QuerySpec(
+        "timed_funnel_conversion",
+        timed_funnel_conversion,
+        _timed_funnel_sql(),
+        doc="funnel with 24h per-step budgets: greedy-earliest chains, integer epoch arithmetic",
+        cites="bounded-step twin of funnel_conversion",
+        tags=("analytics", "funnel", "behavior"),
+    )
+)
