@@ -179,10 +179,13 @@ class SnapshotTable:
         return out
 
     def _commit(self, files: list[DataFile], op: str,
-                schema_json: str | None = None) -> int:
+                schema_json: str | None = None,
+                properties: dict[str, str] | None = None) -> int:
         parent = self.current_version()
         if schema_json is None and parent is not None:
             schema_json = self._schema_json(parent)
+        if properties is None and parent is not None:
+            properties = self._manifest_field(parent, "properties") or {}
         next_v = (max(self.versions(), default=0)) + 1
         manifest = {
             "version": next_v,
@@ -190,6 +193,7 @@ class SnapshotTable:
             "op": op,
             "ts": time.time(),
             "schema": schema_json,
+            "properties": properties or {},
             "files": [f.to_json() for f in files],
         }
         path = self._manifest_path(next_v)
@@ -385,12 +389,34 @@ class SnapshotTable:
             reader = reader.schema(schema)
         return reader.parquet(*paths)
 
+    def _manifest_field(self, version: int, key: str):
+        with open(self._manifest_path(version)) as f:
+            return json.load(f).get(key)
+
     def _schema_json(self, version: int | None = None) -> str | None:
         v = self.current_version() if version is None else version
         if v is None:
             return None
-        with open(self._manifest_path(v)) as f:
-            return json.load(f).get("schema")
+        return self._manifest_field(v, "schema")
+
+    # -- table properties (the state store TableIO keeps in TBLPROPERTIES;
+    #    here they ride the manifest, so property updates are snapshots too
+    #    and roll back / time-travel WITH the data they describe) ----------
+
+    def set_properties(self, props: dict[str, str]) -> int:
+        cur = dict(self.properties())
+        cur.update(props)
+        files = self.snapshot().files if self.current_version() else []
+        return self._commit(files, "set-properties", properties=cur)
+
+    def properties(self, version: int | None = None) -> dict[str, str]:
+        v = self.current_version() if version is None else version
+        if v is None:
+            return {}
+        return self._manifest_field(v, "properties") or {}
+
+    def get_property(self, key: str) -> str | None:
+        return self.properties().get(key)
 
     def _read_schema(self, version: int | None = None):
         from pyspark.sql.types import StructType
@@ -501,11 +527,19 @@ class SnapshotTable:
         )
 
     def rollback(self, version: int) -> int:
-        """Roll back = new snapshot referencing the old snapshot's files
-        (Iceberg's rollback keeps history linear; a raw pointer flip would
-        orphan the intermediate snapshots' lineage)."""
+        """Roll back = new snapshot referencing the old snapshot's files,
+        schema AND properties (Iceberg's rollback keeps history linear; a
+        raw pointer flip would orphan the intermediate snapshots'
+        lineage). Restoring properties with the files is what keeps
+        manifest-resident state — e.g. the ingest watermark — consistent
+        with the data after a restore."""
         old = self.snapshot(version)
-        return self._commit(old.files, f"rollback(v{version})")
+        return self._commit(
+            old.files,
+            f"rollback(v{version})",
+            schema_json=self._schema_json(version),
+            properties=self._manifest_field(version, "properties") or {},
+        )
 
     # -- maintenance (executable M1-M4) --------------------------------------
 
