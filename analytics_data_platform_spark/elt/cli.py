@@ -40,9 +40,17 @@ def build_parser() -> argparse.ArgumentParser:
     p_run.add_argument("--namespace", help="override target namespace")
 
     p_m = sub.add_parser("maintain", help="run table maintenance")
-    p_m.add_argument("namespaces", nargs="+")
+    p_m.add_argument("namespaces", nargs="*", default=[])
     p_m.add_argument("--retention-days", type=int, default=7)
     p_m.add_argument("--target-file-mb", type=int, default=128)
+    p_m.add_argument(
+        "--snapshot-warehouse",
+        default=None,
+        help="also run the four snapshot procedures (binpack/manifests/"
+        "expire/orphans) over every snapshot table under this directory",
+    )
+    p_m.add_argument("--keep-last", type=int, default=3,
+                     help="snapshots to retain per table (snapshot warehouse)")
 
     p_q = sub.add_parser("query", help="run a registry query (or 'list')")
     p_q.add_argument("name", help="query name from the registry, or 'list'")
@@ -76,14 +84,26 @@ def main(argv: list[str] | None = None) -> int:
         from analytics_data_platform_spark.tables.maintenance import run_maintenance
 
         spark = get_spark(app_name="elt-maintenance", persistent_catalog=True)
-        results = run_maintenance(
-            spark,
-            namespaces=args.namespaces,
-            retention_days=args.retention_days,
-            target_file_mb=args.target_file_mb,
-        )
-        for line in results:
-            print(line)
+        if args.namespaces:
+            for line in run_maintenance(
+                spark,
+                namespaces=args.namespaces,
+                retention_days=args.retention_days,
+                target_file_mb=args.target_file_mb,
+            ):
+                print(line)
+        if args.snapshot_warehouse:
+            from analytics_data_platform_spark.tables.snapshot_io import (
+                maintain_snapshot_warehouse,
+            )
+
+            for line in maintain_snapshot_warehouse(
+                spark,
+                args.snapshot_warehouse,
+                keep_last=args.keep_last,
+                target_file_mb=args.target_file_mb,
+            ):
+                print(line)
         return 0
 
     if args.command == "query":

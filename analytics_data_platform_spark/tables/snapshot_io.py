@@ -121,3 +121,48 @@ class SnapshotTableIO:
                 LAST_UPDATED_PROP: dt.datetime.now(dt.timezone.utc).isoformat(),
             }
         )
+
+
+def discover_snapshot_tables(warehouse: str) -> list[str]:
+    """Enumerate `<ns>.<table>` snapshot roots under a warehouse dir (a
+    snapshot root is any directory holding a `manifests/` child)."""
+    out = []
+    for ns in sorted(os.listdir(warehouse)):
+        ns_dir = os.path.join(warehouse, ns)
+        if not os.path.isdir(ns_dir):
+            continue
+        for tbl in sorted(os.listdir(ns_dir)):
+            if os.path.isdir(os.path.join(ns_dir, tbl, "manifests")):
+                out.append(f"{ns}.{tbl}")
+    return out
+
+
+def maintain_snapshot_warehouse(
+    spark: SparkSession,
+    warehouse: str,
+    keep_last: int = 3,
+    target_file_mb: int = 128,
+) -> list[str]:
+    """The M6 nightly loop for snapshot warehouses: run the four
+    executable procedures (`snapshots.snapshot_maintenance`) over every
+    discovered table; one report line per table, errors kept non-fatal
+    like `tables/maintenance.run_maintenance`."""
+    from analytics_data_platform_spark.tables.snapshots import snapshot_maintenance
+
+    sio = SnapshotTableIO(spark, warehouse)
+    lines = []
+    for name in discover_snapshot_tables(warehouse):
+        try:
+            rep = snapshot_maintenance(
+                sio.table(name),
+                keep_last=keep_last,
+                target_file_bytes=target_file_mb * 1024 * 1024,
+            )
+            lines.append(
+                f"{name}: rewrote {rep['rewrite_data_files']['rewritten']} files, "
+                f"expired {len(rep['expire_snapshots']['expired_snapshots'])} snapshots, "
+                f"removed {rep['remove_orphan_files']} orphans"
+            )
+        except Exception as exc:  # noqa: BLE001 — keep the loop running
+            lines.append(f"{name}: ERROR {exc}")
+    return lines

@@ -71,3 +71,26 @@ def test_merge_incremental_on_snapshots_keeps_keys_unique(spark, sio):
     merges = [h["version"] for h in t.history() if h["op"] == "merge"]
     old = {r.entry_id: r.comment for r in t.read(version=merges[0] - 1).collect()}
     assert old[3] == "v3"
+
+
+def test_cli_maintain_snapshot_warehouse(spark, sio, capsys, monkeypatch):
+    """`elt maintain --snapshot-warehouse <dir>` runs the four procedures
+    over every ingested snapshot table and reports per-table lines."""
+    from analytics_data_platform_spark.elt import cli
+    from analytics_data_platform_spark.tables.snapshot_io import (
+        discover_snapshot_tables,
+        maintain_snapshot_warehouse,
+    )
+
+    run_ingest(spark, AllWriteModes(spark), "ns", io=sio)
+    assert discover_snapshot_tables(sio.warehouse) == ["ns.appended", "ns.replaced"]
+    lines = maintain_snapshot_warehouse(spark, sio.warehouse, keep_last=1)
+    assert len(lines) == 2 and all("ERROR" not in l for l in lines)
+    # data intact post-maintenance
+    assert sio.read("ns.appended").count() == 2
+
+    monkeypatch.setattr(cli, "get_spark", lambda **kw: spark)
+    rc = cli.main(["maintain", "--snapshot-warehouse", sio.warehouse, "--keep-last", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "ns.appended" in out and "ns.replaced" in out
