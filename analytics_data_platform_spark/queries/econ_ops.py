@@ -286,3 +286,87 @@ register(
         tags=("analytics", "econ"),
     )
 )
+
+
+# ---- log-log demand elasticity ---------------------------------------------
+
+_ELAST_SCALE = 1_000_000  # micro-nats (the naive-Bayes quantization idiom)
+_ELAST_CENTER = 14_000_000  # ≈ ln(1.2M cents): centers x so Σx² stays in BIGINT
+
+
+def demand_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price elasticity of demand per brand: the OLS slope of
+    ln(quantity) on ln(unit price) over line items — the log-log
+    regression whose slope IS the elasticity (scale factors cancel).
+
+    Both logs are quantized once to integer micro-nats (centered so the
+    per-brand Σx² moment stays inside BIGINT); the per-brand slope is
+    then a single double division of exact integer moment expressions —
+    the same reassociation-proof recipe as ols_order_price. One
+    part⋈lineitem join (brand is a part attribute), one moment
+    aggregation.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    obs = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        "p_brand",
+        F.expr(
+            f"CAST(round(ln(l_extendedprice * 100 / l_quantity) * {_ELAST_SCALE}) AS BIGINT)"
+            f" - {_ELAST_CENTER}"
+        ).alias("x"),
+        F.expr(f"CAST(round(ln(l_quantity) * {_ELAST_SCALE}) AS BIGINT)").alias("y"),
+    )
+    mom = obs.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    # moments convert to double BEFORE the slope arithmetic: each moment is
+    # an exact BIGINT, the conversion and the few IEEE ops after it are
+    # deterministic, and n·Σxy − Σx·Σy would overflow BIGINT at scale
+    slope = (
+        "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) AS elasticity"
+    )
+    return mom.selectExpr("p_brand", "n AS n_lineitems", slope).orderBy("p_brand")
+
+
+ELASTICITY_SQL = f"""
+WITH obs AS (
+  SELECT p.p_brand,
+         CAST(ROUND(ln(l.l_extendedprice * 100 / l.l_quantity) * {_ELAST_SCALE}) AS BIGINT)
+           - {_ELAST_CENTER} AS x,
+         CAST(ROUND(ln(l.l_quantity) * {_ELAST_SCALE}) AS BIGINT) AS y
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+mom AS (
+  SELECT p_brand, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM obs GROUP BY 1
+)
+SELECT p_brand, n AS n_lineitems,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) AS elasticity
+FROM mom ORDER BY p_brand
+"""
+
+
+register(
+    QuerySpec(
+        "demand_elasticity_by_brand",
+        demand_elasticity_by_brand,
+        ELASTICITY_SQL,
+        doc="log-log price elasticity per brand (micro-nat quantized logs, exact integer moments)",
+        cites="econ family; quantized-log idiom of naive_bayes_source, moment OLS of ols_order_price",
+        tags=("econ", "ml", "stats"),
+    )
+)

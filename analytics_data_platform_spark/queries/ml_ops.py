@@ -1083,3 +1083,136 @@ register(
         tags=("ml", "iterative"),
     )
 )
+
+
+# ---- decision stump (1-split tree) -----------------------------------------
+
+
+def decision_stump_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a depth-1 decision tree: the single value-threshold split
+    that minimizes weighted Gini impurity for "is this event a purchase?"
+    — the building block of every tree ensemble, expressed as declarative
+    aggregation.
+
+    Candidate cuts are the 9 internal deciles of `value` chosen by
+    integer row position (the winsorization idiom — no interpolated
+    quantiles). Each cut's split counts come from one broadcast-join +
+    conditional aggregation pass (9 small groups, map-side partials);
+    weighted Gini is a few IEEE ops over those exact BIGINT counts, and
+    the argmin breaks ties on the smaller cut, so the chosen split is
+    engine-stable.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        (F.col("event_type") == "purchase").cast("bigint").alias("buy"),
+        "event_id",
+    )
+    w = Window.orderBy("cents", "event_id")
+    ranked = e.select(
+        "cents",
+        "buy",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    cuts = (
+        ranked.where(F.expr("exists(sequence(1, 9), k -> rn = (k * n) div 10)"))
+        .select(F.col("cents").alias("cut"))
+        .distinct()
+    )
+    cells = (
+        e.crossJoin(F.broadcast(cuts))
+        .groupBy("cut")
+        .agg(
+            F.sum((F.col("cents") <= F.col("cut")).cast("bigint")).alias("nl"),
+            F.sum(F.when(F.col("cents") <= F.col("cut"), F.col("buy")).otherwise(F.lit(0))).alias(
+                "pl"
+            ),
+            F.sum((F.col("cents") > F.col("cut")).cast("bigint")).alias("nr"),
+            F.sum(F.when(F.col("cents") > F.col("cut"), F.col("buy")).otherwise(F.lit(0))).alias(
+                "pr"
+            ),
+        )
+        .where((F.col("nl") > 0) & (F.col("nr") > 0))
+    )
+    gini = (
+        "2.0 * (CAST(pl AS DOUBLE) * (nl - pl) / nl"
+        " + CAST(pr AS DOUBLE) * (nr - pr) / nr)"
+        " / (nl + nr)"
+    )
+    scored = cells.selectExpr("cut", "nl", "pl", "nr", "pr", f"round({gini}, 8) AS gini")
+    best = scored.agg(
+        F.min(F.struct("gini", "cut", "nl", "pl", "nr", "pr")).alias("b")
+    )
+    g0 = (
+        "2.0 * CAST(b.pl + b.pr AS DOUBLE) * ((b.nl + b.nr) - (b.pl + b.pr))"
+        " / (b.nl + b.nr) / (b.nl + b.nr)"
+    )
+    return best.selectExpr(
+        "b.cut AS split_cents",
+        "b.nl AS n_left",
+        "b.nr AS n_right",
+        "round(CAST(b.pl AS DOUBLE) / b.nl, 6) AS purchase_rate_left",
+        "round(CAST(b.pr AS DOUBLE) / b.nr, 6) AS purchase_rate_right",
+        f"round({g0} - b.gini, 8) AS gini_gain",
+    )
+
+
+STUMP_SQL = """
+WITH e AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS buy,
+         event_id
+  FROM events
+),
+ranked AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents, event_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM e
+),
+cuts AS (
+  SELECT DISTINCT cents AS cut
+  FROM ranked, (SELECT UNNEST(generate_series(1, 9)) AS k) ks
+  WHERE rn = (k * n) // 10
+),
+cells AS (
+  SELECT c.cut,
+         CAST(SUM(CASE WHEN e.cents <= c.cut THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+         CAST(SUM(CASE WHEN e.cents <= c.cut THEN e.buy ELSE 0 END) AS BIGINT) AS pl,
+         CAST(SUM(CASE WHEN e.cents > c.cut THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+         CAST(SUM(CASE WHEN e.cents > c.cut THEN e.buy ELSE 0 END) AS BIGINT) AS pr
+  FROM e CROSS JOIN cuts c
+  GROUP BY 1
+  HAVING SUM(CASE WHEN e.cents <= c.cut THEN 1 ELSE 0 END) > 0
+     AND SUM(CASE WHEN e.cents > c.cut THEN 1 ELSE 0 END) > 0
+),
+scored AS (
+  SELECT cut, nl, pl, nr, pr,
+         ROUND(2.0 * (CAST(pl AS DOUBLE) * (nl - pl) / nl
+                      + CAST(pr AS DOUBLE) * (nr - pr) / nr) / (nl + nr), 8) AS gini
+  FROM cells
+),
+best AS (
+  SELECT cut, nl, pl, nr, pr, gini,
+         ROW_NUMBER() OVER (ORDER BY gini, cut) AS rk
+  FROM scored
+)
+SELECT cut AS split_cents, nl AS n_left, nr AS n_right,
+       ROUND(CAST(pl AS DOUBLE) / nl, 6) AS purchase_rate_left,
+       ROUND(CAST(pr AS DOUBLE) / nr, 6) AS purchase_rate_right,
+       ROUND(2.0 * CAST(pl + pr AS DOUBLE) * ((nl + nr) - (pl + pr))
+             / (nl + nr) / (nl + nr) - gini, 8) AS gini_gain
+FROM best WHERE rk = 1
+"""
+
+
+register(
+    QuerySpec(
+        "decision_stump_purchase",
+        decision_stump_purchase,
+        STUMP_SQL,
+        doc="depth-1 Gini decision tree over decile cuts (exact contingency counts, stable argmin)",
+        cites="tree-family member of the classical-ML queries; decile idiom of winsorized_stats_by_type",
+        tags=("ml", "tree", "stats"),
+    )
+)
