@@ -1089,3 +1089,66 @@ register(
         tags=("text", "stats"),
     )
 )
+
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + per-class precision/recall for the n-gram
+    language-ID heuristic against the labeled `lang` column — the
+    evaluation loop every classifier in the corpus pipeline needs. One
+    groupBy over (label, prediction); the rate columns are single double
+    divisions of exact counts against broadcast per-class totals."""
+    d = load_table(spark, sf_dir, "documents")
+    pred = d.select("lang", T.lang_guess("text").alias("guess"))
+    cm = pred.groupBy("lang", "guess").agg(F.count(F.lit(1)).alias("n"))
+    by_label = cm.groupBy("lang").agg(F.sum("n").alias("n_label"))
+    by_guess = cm.groupBy("guess").agg(F.sum("n").alias("n_guess"))
+    return (
+        cm.join(F.broadcast(by_label), "lang")
+        .join(F.broadcast(by_guess), "guess")
+        .select(
+            "lang",
+            "guess",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_label"), 6).alias("recall_share"),
+            F.round(F.col("n").cast("double") / F.col("n_guess"), 6).alias("precision_share"),
+        )
+        .orderBy("lang", "guess")
+    )
+
+
+LANG_CONFUSION_SQL = r"""
+WITH s AS (
+  SELECT lang,
+         len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS s_en,
+         len(regexp_extract_all(lower(text), '\b(der|die|und|ist|nicht)\b')) AS s_de,
+         len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS s_fr
+  FROM documents
+),
+pred AS (
+  SELECT lang,
+         CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+              WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+              WHEN s_fr > 0 THEN 'fr'
+              ELSE 'und' END AS guess
+  FROM s
+),
+cm AS (SELECT lang, guess, COUNT(*) AS n FROM pred GROUP BY 1, 2),
+bl AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_label FROM cm GROUP BY 1),
+bg AS (SELECT guess, CAST(SUM(n) AS BIGINT) AS n_guess FROM cm GROUP BY 1)
+SELECT cm.lang, cm.guess, cm.n,
+       ROUND(CAST(cm.n AS DOUBLE) / bl.n_label, 6) AS recall_share,
+       ROUND(CAST(cm.n AS DOUBLE) / bg.n_guess, 6) AS precision_share
+FROM cm JOIN bl ON cm.lang = bl.lang JOIN bg ON cm.guess = bg.guess
+ORDER BY cm.lang, cm.guess
+"""
+
+register(
+    QuerySpec(
+        "lang_id_confusion",
+        lang_id_confusion,
+        LANG_CONFUSION_SQL,
+        doc="confusion matrix + precision/recall shares for the language-ID heuristic",
+        cites="evaluation of lang_id_heuristic; confusion idiom of naive_bayes_source",
+        tags=("text", "eval"),
+    )
+)
