@@ -106,3 +106,45 @@ def snapshot_append_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def snapshot_upsert_sink(
+    stream_df: DataFrame,
+    table,
+    keys: list[str],
+    checkpoint: str,
+    app_id: str = "stream",
+    available_now: bool = True,
+):
+    """Exactly-once streaming UPSERT into a manifest SnapshotTable: each
+    micro-batch is deduplicated on ``keys`` then copy-on-write MERGEd —
+    only key-range-intersecting files rewrite — in one atomic commit
+    tagged ``stream-merge:<app_id>:<batchId>``. Replayed batches (crash,
+    checkpoint loss with a stable app_id) are skipped; since merge is
+    also idempotent on keys, the guard makes replays free rather than
+    merely harmless."""
+
+    def committed(t) -> set[int]:
+        prefix = f"stream-merge:{app_id}:"
+        return {
+            int(h["op"].rsplit(":", 1)[1])
+            for h in t.history()
+            if h["op"].startswith(prefix)
+        }
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in committed(table):
+            return
+        table.merge(
+            batch_df.dropDuplicates(keys), keys,
+            op=f"stream-merge:{app_id}:{batch_id}",
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

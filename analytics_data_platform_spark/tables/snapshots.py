@@ -289,7 +289,7 @@ class SnapshotTable:
         parent = self.snapshot().files
         return self._commit(parent + new, "append", merged.json())
 
-    def merge(self, updates: DataFrame, keys: list[str]) -> int:
+    def merge(self, updates: DataFrame, keys: list[str], op: str = "merge") -> int:
         """Copy-on-write upsert with file skipping.
 
         Files whose key-range stats cannot intersect the update batch's
@@ -299,7 +299,7 @@ class SnapshotTable:
         reason merging 1 GB into 100 TB does not rewrite 100 TB.
         """
         if self.current_version() is None:
-            return self._commit(self._write_files(updates), "merge")
+            return self._commit(self._write_files(updates), op, updates.schema.json())
         updates = updates.persist()
         try:
             row = updates.agg(
@@ -327,7 +327,7 @@ class SnapshotTable:
                 )
             else:
                 rewritten = self._write_files(updates)
-            return self._commit(kept + rewritten, "merge")
+            return self._commit(kept + rewritten, op)
         finally:
             updates.unpersist()
 
@@ -633,6 +633,22 @@ class SnapshotTable:
                 n.endswith(".parquet") for n in os.listdir(d)
             ):
                 shutil.rmtree(d)
+
+
+def commit_with_retry(table: SnapshotTable, attempt, max_retries: int = 5) -> int:
+    """Optimistic-concurrency loop: run ``attempt(table)`` (any operation
+    ending in a commit — append/merge/delete/...); on :class:`CommitConflict`
+    re-run it against the NEW live snapshot, up to ``max_retries`` times.
+    The attempt callable must derive everything from the table's current
+    state (not captured manifests), which every SnapshotTable method does —
+    this is Iceberg's retry-on-conflict commit loop."""
+    last: CommitConflict | None = None
+    for _ in range(max_retries):
+        try:
+            return attempt(table)
+        except CommitConflict as exc:
+            last = exc
+    raise last  # type: ignore[misc]
 
 
 def snapshot_maintenance(table: SnapshotTable, keep_last: int = 3,

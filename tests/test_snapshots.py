@@ -255,3 +255,27 @@ def test_metadata_tables_queryable_with_sql(spark, tmp_path):
 
     stats = _json.loads(spark.sql("SELECT stats_json FROM snap_files LIMIT 1").collect()[0][0])
     assert "id" in stats
+
+
+def test_commit_with_retry_wins_after_conflicts(spark, tmp_path):
+    from analytics_data_platform_spark.tables.snapshots import commit_with_retry
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.replace(_df(spark, [(1, "a")]))
+    calls = {"n": 0}
+    real_commit = t._commit
+
+    def flaky_commit(files, op, schema_json=None, properties=None):
+        calls["n"] += 1
+        if calls["n"] <= 2:  # two racing writers beat us, then we win
+            raise CommitConflict("beaten to the slot")
+        return real_commit(files, op, schema_json, properties)
+
+    t._commit = flaky_commit
+    v = commit_with_retry(t, lambda tb: tb.append(_df(spark, [(2, "b")])))
+    assert v == 2 and calls["n"] == 3
+    assert {r.id for r in t.read().collect()} == {1, 2}
+
+    t._commit = lambda *a, **k: (_ for _ in ()).throw(CommitConflict("always"))
+    with pytest.raises(CommitConflict):
+        commit_with_retry(t, lambda tb: tb.append(_df(spark, [(3, "c")])), max_retries=2)

@@ -355,3 +355,37 @@ def test_snapshot_append_sink_exactly_once_on_replay(spark, events_dir, tmp_path
     q3.awaitTermination()
     assert t.read().where("event_id = 42").count() == 1
     assert t.read().count() == n1 + 1
+
+
+def test_snapshot_upsert_sink_merges_exactly_once(spark, events_dir, tmp_path):
+    """Stream → CoW MERGE into a SnapshotTable: duplicates collapse on the
+    key, replayed batches are skipped via the txn tag, and a later tick
+    with an updated event upserts in place atomically."""
+    from analytics_data_platform_spark.streaming.sinks import snapshot_upsert_sink
+    from analytics_data_platform_spark.tables.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "snap"))
+    ckpt = str(tmp_path / "ck")
+    q = snapshot_upsert_sink(_read_stream(spark, events_dir), t, ["event_id"], ckpt, app_id="m")
+    q.awaitTermination()
+    assert t.read().count() == 5  # 6 rows, duplicate event_id=2 collapsed
+
+    # replay after checkpoint loss: txn tag makes it a no-op
+    import shutil
+
+    shutil.rmtree(ckpt)
+    q2 = snapshot_upsert_sink(_read_stream(spark, events_dir), t, ["event_id"], ckpt, app_id="m")
+    q2.awaitTermination()
+    assert t.read().count() == 5
+
+    # tick 2: replayed event 5 with new value + a brand-new event → upsert
+    _write_events(
+        spark, events_dir,
+        [(5, T0 + dt.timedelta(minutes=3), 8, "view", 99.0, "{}"),
+         (7, T0 + dt.timedelta(hours=3), 9, "click", 7.0, "{}")],
+    )
+    q3 = snapshot_upsert_sink(_read_stream(spark, events_dir), t, ["event_id"], ckpt, app_id="m")
+    q3.awaitTermination()
+    assert t.read().count() == 6
+    assert t.read().where("event_id = 5").collect()[0]["value"] == 99.0
+    assert any(h["op"].startswith("stream-merge:m:") for h in t.history())
