@@ -711,3 +711,124 @@ register(
         tags=("timeseries", "window", "stats"),
     )
 )
+
+
+# ---- Croston's intermittent-demand forecast --------------------------------
+
+_CROSTON_WINDOW = 16
+_CROSTON_MIN_PERIODS = 5
+
+
+def croston_part_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for intermittent demand, per part: most parts sell
+    in only ~10% of weeks, where level smoothing (EWMA/Holt) collapses
+    toward zero between orders. Croston smooths TWO series — nonzero
+    demand size z and inter-demand interval p — updating only on demand
+    weeks; the rate forecast is z/p.
+
+    With α = 1/2 both recurrences are exact in scaled integers
+    (Znumₖ = Znumₖ₋₁ + dₖ·2ᵏ⁻¹ over the last 16 demand weeks, same for
+    the interval chain), and the forecast z/p = Znum/Pnum — the scale
+    cancels — is one rounded double division. One aggregation to weekly
+    demand, one part-keyed lag window for intervals, one `aggregate` HOF
+    fold per part; the oracle replays the recurrence as a recursive CTE.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    weekly = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.expr("CAST(datediff(l_shipdate, DATE'1970-01-01') div 7 AS BIGINT)").alias("wk"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("d"))
+    w = Window.partitionBy("part").orderBy("wk")
+    gaps = weekly.select(
+        "part",
+        "wk",
+        "d",
+        F.coalesce(F.col("wk") - F.lag("wk").over(w), F.lit(1)).alias("q"),
+    )
+    wdesc = Window.partitionBy("part").orderBy(F.col("wk").desc())
+    last = (
+        gaps.withColumn("rdesc", F.row_number().over(wdesc))
+        .where(F.col("rdesc") <= _CROSTON_WINDOW)
+        .groupBy("part")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(wk, d, q))), s -> struct(s.d AS d, s.q AS q))"
+            ).alias("ds"),
+            F.count(F.lit(1)).alias("n_periods"),
+        )
+        .where(F.col("n_periods") >= _CROSTON_MIN_PERIODS)
+    )
+    fold = (
+        "aggregate(ds, named_struct('k', 0L, 'zn', 0L, 'pn', 0L), "
+        "(a, s) -> named_struct("
+        "'k', a.k + 1, "
+        "'zn', a.zn + s.d * shiftleft(1L, CAST(a.k AS INT)), "
+        "'pn', a.pn + s.q * shiftleft(1L, CAST(a.k AS INT))))"
+    )
+    gen = last.select(
+        "part", "n_periods", F.expr(f"inline(array({fold}))")
+    )
+    return gen.select(
+        "part",
+        "n_periods",
+        F.round(F.col("zn").cast("double") / F.col("pn").cast("double"), 6).alias(
+            "demand_per_week"
+        ),
+    ).orderBy("part")
+
+
+CROSTON_SQL = f"""
+WITH RECURSIVE weekly AS (
+  SELECT l_partkey AS part,
+         date_diff('day', DATE '1970-01-01', l_shipdate) // 7 AS wk,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS d
+  FROM lineitem GROUP BY 1, 2
+),
+gaps AS (
+  SELECT part, wk, d,
+         COALESCE(wk - lag(wk) OVER (PARTITION BY part ORDER BY wk), 1) AS q
+  FROM weekly
+),
+lastw AS (
+  SELECT part, wk, d, q,
+         ROW_NUMBER() OVER (PARTITION BY part ORDER BY wk DESC) AS rdesc
+  FROM gaps
+),
+ser AS (
+  SELECT part, d, q,
+         ROW_NUMBER() OVER (PARTITION BY part ORDER BY wk) AS t,
+         COUNT(*) OVER (PARTITION BY part) AS n_periods
+  FROM lastw WHERE rdesc <= {_CROSTON_WINDOW}
+),
+eligible AS (SELECT * FROM ser WHERE n_periods >= {_CROSTON_MIN_PERIODS}),
+cro(part, t, zn, pn, n_periods) AS (
+  SELECT part, CAST(1 AS BIGINT), d, q, n_periods FROM eligible WHERE t = 1
+  UNION ALL
+  SELECT e.part, CAST(e.t AS BIGINT),
+         c.zn + e.d * (CAST(1 AS BIGINT) << (e.t - 1)),
+         c.pn + e.q * (CAST(1 AS BIGINT) << (e.t - 1)),
+         c.n_periods
+  FROM cro c JOIN eligible e ON e.part = c.part AND e.t = c.t + 1
+),
+final AS (
+  SELECT part, zn, pn, n_periods,
+         ROW_NUMBER() OVER (PARTITION BY part ORDER BY t DESC) AS rr
+  FROM cro
+)
+SELECT part, n_periods,
+       ROUND(CAST(zn AS DOUBLE) / CAST(pn AS DOUBLE), 6) AS demand_per_week
+FROM final WHERE rr = 1
+ORDER BY part
+"""
+
+
+register(
+    QuerySpec(
+        "croston_part_demand",
+        croston_part_demand,
+        CROSTON_SQL,
+        doc="Croston's intermittent-demand rate per part (dyadic dual-EWMA, exact scaled integers)",
+        cites="forecasting family: completes naive/seasonal/EWMA/Holt; fold idiom of holt_trend_forecast",
+        tags=("timeseries", "forecast"),
+    )
+)
