@@ -116,7 +116,7 @@ class Snapshot:
 
 class SnapshotTable:
     def __init__(self, spark: SparkSession, root: str, stats_cols: list[str] | None = None,
-                 cluster_by: list[str] | None = None):
+                 cluster_by: list[str] | None = None, cluster_files: int | None = None):
         """``stats_cols`` limits per-file stats collection (None = every
         orderable leaf column). Stats collection is ONE extra aggregation
         over the freshly written batch — per-file, map-side, grouped by
@@ -128,11 +128,15 @@ class SnapshotTable:
         data every file spans the whole domain and ``scan``/CoW skipping
         degrade to full scans — same reason Iceberg pairs its metadata
         with a write sort order). Multi-dimensional layouts use
-        ``TableIO.write_table(zorder=...)``'s Morton keys instead."""
+        ``TableIO.write_table(zorder=...)``'s Morton keys instead.
+        ``cluster_files`` pins the range-partition count per batch (AQE
+        otherwise coalesces small batches to one file, defeating the
+        layout at test scale; at production scale leave it None)."""
         self.spark = spark
         self.root = root
         self.stats_cols = stats_cols
         self.cluster_by = cluster_by
+        self.cluster_files = cluster_files
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
 
@@ -224,7 +228,8 @@ class SnapshotTable:
         over just-written data — O(batch), not O(table)."""
         d = os.path.join(self.root, "data", uuid.uuid4().hex)
         if self.cluster_by:
-            df = df.repartitionByRange(*self.cluster_by).sortWithinPartitions(
+            parts = [self.cluster_files] if self.cluster_files else []
+            df = df.repartitionByRange(*parts, *self.cluster_by).sortWithinPartitions(
                 *self.cluster_by
             )
         df.write.mode("errorifexists").parquet(d)

@@ -8,6 +8,7 @@ from __future__ import annotations
 import os
 
 import pytest
+import pyspark.sql.functions as F
 
 from analytics_data_platform_spark.tables.snapshots import (
     CommitConflict,
@@ -279,3 +280,37 @@ def test_commit_with_retry_wins_after_conflicts(spark, tmp_path):
     t._commit = lambda *a, **k: (_ for _ in ()).throw(CommitConflict("always"))
     with pytest.raises(CommitConflict):
         commit_with_retry(t, lambda tb: tb.append(_df(spark, [(3, "c")])), max_retries=2)
+
+
+def test_lineitem_ingest_scan_pruning_end_to_end(spark, tmp_path, sf_dir):
+    """Real-table proof: lineitem ingested into a ship-date-clustered
+    snapshot table; a one-month range scan must (a) read a strict subset
+    of files via manifest stats and (b) return exactly the rows a full
+    scan+filter does."""
+    from analytics_data_platform_spark.sources.testdata import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        F.col("l_shipdate").cast("date").alias("l_shipdate"),
+        "l_quantity",
+    )
+    t = SnapshotTable(
+        spark, str(tmp_path / "li"), cluster_by=["l_shipdate"], cluster_files=8
+    )
+    t.replace(li)
+    assert len(t.snapshot().files) > 1
+
+    import datetime as dt
+
+    lo, hi = dt.date(1996, 3, 1), dt.date(1996, 3, 31)
+    pruned = t.scan("l_shipdate", lo, hi)
+    assert 0 < len(pruned.inputFiles()) < len(t.snapshot().files)
+    expected = li.where(
+        (F.col("l_shipdate") >= F.lit(lo)) & (F.col("l_shipdate") <= F.lit(hi))
+    )
+    assert pruned.count() == expected.count() > 0
+    assert (
+        pruned.agg(F.sum("l_quantity")).collect()[0][0]
+        == expected.agg(F.sum("l_quantity")).collect()[0][0]
+    )
