@@ -314,3 +314,38 @@ def test_lineitem_ingest_scan_pruning_end_to_end(spark, tmp_path, sf_dir):
         pruned.agg(F.sum("l_quantity")).collect()[0][0]
         == expected.agg(F.sum("l_quantity")).collect()[0][0]
     )
+
+
+def test_tpch_refresh_functions_rf1_rf2(spark, tmp_path, sf_dir):
+    """TPC-H's refresh stream on the snapshot layer: RF1 appends a new
+    orders batch (O(batch) commit), RF2 deletes it again (copy-on-write,
+    key-range pruned). After RF1+RF2 the table equals its initial state
+    row-for-row, and every intermediate state stays time-travelable."""
+    from analytics_data_platform_spark.sources.testdata import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    base = orders.where("o_orderkey % 100 != 7")
+    refresh = orders.where("o_orderkey % 100 = 7")
+    n_base, n_new = base.count(), refresh.count()
+    assert n_new > 0
+
+    t = SnapshotTable(spark, str(tmp_path / "ord"), cluster_by=["o_orderkey"], cluster_files=4)
+    t.replace(base)
+    v0 = t.current_version()
+
+    # RF1: insert the refresh batch — parent files untouched
+    before = {f.path for f in t.snapshot().files}
+    t.append(refresh)
+    assert before < {f.path for f in t.snapshot().files}
+    assert t.read().count() == n_base + n_new
+
+    # RF2: delete the same keys — only intersecting files rewrite
+    lo = refresh.agg(F.min("o_orderkey")).collect()[0][0]
+    hi = refresh.agg(F.max("o_orderkey")).collect()[0][0]
+    t.delete_where("o_orderkey % 100 = 7", prune_col="o_orderkey", lo=lo, hi=hi)
+    assert t.read().count() == n_base
+    # row-for-row identity with the initial state
+    assert t.read().exceptAll(t.read(version=v0)).count() == 0
+    assert t.read(version=v0).exceptAll(t.read()).count() == 0
