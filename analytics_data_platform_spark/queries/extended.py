@@ -559,3 +559,122 @@ register(
         tags=("timeseries", "window"),
     )
 )
+
+
+# ---- top-k WITH TIES + Gini mean difference --------------------------------
+
+
+def top_parts_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top parts by total shipped quantity using WITH-TIES semantics
+    (dense_rank ≤ 3): every part on a tied total is kept, so the result
+    is value-determined — unlike row_number top-k, no arbitrary ordering
+    inside ties ever reaches the output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    totals = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty")
+    )
+    w = Window.orderBy(F.desc("total_qty"))
+    return (
+        totals.withColumn("qty_rank", F.dense_rank().over(w))
+        .where(F.col("qty_rank") <= 3)
+        .select(F.col("l_partkey").alias("part_key"), "total_qty", "qty_rank")
+        .orderBy("qty_rank", "part_key")
+    )
+
+
+TOP_TIES_SQL = """
+WITH totals AS (
+  SELECT l_partkey AS part_key, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY 1
+),
+ranked AS (
+  SELECT part_key, total_qty, DENSE_RANK() OVER (ORDER BY total_qty DESC) AS qty_rank
+  FROM totals
+)
+SELECT part_key, total_qty, qty_rank FROM ranked
+WHERE qty_rank <= 3 ORDER BY qty_rank, part_key
+"""
+
+
+register(
+    QuerySpec(
+        "top_parts_with_ties",
+        top_parts_with_ties,
+        TOP_TIES_SQL,
+        doc="top-3 totals WITH TIES (dense_rank): value-determined top-k, no arbitrary tie order",
+        cites="ordering family; complements row_number top-k (latest_event_per_user)",
+        tags=("window", "ranking"),
+    )
+)
+
+
+def gini_mean_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini mean difference of order value per priority — the mean
+    |xᵢ−xⱼ| over ALL pairs, computed WITHOUT the O(n²) pair join via the
+    rank linearization  GMD = 2·Σᵢ(2i−n−1)·x₍ᵢ₎ / (n(n−1)).
+
+    One per-group sort window gives the order statistics; the weighted
+    sum is exact BIGINT (values quantized to whole dollars so the
+    rank-weight products stay in range at 100×), and only the final
+    normalization divides. The same trick turns any pairwise-L1
+    statistic into a sort + prefix weights — the scale story the naive
+    formulation lacks entirely."""
+    o = load_table(spark, sf_dir, "orders")
+    vals = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr("CAST(round(o_totalprice) AS BIGINT)").alias("usd"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("priority").orderBy("usd", "o_orderkey")
+    ranked = vals.select(
+        "priority",
+        "usd",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy("priority")).alias("n"),
+    )
+    return (
+        ranked.groupBy("priority")
+        .agg(
+            F.min("n").alias("n_orders"),
+            F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("usd")).alias("s"),
+        )
+        .selectExpr(
+            "priority",
+            "n_orders",
+            "round(2.0 * CAST(s AS DOUBLE) / (CAST(n_orders AS DOUBLE) * (n_orders - 1)), 4)"
+            " AS gini_mean_diff_usd",
+        )
+        .orderBy("priority")
+    )
+
+
+GMD_SQL = """
+WITH vals AS (
+  SELECT o_orderpriority AS priority,
+         CAST(ROUND(o_totalprice) AS BIGINT) AS usd,
+         o_orderkey
+  FROM orders
+),
+ranked AS (
+  SELECT priority, usd,
+         ROW_NUMBER() OVER (PARTITION BY priority ORDER BY usd, o_orderkey) AS i,
+         COUNT(*) OVER (PARTITION BY priority) AS n
+  FROM vals
+)
+SELECT priority, CAST(MIN(n) AS BIGINT) AS n_orders,
+       ROUND(2.0 * CAST(CAST(SUM((2 * i - n - 1) * usd) AS BIGINT) AS DOUBLE)
+             / (CAST(MIN(n) AS DOUBLE) * (MIN(n) - 1)), 4) AS gini_mean_diff_usd
+FROM ranked GROUP BY priority ORDER BY priority
+"""
+
+
+register(
+    QuerySpec(
+        "gini_mean_difference",
+        gini_mean_difference,
+        GMD_SQL,
+        doc="exact pairwise mean |xi-xj| per priority via rank linearization (no pair join)",
+        cites="dispersion family with gini_customer_revenue; O(n log n) rewrite of an O(n^2) statistic",
+        tags=("stats", "window", "econ"),
+    )
+)
