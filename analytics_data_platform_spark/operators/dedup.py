@@ -650,31 +650,41 @@ def simhash_signatures_portable(
     also the faster path at scale, and the one the DuckDB oracle mirrors.
     Columns: (id, sim_lo, sim_hi) — signed-safe 32-bit values in longs.
     """
+    # explode tokens, then take the 64 per-bit majority votes as ONE
+    # codegen'd conditional aggregation — the earlier formulation walked
+    # each hash array with 32 interpreted `aggregate` lambdas per half
+    # (tokens × 64 interpreted steps per doc: ~6 s for 5k docs at sf0.1;
+    # this groupBy shape runs the same votes in whole-stage codegen).
+    # explode_outer keeps token-less docs (their votes are all 0 → sig 0,
+    # matching the empty-array fold and the oracle).
     toks = F.filter(F.split(normalized_text(text_col), " "), lambda t: t != "")
-    hs_lo = F.transform(toks, lambda t: portable_hash32(t, 1))
-    hs_hi = F.transform(toks, lambda t: portable_hash32(t, 9))
-
-    def half(hashes: Column) -> Column:
-        bits = []
-        for j in range(32):
-            mask = F.lit(1 << j)
-            vote = F.aggregate(
-                hashes,
-                F.lit(0),
-                lambda acc, h: acc + F.when((h.bitwiseAND(mask)) != 0, 1).otherwise(-1),
-            )
-            bits.append(F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0)))
-        out = bits[0]
-        for bcol in bits[1:]:
-            out = out + bcol
-        return out.cast("long")
-
-    # let-bind each hash array: the 32 per-bit aggregate walks reference
-    # the ONE evaluated array instead of re-deriving token md5s 32×
-    return spread(df.select(F.col(id_col), F.col(text_col))).select(
+    rows = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
-        bind(hs_lo, half).alias("sim_lo"),
-        bind(hs_hi, half).alias("sim_hi"),
+        F.explode_outer(toks).alias("__tok"),
+    ).select(
+        id_col,
+        portable_hash32(F.col("__tok"), 1).alias("__h1"),
+        portable_hash32(F.col("__tok"), 9).alias("__h2"),
+    )
+    votes = rows.groupBy(id_col).agg(
+        *[
+            F.expr(
+                f"sum(CASE WHEN __h{half} IS NULL THEN 0 "
+                f"WHEN (__h{half} & {1 << j}) <> 0 THEN 1 ELSE -1 END)"
+            ).alias(f"v{half}_{j}")
+            for half in (1, 2)
+            for j in range(32)
+        ]
+    )
+    def sig(half: int) -> str:
+        return " + ".join(
+            f"IF(v{half}_{j} > 0, CAST({1 << j} AS BIGINT), 0L)" for j in range(32)
+        )
+
+    return votes.select(
+        F.col(id_col),
+        F.expr(sig(1)).alias("sim_lo"),
+        F.expr(sig(2)).alias("sim_hi"),
     )
 
 
