@@ -464,22 +464,27 @@ def lsh_band_keys(
     """Array of banded signature keys ('band,bitstring') — a pair is a
     near-dup CANDIDATE when ANY band matches (the OR-construction:
     P[candidate] = 1 − (1 − p^r)^b for per-bit agreement p)."""
-    bits = [
-        F.when(
-            dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in p])) >= 0, "1"
-        ).otherwise("0")
-        for p in planes
-    ]
-    return F.array(
-        *[
-            F.concat_ws(
-                ",",
-                F.lit(str(b)),
-                F.concat(*bits[b * bits_per_band : (b + 1) * bits_per_band]),
-            )
-            for b in range(n_bands)
-        ]
-    )
+    # one F.expr SQL string: the fluent build spent seconds of DRIVER
+    # py4j time constructing n_bits×dim literal Columns. The expression
+    # is semantically identical — in particular the dot product stays the
+    # ORDERED zip_with+aggregate fold, so sign bits remain bit-stable
+    # against the oracle's sequential list_sum.
+    def bit_sql(p: list[float]) -> str:
+        arr = "array(" + ", ".join(f"{float(x)!r}D" for x in p) + ")"
+        d = (
+            f"aggregate(zip_with({vec_col}, {arr}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        return f"IF({d} >= 0.0D, '1', '0')"
+
+    bands = []
+    for b in range(n_bands):
+        bits = ", ".join(
+            bit_sql(p) for p in planes[b * bits_per_band : (b + 1) * bits_per_band]
+        )
+        bands.append(f"concat_ws(',', '{b}', concat({bits}))")
+    return F.expr("array(" + ", ".join(bands) + ")")
 
 
 def lsh_near_dup_pairs(
