@@ -497,3 +497,112 @@ register(
         tags=("analytics", "window", "timeseries"),
     )
 )
+
+
+# ---- population stability index (drift) ------------------------------------
+
+_PSI_SPLIT = "2024-01-16 00:00:00"
+_PSI_BINS = 10
+
+
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event `value` distribution,
+    second half-month vs first — THE production drift gate (PSI > 0.2 =
+    retrain), complementing the KS test with a per-bin attribution of
+    WHERE the distribution moved.
+
+    Bins are the reference period's deciles chosen by integer row
+    position; both periods' bin counts are exact (values strictly above
+    the last cut fall into bin 10, so counts partition each period);
+    +1 Laplace smoothing keeps ln() finite on empty bins. Each row is one
+    bin with its PSI term — a single ln/multiply per bin from exact
+    counts — so the hash verifies the full drift decomposition, not just
+    a scalar."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        (F.col("ts") >= F.lit(_PSI_SPLIT).cast("timestamp")).cast("int").alias("period"),
+        "event_id",
+    )
+    ref = e.where(F.col("period") == 0)
+    w = Window.orderBy("cents", "event_id")
+    cuts = (
+        ref.select(
+            "cents",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        .where(F.expr(f"exists(sequence(1, {_PSI_BINS - 1}), k -> rn = (k * n) div {_PSI_BINS})"))
+        .groupBy("cents")
+        .agg(F.min(F.expr(f"CAST(ceil(rn * {_PSI_BINS} / n) AS BIGINT)")).alias("_"))
+        .select(F.col("cents").alias("cut"))
+    )
+    # bin id = 1 + number of cuts strictly below the value
+    binned = e.join(F.broadcast(cuts), F.col("cents") > F.col("cut"), "left").groupBy(
+        "event_id", "period"
+    ).agg((F.count("cut") + 1).alias("bin"))
+    cells = binned.groupBy("bin").agg(
+        F.sum(F.expr("IF(period = 0, 1, 0)")).alias("n_ref"),
+        F.sum(F.expr("IF(period = 1, 1, 0)")).alias("n_cur"),
+    )
+    tot = cells.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
+    term = (
+        "((CAST(n_ref + 1 AS DOUBLE) / (tr + {b})) - (CAST(n_cur + 1 AS DOUBLE) / (tc + {b})))"
+        " * ln((CAST(n_ref + 1 AS DOUBLE) / (tr + {b})) / (CAST(n_cur + 1 AS DOUBLE) / (tc + {b})))"
+    ).format(b=_PSI_BINS)
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .selectExpr("bin", "n_ref", "n_cur", f"round({term}, 8) AS psi_term")
+        .orderBy("bin")
+    )
+
+
+PSI_SQL = f"""
+WITH e AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CASE WHEN ts >= TIMESTAMP '{_PSI_SPLIT}' THEN 1 ELSE 0 END AS period,
+         event_id
+  FROM events
+),
+ranked AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents, event_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM e WHERE period = 0
+),
+cuts AS (
+  SELECT DISTINCT cents AS cut
+  FROM ranked, (SELECT UNNEST(generate_series(1, {_PSI_BINS - 1})) AS k) ks
+  WHERE rn = (k * n) // {_PSI_BINS}
+),
+binned AS (
+  SELECT e.event_id, e.period, COUNT(c.cut) + 1 AS bin
+  FROM e LEFT JOIN cuts c ON e.cents > c.cut
+  GROUP BY 1, 2
+),
+cells AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM binned GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS tr, CAST(SUM(n_cur) AS BIGINT) AS tc FROM cells)
+SELECT bin, n_ref, n_cur,
+       ROUND(((CAST(n_ref + 1 AS DOUBLE) / (tr + {_PSI_BINS}))
+              - (CAST(n_cur + 1 AS DOUBLE) / (tc + {_PSI_BINS})))
+             * ln((CAST(n_ref + 1 AS DOUBLE) / (tr + {_PSI_BINS}))
+                  / (CAST(n_cur + 1 AS DOUBLE) / (tc + {_PSI_BINS}))), 8) AS psi_term
+FROM cells, tot
+ORDER BY bin
+"""
+
+
+register(
+    QuerySpec(
+        "psi_value_drift",
+        psi_value_drift,
+        PSI_SQL,
+        doc="population stability index per decile bin (reference-period cuts, Laplace-smoothed)",
+        cites="drift family with ks_two_sample_drift; decile idiom of winsorized_stats_by_type",
+        tags=("feature", "drift", "stats"),
+    )
+)

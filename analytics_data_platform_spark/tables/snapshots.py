@@ -449,6 +449,19 @@ class SnapshotTable:
         extra = [f for f in incoming.fields if f.name not in {g.name for g in current.fields}]
         return StructType(current.fields + extra)
 
+    def version_as_of(self, ts: float) -> int:
+        """Latest snapshot committed at or before ``ts`` (epoch seconds) —
+        Iceberg's timestamp time travel, resolved in manifest metadata."""
+        eligible = [v for v in self.versions() if self.snapshot(v).ts <= ts]
+        if not eligible:
+            raise FileNotFoundError(
+                f"no snapshot of {self.root} existed at or before ts={ts}"
+            )
+        return max(eligible)
+
+    def read_as_of(self, ts: float) -> DataFrame:
+        return self.read(self.version_as_of(ts))
+
     def read(self, version: int | None = None) -> DataFrame:
         s = self.snapshot(version)
         if not s.files:

@@ -349,3 +349,14 @@ def test_tpch_refresh_functions_rf1_rf2(spark, tmp_path, sf_dir):
     # row-for-row identity with the initial state
     assert t.read().exceptAll(t.read(version=v0)).count() == 0
     assert t.read(version=v0).exceptAll(t.read()).count() == 0
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.replace(_df(spark, [(1, "a")]))
+    ts_between = t.snapshot().ts + 0.001
+    t.append(_df(spark, [(2, "b")]))
+    assert {r.id for r in t.read_as_of(ts_between).collect()} == {1}
+    assert {r.id for r in t.read_as_of(t.snapshot().ts).collect()} == {1, 2}
+    with pytest.raises(FileNotFoundError):
+        t.read_as_of(0.0)  # before the table existed
