@@ -832,3 +832,71 @@ register(
         tags=("timeseries", "forecast"),
     )
 )
+
+
+# ---- dispersion index (over/under-dispersion of counts) --------------------
+
+
+def order_count_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-to-mean ratio (index of dispersion) of weekly order
+    counts per market segment — the diagnostic that decides Poisson vs
+    negative-binomial count models (VMR > 1: clumped demand; < 1:
+    regularized). Cleared-denominator form: VMR = (nΣc² − (Σc)²)/(n·Σc),
+    every term an exact BIGINT from one orders⋈customer pass + one
+    calendar-grain aggregation; a single rounded double division at the
+    end."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    weekly = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.expr("CAST(datediff(o_orderdate, DATE'1970-01-01') div 7 AS BIGINT)").alias("wk"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    mom = weekly.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_weeks"),
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ss"),
+    )
+    return mom.selectExpr(
+        "segment",
+        "n_weeks",
+        "s AS n_orders",
+        "round(CAST(n_weeks * ss - s * s AS DOUBLE) / CAST(n_weeks AS DOUBLE) / s, 6)"
+        " AS dispersion_index",
+    ).orderBy("segment")
+
+
+DISPERSION_SQL = """
+WITH weekly AS (
+  SELECT c.c_mktsegment AS segment,
+         date_diff('day', DATE '1970-01-01', o.o_orderdate) // 7 AS wk,
+         COUNT(*) AS cnt
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+mom AS (
+  SELECT segment, COUNT(*) AS n_weeks,
+         CAST(SUM(cnt) AS BIGINT) AS s,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS ss
+  FROM weekly GROUP BY 1
+)
+SELECT segment, n_weeks, s AS n_orders,
+       ROUND(CAST(n_weeks * ss - s * s AS DOUBLE) / CAST(n_weeks AS DOUBLE) / s, 6)
+         AS dispersion_index
+FROM mom ORDER BY segment
+"""
+
+
+register(
+    QuerySpec(
+        "order_count_dispersion",
+        order_count_dispersion,
+        DISPERSION_SQL,
+        doc="variance-to-mean ratio of weekly order counts per segment (Poisson vs NB diagnostic)",
+        cites="count-model diagnostics; cleared-denominator idiom of acf_daily_revenue",
+        tags=("timeseries", "stats"),
+    )
+)
