@@ -900,3 +900,129 @@ register(
         tags=("timeseries", "stats"),
     )
 )
+
+
+# ---- Hurst exponent (aggregated-variance method) ---------------------------
+
+_HURST_SCALES = (1, 2, 4, 8)
+
+
+def hurst_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of weekly revenue by the aggregated-variance
+    method: block the series at scales m ∈ {1,2,4,8}, take the variance
+    of the block MEANS at each scale, and fit ln Var(m) = (2H−2)·ln m + c
+    — H > 0.5 means long-memory persistence (trends compound), H < 0.5
+    anti-persistent mean reversion; the diagnostic that says whether a
+    forecast may extrapolate runs.
+
+    Exactness: block sums/moments are BIGINT at every scale (block mean
+    variance is computed in cleared-denominator form); the 4-point
+    regression is closed-form arithmetic over 4 doubles — no float
+    accumulation anywhere. Everything after the one partial-agg shuffle
+    to weekly grain is calendar-bounded."""
+    o = load_table(spark, sf_dir, "orders")
+    weekly = o.groupBy(
+        F.expr("CAST(datediff(o_orderdate, DATE'1970-01-01') div 7 AS BIGINT)").alias("wk")
+    ).agg(
+        F.expr(f"CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) div {_KD} AS BIGINT)").alias(
+            "x"
+        )
+    )
+    per_scale = []
+    for m in _HURST_SCALES:
+        blocks = weekly.groupBy(F.expr(f"wk div {m}").alias("blk")).agg(
+            F.sum("x").alias("bs"), F.count(F.lit(1)).alias("bn")
+        ).where(F.col("bn") == m)  # complete blocks only
+        mom = blocks.agg(
+            F.lit(m).alias("m"),
+            F.count(F.lit(1)).alias("nb"),
+            F.sum("bs").alias("s"),
+            F.sum(F.col("bs") * F.col("bs")).alias("ss"),
+        )
+        per_scale.append(mom)
+    scales = per_scale[0]
+    for p in per_scale[1:]:
+        scales = scales.unionByName(p)
+    # Var of block MEANS in cleared form: (nb·ss − s²) / (nb²·m²)
+    pts = scales.selectExpr(
+        "m",
+        "nb",
+        "ln(CAST(m AS DOUBLE)) AS lx",
+        "ln((CAST(nb AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+        " / (CAST(nb AS DOUBLE) * nb * m * m)) AS ly",
+    )
+    # pivot the 4 points to columns: the tiny regression sums are then
+    # FIXED-ORDER arithmetic (a float SUM over 4 rows could reassociate)
+    wide = pts.agg(
+        *[
+            F.max(F.when(F.col("m") == m, F.col(c))).alias(f"{c}{m}")
+            for m in _HURST_SCALES
+            for c in ("lx", "ly")
+        ]
+    )
+    sx = " + ".join(f"lx{m}" for m in _HURST_SCALES)
+    sy = " + ".join(f"ly{m}" for m in _HURST_SCALES)
+    sxx = " + ".join(f"lx{m} * lx{m}" for m in _HURST_SCALES)
+    sxy = " + ".join(f"lx{m} * ly{m}" for m in _HURST_SCALES)
+    k = len(_HURST_SCALES)
+    slope = f"(({k} * ({sxy})) - ({sx}) * ({sy})) / (({k} * ({sxx})) - ({sx}) * ({sx}))"
+    return wide.selectExpr(
+        f"{k} AS n_scales",
+        f"round({slope}, 6) AS slope",
+        f"round(1.0 + ({slope}) / 2.0, 6) AS hurst",
+    )
+
+
+HURST_SQL = f"""
+WITH weekly AS (
+  SELECT date_diff('day', DATE '1970-01-01', o_orderdate) // 7 AS wk,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) // {_KD} AS x
+  FROM orders GROUP BY 1
+),
+scales AS (
+  SELECT m, COUNT(*) AS nb, CAST(SUM(bs) AS BIGINT) AS s, CAST(SUM(bs * bs) AS BIGINT) AS ss
+  FROM (
+    SELECT ms.m, wk // ms.m AS blk,
+           CAST(SUM(x) AS BIGINT) AS bs, COUNT(*) AS bn
+    FROM weekly, (SELECT UNNEST(ARRAY{list(_HURST_SCALES)}) AS m) ms
+    GROUP BY 1, 2
+    HAVING COUNT(*) = ms.m
+  ) b
+  GROUP BY m
+),
+pts AS (
+  SELECT m, nb, ln(CAST(m AS DOUBLE)) AS lx,
+         ln((CAST(nb AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+            / (CAST(nb AS DOUBLE) * nb * m * m)) AS ly
+  FROM scales
+),
+wide AS (
+  SELECT MAX(CASE WHEN m = 1 THEN lx END) AS lx1, MAX(CASE WHEN m = 1 THEN ly END) AS ly1,
+         MAX(CASE WHEN m = 2 THEN lx END) AS lx2, MAX(CASE WHEN m = 2 THEN ly END) AS ly2,
+         MAX(CASE WHEN m = 4 THEN lx END) AS lx4, MAX(CASE WHEN m = 4 THEN ly END) AS ly4,
+         MAX(CASE WHEN m = 8 THEN lx END) AS lx8, MAX(CASE WHEN m = 8 THEN ly END) AS ly8
+  FROM pts
+)
+SELECT 4 AS n_scales,
+       ROUND(((4 * (lx1 * ly1 + lx2 * ly2 + lx4 * ly4 + lx8 * ly8))
+              - (lx1 + lx2 + lx4 + lx8) * (ly1 + ly2 + ly4 + ly8))
+             / ((4 * (lx1 * lx1 + lx2 * lx2 + lx4 * lx4 + lx8 * lx8))
+                - (lx1 + lx2 + lx4 + lx8) * (lx1 + lx2 + lx4 + lx8)), 6) AS slope,
+       ROUND(1.0 + (((4 * (lx1 * ly1 + lx2 * ly2 + lx4 * ly4 + lx8 * ly8))
+              - (lx1 + lx2 + lx4 + lx8) * (ly1 + ly2 + ly4 + ly8))
+             / ((4 * (lx1 * lx1 + lx2 * lx2 + lx4 * lx4 + lx8 * lx8))
+                - (lx1 + lx2 + lx4 + lx8) * (lx1 + lx2 + lx4 + lx8))) / 2.0, 6) AS hurst
+FROM wide
+"""
+
+
+register(
+    QuerySpec(
+        "hurst_weekly_revenue",
+        hurst_weekly_revenue,
+        HURST_SQL,
+        doc="Hurst exponent via aggregated variance at scales 1/2/4/8 (exact block moments)",
+        cites="long-memory diagnostic; closes the TSA family with acf/holt/theil-sen",
+        tags=("timeseries", "stats"),
+    )
+)
