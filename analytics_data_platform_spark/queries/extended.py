@@ -678,3 +678,72 @@ register(
         tags=("stats", "window", "econ"),
     )
 )
+
+
+def spearman_qty_vs_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between two part rankings — total shipped
+    quantity vs total revenue. With unique ranks (integer-position, part
+    key tie-break) the statistic is EXACT until one final division:
+    ρ = 1 − 6·Σd² / (n(n²−1)), every term BIGINT. Rank correlation
+    completes the association family next to Pearson (corr_matrix) and
+    the contingency chi-square."""
+    li = load_table(spark, sf_dir, "lineitem")
+    totals = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+        F.expr("CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)").alias(
+            "rev"
+        ),
+    )
+    wq = Window.orderBy(F.desc("qty"), "l_partkey")
+    wr = Window.orderBy(F.desc("rev"), "l_partkey")
+    ranked = totals.select(
+        "l_partkey",
+        F.row_number().over(wq).alias("rank_qty"),
+        F.row_number().over(wr).alias("rank_rev"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(
+            (F.col("rank_qty") - F.col("rank_rev")) * (F.col("rank_qty") - F.col("rank_rev"))
+        ).alias("sum_d2"),
+    ).selectExpr(
+        "n_parts",
+        "sum_d2",
+        "round(1.0 - 6.0 * CAST(sum_d2 AS DOUBLE)"
+        " / (CAST(n_parts AS DOUBLE) * (CAST(n_parts AS DOUBLE) * n_parts - 1)), 6)"
+        " AS spearman_rho",
+    )
+
+
+SPEARMAN_SQL = """
+WITH totals AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem GROUP BY 1
+),
+ranked AS (
+  SELECT l_partkey,
+         ROW_NUMBER() OVER (ORDER BY qty DESC, l_partkey) AS rank_qty,
+         ROW_NUMBER() OVER (ORDER BY rev DESC, l_partkey) AS rank_rev
+  FROM totals
+)
+SELECT COUNT(*) AS n_parts,
+       CAST(SUM((rank_qty - rank_rev) * (rank_qty - rank_rev)) AS BIGINT) AS sum_d2,
+       ROUND(1.0 - 6.0 * CAST(SUM((rank_qty - rank_rev) * (rank_qty - rank_rev)) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) * COUNT(*) - 1)), 6)
+         AS spearman_rho
+FROM ranked
+"""
+
+
+register(
+    QuerySpec(
+        "spearman_qty_vs_revenue",
+        spearman_qty_vs_revenue,
+        SPEARMAN_SQL,
+        doc="Spearman rank correlation of part quantity vs revenue rankings (exact sum of d^2)",
+        cites="association family: rank twin of corr_matrix_lineitem",
+        tags=("stats", "ranking"),
+    )
+)

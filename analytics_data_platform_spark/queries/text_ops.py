@@ -1152,3 +1152,80 @@ register(
         tags=("text", "eval"),
     )
 )
+
+
+def lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa for the language-ID heuristic: chance-corrected
+    agreement between labels and predictions. Observed and expected
+    agreement both come from exact confusion-matrix counts — expected =
+    Σ (row_total · col_total) / n², computed in cleared-denominator form
+    so only the final kappa divides."""
+    d = load_table(spark, sf_dir, "documents")
+    pred = d.select("lang", T.lang_guess("text").alias("guess"))
+    cm = pred.groupBy("lang", "guess").agg(F.count(F.lit(1)).alias("c"))
+    rows = cm.groupBy("lang").agg(F.sum("c").alias("rt"))
+    cols = cm.groupBy("guess").agg(F.sum("c").alias("ct"))
+    agree = cm.where(F.col("lang") == F.col("guess")).agg(
+        F.sum("c").alias("po_num")
+    )
+    exp = (
+        rows.join(cols, rows["lang"] == cols["guess"])
+        .agg(F.sum(F.col("rt") * F.col("ct")).alias("pe_num"))
+    )
+    n = pred.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        agree.crossJoin(exp)
+        .crossJoin(n)
+        .selectExpr(
+            "n AS n_docs",
+            "round(CAST(po_num AS DOUBLE) / n, 6) AS observed_agreement",
+            "round(CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6) AS expected_agreement",
+            "round((CAST(po_num AS DOUBLE) * n - pe_num)"
+            " / (CAST(n AS DOUBLE) * n - pe_num), 6) AS kappa",
+        )
+    )
+
+
+KAPPA_SQL = r"""
+WITH s AS (
+  SELECT lang,
+         len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS s_en,
+         len(regexp_extract_all(lower(text), '\b(der|die|und|ist|nicht)\b')) AS s_de,
+         len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS s_fr
+  FROM documents
+),
+pred AS (
+  SELECT lang,
+         CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+              WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+              WHEN s_fr > 0 THEN 'fr'
+              ELSE 'und' END AS guess
+  FROM s
+),
+cm AS (SELECT lang, guess, COUNT(*) AS c FROM pred GROUP BY 1, 2),
+rt AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS rt FROM cm GROUP BY 1),
+ct AS (SELECT guess, CAST(SUM(c) AS BIGINT) AS ct FROM cm GROUP BY 1),
+po AS (SELECT CAST(SUM(c) AS BIGINT) AS po_num FROM cm WHERE lang = guess),
+pe AS (
+  SELECT CAST(SUM(rt.rt * ct.ct) AS BIGINT) AS pe_num
+  FROM rt JOIN ct ON rt.lang = ct.guess
+),
+nn AS (SELECT COUNT(*) AS n FROM pred)
+SELECT n AS n_docs,
+       ROUND(CAST(po_num AS DOUBLE) / n, 6) AS observed_agreement,
+       ROUND(CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6) AS expected_agreement,
+       ROUND((CAST(po_num AS DOUBLE) * n - pe_num)
+             / (CAST(n AS DOUBLE) * n - pe_num), 6) AS kappa
+FROM po, pe, nn
+"""
+
+register(
+    QuerySpec(
+        "lang_id_kappa",
+        lang_id_kappa,
+        KAPPA_SQL,
+        doc="Cohen's kappa (chance-corrected agreement) for the language-ID heuristic",
+        cites="agreement stat over lang_id_confusion's matrix",
+        tags=("text", "eval", "stats"),
+    )
+)
