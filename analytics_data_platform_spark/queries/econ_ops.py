@@ -370,3 +370,114 @@ register(
         tags=("econ", "ml", "stats"),
     )
 )
+
+
+# ---- ABC / XYZ inventory segmentation --------------------------------------
+
+
+def abc_xyz_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supply-chain planning matrix: parts classed ABC by cumulative
+    revenue share (A ≤ 80%, B ≤ 95%, C rest — integer cumulative-cents
+    comparisons, no float cumsum) × XYZ by demand variability (weekly CV:
+    X ≤ 0.5, Y ≤ 1, Z above). The CV thresholds compare in CLEARED
+    integer form — CV² ≤ t ⟺ n·Σc² ≤ (1+t)·(Σc)² — so class boundaries
+    are exact; zero-demand weeks enter the variance automatically because
+    n is the part-independent calendar week count. One lineitem pass for
+    both statistics, two rank windows, a 9-cell rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    weeks = li.agg(
+        F.expr(
+            "CAST(max(datediff(l_shipdate, DATE'1970-01-01')) div 7"
+            " - min(datediff(l_shipdate, DATE'1970-01-01')) div 7 + 1 AS BIGINT)"
+        ).alias("nw")
+    )
+    weekly = li.groupBy(
+        "l_partkey",
+        F.expr("CAST(datediff(l_shipdate, DATE'1970-01-01') div 7 AS BIGINT)").alias("wk"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("c"),
+        F.expr("CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)").alias(
+            "rev"
+        ),
+    )
+    per_part = weekly.groupBy("l_partkey").agg(
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+        F.sum("rev").alias("rev"),
+    )
+    w = Window.orderBy(F.desc("rev"), "l_partkey")
+    tot = per_part.agg(F.sum("rev").alias("tr"))
+    classed = (
+        per_part.withColumn("cum", F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(weeks))
+        .select(
+            "l_partkey",
+            "rev",
+            F.expr(
+                "CASE WHEN cum * 100 <= tr * 80 THEN 'A' "
+                "WHEN cum * 100 <= tr * 95 THEN 'B' ELSE 'C' END"
+            ).alias("abc"),
+            F.expr(
+                "CASE WHEN 4 * nw * ss <= 5 * s * s THEN 'X' "
+                "WHEN nw * ss <= 2 * s * s THEN 'Y' ELSE 'Z' END"
+            ).alias("xyz"),
+        )
+    )
+    return (
+        classed.groupBy("abc", "xyz")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.expr("CAST(sum(rev) AS BIGINT)").alias("rev_cents"),
+        )
+        .orderBy("abc", "xyz")
+    )
+
+
+ABC_XYZ_SQL = """
+WITH weeks AS (
+  SELECT CAST(MAX(date_diff('day', DATE '1970-01-01', l_shipdate)) // 7
+         - MIN(date_diff('day', DATE '1970-01-01', l_shipdate)) // 7 + 1 AS BIGINT) AS nw
+  FROM lineitem
+),
+weekly AS (
+  SELECT l_partkey,
+         date_diff('day', DATE '1970-01-01', l_shipdate) // 7 AS wk,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS c,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem GROUP BY 1, 2
+),
+per_part AS (
+  SELECT l_partkey, CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS ss,
+         CAST(SUM(rev) AS BIGINT) AS rev
+  FROM weekly GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(rev) AS BIGINT) AS tr FROM per_part),
+classed AS (
+  SELECT p.l_partkey, p.rev,
+         CASE WHEN CAST(SUM(p.rev) OVER (ORDER BY p.rev DESC, p.l_partkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) * 100
+                <= t.tr * 80 THEN 'A'
+              WHEN CAST(SUM(p.rev) OVER (ORDER BY p.rev DESC, p.l_partkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) * 100
+                <= t.tr * 95 THEN 'B' ELSE 'C' END AS abc,
+         CASE WHEN 4 * w.nw * p.ss <= 5 * p.s * p.s THEN 'X'
+              WHEN w.nw * p.ss <= 2 * p.s * p.s THEN 'Y' ELSE 'Z' END AS xyz
+  FROM per_part p, tot t, weeks w
+)
+SELECT abc, xyz, COUNT(*) AS n_parts, CAST(SUM(rev) AS BIGINT) AS rev_cents
+FROM classed GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+register(
+    QuerySpec(
+        "abc_xyz_segmentation",
+        abc_xyz_segmentation,
+        ABC_XYZ_SQL,
+        doc="ABC (cumulative revenue) x XYZ (integer-exact CV bands) part segmentation matrix",
+        cites="supply-chain twin of pareto_customer_share + order_count_dispersion",
+        tags=("econ", "inventory", "window"),
+    )
+)
