@@ -359,3 +359,56 @@ register(
         tags=("corpus", "text", "stats"),
     )
 )
+
+
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per source: docs vs distinct content
+    fingerprints (md5 of normalized text) — the per-provider ops metric
+    that decides which upstream feeds need dedup pressure. The shuffle
+    carries 16-byte digests, never documents."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "source",
+        F.md5(
+            F.expr(r"trim(regexp_replace(lower(text), '\\s+', ' '))")
+        ).alias("fp"),
+    )
+    return (
+        fp.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_unique",
+            "n_docs - n_unique AS n_dupes",
+            "round(CAST(n_docs - n_unique AS DOUBLE) / n_docs, 6) AS dup_rate",
+        )
+        .orderBy("source")
+    )
+
+
+DUP_RATE_SQL = r"""
+WITH fp AS (
+  SELECT source, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_unique,
+       COUNT(*) - COUNT(DISTINCT fp) AS n_dupes,
+       ROUND(CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 6) AS dup_rate
+FROM fp GROUP BY 1 ORDER BY 1
+"""
+
+
+register(
+    QuerySpec(
+        "dup_rate_by_source",
+        dup_rate_by_source,
+        DUP_RATE_SQL,
+        doc="per-source exact-duplicate rate from normalized-text fingerprints",
+        cites="ops twin of dedup_exact_stats; functions/text.py fingerprint normalization",
+        tags=("dedup", "corpus", "ops"),
+    )
+)
