@@ -162,3 +162,68 @@ register(
         tags=("vector",),
     )
 )
+
+
+# ---- ANN quality: recall@10 of LSH vs brute force --------------------------
+
+
+def ann_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluating ANN quality gate: per query, recall@10 of the
+    LSH-bucketed top-k against the exact brute-force top-k. An index
+    pipeline runs this continuously — recall drift is the signal that
+    banding parameters no longer fit the corpus. Both sides are the
+    registry's own operators, and the ORACLE rebuilds both from scratch
+    (portable planes + exact cosine), so the recall numbers themselves
+    are hash-verified — the evaluation is as auditable as the queries it
+    evaluates."""
+    from analytics_data_platform_spark.queries import REGISTRY
+
+    brute = ann_cosine_topk(spark, sf_dir).select("q_id", "vec_id")
+    lsh = REGISTRY["ann_lsh_topk"].fn(spark, sf_dir).select(
+        "q_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        brute.join(lsh, ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("k_brute"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+        )
+        .selectExpr(
+            "q_id",
+            "k_brute",
+            "n_hit",
+            "round(CAST(n_hit AS DOUBLE) / k_brute, 4) AS recall_at_10",
+        )
+        .orderBy("q_id")
+    )
+
+
+def _ann_recall_sql() -> str:
+    from analytics_data_platform_spark.queries import REGISTRY
+
+    brute = REGISTRY["ann_cosine_topk"].oracle
+    lsh = REGISTRY["ann_lsh_topk"].oracle
+    return f"""
+WITH brute AS (SELECT q_id, vec_id FROM ({brute}) b),
+lsh AS (SELECT q_id, vec_id FROM ({lsh}) l)
+SELECT b.q_id,
+       COUNT(*) AS k_brute,
+       CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       ROUND(CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS recall_at_10
+FROM brute b LEFT JOIN lsh l ON b.q_id = l.q_id AND b.vec_id = l.vec_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
+register(
+    QuerySpec(
+        "ann_recall_at_10",
+        ann_recall_at_10,
+        _ann_recall_sql(),
+        doc="recall@10 of LSH ANN vs exact brute force, per query — hash-verified evaluation",
+        cites="composes ann_cosine_topk + ann_lsh_topk; the continuous index-quality gate",
+        tags=("similarity", "eval", "ann"),
+    )
+)
