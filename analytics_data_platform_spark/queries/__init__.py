@@ -61,7 +61,7 @@ DRIVER_SHOWCASE: tuple[str, ...] = (
     "q21_suppliers_kept_waiting",
     # similarity search / embeddings
     "ann_cosine_topk",
-    "embedding_centroid_norms",
+    "ann_recall_at_10",
     "dedup_canonical_corpus",
     "ann_ivf_topk",
     # retrieval
