@@ -412,3 +412,83 @@ register(
         tags=("dedup", "corpus", "ops"),
     )
 )
+
+
+_ZIPF_TOP = 200
+
+
+def zipf_exponent_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of ln(freq)
+    on ln(rank) for the top-200 terms (natural corpora: slope ≈ −1;
+    strong deviation flags templated/synthetic text — a corpus-quality
+    screen next to the Gopher repetition filters). Logs are quantized to
+    integer micro-nats (the elasticity idiom) so the moment sums are
+    exact BIGINT; moments convert to double before the closed-form
+    slope."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("w")
+    )
+    freqs = words.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    wr = Window.orderBy(F.desc("f"), "w")
+    top = freqs.withColumn("rank", F.row_number().over(wr)).where(
+        F.col("rank") <= _ZIPF_TOP
+    )
+    obs = top.select(
+        F.expr("CAST(round(ln(rank) * 1000000) AS BIGINT)").alias("x"),
+        F.expr("CAST(round(ln(f) * 1000000) AS BIGINT)").alias("y"),
+    )
+    mom = obs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return mom.selectExpr(
+        "n AS n_terms",
+        "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope",
+    )
+
+
+ZIPF_SQL = f"""
+WITH words AS (
+  SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents
+),
+freqs AS (SELECT w, COUNT(*) AS f FROM words GROUP BY 1),
+top AS (
+  SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, w) AS rank
+  FROM freqs QUALIFY rank <= {_ZIPF_TOP}
+),
+obs AS (
+  SELECT CAST(ROUND(ln(rank) * 1000000) AS BIGINT) AS x,
+         CAST(ROUND(ln(f) * 1000000) AS BIGINT) AS y
+  FROM top
+),
+mom AS (
+  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM obs
+)
+SELECT n AS n_terms,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
+FROM mom
+"""
+
+
+register(
+    QuerySpec(
+        "zipf_exponent_fit",
+        zipf_exponent_fit,
+        ZIPF_SQL,
+        doc="Zipf exponent over top-200 terms (micro-nat quantized log-log OLS)",
+        cites="corpus-law pair with vocab_growth_curve; quantized-log idiom of demand_elasticity",
+        tags=("corpus", "text", "stats"),
+    )
+)
