@@ -747,3 +747,81 @@ register(
         tags=("stats", "ranking"),
     )
 )
+
+
+def weighted_median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-WEIGHTED median order value per market segment: the order
+    value at which half the segment's revenue sits below — the "typical
+    dollar's order size", which an unweighted median understates whenever
+    big orders carry the revenue. Selection by cumulative integer weight
+    (first order whose running revenue share reaches 50%) — one sort
+    window over exact cents, no interpolation, engine-stable."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    vals = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("segment").orderBy("cents", "o_orderkey")
+    ws = Window.partitionBy("segment")
+    ranked = vals.select(
+        "segment",
+        "cents",
+        F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cents").over(ws).alias("tot"),
+        F.count(F.lit(1)).over(ws).alias("n"),
+    )
+    hits = ranked.where(F.col("cum") * 2 >= F.col("tot"))
+    return (
+        hits.groupBy("segment")
+        .agg(
+            F.min("n").alias("n_orders"),
+            F.min(F.struct("cum", "cents")).alias("m"),
+        )
+        .selectExpr(
+            "segment",
+            "n_orders",
+            "round(CAST(m.cents AS DOUBLE) / 100.0, 2) AS weighted_median_value",
+        )
+        .orderBy("segment")
+    )
+
+
+WEIGHTED_MEDIAN_SQL = """
+WITH vals AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents,
+         o.o_orderkey
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+ranked AS (
+  SELECT segment, cents,
+         CAST(SUM(cents) OVER (PARTITION BY segment ORDER BY cents, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(cents) OVER (PARTITION BY segment) AS BIGINT) AS tot,
+         COUNT(*) OVER (PARTITION BY segment) AS n
+  FROM vals
+),
+hits AS (SELECT * FROM ranked WHERE cum * 2 >= tot),
+best AS (
+  SELECT segment, n, cents,
+         ROW_NUMBER() OVER (PARTITION BY segment ORDER BY cum, cents) AS rk
+  FROM hits
+)
+SELECT segment, CAST(n AS BIGINT) AS n_orders,
+       ROUND(cents / 100.0, 2) AS weighted_median_value
+FROM best WHERE rk = 1 ORDER BY segment
+"""
+
+
+register(
+    QuerySpec(
+        "weighted_median_order_value",
+        weighted_median_order_value,
+        WEIGHTED_MEDIAN_SQL,
+        doc="revenue-weighted median order value per segment (cumulative integer-weight selection)",
+        cites="weighted twin of price_percentiles; cumulative idiom of pareto_customer_share",
+        tags=("stats", "window", "econ"),
+    )
+)
