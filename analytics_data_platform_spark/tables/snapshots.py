@@ -116,7 +116,8 @@ class Snapshot:
 
 class SnapshotTable:
     def __init__(self, spark: SparkSession, root: str, stats_cols: list[str] | None = None,
-                 cluster_by: list[str] | None = None, cluster_files: int | None = None):
+                 cluster_by: list[str] | None = None, cluster_files: int | None = None,
+                 zorder_by: list[str] | None = None):
         """``stats_cols`` limits per-file stats collection (None = every
         orderable leaf column). Stats collection is ONE extra aggregation
         over the freshly written batch — per-file, map-side, grouped by
@@ -131,12 +132,19 @@ class SnapshotTable:
         ``TableIO.write_table(zorder=...)``'s Morton keys instead.
         ``cluster_files`` pins the range-partition count per batch (AQE
         otherwise coalesces small batches to one file, defeating the
-        layout at test scale; at production scale leave it None)."""
+        layout at test scale; at production scale leave it None).
+        ``zorder_by`` range-partitions on a Morton interleave of the
+        given columns instead (tables/zorder.py): every file covers a
+        tight hyper-rectangle, so manifest stats prune on EVERY z column
+        — the multi-dimensional layout ``cluster_by`` cannot give."""
         self.spark = spark
         self.root = root
         self.stats_cols = stats_cols
         self.cluster_by = cluster_by
         self.cluster_files = cluster_files
+        self.zorder_by = zorder_by
+        if cluster_by and zorder_by:
+            raise ValueError("cluster_by and zorder_by are mutually exclusive layouts")
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
 
@@ -231,6 +239,16 @@ class SnapshotTable:
             parts = [self.cluster_files] if self.cluster_files else []
             df = df.repartitionByRange(*parts, *self.cluster_by).sortWithinPartitions(
                 *self.cluster_by
+            )
+        elif self.zorder_by:
+            from analytics_data_platform_spark.tables.zorder import Z_COL, with_zorder_key
+
+            parts = [self.cluster_files] if self.cluster_files else []
+            keyed = with_zorder_key(df, self.zorder_by)
+            df = (
+                keyed.repartitionByRange(*parts, Z_COL)
+                .sortWithinPartitions(Z_COL)
+                .drop(Z_COL)
             )
         df.write.mode("errorifexists").parquet(d)
         written = self.spark.read.parquet(d)

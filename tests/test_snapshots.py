@@ -360,3 +360,27 @@ def test_timestamp_time_travel(spark, tmp_path):
     assert {r.id for r in t.read_as_of(t.snapshot().ts).collect()} == {1, 2}
     with pytest.raises(FileNotFoundError):
         t.read_as_of(0.0)  # before the table existed
+
+
+def test_zorder_layout_prunes_on_both_dimensions(spark, tmp_path):
+    """Morton-clustered snapshot writes: a box predicate on EITHER z
+    column prunes files from manifest stats — a 1-D sort cannot prune on
+    the second dimension."""
+    rows = [(x, y, f"r{x}_{y}") for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, "x long, y long, v string")
+
+    zt = SnapshotTable(spark, str(tmp_path / "z"), zorder_by=["x", "y"], cluster_files=16)
+    zt.replace(df)
+    xt = SnapshotTable(spark, str(tmp_path / "x"), cluster_by=["x"], cluster_files=16)
+    xt.replace(df)
+    n_files = len(zt.snapshot().files)
+    assert n_files > 4
+
+    # both dimensions prune under z-order
+    assert len(zt.scan("x", 0, 3).inputFiles()) < n_files
+    assert len(zt.scan("y", 0, 3).inputFiles()) < n_files
+    # the x-sorted layout prunes x but NOT y
+    assert len(xt.scan("x", 0, 3).inputFiles()) < len(xt.snapshot().files)
+    assert len(xt.scan("y", 0, 3).inputFiles()) == len(xt.snapshot().files)
+    # results identical to a raw filter
+    assert zt.scan("y", 0, 3).count() == 32 * 4
