@@ -227,3 +227,63 @@ register(
         tags=("similarity", "eval", "ann"),
     )
 )
+
+
+def ann_ivf_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probe recall@10 vs exact brute force — the companion gate to
+    ann_recall_at_10 for the inverted-file index: recall here moves with
+    nprobe/centroid fit rather than banding width, so the two rows
+    together attribute quality loss to the right index knob. Both sides
+    and the oracle rebuild independently; the recall numbers themselves
+    hash-verify."""
+    from analytics_data_platform_spark.queries import REGISTRY
+
+    brute = ann_cosine_topk(spark, sf_dir).select("q_id", "vec_id")
+    ivf = REGISTRY["ann_ivf_topk"].fn(spark, sf_dir).select(
+        "q_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        brute.join(ivf, ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("k_brute"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+        )
+        .selectExpr(
+            "q_id",
+            "k_brute",
+            "n_hit",
+            "round(CAST(n_hit AS DOUBLE) / k_brute, 4) AS recall_at_10",
+        )
+        .orderBy("q_id")
+    )
+
+
+def _ann_ivf_recall_sql() -> str:
+    from analytics_data_platform_spark.queries import REGISTRY
+
+    brute = REGISTRY["ann_cosine_topk"].oracle
+    ivf = REGISTRY["ann_ivf_topk"].oracle
+    return f"""
+WITH brute AS (SELECT q_id, vec_id FROM ({brute}) b),
+ivf AS (SELECT q_id, vec_id FROM ({ivf}) l)
+SELECT b.q_id,
+       COUNT(*) AS k_brute,
+       CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       ROUND(CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS recall_at_10
+FROM brute b LEFT JOIN ivf l ON b.q_id = l.q_id AND b.vec_id = l.vec_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
+register(
+    QuerySpec(
+        "ann_ivf_recall_at_10",
+        ann_ivf_recall_at_10,
+        _ann_ivf_recall_sql(),
+        doc="recall@10 of IVF probes vs exact brute force — the nprobe/centroid quality gate",
+        cites="companion of ann_recall_at_10; composes ann_ivf_topk + ann_cosine_topk",
+        tags=("similarity", "eval", "ann"),
+    )
+)
