@@ -550,3 +550,132 @@ register(
         tags=("dedup", "graph", "scale"),
     )
 )
+
+
+# ---- MinHash estimator calibration -----------------------------------------
+
+
+def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration of the MinHash Jaccard ESTIMATOR against ground truth:
+    for every LSH candidate pair, bucket by the number of agreeing
+    signature components (estimate = k/32) and compare with the exact
+    shingle-set Jaccard — pooled (Σ∩ / Σ∪) plus the min/max pair values
+    per bucket. A well-behaved estimator puts pooled-exact ≈ k/32 in
+    every bucket; drift tells you the shingle distribution violates the
+    permutation-uniformity assumption. Aggregates are chosen to stay
+    deterministic: pooled ratios come from exact integer sums and min/max
+    are order-free — a float mean of ratios would reassociate."""
+    d = load_table(spark, sf_dir, "documents")
+    cands = dedup.minhash_lsh_candidates_portable(
+        d, num_hashes=_MH_HASHES, bands=_MH_BANDS, seed=_MH_SEED
+    )
+    sigs = d.select(
+        "doc_id",
+        dedup.minhash_signature_portable(
+            dedup.shingle_tokens("text"), _MH_HASHES, _MH_SEED
+        ).alias("sig"),
+    ).where(F.col("sig").isNotNull())
+    sh = d.select("doc_id", dedup.shingle_tokens("text").alias("sh"))
+    j = (
+        cands.join(sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sa")), "id_a")
+        .join(sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sb")), "id_b")
+        .join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("ha")), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("hb")), "id_b")
+        .select(
+            F.expr(
+                "aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0, (a, v) -> a + v)"
+            ).alias("n_match"),
+            F.size(F.array_intersect("ha", "hb")).cast("bigint").alias("inter"),
+            (
+                F.size("ha") + F.size("hb") - F.size(F.array_intersect("ha", "hb"))
+            ).cast("bigint").alias("uni"),
+        )
+    )
+    return (
+        j.groupBy("n_match")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("inter").alias("si"),
+            F.sum("uni").alias("su"),
+            F.min(F.col("inter").cast("double") / F.col("uni")).alias("mn"),
+            F.max(F.col("inter").cast("double") / F.col("uni")).alias("mx"),
+        )
+        .selectExpr(
+            "n_match",
+            "n_pairs",
+            f"round(CAST(n_match AS DOUBLE) / {_MH_HASHES}, 4) AS est_jaccard",
+            "round(CAST(si AS DOUBLE) / su, 4) AS pooled_exact",
+            "round(mn, 4) AS min_exact",
+            "round(mx, 4) AS max_exact",
+        )
+        .orderBy("n_match")
+    )
+
+
+def _minhash_calibration_sql() -> str:
+    a, b = dedup.affine_params(_MH_HASHES, _MH_SEED)
+    r = _MH_HASHES // _MH_BANDS
+    mins = ",\n         ".join(
+        f"list_min(list_transform(h, x -> ({a[i]} * x + {b[i]}) % {dedup.MERSENNE_P})) AS m{i}"
+        for i in range(_MH_HASHES)
+    )
+    buckets = ", ".join(
+        "concat_ws(',', {0}, {1})".format(
+            bnd, ", ".join(f"m{bnd * r + j}" for j in range(r))
+        )
+        for bnd in range(_MH_BANDS)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(_MH_HASHES)
+    )
+    return f"""
+WITH norm AS (SELECT doc_id, {_NORM_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+              ELSE [] END AS sh
+  FROM norm
+),
+hs AS (SELECT doc_id, list_transform(sh, s -> {_H32.format(s='s')}) AS h
+       FROM sh WHERE len(sh) > 0),
+sig AS (SELECT doc_id,
+         {mins}
+        FROM hs),
+banded AS (SELECT doc_id, UNNEST([{buckets}]) AS bucket FROM sig),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT ({agree}) AS n_match,
+         CAST(len(list_intersect(ha.sh, hb.sh)) AS BIGINT) AS inter,
+         CAST(len(ha.sh) + len(hb.sh) - len(list_intersect(ha.sh, hb.sh)) AS BIGINT) AS uni
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b
+  JOIN sh ha ON ha.doc_id = c.id_a
+  JOIN sh hb ON hb.doc_id = c.id_b
+)
+SELECT n_match, COUNT(*) AS n_pairs,
+       ROUND(CAST(n_match AS DOUBLE) / {_MH_HASHES}, 4) AS est_jaccard,
+       ROUND(CAST(CAST(SUM(inter) AS BIGINT) AS DOUBLE) / CAST(SUM(uni) AS BIGINT), 4)
+         AS pooled_exact,
+       ROUND(MIN(CAST(inter AS DOUBLE) / uni), 4) AS min_exact,
+       ROUND(MAX(CAST(inter AS DOUBLE) / uni), 4) AS max_exact
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
+register(
+    QuerySpec(
+        "minhash_calibration",
+        minhash_calibration,
+        _minhash_calibration_sql(),
+        doc="MinHash estimator calibration: signature-agreement buckets vs exact Jaccard (pooled + extremes)",
+        cites="self-evaluation family with ann_recall_at_10; dedup.minhash_signature_portable",
+        tags=("dedup", "eval", "approx"),
+    )
+)
