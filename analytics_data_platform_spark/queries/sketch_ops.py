@@ -507,3 +507,88 @@ register(
         tags=("sketch", "agg", "percentile"),
     )
 )
+
+
+def bloom_fpr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured vs theoretical Bloom false-positive rate: probe the eval
+    filter ONLY with bigrams provably absent from the eval set (exact
+    anti-join), so every positive is a false positive. The measured rate
+    should track (1 − (1 − 1/m)^{kn})^k — a materially higher value means
+    the k hash slices are correlated, the failure mode that silently
+    inflates decontamination losses. Membership bits are integers, the
+    theoretical curve is one fixed double expression of the exact set
+    size: both hash-verify."""
+    bg = _doc_bigrams(spark, sf_dir)
+    eval_bg = bg.where(F.col("source") == EVAL_SOURCE).select("bg").distinct()
+    bloom = S.bloom_build(eval_bg, F.col("bg"))
+    absent = (
+        bg.where(F.col("source") != EVAL_SOURCE)
+        .select("bg")
+        .distinct()
+        .join(eval_bg, "bg", "left_anti")
+    )
+    flagged = S.bloom_maybe_contains(absent, "bg", bloom)
+    occupancy = bloom.agg(F.count(F.lit(1)).alias("bits_set"))
+    res = flagged.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.col("maybe_member").cast("bigint")).alias("n_false_pos"),
+    )
+    r = f"(CAST(bits_set AS DOUBLE) / {S.BLOOM_BITS})"
+    return res.crossJoin(F.broadcast(occupancy)).selectExpr(
+        "n_probes",
+        "n_false_pos",
+        "bits_set",
+        "round(CAST(n_false_pos AS DOUBLE) / n_probes, 4) AS measured_fpr",
+        f"round({r} * {r} * {r}, 4) AS theoretical_fpr",
+    )
+
+
+def _bloom_fpr_sql() -> str:
+    from analytics_data_platform_spark.queries import REGISTRY
+
+    base = REGISTRY["bloom_contamination"].oracle
+    # reuse the base oracle's CTE chain (ends with `verdicts AS (...)`),
+    # continuing the WITH list with the absent-probe calibration CTEs
+    head = base[: base.index("SELECT doc_id, COUNT(*)")].rstrip()
+    assert head.endswith(")")
+    return f"""{head},
+absent AS (
+  SELECT DISTINCT t.bg FROM train t
+  LEFT JOIN (SELECT DISTINCT bg FROM allbg WHERE source = 'src0') ev ON t.bg = ev.bg
+  WHERE ev.bg IS NULL
+),
+aprobes AS (
+  SELECT bg, unnest([(('0x' || substr(md5('bloom0:' || bg), 1, 8))::BIGINT % 4096),
+                     (('0x' || substr(md5('bloom1:' || bg), 1, 8))::BIGINT % 4096),
+                     (('0x' || substr(md5('bloom2:' || bg), 1, 8))::BIGINT % 4096)]) AS pos
+  FROM absent
+),
+ahits AS (
+  SELECT bg, COUNT(*) AS n_hit FROM aprobes JOIN bloom USING (pos) GROUP BY bg
+),
+averdicts AS (
+  SELECT a.bg, (COALESCE(h.n_hit, 0) = 3) AS fp
+  FROM absent a LEFT JOIN ahits h ON a.bg = h.bg
+),
+occ AS (SELECT COUNT(*) AS bits_set FROM bloom)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(CASE WHEN fp THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+       CAST(bits_set AS BIGINT) AS bits_set,
+       ROUND(SUM(CASE WHEN fp THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 4) AS measured_fpr,
+       ROUND((CAST(bits_set AS DOUBLE) / 4096) * (CAST(bits_set AS DOUBLE) / 4096)
+             * (CAST(bits_set AS DOUBLE) / 4096), 4) AS theoretical_fpr
+FROM averdicts, occ
+GROUP BY bits_set
+"""
+
+
+register(
+    QuerySpec(
+        "bloom_fpr_calibration",
+        bloom_fpr_calibration,
+        _bloom_fpr_sql(),
+        doc="measured vs theoretical Bloom FPR on provably-absent probes",
+        cites="self-evaluation family; composes bloom_contamination's filter",
+        tags=("sketch", "eval", "approx"),
+    )
+)
