@@ -1488,3 +1488,77 @@ register(
         tags=("analytics", "funnel", "behavior"),
     )
 )
+
+
+def benford_second_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford SECOND-digit screen on order values — the follow-up test
+    auditors run when the first digit passes (fabricated numbers often
+    fake the leading digit but draw the second uniformly). Expected
+    P(d₂=d) = Σ_{d₁=1..9} log10(1 + 1/(10·d₁+d)), written as the same
+    fixed-order 9-term sum on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    digits = o.selectExpr(
+        "CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 2, 1) AS INT) AS d"
+    ).where("d IS NOT NULL")
+    counts = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    exp_case = _benford2_case()
+    # deviation from the ROUNDED components: the 9-term log10 sums differ
+    # between libm implementations in the last ulp, which flips the 6th
+    # decimal exactly on rounding boundaries (verify-skill float rule)
+    rounded = counts.selectExpr(
+        "d",
+        "n",
+        "round(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS observed_p",
+        f"round({exp_case}, 6) AS benford_p",
+    )
+    return rounded.selectExpr(
+        "d", "n", "observed_p", "benford_p",
+        "round(ABS(observed_p - benford_p), 6) AS abs_dev",
+    ).orderBy("d")
+
+
+def _benford2_case() -> str:
+    """Expected second-digit probabilities as PRECOMPUTED literals — the
+    9-term log10 sums evaluated per-engine disagree in the last ulp and
+    flip the 6-decimal rounding; a shared Python-computed constant cannot."""
+    import math
+
+    def expected(d: int) -> float:
+        return sum(math.log10(1 + 1.0 / (10 * d1 + d)) for d1 in range(1, 10))
+
+    return (
+        "CASE "
+        + " ".join(f"WHEN d = {d} THEN CAST({expected(d)!r} AS DOUBLE)" for d in range(10))
+        + " END"
+    )
+
+
+def _benford2_sql() -> str:
+    exp_case = _benford2_case()
+    return f"""
+WITH digits AS (
+  SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 2, 1) AS INT) AS d
+  FROM orders
+),
+counts AS (SELECT d, COUNT(*) AS n FROM digits WHERE d IS NOT NULL GROUP BY d)
+SELECT d, n, observed_p, benford_p,
+       ROUND(ABS(observed_p - benford_p), 6) AS abs_dev
+FROM (
+  SELECT d, n,
+         ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS observed_p,
+         ROUND({exp_case}, 6) AS benford_p
+  FROM counts
+) ORDER BY d
+"""
+
+
+register(
+    QuerySpec(
+        "benford_second_digit",
+        benford_second_digit,
+        _benford2_sql(),
+        doc="Benford second-digit deviation screen (fixed-order expected-probability sums)",
+        cites="forensic pair of benford_first_digit",
+        tags=("analytics", "forensics", "stats"),
+    )
+)
