@@ -1216,3 +1216,136 @@ register(
         tags=("ml", "tree", "stats"),
     )
 )
+
+
+# ---- k-means cluster separation quality ------------------------------------
+
+
+def kmeans_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality readout for the SAME k-means fit as
+    kmeans_embeddings: per cluster, the pooled ratio of nearest-OTHER-
+    centroid to own-centroid squared distance (simplified silhouette —
+    ratio ≫ 1 means well-separated, ≈ 1 means the cluster bleeds into a
+    neighbor). Both sums are exact BIGINT (the quantized-distance
+    arithmetic of the fit); pooling avoids a float mean-of-ratios.
+    Re-runs the identical 3-iteration fit, so the oracle reuses the
+    kmeans CTE chain verbatim."""
+    e = load_table(spark, sf_dir, "embeddings")
+    data = _km_quantize(e)
+    cent = (
+        data.where(F.col("vec_id") < KM_K)
+        .select(F.col("vec_id").alias("cid"), "pos", F.col("xq").alias("cq"))
+    )
+
+    def all_d2(centroids: DataFrame) -> DataFrame:
+        return (
+            data.join(F.broadcast(centroids), "pos")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum((F.col("xq") - F.col("cq")) * (F.col("xq") - F.col("cq"))).alias("d2"))
+        )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        return (
+            all_d2(centroids)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cid", "d2")
+        )
+
+    for _ in range(KM_ITERS):
+        asg = assign(cent)
+        sums = (
+            asg.join(data, "vec_id")
+            .groupBy("cid", "pos")
+            .agg(F.sum("xq").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        cent = (
+            cent.join(sums, ["cid", "pos"], "left")
+            .select(
+                "cid",
+                "pos",
+                F.coalesce(
+                    F.floor(F.col("s") / F.col("n") + F.lit(0.5)).cast("bigint"),
+                    F.col("cq"),
+                ).alias("cq"),
+            )
+        )
+
+    alld = all_d2(cent).localCheckpoint(eager=False)  # reused by own + other
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    own = (
+        alld.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("own_cid"), F.col("d2").alias("a2"))
+    )
+    other = (
+        own.join(alld, "vec_id")
+        .where(F.col("cid") != F.col("own_cid"))
+        .groupBy("vec_id")
+        .agg(F.min("d2").alias("b2"))
+    )
+    return (
+        own.join(other, "vec_id")
+        .groupBy(F.col("own_cid").alias("cid"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("a2").alias("sum_intra2"),
+            F.sum("b2").alias("sum_nearest_other2"),
+        )
+        .selectExpr(
+            "cid",
+            "n_vectors",
+            "sum_intra2",
+            "sum_nearest_other2",
+            "CASE WHEN sum_intra2 > 0 THEN"
+            " round(CAST(sum_nearest_other2 AS DOUBLE) / sum_intra2, 4) END"
+            " AS separation_ratio",
+        )
+        .orderBy("cid")
+    )
+
+
+def _kmeans_separation_sql() -> str:
+    from analytics_data_platform_spark.queries import REGISTRY
+
+    base = REGISTRY["kmeans_embeddings"].oracle
+    head = base[: base.index("finalasg AS (")].rstrip().rstrip(",")
+    return f"""{head},
+alld AS (
+  SELECT d.vec_id, c.cid, CAST(SUM((d.xq - c.cq) * (d.xq - c.cq)) AS BIGINT) AS d2
+  FROM data d JOIN cent3 c ON d.pos = c.pos
+  GROUP BY 1, 2
+),
+own AS (
+  SELECT vec_id, cid AS own_cid, d2 AS a2
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM alld)
+  WHERE rn = 1
+),
+other AS (
+  SELECT o.vec_id, CAST(MIN(l.d2) AS BIGINT) AS b2
+  FROM own o JOIN alld l ON l.vec_id = o.vec_id AND l.cid <> o.own_cid
+  GROUP BY 1
+)
+SELECT o.own_cid AS cid,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(o.a2) AS BIGINT) AS sum_intra2,
+       CAST(SUM(t.b2) AS BIGINT) AS sum_nearest_other2,
+       CASE WHEN CAST(SUM(o.a2) AS BIGINT) > 0 THEN
+         ROUND(CAST(SUM(t.b2) AS DOUBLE) / CAST(SUM(o.a2) AS BIGINT), 4) END
+         AS separation_ratio
+FROM own o JOIN other t ON o.vec_id = t.vec_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
+register(
+    QuerySpec(
+        "kmeans_separation",
+        kmeans_separation,
+        _kmeans_separation_sql(),
+        doc="per-cluster nearest-other vs own centroid distance ratio (simplified silhouette, exact sums)",
+        cites="quality gate over kmeans_embeddings' fit; pooled-ratio idiom of minhash_calibration",
+        tags=("ml", "eval", "clustering"),
+    )
+)
