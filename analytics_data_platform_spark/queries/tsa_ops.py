@@ -1026,3 +1026,193 @@ register(
         tags=("timeseries", "stats"),
     )
 )
+
+
+# ---- forecast model backtest (model selection as a query) ------------------
+
+_BT_HOLDOUT = 4  # last 4 complete weeks are the holdout
+
+
+def forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model selection as a declarative query: fit THREE forecasters on
+    the weekly-revenue series with the last 4 weeks held out — naive
+    (last train value), seasonal-naive (value 4 weeks earlier), and Holt
+    (the exact dyadic level+trend fold) — then score each holdout week
+    and rank models by WAPE. The pipeline a forecasting platform runs on
+    every series, here in one plan.
+
+    Determinism: train statistics are the exact-integer constructions of
+    the member queries; each holdout error is one double expression per
+    (model, week); WAPE sums run over exactly 4 rows pivoted to FIXED
+    textual order (the Hurst idiom), so nothing reassociates."""
+    o = load_table(spark, sf_dir, "orders")
+    weekly = o.groupBy(
+        F.expr("CAST(datediff(o_orderdate, DATE'1970-01-01') div 7 AS BIGINT)").alias("wk")
+    ).agg(
+        F.expr(f"CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) div {_KD} AS BIGINT)").alias(
+            "y"
+        )
+    )
+    maxwk = weekly.agg(F.max("wk").alias("mw"))
+    wk = weekly.crossJoin(F.broadcast(maxwk))
+    train = wk.where(F.col("wk") <= F.col("mw") - _BT_HOLDOUT)
+    hold = wk.where(F.col("wk") > F.col("mw") - _BT_HOLDOUT).select(
+        "wk", F.col("y").alias("actual"), "mw"
+    )
+    # naive: last train value; seasonal: value at wk-4 (train tail weeks)
+    last_train = (
+        train.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.col("wk").desc()))
+        )
+        .where(F.col("rn") == 1)
+        .select(F.col("y").alias("naive_fc"))
+    )
+    seasonal = train.select((F.col("wk") + _BT_HOLDOUT).alias("wk"), F.col("y").alias("seasonal_fc"))
+    # Holt on the train tail (same construction as holt_trend_forecast)
+    wdesc = Window.orderBy(F.col("wk").desc())
+    last16 = (
+        train.withColumn("rdesc", F.row_number().over(wdesc))
+        .where(F.col("rdesc") <= _HOLT_WINDOW)
+        .groupBy()
+        .agg(F.expr("transform(sort_array(collect_list(struct(wk, y))), p -> p.y)").alias("ys"))
+    )
+    ln_t = "shiftleft(y, CAST(2 * (a.t + 1) - 1 AS INT)) + 2 * (a.ln + a.bn)"
+    fold = (
+        "aggregate(ys, named_struct('t', 0L, 'ln', 0L, 'bn', 0L), "
+        "(a, y) -> IF(a.t = 0, named_struct('t', 1L, 'ln', 4 * y, 'bn', 0L), "
+        f"named_struct('t', a.t + 1, 'ln', {ln_t}, "
+        f"'bn', (({ln_t}) - 4 * a.ln) div 2 + 2 * a.bn)))"
+    )
+    holt = last16.select(F.expr(f"inline(array({fold}))"))
+    scored = (
+        hold.crossJoin(F.broadcast(last_train))
+        .join(seasonal, "wk", "left")
+        .crossJoin(F.broadcast(holt))
+        .select(
+            (F.col("wk") - F.col("mw") + _BT_HOLDOUT).alias("h"),  # 1..4
+            "actual",
+            "naive_fc",
+            F.coalesce("seasonal_fc", "naive_fc").alias("seasonal_fc"),
+            F.expr(
+                "CAST(ln + (CAST(wk - (mw - " + str(_BT_HOLDOUT) + ") AS BIGINT)) * bn AS DOUBLE)"
+                " / CAST(shiftleft(1L, CAST(2 * t AS INT)) AS DOUBLE)"
+            ).alias("holt_fc"),
+        )
+    )
+    piv = scored.agg(
+        *[
+            F.max(F.when(F.col("h") == h, F.col(c))).alias(f"{c}_{h}")
+            for h in range(1, _BT_HOLDOUT + 1)
+            for c in ("actual", "naive_fc", "seasonal_fc", "holt_fc")
+        ]
+    )
+
+    def wape(fc: str) -> str:
+        num = " + ".join(
+            f"ABS(CAST(actual_{h} AS DOUBLE) - {fc}_{h})" for h in range(1, _BT_HOLDOUT + 1)
+        )
+        den = " + ".join(f"CAST(actual_{h} AS DOUBLE)" for h in range(1, _BT_HOLDOUT + 1))
+        return f"round(({num}) / ({den}), 6)"
+
+    w = piv.selectExpr(
+        f"{wape('naive_fc')} AS wape_naive",
+        f"{wape('seasonal_fc')} AS wape_seasonal",
+        f"{wape('holt_fc')} AS wape_holt",
+    )
+    return w.selectExpr(
+        "stack(3, 'naive', wape_naive, 'seasonal_naive', wape_seasonal, 'holt', wape_holt)"
+        " AS (model, wape)"
+    ).selectExpr(
+        "model",
+        "wape",
+        "rank() OVER (ORDER BY wape, model) AS model_rank",
+    ).orderBy("model_rank", "model")
+
+
+def _backtest_sql() -> str:
+    wape_num = lambda fc: " + ".join(
+        f"ABS(CAST(actual_{h} AS DOUBLE) - {fc}_{h})" for h in range(1, _BT_HOLDOUT + 1)
+    )
+    wape_den = " + ".join(f"CAST(actual_{h} AS DOUBLE)" for h in range(1, _BT_HOLDOUT + 1))
+    piv_cols = ",\n         ".join(
+        f"MAX(CASE WHEN h = {h} THEN {c} END) AS {c}_{h}"
+        for h in range(1, _BT_HOLDOUT + 1)
+        for c in ("actual", "naive_fc", "seasonal_fc", "holt_fc")
+    )
+    return f"""
+WITH RECURSIVE weekly AS (
+  SELECT date_diff('day', DATE '1970-01-01', o_orderdate) // 7 AS wk,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) // {_KD} AS y
+  FROM orders GROUP BY 1
+),
+mw AS (SELECT MAX(wk) AS mw FROM weekly),
+train AS (SELECT w.wk, w.y FROM weekly w, mw WHERE w.wk <= mw.mw - {_BT_HOLDOUT}),
+hold AS (SELECT w.wk, w.y AS actual, mw.mw FROM weekly w, mw WHERE w.wk > mw.mw - {_BT_HOLDOUT}),
+naive AS (
+  SELECT y AS naive_fc FROM (
+    SELECT y, ROW_NUMBER() OVER (ORDER BY wk DESC) AS rn FROM train
+  ) WHERE rn = 1
+),
+seasonal AS (SELECT wk + {_BT_HOLDOUT} AS wk, y AS seasonal_fc FROM train),
+last16 AS (
+  SELECT wk, y, ROW_NUMBER() OVER (ORDER BY wk DESC) AS rdesc FROM train
+),
+ser AS (
+  SELECT y, ROW_NUMBER() OVER (ORDER BY wk) AS t
+  FROM last16 WHERE rdesc <= {_HOLT_WINDOW}
+),
+holt(t, ln, bn) AS (
+  SELECT CAST(1 AS BIGINT), 4 * y, CAST(0 AS BIGINT) FROM ser WHERE t = 1
+  UNION ALL
+  SELECT CAST(s.t AS BIGINT),
+         (s.y << (2 * s.t - 1)) + 2 * (h.ln + h.bn),
+         ((s.y << (2 * s.t - 1)) + 2 * (h.ln + h.bn) - 4 * h.ln) // 2 + 2 * h.bn
+  FROM holt h JOIN ser s ON s.t = h.t + 1
+),
+hf AS (
+  SELECT t, ln, bn FROM (
+    SELECT t, ln, bn, ROW_NUMBER() OVER (ORDER BY t DESC) AS rr FROM holt
+  ) WHERE rr = 1
+),
+scored AS (
+  SELECT ho.wk - (ho.mw - {_BT_HOLDOUT}) AS h,
+         ho.actual,
+         n.naive_fc,
+         COALESCE(s.seasonal_fc, n.naive_fc) AS seasonal_fc,
+         CAST(hf.ln + (ho.wk - (ho.mw - {_BT_HOLDOUT})) * hf.bn AS DOUBLE)
+           / CAST(CAST(1 AS BIGINT) << (2 * hf.t) AS DOUBLE) AS holt_fc
+  FROM hold ho
+  CROSS JOIN naive n
+  LEFT JOIN seasonal s ON s.wk = ho.wk
+  CROSS JOIN hf
+),
+piv AS (
+  SELECT {piv_cols}
+  FROM scored
+),
+wapes AS (
+  SELECT ROUND(({wape_num('naive_fc')}) / ({wape_den}), 6) AS wape_naive,
+         ROUND(({wape_num('seasonal_fc')}) / ({wape_den}), 6) AS wape_seasonal,
+         ROUND(({wape_num('holt_fc')}) / ({wape_den}), 6) AS wape_holt
+  FROM piv
+),
+stacked AS (
+  SELECT 'naive' AS model, wape_naive AS wape FROM wapes
+  UNION ALL SELECT 'seasonal_naive', wape_seasonal FROM wapes
+  UNION ALL SELECT 'holt', wape_holt FROM wapes
+)
+SELECT model, wape, RANK() OVER (ORDER BY wape, model) AS model_rank
+FROM stacked ORDER BY model_rank, model
+"""
+
+
+register(
+    QuerySpec(
+        "forecast_backtest",
+        forecast_backtest,
+        _backtest_sql(),
+        doc="3-model holdout backtest (naive/seasonal/Holt) ranked by fixed-order WAPE",
+        cites="model selection over the forecasting family; Hurst pivot idiom for the 4-week sums",
+        tags=("timeseries", "forecast", "eval"),
+    )
+)
