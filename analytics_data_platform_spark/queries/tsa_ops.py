@@ -1216,3 +1216,119 @@ register(
         tags=("timeseries", "forecast", "eval"),
     )
 )
+
+
+# ---- bootstrap CI for the trend slope --------------------------------------
+
+_SLOPE_B = 32
+
+
+def bootstrap_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap distribution of the daily-revenue OLS trend
+    slope: 32 deterministic resamples in ONE pass (each day draws an
+    integer Poisson(1) weight per resample from seeded md5 — the
+    bootstrap_mean_ci machinery), and every resample's slope comes from
+    weighted integer moments (Σw, Σwx, Σwy, Σwxx, Σwxy all BIGINT — the
+    regression twin of the mean bootstrap). The result is the slope's
+    sampling distribution — the error bar a point-estimate trend lacks —
+    with nothing float-accumulated anywhere."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderdate").agg(
+        F.expr(f"CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) div {_KD} AS BIGINT)").alias(
+            "y"
+        )
+    ).select(
+        F.expr("CAST(datediff(o_orderdate, DATE'1970-01-01') AS BIGINT)").alias("x"),
+        "y",
+        "o_orderdate",
+    )
+
+    def wexpr(b: int) -> str:
+        u = (
+            f"(CAST(conv(substring(md5(concat_ws('#', o_orderdate, {b // 4})), "
+            f"{(b % 4) * 8 + 1}, 8), 16, 10) AS BIGINT) / 4294967296.0D)"
+        )
+        from analytics_data_platform_spark.queries.analytics_ops import _POIS_CDF
+
+        c = " + ".join(f"CAST({u} >= {t!r}D AS INT)" for t in _POIS_CDF)
+        return f"CAST({c} AS BIGINT) AS w{b}"
+
+    proj = daily.select("x", "y", *[F.expr(wexpr(b)) for b in range(_SLOPE_B)])
+    wide = proj.agg(
+        *[
+            F.expr(e)
+            for b in range(_SLOPE_B)
+            for e in (
+                f"sum(w{b}) AS n{b}",
+                f"sum(w{b} * x) AS sx{b}",
+                f"sum(w{b} * y) AS sy{b}",
+                f"sum(w{b} * x * x) AS sxx{b}",
+                f"sum(w{b} * x * y) AS sxy{b}",
+            )
+        ]
+    )
+    rows = F.expr(
+        "array(" + ", ".join(
+            f"struct({b} AS resample, n{b} AS n_eff, "
+            f"round((CAST(n{b} AS DOUBLE) * CAST(sxy{b} AS DOUBLE)"
+            f" - CAST(sx{b} AS DOUBLE) * CAST(sy{b} AS DOUBLE))"
+            f" / (CAST(n{b} AS DOUBLE) * CAST(sxx{b} AS DOUBLE)"
+            f" - CAST(sx{b} AS DOUBLE) * CAST(sx{b} AS DOUBLE)), 8) AS slope_kusd_per_day)"
+            for b in range(_SLOPE_B)
+        ) + ")"
+    )
+    return wide.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def _bootstrap_slope_sql() -> str:
+    from analytics_data_platform_spark.queries.analytics_ops import _POIS_CDF
+
+    cols = []
+    for b in range(_SLOPE_B):
+        u = (
+            f"(('0x' || substr(md5(CAST(o_orderdate AS VARCHAR) || '#{b // 4}'), "
+            f"{(b % 4) * 8 + 1}, 8))::BIGINT / 4294967296.0)"
+        )
+        c = " + ".join(f"CASE WHEN {u} >= {t!r} THEN 1 ELSE 0 END" for t in _POIS_CDF)
+        cols.append(f"CAST({c} AS BIGINT) AS w{b}")
+    sums = ", ".join(
+        f"CAST(SUM(w{b}) AS BIGINT) AS n{b}, CAST(SUM(w{b} * x) AS BIGINT) AS sx{b}, "
+        f"CAST(SUM(w{b} * y) AS BIGINT) AS sy{b}, CAST(SUM(w{b} * x * x) AS BIGINT) AS sxx{b}, "
+        f"CAST(SUM(w{b} * x * y) AS BIGINT) AS sxy{b}"
+        for b in range(_SLOPE_B)
+    )
+    branches = " UNION ALL ".join(
+        f"SELECT {b} AS resample, n{b} AS n_eff,"
+        f" ROUND((CAST(n{b} AS DOUBLE) * CAST(sxy{b} AS DOUBLE)"
+        f" - CAST(sx{b} AS DOUBLE) * CAST(sy{b} AS DOUBLE))"
+        f" / (CAST(n{b} AS DOUBLE) * CAST(sxx{b} AS DOUBLE)"
+        f" - CAST(sx{b} AS DOUBLE) * CAST(sx{b} AS DOUBLE)), 8) AS slope_kusd_per_day"
+        f" FROM wide"
+        for b in range(_SLOPE_B)
+    )
+    return f"""
+WITH daily AS (
+  SELECT o_orderdate,
+         date_diff('day', DATE '1970-01-01', o_orderdate) AS x,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) // {_KD} AS y
+  FROM orders GROUP BY 1
+),
+proj AS (
+  SELECT x, y, {', '.join(cols)}
+  FROM daily
+),
+wide AS (SELECT {sums} FROM proj)
+{branches}
+"""
+
+
+register(
+    QuerySpec(
+        "bootstrap_trend_slope",
+        bootstrap_trend_slope,
+        _bootstrap_slope_sql(),
+        doc="one-pass Poisson bootstrap of the OLS trend slope (32 resamples, exact weighted moments)",
+        cites="bootstrap_mean_ci machinery x ols_daily_revenue_trend",
+        tags=("timeseries", "stats", "bootstrap"),
+    )
+)
