@@ -108,6 +108,8 @@ class Snapshot:
     op: str
     ts: float
     files: list[DataFile]
+    # merge-on-read equality-delete files: [{"path":…, "keys":[…], "rows":N}]
+    delete_files: list[dict] = field(default_factory=list)
 
     @property
     def rows(self) -> int:
@@ -176,6 +178,7 @@ class SnapshotTable:
         return Snapshot(
             d["version"], d.get("parent"), d["op"], d["ts"],
             [DataFile.from_json(x) for x in d["files"]],
+            d.get("delete_files", []),
         )
 
     def history(self) -> list[dict]:
@@ -192,12 +195,15 @@ class SnapshotTable:
 
     def _commit(self, files: list[DataFile], op: str,
                 schema_json: str | None = None,
-                properties: dict[str, str] | None = None) -> int:
+                properties: dict[str, str] | None = None,
+                delete_files: list[dict] | None = None) -> int:
         parent = self.current_version()
         if schema_json is None and parent is not None:
             schema_json = self._schema_json(parent)
         if properties is None and parent is not None:
             properties = self._manifest_field(parent, "properties") or {}
+        if delete_files is None and parent is not None:
+            delete_files = self._manifest_field(parent, "delete_files") or []
         next_v = (max(self.versions(), default=0)) + 1
         manifest = {
             "version": next_v,
@@ -206,6 +212,7 @@ class SnapshotTable:
             "ts": time.time(),
             "schema": schema_json,
             "properties": properties or {},
+            "delete_files": delete_files or [],
             "files": [f.to_json() for f in files],
         }
         path = self._manifest_path(next_v)
@@ -323,6 +330,7 @@ class SnapshotTable:
         """
         if self.current_version() is None:
             return self._commit(self._write_files(updates), op, updates.schema.json())
+        self._require_no_pending_deletes("merge")
         updates = updates.persist()
         try:
             row = updates.agg(
@@ -359,6 +367,7 @@ class SnapshotTable:
         """Copy-on-write row-level DELETE. With ``prune_col``+[lo, hi]
         bounds, files that cannot contain matching rows carry over by
         reference; only candidates are rewritten with ``NOT predicate``."""
+        self._require_no_pending_deletes("delete_where")
         files = self.snapshot().files
         if prune_col is not None:
             touched = [f for f in files if f.may_contain(prune_col, lo, hi)]
@@ -371,6 +380,62 @@ class SnapshotTable:
         rewritten = self._write_files(cand.where(f"NOT ({predicate_sql})"))
         return self._commit(kept + rewritten, "delete")
 
+    def _require_no_pending_deletes(self, op: str) -> None:
+        if self.current_version() is not None and self.snapshot().delete_files:
+            raise ValueError(
+                f"{op} on a table with pending merge-on-read deletes would "
+                "mix delete semantics; call apply_deletes() first"
+            )
+
+    # -- merge-on-read equality deletes (Iceberg v2 delete files) ------------
+
+    def delete_keys_mor(self, keys: DataFrame, key_cols: list[str]) -> int:
+        """Merge-on-read DELETE: write the key tuples as an equality-delete
+        file and commit — O(|keys|), NO data file is rewritten (the CoW
+        ``delete_where`` rewrites every candidate file; at 100 TB a
+        trickle of row deletes cannot afford that). Readers anti-join the
+        delete file against the data files it applies to.
+
+        Sequence semantics match Iceberg: the delete applies only to data
+        files ALREADY PRESENT at commit time (``applies_to``) — rows
+        appended later with the same key are NOT deleted. Reads stay
+        O(data + deletes); ``apply_deletes`` materializes and clears.
+        """
+        d = os.path.join(self.root, "data", uuid.uuid4().hex)
+        keys.select(*key_cols).distinct().coalesce(1).write.parquet(d)
+        paths = [
+            os.path.join(d, n) for n in sorted(os.listdir(d)) if n.endswith(".parquet")
+        ]
+        n = self.spark.read.parquet(*paths).count()
+        snap = self.snapshot()
+        entry = {
+            "path": paths[0],
+            "extra_paths": paths[1:],
+            "key_cols": key_cols,
+            "rows": n,
+            "applies_to": [f.path for f in snap.files],
+        }
+        return self._commit(
+            snap.files, "delete-mor", delete_files=snap.delete_files + [entry]
+        )
+
+    def apply_deletes(self) -> int:
+        """Materialize pending equality deletes (the read-side anti-joins)
+        into rewritten data files and clear the delete list — the
+        compaction step that keeps merge-on-read read costs bounded."""
+        s = self.snapshot()
+        if not s.delete_files:
+            return s.version
+        rewritten = self._write_files(self.read())
+        return self._commit(rewritten, "apply-deletes", delete_files=[])
+
+    def _apply_delete_files(self, df: DataFrame, applicable: list[dict]) -> DataFrame:
+        for entry in applicable:
+            paths = [entry["path"], *entry.get("extra_paths", [])]
+            keys = self.spark.read.parquet(*paths)
+            df = df.join(keys, entry["key_cols"], "left_anti")
+        return df
+
     def update_where(self, set_exprs: dict[str, str], predicate_sql: str,
                      prune_col: str | None = None, lo=None, hi=None) -> int:
         """Copy-on-write row-level UPDATE: files that cannot contain
@@ -379,6 +444,7 @@ class SnapshotTable:
         column applied under ``CASE WHEN predicate``. Together with
         ``delete_where``/``merge`` this completes the DML surface the
         reference gets from Iceberg row-level operations."""
+        self._require_no_pending_deletes("update_where")
         files = self.snapshot().files
         if prune_col is not None:
             touched = [f for f in files if f.may_contain(prune_col, lo, hi)]
@@ -488,13 +554,38 @@ class SnapshotTable:
         schema = self._read_schema(version)
         if schema is not None:
             reader = reader.schema(schema)
-        return reader.parquet(*[f.path for f in s.files])
+        if not s.delete_files:
+            return reader.parquet(*[f.path for f in s.files])
+        # merge-on-read: group data files by WHICH delete files apply
+        # (sequence semantics — a delete touches only files present at its
+        # commit), anti-join each group, union the groups back
+        applies = [set(e["applies_to"]) for e in s.delete_files]
+        groups: dict[tuple[int, ...], list[str]] = {}
+        for f in s.files:
+            key = tuple(i for i, a in enumerate(applies) if f.path in a)
+            groups.setdefault(key, []).append(f.path)
+        parts = []
+        for key, paths in sorted(groups.items()):
+            df = reader.parquet(*paths)
+            parts.append(
+                self._apply_delete_files(df, [s.delete_files[i] for i in key])
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def scan(self, col: str, lo, hi, version: int | None = None) -> DataFrame:
         """Manifest-pruned range scan: only files whose [min, max] for
         ``col`` intersects [lo, hi] reach Spark's file listing; the range
         filter is still applied (stats prune files, not rows)."""
         s = self.snapshot(version)
+        if s.delete_files:
+            # pending MOR deletes: correctness first — filter the
+            # delete-applied read (file pruning resumes after apply_deletes)
+            return self.read(version).where(
+                (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+            )
         candidates = [f.path for f in s.files if f.may_contain(col, lo, hi)]
         if not candidates:
             return self.read(version).where(F.lit(False))
@@ -586,6 +677,10 @@ class SnapshotTable:
         REFERENCE. Commits a new snapshot; old files stay for time travel
         until expired."""
         s = self.snapshot()
+        if s.delete_files:
+            # binpack would resurrect MOR-deleted rows; materialize first
+            self.apply_deletes()
+            s = self.snapshot()
         small = [f for f in s.files if f.bytes < target_file_bytes // 2]
         big = [f for f in s.files if f.bytes >= target_file_bytes // 2]
         if len(small) < min_input_files:
@@ -624,11 +719,22 @@ class SnapshotTable:
         survivors = [v for v in vs if v not in expire]
         referenced = {
             f.path for v in survivors for f in self.snapshot(v).files
+        } | {
+            p
+            for v in survivors
+            for e in self.snapshot(v).delete_files
+            for p in (e["path"], *e.get("extra_paths", []))
         }
         removed_files = 0
-        doomed = {
-            f.path for v in expire for f in self.snapshot(v).files
-        } - referenced
+        doomed = (
+            {f.path for v in expire for f in self.snapshot(v).files}
+            | {
+                p
+                for v in expire
+                for e in self.snapshot(v).delete_files
+                for p in (e["path"], *e.get("extra_paths", []))
+            }
+        ) - referenced
         for p in doomed:
             if os.path.exists(p):
                 os.remove(p)
@@ -645,6 +751,11 @@ class SnapshotTable:
         hours; tests pass 0."""
         referenced = {
             f.path for v in self.versions() for f in self.snapshot(v).files
+        } | {
+            p
+            for v in self.versions()
+            for e in self.snapshot(v).delete_files
+            for p in (e["path"], *e.get("extra_paths", []))
         }
         now = time.time()
         removed = []

@@ -384,3 +384,38 @@ def test_zorder_layout_prunes_on_both_dimensions(spark, tmp_path):
     assert len(xt.scan("y", 0, 3).inputFiles()) == len(xt.snapshot().files)
     # results identical to a raw filter
     assert zt.scan("y", 0, 3).count() == 32 * 4
+
+
+def test_merge_on_read_deletes(spark, tmp_path):
+    """Iceberg-v2-style equality deletes: O(keys) commit with NO data
+    rewrite; readers anti-join; sequence semantics protect later appends;
+    apply_deletes materializes and clears."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.replace(_df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1))
+    data_paths = _paths(t)
+
+    t.delete_keys_mor(spark.createDataFrame([(2,)], "id long"), ["id"])
+    # no data file rewritten — same paths, rows masked at read
+    assert _paths(t) == data_paths
+    assert {r.id for r in t.read().collect()} == {1, 3}
+    # scan stays correct (falls back to delete-applied read)
+    assert {r.id for r in t.scan("id", 1, 3).collect()} == {1, 3}
+
+    # sequence semantics: a LATER append of id=2 is NOT deleted
+    t.append(_df(spark, [(2, "b2")]).coalesce(1))
+    assert {(r.id, r.val) for r in t.read().collect()} == {(1, "a"), (3, "c"), (2, "b2")}
+
+    # CoW mutators refuse while deletes are pending
+    with pytest.raises(ValueError, match="apply_deletes"):
+        t.merge(_df(spark, [(9, "z")]), keys=["id"])
+
+    # orphan GC must NOT collect the delete file
+    t.remove_orphan_files(older_than_s=0.0)
+    assert {(r.id, r.val) for r in t.read().collect()} == {(1, "a"), (3, "c"), (2, "b2")}
+
+    v = t.apply_deletes()
+    assert not t.snapshot(v).delete_files
+    assert {(r.id, r.val) for r in t.read().collect()} == {(1, "a"), (3, "c"), (2, "b2")}
+    # after materialization, CoW ops work again
+    t.merge(_df(spark, [(9, "z")]), keys=["id"])
+    assert {r.id for r in t.read().collect()} == {1, 2, 3, 9}
