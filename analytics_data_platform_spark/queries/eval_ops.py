@@ -697,3 +697,151 @@ register(
         tags=("eval", "experimentation", "causal"),
     )
 )
+
+
+def stratified_effect_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (post-stratification) treatment-effect estimate: users
+    are md5-assigned to arms, stratified into PRE-period spend quintiles
+    (integer-position cuts over ALL users), and the effect is the
+    stratum-weighted mean difference — the estimator that removes
+    covariate imbalance a plain difference of means keeps.
+
+    Per-stratum rows carry exact integer cell sums; each stratum effect
+    is one double expression; the weighted combination uses fixed
+    textual order over the 5 strata (the Hurst pivot idiom) so nothing
+    reassociates. Output = per-stratum effects + the combined estimate.
+    """
+    e = load_table(spark, sf_dir, "events")
+    users = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ts") < F.lit(_SPLIT_TS).cast("timestamp"),
+                    F.round(F.col("value") * 100).cast("bigint"),
+                ).otherwise(F.lit(0))
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    F.col("ts") >= F.lit(_SPLIT_TS).cast("timestamp"),
+                    F.round(F.col("value") * 100).cast("bigint"),
+                ).otherwise(F.lit(0))
+            ).alias("y"),
+        )
+    )
+    w = Window.orderBy("x", "user_id")
+    strat = users.select(
+        "user_id",
+        "x",
+        "y",
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % 2
+        ).alias("arm"),
+        F.expr(
+            "CAST(ceil(ROW_NUMBER() OVER (ORDER BY x, user_id) * 5"
+            " / (COUNT(1) OVER ())) AS BIGINT)"
+        ).alias("stratum"),
+    )
+    cells = strat.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.expr("IF(arm = 0, 1, 0)")).alias("n0"),
+        F.sum(F.expr("IF(arm = 0, y, 0)")).alias("s0"),
+        F.sum(F.expr("IF(arm = 1, 1, 0)")).alias("n1"),
+        F.sum(F.expr("IF(arm = 1, y, 0)")).alias("s1"),
+    ).where((F.col("n0") > 0) & (F.col("n1") > 0))
+    eff = cells.selectExpr(
+        "stratum",
+        "n_users",
+        "round((CAST(s1 AS DOUBLE)/n1 - CAST(s0 AS DOUBLE)/n0)/100.0, 4) AS stratum_effect",
+    )
+    piv = cells.agg(
+        *[
+            F.max(F.when(F.col("stratum") == k, F.col(c))).alias(f"{c}_{k}")
+            for k in range(1, 6)
+            for c in ("n_users", "n0", "s0", "n1", "s1")
+        ]
+    )
+    terms = " + ".join(
+        f"CAST(n_users_{k} AS DOUBLE) * "
+        f"(CAST(s1_{k} AS DOUBLE)/n1_{k} - CAST(s0_{k} AS DOUBLE)/n0_{k})"
+        for k in range(1, 6)
+    )
+    tot = " + ".join(f"CAST(n_users_{k} AS DOUBLE)" for k in range(1, 6))
+    combined = piv.selectExpr(
+        "CAST(0 AS BIGINT) AS stratum",
+        f"CAST({tot} AS BIGINT) AS n_users",
+        f"round(({terms}) / ({tot}) / 100.0, 4) AS stratum_effect",
+    )
+    return eff.unionByName(combined).orderBy("stratum")
+
+
+def _stratified_sql() -> str:
+    terms = " + ".join(
+        f"CAST(n_users_{k} AS DOUBLE) * "
+        f"(CAST(s1_{k} AS DOUBLE)/n1_{k} - CAST(s0_{k} AS DOUBLE)/n0_{k})"
+        for k in range(1, 6)
+    )
+    tot = " + ".join(f"CAST(n_users_{k} AS DOUBLE)" for k in range(1, 6))
+    piv_cols = ",\n         ".join(
+        f"MAX(CASE WHEN stratum = {k} THEN {c} END) AS {c}_{k}"
+        for k in range(1, 6)
+        for c in ("n_users", "n0", "s0", "n1", "s1")
+    )
+    return f"""
+WITH users AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '{_SPLIT_TS}'
+                       THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_SPLIT_TS}'
+                       THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+strat AS (
+  SELECT user_id, x, y,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm,
+         CAST(CEIL(ROW_NUMBER() OVER (ORDER BY x, user_id) * 5.0
+              / COUNT(*) OVER ()) AS BIGINT) AS stratum
+  FROM users
+),
+cells AS (
+  SELECT stratum, COUNT(*) AS n_users,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS s0,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS s1
+  FROM strat GROUP BY 1
+  HAVING SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) > 0
+     AND SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) > 0
+),
+eff AS (
+  SELECT stratum, n_users,
+         ROUND((CAST(s1 AS DOUBLE)/n1 - CAST(s0 AS DOUBLE)/n0)/100.0, 4) AS stratum_effect
+  FROM cells
+),
+piv AS (
+  SELECT {piv_cols}
+  FROM cells
+),
+combined AS (
+  SELECT CAST(0 AS BIGINT) AS stratum,
+         CAST({tot} AS BIGINT) AS n_users,
+         ROUND(({terms}) / ({tot}) / 100.0, 4) AS stratum_effect
+  FROM piv
+)
+SELECT * FROM eff UNION ALL SELECT * FROM combined ORDER BY stratum
+"""
+
+
+register(
+    QuerySpec(
+        "stratified_effect_spend",
+        stratified_effect_spend,
+        _stratified_sql(),
+        doc="post-stratified treatment effect: quintile strata on pre-spend, fixed-order weighting",
+        cites="causal family with did_spend_effect/cuped_adjusted_ab",
+        tags=("eval", "experimentation", "causal"),
+    )
+)
