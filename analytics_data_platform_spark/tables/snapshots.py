@@ -616,6 +616,54 @@ class SnapshotTable:
             return self.read(to_version).where(F.lit(False))
         return self.spark.read.parquet(*new)
 
+    # -- refs: branches and tags (Iceberg's named references) ----------------
+
+    def _refs_path(self) -> str:
+        return os.path.join(self.root, "_refs.json")
+
+    def refs(self) -> dict[str, int]:
+        try:
+            with open(self._refs_path()) as f:
+                return {k: int(v) for k, v in json.load(f).items()}
+        except FileNotFoundError:
+            return {}
+
+    def _write_refs(self, refs: dict[str, int]) -> None:
+        tmp = self._refs_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(refs, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._refs_path())
+
+    def set_ref(self, name: str, version: int | None = None) -> int:
+        """Create/move a named ref (tag or branch head) to ``version``
+        (default: the live snapshot). Refs pin snapshots against
+        ``expire_snapshots`` via :meth:`resolve_ref` consumers passing
+        them as keep roots — and give audits a stable name
+        ('prod', 'audit-2026-08-14') instead of a raw version number."""
+        v = self.current_version() if version is None else version
+        if v not in self.versions():
+            raise FileNotFoundError(f"cannot ref missing version {v}")
+        refs = self.refs()
+        refs[name] = v
+        self._write_refs(refs)
+        return v
+
+    def resolve_ref(self, name: str) -> int:
+        refs = self.refs()
+        if name not in refs:
+            raise KeyError(f"no ref {name!r} on {self.root}")
+        return refs[name]
+
+    def read_ref(self, name: str) -> DataFrame:
+        return self.read(self.resolve_ref(name))
+
+    def drop_ref(self, name: str) -> None:
+        refs = self.refs()
+        refs.pop(name, None)
+        self._write_refs(refs)
+
     # -- metadata tables (Iceberg's `snapshots` / `files` inspection) --------
 
     def history_df(self) -> DataFrame:
@@ -716,6 +764,8 @@ class SnapshotTable:
         if older_than_ts is not None:
             expire = {v for v in expire if self.snapshot(v).ts < older_than_ts}
         expire.discard(live)
+        for ref_v in self.refs().values():
+            expire.discard(ref_v)  # named refs pin their snapshots
         survivors = [v for v in vs if v not in expire]
         referenced = {
             f.path for v in survivors for f in self.snapshot(v).files
@@ -780,6 +830,31 @@ class SnapshotTable:
                 n.endswith(".parquet") for n in os.listdir(d)
             ):
                 shutil.rmtree(d)
+
+
+def write_audit_publish(table: SnapshotTable, write_fn, audits, ref: str = "main") -> dict:
+    """The WAP (write-audit-publish) workflow on snapshot refs: consumers
+    read via ``read_ref(ref)``; a batch is written, AUDITED on its own
+    snapshot, and only a fully-passing batch moves the ref. A failing
+    batch rolls the live pointer back (so non-ref readers are also safe)
+    and leaves a ``wap-failed-v<N>`` tag pointing at the quarantined
+    snapshot for debugging — pinned against expiry like every ref.
+
+    ``write_fn(table) -> version``; ``audits`` = [(name, fn(df) -> bool)].
+    """
+    pre = table.current_version()
+    if pre is not None and ref not in table.refs():
+        table.set_ref(ref, pre)
+    v = write_fn(table)
+    df = table.read(v)
+    failures = [name for name, fn in audits if not fn(df)]
+    if not failures:
+        table.set_ref(ref, v)
+        return {"published": True, "version": v, "failures": []}
+    table.set_ref(f"wap-failed-v{v}", v)
+    if pre is not None:
+        table.rollback(pre)
+    return {"published": False, "version": v, "failures": failures}
 
 
 def commit_with_retry(table: SnapshotTable, attempt, max_retries: int = 5) -> int:

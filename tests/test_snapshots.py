@@ -419,3 +419,38 @@ def test_merge_on_read_deletes(spark, tmp_path):
     # after materialization, CoW ops work again
     t.merge(_df(spark, [(9, "z")]), keys=["id"])
     assert {r.id for r in t.read().collect()} == {1, 2, 3, 9}
+
+
+def test_refs_and_write_audit_publish(spark, tmp_path):
+    from analytics_data_platform_spark.tables.snapshots import write_audit_publish
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.replace(_df(spark, [(1, "a")]))
+    t.set_ref("main")
+
+    audits = [
+        ("no_null_vals", lambda df: df.where("val IS NULL").count() == 0),
+        ("nonempty", lambda df: df.count() > 0),
+    ]
+    # good batch publishes: main advances with the data
+    rep = write_audit_publish(
+        t, lambda tb: tb.append(_df(spark, [(2, "b")])), audits, ref="main"
+    )
+    assert rep["published"] and {r.id for r in t.read_ref("main").collect()} == {1, 2}
+
+    # bad batch: main unmoved, live rolled back, quarantine tag kept
+    bad = spark.createDataFrame([(3, None)], "id long, val string")
+    rep2 = write_audit_publish(t, lambda tb: tb.append(bad), audits, ref="main")
+    assert not rep2["published"] and rep2["failures"] == ["no_null_vals"]
+    assert {r.id for r in t.read_ref("main").collect()} == {1, 2}
+    assert {r.id for r in t.read().collect()} == {1, 2}  # live restored too
+    quarantined = t.read_ref(f"wap-failed-v{rep2['version']}")
+    assert {r.id for r in quarantined.collect()} == {1, 2, 3}
+
+    # refs pin snapshots against expiry
+    for i in range(4):
+        t.append(_df(spark, [(10 + i, "x")]))
+    out = t.expire_snapshots(keep_last=1)
+    assert rep2["version"] not in out["expired_snapshots"]
+    assert t.resolve_ref("main") not in out["expired_snapshots"]
+    assert {r.id for r in t.read_ref("main").collect()} == {1, 2}
