@@ -454,3 +454,41 @@ def test_refs_and_write_audit_publish(spark, tmp_path):
     assert rep2["version"] not in out["expired_snapshots"]
     assert t.resolve_ref("main") not in out["expired_snapshots"]
     assert {r.id for r in t.read_ref("main").collect()} == {1, 2}
+
+
+def test_concurrent_appends_with_retry_all_land(spark, tmp_path):
+    """Two writer threads race appends through commit_with_retry: every
+    batch must land exactly once (no lost updates), history stays linear,
+    and losers' abandoned files are GC-able orphans at worst."""
+    import threading
+
+    from analytics_data_platform_spark.tables.snapshots import commit_with_retry
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.replace(_df(spark, [(0, "seed")]))
+    errors = []
+
+    def writer(base: int):
+        try:
+            for i in range(3):
+                rid = base * 100 + i
+                commit_with_retry(
+                    t,
+                    lambda tb, rid=rid: tb.append(_df(spark, [(rid, f"w{rid}")])),
+                    max_retries=20,
+                )
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(b,)) for b in (1, 2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    ids = {r.id for r in t.read().collect()}
+    assert ids == {0, 100, 101, 102, 200, 201, 202}
+    versions = t.versions()
+    assert versions == list(range(1, len(versions) + 1))  # linear history
+    t.remove_orphan_files(older_than_s=0.0)
+    assert {r.id for r in t.read().collect()} == ids
