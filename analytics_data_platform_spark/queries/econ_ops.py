@@ -481,3 +481,111 @@ register(
         tags=("econ", "inventory", "window"),
     )
 )
+
+
+# ---- within-part price dispersion ------------------------------------------
+
+
+def price_dispersion_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by relative unit-price dispersion (IQR/median of the
+    realized per-line unit price) — the pricing-consistency screen that
+    flags parts sold at wildly different effective prices. Quartiles and
+    the median are integer-position selections per part (no interpolated
+    percentiles), the unit price is exact integer cents, and the final
+    ratio is one rounded double division — so the ranking is stable and
+    the oracle hash-matches."""
+    li = load_table(spark, sf_dir, "lineitem")
+    unit = li.select(
+        "l_partkey",
+        F.expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * 100 / l_quantity) AS BIGINT)"
+        ).alias("up"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("l_partkey").orderBy("up", "l_orderkey", "l_linenumber")
+    ranked = unit.select(
+        "l_partkey",
+        "up",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_partkey")).alias("n"),
+    ).where(F.col("n") >= 8)
+    quarts = (
+        ranked.where(
+            F.expr(
+                "rn = (n + 3) div 4 OR rn = (n + 1) div 2 OR rn = (3 * n + 1) div 4"
+            )
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.min("n").alias("n_lines"),
+            F.min("up").alias("q1_cents"),
+            F.expr(
+                "max(CASE WHEN rn = (n + 1) div 2 THEN up END)"
+            ).alias("median_cents"),
+            F.max("up").alias("q3_cents"),
+        )
+        .where(F.col("median_cents") > 0)
+    )
+    scored = quarts.selectExpr(
+        "l_partkey AS part_key",
+        "n_lines",
+        "q1_cents",
+        "median_cents",
+        "q3_cents",
+        "round(CAST(q3_cents - q1_cents AS DOUBLE) / median_cents, 6) AS rel_iqr",
+    )
+    wtop = Window.orderBy(F.desc("rel_iqr"), "part_key")
+    return (
+        scored.withColumn("pos", F.row_number().over(wtop))
+        .where(F.col("pos") <= 20)
+        .select("pos", "part_key", "n_lines", "q1_cents", "median_cents", "q3_cents", "rel_iqr")
+    )
+
+
+PRICE_DISPERSION_SQL = """
+WITH unit AS (
+  SELECT l_partkey,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100 / l_quantity) AS BIGINT) AS up,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+ranked AS (
+  SELECT l_partkey, up,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY up, l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY l_partkey) AS n
+  FROM unit
+),
+quarts AS (
+  SELECT l_partkey, MIN(n) AS n_lines,
+         MIN(up) AS q1_cents,
+         MAX(CASE WHEN rn = (n + 1) // 2 THEN up END) AS median_cents,
+         MAX(up) AS q3_cents
+  FROM ranked
+  WHERE n >= 8 AND (rn = (n + 3) // 4 OR rn = (n + 1) // 2 OR rn = (3 * n + 1) // 4)
+  GROUP BY 1
+  HAVING MAX(CASE WHEN rn = (n + 1) // 2 THEN up END) > 0
+),
+scored AS (
+  SELECT l_partkey AS part_key, n_lines, q1_cents, median_cents, q3_cents,
+         ROUND(CAST(q3_cents - q1_cents AS DOUBLE) / median_cents, 6) AS rel_iqr
+  FROM quarts
+)
+SELECT ROW_NUMBER() OVER (ORDER BY rel_iqr DESC, part_key) AS pos,
+       part_key, n_lines, q1_cents, median_cents, q3_cents, rel_iqr
+FROM scored
+QUALIFY pos <= 20
+ORDER BY pos
+"""
+
+
+register(
+    QuerySpec(
+        "price_dispersion_by_part",
+        price_dispersion_by_part,
+        PRICE_DISPERSION_SQL,
+        doc="top-20 parts by relative unit-price IQR (integer-position quartiles)",
+        cites="pricing screen; quartile idiom of winsorized_stats_by_type",
+        tags=("econ", "window", "stats"),
+    )
+)
