@@ -589,3 +589,70 @@ register(
         tags=("econ", "window", "stats"),
     )
 )
+
+
+def single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration screen: per part, supplier count and the top
+    supplier's share of shipped quantity; output the riskiest 25 parts
+    (fewest alternatives × highest dependence). Exact integer quantity
+    sums, struct-max argmax for the top supplier, one rounded division —
+    the procurement twin of herfindahl_supplier_share at part grain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("q")
+    )
+    agg = per.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("q").alias("total_q"),
+        F.max(F.struct("q", F.expr("-l_suppkey AS negk"))).alias("top"),
+    )
+    scored = agg.selectExpr(
+        "l_partkey AS part_key",
+        "n_suppliers",
+        "total_q",
+        "-top.negk AS top_supplier",
+        "top.q AS top_q",
+        "round(CAST(top.q AS DOUBLE) / total_q, 6) AS top_share",
+    )
+    w = Window.orderBy(F.desc("top_share"), "n_suppliers", "part_key")
+    return (
+        scored.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= 25)
+        .select("pos", "part_key", "n_suppliers", "top_supplier", "top_q", "total_q", "top_share")
+    )
+
+
+SINGLE_SOURCE_SQL = """
+WITH per AS (
+  SELECT l_partkey, l_suppkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+agg AS (
+  SELECT l_partkey, COUNT(*) AS n_suppliers, CAST(SUM(q) AS BIGINT) AS total_q,
+         MAX({'q': q, 'negk': -l_suppkey}) AS top
+  FROM per GROUP BY 1
+),
+scored AS (
+  SELECT l_partkey AS part_key, n_suppliers, total_q,
+         -(top.negk) AS top_supplier, top.q AS top_q,
+         ROUND(CAST(top.q AS DOUBLE) / total_q, 6) AS top_share
+  FROM agg
+)
+SELECT ROW_NUMBER() OVER (ORDER BY top_share DESC, n_suppliers, part_key) AS pos,
+       part_key, n_suppliers, top_supplier, top_q, total_q, top_share
+FROM scored
+QUALIFY pos <= 25
+ORDER BY pos
+"""
+
+
+register(
+    QuerySpec(
+        "single_source_risk",
+        single_source_risk,
+        SINGLE_SOURCE_SQL,
+        doc="top single-source-risk parts: supplier count + top-supplier quantity share",
+        cites="procurement twin of herfindahl_supplier_share; struct-max argmax idiom",
+        tags=("econ", "risk", "agg"),
+    )
+)
