@@ -1562,3 +1562,100 @@ register(
         tags=("analytics", "forensics", "stats"),
     )
 )
+
+
+def customer_aliveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn screen: for each repeat customer, the BG/NBD-flavored
+    heuristic  log P(alive) = n · ln((T − recency)/T)  — a customer who
+    ordered often (large n) but not recently (large recency) gets a very
+    negative score. The log STAYS an integer (micro-nat quantization, the
+    naive-Bayes idiom), so ranking needs no cross-engine libm exp and
+    the output hash-verifies exactly. One orders aggregation; output the
+    25 highest-value customers most likely to have churned."""
+    o = load_table(spark, sf_dir, "orders")
+    horizon = o.agg(F.max("o_orderdate").alias("t_end"))
+    per = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max("o_orderdate").alias("last_order"),
+            F.expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").alias(
+                "rev_cents"
+            ),
+        )
+        .where(F.col("n_orders") >= 3)
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "o_custkey",
+            "n_orders",
+            "rev_cents",
+            F.expr("CAST(datediff(t_end, last_order) AS BIGINT)").alias("recency_days"),
+            F.expr(
+                "CAST(datediff(t_end, DATE'1992-01-01') AS BIGINT)"
+            ).alias("t_days"),
+        )
+        .where(F.col("recency_days") < F.col("t_days"))
+    )
+    scored = per.select(
+        "o_custkey",
+        "n_orders",
+        "recency_days",
+        "rev_cents",
+        F.expr(
+            "n_orders * CAST(round(ln(CAST(t_days - recency_days AS DOUBLE) / t_days)"
+            " * 1000000) AS BIGINT)"
+        ).alias("log_p_alive_micronats"),
+    )
+    w = Window.orderBy("log_p_alive_micronats", F.desc("rev_cents"), "o_custkey")
+    return (
+        scored.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= 25)
+        .select(
+            "pos",
+            F.col("o_custkey").alias("cust_key"),
+            "n_orders",
+            "recency_days",
+            "rev_cents",
+            "log_p_alive_micronats",
+        )
+    )
+
+
+ALIVENESS_SQL = """
+WITH horizon AS (SELECT MAX(o_orderdate) AS t_end FROM orders),
+per AS (
+  SELECT o_custkey, COUNT(*) AS n_orders, MAX(o_orderdate) AS last_order,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1
+  HAVING COUNT(*) >= 3
+),
+feat AS (
+  SELECT p.o_custkey, p.n_orders, p.rev_cents,
+         CAST(date_diff('day', p.last_order, h.t_end) AS BIGINT) AS recency_days,
+         CAST(date_diff('day', DATE '1992-01-01', h.t_end) AS BIGINT) AS t_days
+  FROM per p, horizon h
+),
+scored AS (
+  SELECT o_custkey, n_orders, recency_days, rev_cents,
+         n_orders * CAST(ROUND(ln(CAST(t_days - recency_days AS DOUBLE) / t_days)
+                               * 1000000) AS BIGINT) AS log_p_alive_micronats
+  FROM feat WHERE recency_days < t_days
+)
+SELECT ROW_NUMBER() OVER (ORDER BY log_p_alive_micronats, rev_cents DESC, o_custkey) AS pos,
+       o_custkey AS cust_key, n_orders, recency_days, rev_cents, log_p_alive_micronats
+FROM scored
+QUALIFY pos <= 25
+ORDER BY pos
+"""
+
+
+register(
+    QuerySpec(
+        "customer_aliveness",
+        customer_aliveness,
+        ALIVENESS_SQL,
+        doc="BG/NBD-style churn screen: n·ln((T-recency)/T) kept integer in micro-nats",
+        cites="lifecycle family with rfm_segments/kaplan_meier; quantized-log idiom",
+        tags=("analytics", "lifecycle", "ml"),
+    )
+)
