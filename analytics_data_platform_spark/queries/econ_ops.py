@@ -656,3 +656,119 @@ register(
         tags=("econ", "risk", "agg"),
     )
 )
+
+
+def return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate anomaly screen: per brand, the share of 'R' line items
+    vs the corpus-wide rate, with a two-proportion z-score — the QA
+    signal that flags brands whose merchandise comes back unusually
+    often. Counts are exact; the z expression is a handful of IEEE ops
+    over them (the Welch-t discipline of ab_test_spend)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        "p_brand", (F.col("l_returnflag") == "R").cast("bigint").alias("ret")
+    )
+    per = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("ret").alias("r")
+    )
+    tot = per.agg(F.sum("n").alias("tn"), F.sum("r").alias("tr"))
+    z = (
+        "(CAST(r AS DOUBLE)/n - CAST(tr AS DOUBLE)/tn)"
+        " / sqrt((CAST(tr AS DOUBLE)/tn) * (1.0 - CAST(tr AS DOUBLE)/tn) / n)"
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "p_brand",
+            "n AS n_lines",
+            "r AS n_returned",
+            "round(CAST(r AS DOUBLE)/n, 6) AS return_rate",
+            f"round({z}, 4) AS z_vs_overall",
+        )
+        .orderBy("p_brand")
+    )
+
+
+RETURN_RATE_SQL = """
+WITH j AS (
+  SELECT p.p_brand, CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+per AS (
+  SELECT p_brand, COUNT(*) AS n, CAST(SUM(ret) AS BIGINT) AS r FROM j GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(r) AS BIGINT) AS tr FROM per)
+SELECT p_brand, n AS n_lines, r AS n_returned,
+       ROUND(CAST(r AS DOUBLE)/n, 6) AS return_rate,
+       ROUND((CAST(r AS DOUBLE)/n - CAST(tr AS DOUBLE)/tn)
+             / sqrt((CAST(tr AS DOUBLE)/tn) * (1.0 - CAST(tr AS DOUBLE)/tn) / n), 4)
+         AS z_vs_overall
+FROM per, tot
+ORDER BY p_brand
+"""
+
+
+register(
+    QuerySpec(
+        "return_rate_by_brand",
+        return_rate_by_brand,
+        RETURN_RATE_SQL,
+        doc="per-brand return-rate with two-proportion z vs the overall rate",
+        cites="QA screen; proportion-test discipline of ab_test_spend",
+        tags=("econ", "quality", "stats"),
+    )
+)
+
+
+def basket_brand_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of per-order brand diversity: how many distinct
+    brands does a basket span? The cross-sell health metric — a shift
+    toward 1-brand baskets signals assortment problems. One orders-grain
+    distinct-count, one histogram aggregation, exact everywhere."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per_order = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_orderkey")
+        .agg(F.countDistinct("p_brand").cast("bigint").alias("n_brands"))
+    )
+    tot = per_order.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        per_order.groupBy("n_brands")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "n_brands",
+            "n_orders",
+            "round(CAST(n_orders AS DOUBLE) / t, 6) AS order_share",
+        )
+        .orderBy("n_brands")
+    )
+
+
+BASKET_DIVERSITY_SQL = """
+WITH per_order AS (
+  SELECT l.l_orderkey, CAST(COUNT(DISTINCT p.p_brand) AS BIGINT) AS n_brands
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1
+),
+tot AS (SELECT COUNT(*) AS t FROM per_order)
+SELECT n_brands, COUNT(*) AS n_orders,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / MIN(t.t), 6) AS order_share
+FROM per_order, tot t
+GROUP BY n_brands
+ORDER BY n_brands
+"""
+
+
+register(
+    QuerySpec(
+        "basket_brand_diversity",
+        basket_brand_diversity,
+        BASKET_DIVERSITY_SQL,
+        doc="histogram of distinct brands per order with exact shares",
+        cites="cross-sell metric beside association_rules_parts",
+        tags=("econ", "basket", "agg"),
+    )
+)
