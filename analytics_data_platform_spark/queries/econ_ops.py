@@ -772,3 +772,126 @@ register(
         tags=("econ", "basket", "agg"),
     )
 )
+
+
+def discount_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does a deeper discount actually move volume? Per discount percent
+    (an exact integer band), mean quantity and mean net revenue per line
+    — the pricing curve that justifies (or kills) promotions. One
+    aggregation; exact integer sums with two final divisions per band."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = li.select(
+        F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias("discount_pct"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+        ).alias("net_cents"),
+    )
+    return (
+        bands.groupBy("discount_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("qty").alias("total_qty"),
+            F.sum("net_cents").alias("net_cents"),
+        )
+        .selectExpr(
+            "discount_pct",
+            "n_lines",
+            "round(CAST(total_qty AS DOUBLE) / n_lines, 4) AS avg_qty",
+            "round(CAST(net_cents AS DOUBLE) / n_lines / 100.0, 2) AS avg_net_revenue",
+        )
+        .orderBy("discount_pct")
+    )
+
+
+DISCOUNT_SQL = """
+WITH bands AS (
+  SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS discount_pct,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS net_cents
+  FROM lineitem
+)
+SELECT discount_pct, COUNT(*) AS n_lines,
+       ROUND(CAST(SUM(qty) AS BIGINT) * 1.0 / COUNT(*), 4) AS avg_qty,
+       ROUND(CAST(SUM(net_cents) AS BIGINT) * 1.0 / COUNT(*) / 100.0, 2) AS avg_net_revenue
+FROM bands GROUP BY 1 ORDER BY 1
+"""
+
+
+register(
+    QuerySpec(
+        "discount_effectiveness",
+        discount_effectiveness,
+        DISCOUNT_SQL,
+        doc="mean quantity and net revenue per exact discount-percent band",
+        cites="pricing curve beside demand_elasticity_by_brand",
+        tags=("econ", "pricing", "agg"),
+    )
+)
+
+
+def order_cadence_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: the median days between consecutive
+    orders per market segment, selected by integer row position over the
+    pooled per-customer gaps — the lifecycle input reorder-reminder
+    timing needs. One customer-keyed lag window over orders, one
+    position-selection per segment."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_orderkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.withColumn("prev", F.lag("o_orderdate").over(w))
+        .where(F.col("prev").isNotNull())
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.expr("CAST(datediff(o_orderdate, prev) AS BIGINT)").alias("gap_days"),
+            "o_orderkey",
+        )
+    )
+    ws = Window.partitionBy("segment").orderBy("gap_days", "o_orderkey")
+    ranked = gaps.select(
+        "segment",
+        "gap_days",
+        F.row_number().over(ws).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("segment")).alias("n"),
+    )
+    return (
+        ranked.where(F.expr("rn = (n + 1) div 2"))
+        .selectExpr("segment", "n AS n_gaps", "gap_days AS median_gap_days")
+        .orderBy("segment")
+    )
+
+
+CADENCE_SQL = """
+WITH gaps AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(date_diff('day',
+              lag(o.o_orderdate) OVER (PARTITION BY o.o_custkey
+                                       ORDER BY o.o_orderdate, o.o_orderkey),
+              o.o_orderdate) AS BIGINT) AS gap_days,
+         o.o_orderkey
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+ranked AS (
+  SELECT segment, gap_days, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY segment ORDER BY gap_days, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY segment) AS n
+  FROM gaps WHERE gap_days IS NOT NULL
+)
+SELECT segment, n AS n_gaps, gap_days AS median_gap_days
+FROM ranked WHERE rn = (n + 1) // 2
+ORDER BY segment
+"""
+
+
+register(
+    QuerySpec(
+        "order_cadence_by_segment",
+        order_cadence_by_segment,
+        CADENCE_SQL,
+        doc="median inter-order gap per segment by integer position",
+        cites="lifecycle cadence beside customer_aliveness; position-median idiom",
+        tags=("analytics", "lifecycle", "window"),
+    )
+)
