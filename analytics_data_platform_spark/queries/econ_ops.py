@@ -895,3 +895,84 @@ register(
         tags=("analytics", "lifecycle", "window"),
     )
 )
+
+
+def nation_rank_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation revenue league table with year-over-year rank movement
+    (1995 vs 1996): who is gaining share? Exact cent sums per
+    (nation, year), dense integer ranks, and the delta — no floats at
+    all until the optional share column."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        o.where(F.year("o_orderdate").isin(1995, 1996))
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").alias(
+                "rev_cents"
+            )
+        )
+    )
+    piv = rev.groupBy("n_name").agg(
+        F.max(F.when(F.col("yr") == 1995, F.col("rev_cents"))).alias("rev95"),
+        F.max(F.when(F.col("yr") == 1996, F.col("rev_cents"))).alias("rev96"),
+    ).where(F.col("rev95").isNotNull() & F.col("rev96").isNotNull())
+    ranked = piv.select(
+        "n_name",
+        "rev95",
+        "rev96",
+        F.row_number().over(Window.orderBy(F.desc("rev95"), "n_name")).alias("rank95"),
+        F.row_number().over(Window.orderBy(F.desc("rev96"), "n_name")).alias("rank96"),
+    )
+    return ranked.selectExpr(
+        "n_name AS nation",
+        "rank95",
+        "rank96",
+        "rank95 - rank96 AS rank_gain",
+        "rev95",
+        "rev96",
+    ).orderBy("rank96")
+
+
+RANK_MOMENTUM_SQL = """
+WITH rev AS (
+  SELECT n.n_name, EXTRACT(year FROM o.o_orderdate) AS yr,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE EXTRACT(year FROM o.o_orderdate) IN (1995, 1996)
+  GROUP BY 1, 2
+),
+piv AS (
+  SELECT n_name,
+         MAX(CASE WHEN yr = 1995 THEN rev_cents END) AS rev95,
+         MAX(CASE WHEN yr = 1996 THEN rev_cents END) AS rev96
+  FROM rev GROUP BY 1
+  HAVING MAX(CASE WHEN yr = 1995 THEN rev_cents END) IS NOT NULL
+     AND MAX(CASE WHEN yr = 1996 THEN rev_cents END) IS NOT NULL
+),
+ranked AS (
+  SELECT n_name, rev95, rev96,
+         ROW_NUMBER() OVER (ORDER BY rev95 DESC, n_name) AS rank95,
+         ROW_NUMBER() OVER (ORDER BY rev96 DESC, n_name) AS rank96
+  FROM piv
+)
+SELECT n_name AS nation, rank95, rank96, rank95 - rank96 AS rank_gain, rev95, rev96
+FROM ranked ORDER BY rank96
+"""
+
+
+register(
+    QuerySpec(
+        "nation_rank_momentum",
+        nation_rank_momentum,
+        RANK_MOMENTUM_SQL,
+        doc="nation revenue ranks 1995 vs 1996 with rank movement, exact cents",
+        cites="league-table twin of yoy_revenue_growth",
+        tags=("econ", "ranking"),
+    )
+)

@@ -689,3 +689,80 @@ register(
         tags=("graph", "join"),
     )
 )
+
+
+# ---- degree distribution tail index ----------------------------------------
+
+_HILL_K = 50
+
+
+def degree_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-free diagnostic for the co-order part graph: the Hill
+    estimator of the degree distribution's tail exponent over the top-50
+    degrees — α̂ = k / Σ ln(dᵢ/d₍ₖ₎). Heavy-tailed (α ≲ 3) means hub
+    parts dominate co-occurrence and skew-aware joins matter; the
+    logs are micro-nat quantized integers, so Σ is exact and the final
+    α̂ is one division."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = _pair_expand(li)
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    w = Window.orderBy(F.desc("d"), "src")
+    top = deg.select(
+        "src", "d", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= _HILL_K)
+    dk = top.where(F.col("rn") == _HILL_K).select(F.col("d").alias("dk"))
+    lnq = top.crossJoin(F.broadcast(dk)).select(
+        F.expr(
+            "CAST(round(ln(CAST(d AS DOUBLE) / dk) * 1000000) AS BIGINT)"
+        ).alias("lq")
+    )
+    return lnq.agg(
+        F.count(F.lit(1)).alias("k_top"),
+        F.sum("lq").alias("sum_ln_micronats"),
+    ).selectExpr(
+        "k_top",
+        "sum_ln_micronats",
+        "CASE WHEN sum_ln_micronats > 0 THEN"
+        " round(CAST(k_top AS DOUBLE) * 1000000 / sum_ln_micronats, 4) END AS hill_alpha",
+    )
+
+
+HILL_SQL = f"""
+WITH p AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+top AS (
+  SELECT src, d, ROW_NUMBER() OVER (ORDER BY d DESC, src) AS rn FROM deg
+  QUALIFY rn <= {_HILL_K}
+),
+dk AS (SELECT d AS dk FROM top WHERE rn = {_HILL_K}),
+lnq AS (
+  SELECT CAST(ROUND(ln(CAST(t.d AS DOUBLE) / k.dk) * 1000000) AS BIGINT) AS lq
+  FROM top t, dk k
+)
+SELECT COUNT(*) AS k_top,
+       CAST(SUM(lq) AS BIGINT) AS sum_ln_micronats,
+       CASE WHEN CAST(SUM(lq) AS BIGINT) > 0 THEN
+         ROUND(CAST(COUNT(*) AS DOUBLE) * 1000000 / CAST(SUM(lq) AS BIGINT), 4) END
+         AS hill_alpha
+FROM lnq
+"""
+
+
+register(
+    QuerySpec(
+        "degree_tail_index",
+        degree_tail_index,
+        HILL_SQL,
+        doc="Hill tail-exponent of the co-order degree distribution (micro-nat exact sums)",
+        cites="graph-stats: the skew diagnostic behind salting decisions; quantized-log idiom",
+        tags=("graph", "stats"),
+    )
+)
