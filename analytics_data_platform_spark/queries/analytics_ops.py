@@ -1659,3 +1659,143 @@ register(
         tags=("analytics", "lifecycle", "ml"),
     )
 )
+
+
+def new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per quarter, revenue split into NEW customers
+    (first-ever order falls in that quarter — the first-seen trick, no
+    sequential scan) vs returning ones. Exact cent sums; the shares are
+    single divisions. The decomposition every board deck wants and every
+    naive 'revenue is up' reading misses."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    q = F.expr(
+        "CONCAT(CAST(year(o_orderdate) AS STRING), '-Q', CAST(quarter(o_orderdate) AS STRING))"
+    )
+    with_q = o.select(
+        "o_custkey",
+        q.alias("qtr"),
+        F.expr("year(o_orderdate) * 10 + quarter(o_orderdate)").alias("qord"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    first_q = with_q.groupBy("o_custkey").agg(F.min("qord").alias("first_qord"))
+    j = with_q.join(first_q, "o_custkey").select(
+        "qtr",
+        "qord",
+        "cents",
+        (F.col("qord") == F.col("first_qord")).cast("int").alias("is_new"),
+    )
+    return (
+        j.groupBy("qtr", "qord")
+        .agg(
+            F.sum(F.expr("IF(is_new = 1, cents, 0)")).alias("new_cents"),
+            F.sum(F.expr("IF(is_new = 0, cents, 0)")).alias("returning_cents"),
+            F.sum(F.expr("is_new")).alias("n_new_orders"),
+        )
+        .selectExpr(
+            "qtr",
+            "new_cents",
+            "returning_cents",
+            "round(CAST(new_cents AS DOUBLE) / (new_cents + returning_cents), 6)"
+            " AS new_share",
+        )
+        .orderBy("qord")
+        .drop("qord")
+    )
+
+
+NEW_RETURNING_SQL = """
+WITH with_q AS (
+  SELECT o_custkey,
+         CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) || '-Q'
+           || CAST(EXTRACT(quarter FROM o_orderdate) AS VARCHAR) AS qtr,
+         EXTRACT(year FROM o_orderdate) * 10 + EXTRACT(quarter FROM o_orderdate) AS qord,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+first_q AS (SELECT o_custkey, MIN(qord) AS first_qord FROM with_q GROUP BY 1)
+SELECT w.qtr,
+       CAST(SUM(CASE WHEN w.qord = f.first_qord THEN w.cents ELSE 0 END) AS BIGINT)
+         AS new_cents,
+       CAST(SUM(CASE WHEN w.qord <> f.first_qord THEN w.cents ELSE 0 END) AS BIGINT)
+         AS returning_cents,
+       ROUND(CAST(SUM(CASE WHEN w.qord = f.first_qord THEN w.cents ELSE 0 END) AS DOUBLE)
+             / SUM(w.cents), 6) AS new_share
+FROM with_q w JOIN first_q f ON w.o_custkey = f.o_custkey
+GROUP BY w.qtr, w.qord
+ORDER BY w.qord
+"""
+
+
+register(
+    QuerySpec(
+        "new_vs_returning_revenue",
+        new_vs_returning_revenue,
+        NEW_RETURNING_SQL,
+        doc="quarterly revenue split into new vs returning customers (first-seen trick)",
+        cites="growth accounting beside cumulative_new_users",
+        tags=("analytics", "growth"),
+    )
+)
+
+
+def bestseller_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stability of the top-20 bestseller list between adjacent quarters:
+    |top20(q) ∩ top20(q+1)| / 20 — the assortment-churn metric. Ranks by
+    exact cent revenue with part-key tie-break; the overlap is an integer
+    set intersection, so every number is exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qrev = li.groupBy(
+        F.expr("year(l_shipdate) * 10 + quarter(l_shipdate)").alias("qord"),
+        "l_partkey",
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)"
+        ).alias("rev")
+    )
+    w = Window.partitionBy("qord").orderBy(F.desc("rev"), "l_partkey")
+    top = qrev.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 20)
+    a, b = top.alias("a"), top.alias("b")
+    return (
+        a.join(b, F.col("a.qord") + 1 == F.col("b.qord"))
+        .where(F.col("a.l_partkey") == F.col("b.l_partkey"))
+        .groupBy(F.col("a.qord").alias("qord"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .selectExpr(
+            "qord",
+            "n_common",
+            "round(CAST(n_common AS DOUBLE) / 20, 4) AS retention_of_top20",
+        )
+        .orderBy("qord")
+    )
+
+
+BESTSELLER_SQL = """
+WITH qrev AS (
+  SELECT EXTRACT(year FROM l_shipdate) * 10 + EXTRACT(quarter FROM l_shipdate) AS qord,
+         l_partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM lineitem GROUP BY 1, 2
+),
+top AS (
+  SELECT qord, l_partkey,
+         ROW_NUMBER() OVER (PARTITION BY qord ORDER BY rev DESC, l_partkey) AS rn
+  FROM qrev QUALIFY rn <= 20
+)
+SELECT a.qord, COUNT(*) AS n_common,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / 20, 4) AS retention_of_top20
+FROM top a JOIN top b ON a.qord + 1 = b.qord AND a.l_partkey = b.l_partkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+register(
+    QuerySpec(
+        "bestseller_stability",
+        bestseller_stability,
+        BESTSELLER_SQL,
+        doc="quarter-over-quarter retention of the top-20 bestseller set (exact overlap)",
+        cites="assortment churn beside nation_rank_momentum",
+        tags=("analytics", "ranking"),
+    )
+)
