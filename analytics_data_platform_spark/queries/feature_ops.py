@@ -606,3 +606,103 @@ register(
         tags=("feature", "drift", "stats"),
     )
 )
+
+
+def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent users per day: sweep-line over each user's MERGED
+    ±30-min activity intervals (+1 at starts, −1 at ends, running sum) —
+    the capacity-planning number a per-bucket count can only
+    approximate, since sessions straddle bucket edges. Ties are ordered
+    (time, delta, user) so the running maximum is engine-stable; the
+    cumulative sum runs per DAY partition (boundaries per day are
+    bounded), with exact integer epoch keys throughout. Output: each
+    day's peak and the first microsecond attaining it."""
+    from analytics_data_platform_spark.operators.intervals import merge_intervals
+
+    e = load_table(spark, sf_dir, "events")
+    pad = ACTIVITY_PAD_MIN * 60_000_000
+    iv = e.select(
+        "user_id",
+        (F.unix_micros("ts") - pad).alias("s"),
+        (F.unix_micros("ts") + pad).alias("e"),
+    )
+    merged = merge_intervals(iv, "user_id", "s", "e")
+    deltas = merged.select(
+        F.col("s").alias("t"), F.lit(1).alias("d"), "user_id"
+    ).unionAll(
+        merged.select(F.col("e").alias("t"), F.lit(-1).alias("d"), "user_id")
+    ).select(
+        F.expr("t div 86400000000").alias("day"), "t", "d", "user_id"
+    )
+    w = Window.partitionBy("day").orderBy("t", "d", "user_id")
+    swept = deltas.select(
+        "day",
+        "t",
+        F.sum("d").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("conc"),
+    )
+    wmax = Window.partitionBy("day")
+    return (
+        swept.withColumn("peak", F.max("conc").over(wmax))
+        .where(F.col("conc") == F.col("peak"))
+        .groupBy("day")
+        .agg(F.min("t").alias("peak_at_us"), F.min("peak").alias("peak_users"))
+        .selectExpr("day", "peak_users", "peak_at_us")
+        .orderBy("day")
+    )
+
+
+PEAK_CONCURRENCY_SQL = f"""
+WITH iv AS (
+  SELECT user_id,
+         epoch_us(ts) - {ACTIVITY_PAD_MIN} * 60000000 AS s,
+         epoch_us(ts) + {ACTIVITY_PAD_MIN} * 60000000 AS e
+  FROM events
+),
+flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                OR s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_grp
+  FROM iv
+),
+grouped AS (
+  SELECT user_id, s, e,
+         SUM(new_grp) OVER (PARTITION BY user_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM flagged
+),
+merged AS (
+  SELECT user_id, MIN(s) AS s, MAX(e) AS e FROM grouped GROUP BY user_id, grp
+),
+deltas AS (
+  SELECT s AS t, 1 AS d, user_id FROM merged
+  UNION ALL
+  SELECT e AS t, -1 AS d, user_id FROM merged
+),
+swept AS (
+  SELECT t // 86400000000 AS day, t,
+         CAST(SUM(d) OVER (PARTITION BY t // 86400000000 ORDER BY t, d, user_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
+  FROM deltas
+),
+peaks AS (
+  SELECT day, t, conc, MAX(conc) OVER (PARTITION BY day) AS peak FROM swept
+)
+SELECT day, CAST(MIN(peak) AS BIGINT) AS peak_users, MIN(t) AS peak_at_us
+FROM peaks WHERE conc = peak
+GROUP BY day ORDER BY day
+"""
+
+
+register(
+    QuerySpec(
+        "peak_concurrency",
+        peak_concurrency,
+        PEAK_CONCURRENCY_SQL,
+        doc="daily peak concurrent users via sweep-line over merged activity intervals",
+        cites="operators/intervals.py merge_intervals; capacity twin of interval_coverage_per_user",
+        tags=("analytics", "interval", "window"),
+    )
+)
