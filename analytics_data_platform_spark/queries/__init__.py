@@ -71,7 +71,7 @@ DRIVER_SHOWCASE: tuple[str, ...] = (
     "bloom_contamination",
     # training-data pipeline
     "pack_sequences",
-    "contamination_ngrams",
+    "minhash_calibration",
     "chi_square_type_hour",
     "cross_validate_ols",
     # classical ML / evaluation
@@ -97,7 +97,7 @@ DRIVER_SHOWCASE: tuple[str, ...] = (
     "text_token_stats",
     "text_quality_by_source",
     "setsim_jaccard_join",
-    "unigram_surprisal_score",
+    "forecast_backtest",
     # event analytics
     "funnel_conversion",
     "cohort_retention",
