@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from analytics_data_platform_spark.functions.expr import spread
 from analytics_data_platform_spark.queries import QuerySpec, register
+from analytics_data_platform_spark.queries.exact import sum_money
 from analytics_data_platform_spark.sources.testdata import load_table
 
 
@@ -150,11 +151,14 @@ def event_runs_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
     ).otherwise(0)
     runs = e.withColumn("run_id", F.sum(changed).over(order))
+    # Sum in DECIMAL(18,2): events.value is 2-dp currency, so the decimal sum
+    # is exact and summation-order independent — a plain double sum rounds
+    # differently depending on partial-agg order (driver-observed flake, r02).
     return runs.groupBy("user_id", "run_id").agg(
-        F.first("event_type").alias("event_type"),
+        F.min("event_type").alias("event_type"),
         F.min("ts").alias("run_start"),
         F.count("*").alias("run_len"),
-        F.round(F.sum("value"), 2).alias("run_value"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("run_value"),
     )
 
 
@@ -173,7 +177,7 @@ runs AS (
   FROM flagged
 )
 SELECT user_id, run_id, MIN(event_type) AS event_type, MIN(ts) AS run_start,
-       COUNT(*) AS run_len, ROUND(SUM(value), 2) AS run_value
+       COUNT(*) AS run_len, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS run_value
 FROM runs
 GROUP BY user_id, run_id
 """
@@ -272,7 +276,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().alias("gid"),
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            sum_money("o_totalprice").alias("revenue"),
         )
         .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "revenue")
     )
@@ -281,7 +285,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 GROUPING_SETS_SQL = """
 SELECT o_orderstatus, o_orderpriority,
        GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
-       COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
+       COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 """
@@ -316,7 +320,7 @@ def interval_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = bin_interval_join(e, bands, "value", "lo", "hi", bin_width=25.0)
     return joined.groupBy("band_id", "lo", "hi").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("value_sum"),
+        sum_money("value").alias("value_sum"),
     )
 
 
@@ -325,7 +329,7 @@ WITH bands AS (
   SELECT i AS band_id, i * 25.0 AS lo, i * 25.0 + 40.0 AS hi
   FROM (SELECT unnest(range(0, 14)) AS i)
 )
-SELECT band_id, lo, hi, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_sum
+SELECT band_id, lo, hi, COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
 FROM events JOIN bands ON value >= lo AND value < hi
 GROUP BY band_id, lo, hi
 """
@@ -958,7 +962,7 @@ def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         F.year("o_orderdate").alias("yr"), "o_totalprice"
     )
-    yearly = o.groupBy("yr").agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    yearly = o.groupBy("yr").agg(sum_money("o_totalprice").alias("revenue"))
     w = Window.orderBy("yr")
     prev = F.lag("revenue").over(w)
     return yearly.select(
@@ -970,7 +974,7 @@ def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 YOY_SQL = """
 WITH yearly AS (
-  SELECT EXTRACT(year FROM o_orderdate) AS yr, ROUND(SUM(o_totalprice), 2) AS revenue
+  SELECT EXTRACT(year FROM o_orderdate) AS yr, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
   FROM orders GROUP BY 1
 )
 SELECT CAST(yr AS INT) AS yr, revenue,
@@ -1002,7 +1006,7 @@ def pareto_customer_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     set) is identical across engines."""
     o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     per_cust = o.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+        sum_money("o_totalprice").alias("revenue")
     )
     w = Window.orderBy(F.desc("revenue"), "o_custkey").rowsBetween(
         Window.unboundedPreceding, 0
@@ -1024,7 +1028,7 @@ def pareto_customer_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PARETO_SQL = f"""
 WITH per_cust AS (
-  SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS revenue
+  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
   FROM orders GROUP BY o_custkey
 ),
 ranked AS (
@@ -1070,7 +1074,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = o.groupBy("o_custkey").agg(
         F.datediff(F.lit(RFM_ASOF).cast("date"), F.max("o_orderdate")).alias("recency_days"),
         F.count("*").alias("frequency"),
-        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        sum_money("o_totalprice").alias("monetary"),
     )
     r_w = Window.orderBy("recency_days", "o_custkey")
     f_w = Window.orderBy(F.desc("frequency"), "o_custkey")
@@ -1099,7 +1103,7 @@ WITH per_cust AS (
   SELECT o_custkey,
          date_diff('day', MAX(o_orderdate), DATE '{RFM_ASOF}') AS recency_days,
          COUNT(*) AS frequency,
-         ROUND(SUM(o_totalprice), 2) AS monetary
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
   FROM orders GROUP BY o_custkey
 ),
 scored AS (

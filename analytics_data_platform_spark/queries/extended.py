@@ -10,6 +10,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from analytics_data_platform_spark.queries import QuerySpec, register
+from analytics_data_platform_spark.queries.exact import money, sum_money
 from analytics_data_platform_spark.sources.testdata import load_table
 
 
@@ -21,14 +22,14 @@ def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.timestamp_seconds(F.floor(F.unix_timestamp("ts") / 900) * 900)
     return (
         e.groupBy(bucket.alias("bucket_start"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("value_sum"))
+        .agg(F.count("*").alias("n_events"), sum_money("value").alias("value_sum"))
     )
 
 
 TIME_BUCKET_SQL = """
 WITH e AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events)
 SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket_start, event_type,
-       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_sum
+       COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
 FROM e
 GROUP BY 1, 2
 """
@@ -50,13 +51,13 @@ def rollup_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return (
         o.rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(F.count("*").alias("n_orders"), sum_money("o_totalprice").alias("revenue"))
     )
 
 
 ROLLUP_SQL = """
 SELECT o_orderstatus, o_orderpriority,
-       COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
+       COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
@@ -118,13 +119,13 @@ def full_outer_nation_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = (
         load_table(spark, sf_dir, "customer")
         .groupBy(F.col("c_nationkey").alias("nationkey"))
-        .agg(F.round(F.sum("c_acctbal"), 2).alias("customer_balance"))
+        .agg(sum_money("c_acctbal").alias("customer_balance"))
     )
     s = (
         load_table(spark, sf_dir, "supplier")
         .where(F.col("s_acctbal") > 5000)
         .groupBy(F.col("s_nationkey").alias("nationkey"))
-        .agg(F.round(F.sum("s_acctbal"), 2).alias("supplier_balance"))
+        .agg(sum_money("s_acctbal").alias("supplier_balance"))
     )
     return c.join(s, on="nationkey", how="full_outer").select(
         "nationkey", "customer_balance", "supplier_balance"
@@ -133,11 +134,11 @@ def full_outer_nation_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FULL_OUTER_SQL = """
 WITH c AS (
-  SELECT c_nationkey AS nationkey, ROUND(SUM(c_acctbal), 2) AS customer_balance
+  SELECT c_nationkey AS nationkey, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS customer_balance
   FROM customer GROUP BY c_nationkey
 ),
 s AS (
-  SELECT s_nationkey AS nationkey, ROUND(SUM(s_acctbal), 2) AS supplier_balance
+  SELECT s_nationkey AS nationkey, CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS supplier_balance
   FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey
 )
 SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey, customer_balance, supplier_balance
@@ -167,7 +168,7 @@ def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         "user_id",
-        F.round(F.sum("value").over(w), 2).alias("running_value"),
+        F.sum(money("value")).over(w).cast("double").alias("running_value"),
         F.count("*").over(w).alias("running_n"),
     )
 
@@ -175,7 +176,7 @@ def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 RUNNING_SQL = """
 WITH e AS (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events)
 SELECT event_id, user_id,
-       ROUND(SUM(value) OVER w, 2) AS running_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_value,
        COUNT(*) OVER w AS running_n
 FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
@@ -241,7 +242,7 @@ def rolling_value_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         "user_id",
-        F.round(F.sum("value").over(w), 2).alias("trailing_10m_value"),
+        F.sum(money("value")).over(w).cast("double").alias("trailing_10m_value"),
         F.count("*").over(w).alias("trailing_10m_events"),
     )
 
@@ -249,7 +250,7 @@ def rolling_value_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 RANGE_WINDOW_SQL = """
 WITH e AS (SELECT event_id, user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu FROM events)
 SELECT event_id, user_id,
-       ROUND(SUM(value) OVER w, 2) AS trailing_10m_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trailing_10m_value,
        COUNT(*) OVER w AS trailing_10m_events
 FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY tsu
@@ -442,7 +443,7 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
             F.round(F.min("o_totalprice"), 2).alias("lo"),
             F.round(F.max("o_totalprice"), 2).alias("hi"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+            sum_money("o_totalprice").alias("total_value"),
         )
     )
 
@@ -451,7 +452,7 @@ EQUI_DEPTH_SQL = """
 SELECT decile, COUNT(*) AS n_orders,
        ROUND(MIN(o_totalprice), 2) AS lo,
        ROUND(MAX(o_totalprice), 2) AS hi,
-       ROUND(SUM(o_totalprice), 2) AS total_value
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM (
   SELECT o_totalprice,
          NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile

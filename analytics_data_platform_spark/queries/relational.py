@@ -16,6 +16,7 @@ from analytics_data_platform_spark.functions.dialect import (
     substring_from_end,
 )
 from analytics_data_platform_spark.queries import QuerySpec, register
+from analytics_data_platform_spark.queries.exact import money, sum_money
 from analytics_data_platform_spark.sources.testdata import load_table
 
 # --- A1: conditional-aggregation pivot (EAV → wide) -----------------------
@@ -35,7 +36,7 @@ def eav_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(F.when(F.col("event_type") == "purchase", F.col("value"))), 2).alias(
             "purchase_max"
         ),
-        F.round(F.sum(F.when(F.col("event_type") == "view", F.col("value"))), 2).alias(
+        F.sum(F.when(F.col("event_type") == "view", money("value"))).cast("double").alias(
             "view_sum"
         ),
         F.count(F.when(F.col("event_type") == "error", F.lit(1))).alias("error_count"),
@@ -46,7 +47,7 @@ EAV_PIVOT_SQL = """
 SELECT user_id,
        ROUND(MIN(CASE WHEN event_type = 'click' THEN value END), 2) AS click_min,
        ROUND(MAX(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase_max,
-       ROUND(SUM(CASE WHEN event_type = 'view' THEN value END), 2) AS view_sum,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view_sum,
        COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error_count
 FROM events
 GROUP BY user_id
@@ -204,7 +205,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            sum_money("value").alias("session_value"),
         )
     )
 
@@ -224,7 +225,7 @@ sessions AS (
                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
-SELECT user_id, session_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS session_value
+SELECT user_id, session_id, COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
 FROM sessions
 GROUP BY user_id, session_id
 """

@@ -19,6 +19,16 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from analytics_data_platform_spark.queries import QuerySpec, register
+from analytics_data_platform_spark.queries.exact import (
+    avg_money,
+    sql_avg_money,
+    sql_sum_disc_price,
+    sql_sum_money,
+    sql_sum_promo_price,
+    sum_disc_price,
+    sum_money,
+    sum_promo_price,
+)
 from analytics_data_platform_spark.sources.testdata import load_table
 
 
@@ -35,25 +45,23 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.where(F.col("l_shipdate") <= _ts("2000-12-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            sum_money("l_quantity").alias("sum_qty"),
+            sum_money("l_extendedprice").alias("sum_base_price"),
+            sum_disc_price().alias("sum_disc_price"),
+            avg_money("l_quantity").alias("avg_qty"),
+            avg_money("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
 
 
-Q1_SQL = """
+Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       ROUND(AVG(l_quantity), 4) AS avg_qty,
-       ROUND(AVG(l_discount), 4) AS avg_disc,
+       {sql_sum_money("l_quantity")} AS sum_qty,
+       {sql_sum_money("l_extendedprice")} AS sum_base_price,
+       {sql_sum_disc_price()} AS sum_disc_price,
+       {sql_avg_money("l_quantity")} AS avg_qty,
+       {sql_avg_money("l_discount")} AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -85,9 +93,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            sum_disc_price().alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -96,7 +102,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q3_SQL = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -142,16 +148,14 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            sum_disc_price().alias("revenue")
         )
     )
 
 
 Q5_SQL = """
 SELECT n_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -190,14 +194,14 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            sum_promo_price().alias("revenue"),
             F.count("*").alias("n_rows"),
         )
     )
 
 
 Q6_SQL = """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
        COUNT(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -275,7 +279,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(sum_disc_price().alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -283,7 +287,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q10_SQL = """
 SELECT c_custkey, c_name, n_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -398,7 +402,7 @@ def orders_monthly_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("order_month"))
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("month_revenue"),
+            sum_money("o_totalprice").alias("month_revenue"),
         )
     )
 
@@ -406,7 +410,7 @@ def orders_monthly_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORDERS_MONTHLY_SQL = """
 SELECT date_trunc('month', o_orderdate) AS order_month,
        COUNT(*) AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS month_revenue
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS month_revenue
 FROM orders
 GROUP BY date_trunc('month', o_orderdate)
 """
@@ -609,7 +613,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, F.col("l_orderkey") == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .agg(sum_money("l_quantity").alias("total_qty"))
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
@@ -617,7 +621,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q18_SQL = """
 SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-       ROUND(SUM(l_quantity), 2) AS total_qty
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -736,9 +740,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            sum_disc_price().alias("revenue")
         )
     )
 
@@ -746,7 +748,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q7_SQL = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        YEAR(l_shipdate) AS l_year,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -959,9 +961,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = load_table(spark, sf_dir, "supplier")
     rev = l.groupBy(F.col("l_suppkey").alias("_sk")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "total_rev"
-        )
+        sum_disc_price().alias("total_rev")
     )
     best = rev.agg(F.max("total_rev").alias("_best"))
     return (
@@ -974,7 +974,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q15_SQL = """
 WITH rev AS (
-  SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+  SELECT l_suppkey, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS total_rev
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
   GROUP BY l_suppkey
@@ -1013,12 +1013,12 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(avg_q, l.l_partkey == F.col("_pk"))
         .where(F.col("l_quantity") < F.col("_limit"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(F.round(sum_money("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
 
 
 Q17_SQL = """
-SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#23' AND p_type = 'SMALL'
@@ -1065,16 +1065,14 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .where(cond)
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            sum_disc_price().alias("revenue"),
             F.count("*").alias("n_rows"),
         )
     )
 
 
 Q19_SQL = """
-SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
        COUNT(*) AS n_rows
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
@@ -1174,7 +1172,7 @@ def q22_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cntrycode")
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            sum_money("c_acctbal").alias("totacctbal"),
         )
     )
 
@@ -1185,7 +1183,7 @@ WITH cust AS (
   FROM customer
   WHERE RIGHT(c_name, 2) IN ('11', '17', '23', '29', '31', '37', '41')
 )
-SELECT cntrycode, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+SELECT cntrycode, COUNT(*) AS numcust, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
 FROM cust
 WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM cust WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from analytics_data_platform_spark.operators.profile import profile_columns
 from analytics_data_platform_spark.queries import QuerySpec, register
+from analytics_data_platform_spark.queries.exact import sum_money
 from analytics_data_platform_spark.sources.testdata import load_table
 from analytics_data_platform_spark.tables.scd2 import scd2_apply
 
@@ -110,13 +111,13 @@ def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        sum_money("o_totalprice").alias("revenue"),
     )
 
 
 CUBE_SQL = """
 SELECT o_orderstatus, o_orderpriority,
-       COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
+       COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """

@@ -1,0 +1,84 @@
+"""Adversarial-partitioning determinism: oracle parity must survive layouts
+the correctness driver might use.
+
+The driver runs queries in its own plain session, where partition counts,
+scan splits, and shuffle-block arrival order all differ from our defaults.
+Double-precision SUM is order-dependent, so any aggregate that feeds a
+``round()``/hash from a double fold can flake across environments (observed:
+r02 gate vs a locally-green sweep). The currency aggregates were therefore
+moved to exact DECIMAL arithmetic (``queries/exact.py``); this test pins the
+property by re-running the flagship oracle comparisons under a hostile
+layout — tiny scan splits (every table becomes multi-partition even at
+sf0.001) and a prime shuffle-partition count — where a lurking
+order-dependent fold would see maximally different summation orders.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from analytics_data_platform_spark.oracle import check_query, duckdb_connection
+from analytics_data_platform_spark.queries import all_queries
+
+# Queries whose aggregates were hardened to decimal plus the flagship
+# window/sessionize shapes that fold currency doubles in frame order.
+HARDENED = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_lapsed_customers",
+    "orders_monthly_histogram",
+    "grouping_sets_revenue",
+    "cube_orders_status_priority",
+    "rollup_order_revenue",
+    "time_bucket_rollup",
+    "full_outer_nation_balances",
+    "running_user_totals",
+    "rolling_value_range_window",
+    "equi_depth_histogram",
+    "eav_pivot_events",
+    "sessionize_events",
+    "event_runs_rle",
+    "rfm_segments",
+    "yoy_revenue_growth",
+    "interval_join_value_bands",
+]
+
+_ADVERSARIAL = {
+    # split even kilobyte-scale parquet into many scan partitions
+    "spark.sql.files.maxPartitionBytes": "16384",
+    "spark.sql.files.openCostInBytes": "0",
+    # prime partition count — different hash layout than 8/32
+    "spark.sql.shuffle.partitions": "7",
+}
+
+
+@pytest.fixture(scope="module")
+def hostile_layout(spark):
+    saved = {k: spark.conf.get(k, None) for k in _ADVERSARIAL}
+    for k, v in _ADVERSARIAL.items():
+        spark.conf.set(k, v)
+    yield spark
+    for k, v in saved.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    return duckdb_connection(sf_dir)
+
+
+@pytest.mark.parametrize("name", HARDENED)
+def test_parity_under_adversarial_partitioning(hostile_layout, con, sf_dir, name):
+    assert name in all_queries(), f"registry drift: {name} missing"
+    res = check_query(hostile_layout, con, name, sf_dir)
+    assert res.ok, f"{name} under hostile layout: {res.detail}"
