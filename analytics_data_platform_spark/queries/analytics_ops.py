@@ -1803,3 +1803,91 @@ register(
         tags=("analytics", "ranking"),
     )
 )
+
+
+# --- session path analysis: top full event-type sequences ------------------
+
+PATH_TOP = 15
+
+
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the most common COMPLETE event-type sequences per
+    30-min session ('view>click>purchase'), with session counts and the
+    exact-decimal value total. Generalizes the first-order transition
+    matrix (event_transition_matrix) to whole paths.
+
+    Scale shape: sessionization and the ordered path concat share ONE
+    user-keyed shuffle — the path is built by array_sort over collected
+    (ts, event_id, type) structs inside the session group, not by a
+    second ordering pass. Path cardinality, not event volume, feeds the
+    final bounded top-k."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts", 1).over(w)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+    is_new = F.when(prev.isNull() | (gap_us > 30 * 60 * 1000000), 1).otherwise(0)
+    sess = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    per_session = (
+        e.withColumn("session_id", sess)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                    lambda s: s.event_type,
+                ),
+                ">",
+            ).alias("path"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sess_value"),
+        )
+    )
+    return (
+        per_session.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("sess_value").cast("double").alias("total_value"),
+        )
+        .withColumn("pos", F.row_number().over(Window.orderBy(F.desc("n_sessions"), "path")))
+        .where(F.col("pos") <= PATH_TOP)
+        .select("pos", "path", "n_sessions", "total_value")
+    )
+
+
+SESSION_PATH_SQL = f"""
+WITH e AS (SELECT user_id, event_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
+flagged AS (
+  SELECT *,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 30 * 60 * 1000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_id,
+         STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path,
+         SUM(CAST(value AS DECIMAL(18,2))) AS sess_value
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT pos, path, n_sessions, total_value FROM (
+  SELECT path, COUNT(*) AS n_sessions,
+         CAST(SUM(sess_value) AS DOUBLE) AS total_value,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path) AS pos
+  FROM per_session GROUP BY path
+) WHERE pos <= {PATH_TOP}
+"""
+
+register(
+    QuerySpec(
+        "session_path_topk",
+        session_path_topk,
+        SESSION_PATH_SQL,
+        doc="top complete session paths (ordered event-type sequences) with value totals",
+        cites="path-analysis family; generalizes event_transition_matrix",
+        tags=("analytics", "window", "text"),
+    )
+)

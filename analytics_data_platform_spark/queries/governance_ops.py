@@ -137,3 +137,64 @@ register(
         tags=("governance", "agg"),
     )
 )
+
+
+L_THRESHOLD = 3
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit, the k-anonymity companion: within each
+    quasi-identifier group (nation × balance bracket) count the DISTINCT
+    values of the sensitive attribute (market segment). A group can be
+    large (k-anonymous) yet still leak — if everyone in it shares one
+    segment, membership reveals the segment. Reports the l histogram and
+    how many individuals sit in under-diverse (l < 3) groups."""
+    c = load_table(spark, sf_dir, "customer")
+    qi = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_bracket"),
+    ).agg(
+        F.count(F.lit(1)).alias("gsize"),
+        F.count_distinct("c_mktsegment").alias("l_val"),
+    )
+    bucket = (
+        F.when(F.col("l_val") == 1, "1 (homogeneous)")
+        .when(F.col("l_val") < L_THRESHOLD, "2 (weak)")
+        .otherwise("3+ (diverse)")
+    )
+    return qi.groupBy(bucket.alias("l_bucket")).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("gsize").alias("n_rows"),
+        F.min("l_val").alias("min_l"),
+        F.max("l_val").alias("max_l"),
+    )
+
+
+L_DIV_SQL = f"""
+WITH qi AS (
+  SELECT c_nationkey,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bracket,
+         COUNT(*) AS gsize,
+         COUNT(DISTINCT c_mktsegment) AS l_val
+  FROM customer GROUP BY 1, 2
+)
+SELECT CASE WHEN l_val = 1 THEN '1 (homogeneous)'
+            WHEN l_val < {L_THRESHOLD} THEN '2 (weak)'
+            ELSE '3+ (diverse)' END AS l_bucket,
+       COUNT(*) AS n_groups,
+       CAST(SUM(gsize) AS BIGINT) AS n_rows,
+       CAST(MIN(l_val) AS BIGINT) AS min_l,
+       CAST(MAX(l_val) AS BIGINT) AS max_l
+FROM qi GROUP BY 1
+"""
+
+register(
+    QuerySpec(
+        "l_diversity_audit",
+        l_diversity_audit,
+        L_DIV_SQL,
+        doc="l-diversity of the sensitive attribute within quasi-identifier groups",
+        cites="data-governance family; companion to k_anonymity_audit",
+        tags=("governance", "agg"),
+    )
+)

@@ -111,3 +111,175 @@ register(
         tags=("reco", "join"),
     )
 )
+
+
+# --- sequential covisitation: bought X, next order contains Y -------------
+
+NEXT_TOP = 25
+
+
+def covisitation_next_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential co-purchase: for consecutive order pairs of one customer,
+    count X→Y transitions (part X in order r, part Y in order r+1) and the
+    confidence support/|baskets containing X that have a successor|.
+
+    Plan shape for scale: orders are rank-numbered per customer (one
+    customer-keyed window), and the transition join is an EQUI-join on
+    (custkey, rank)=(custkey, rank+1) — adjacent baskets only, so pair
+    volume is Σ |basket_r|·|basket_r+1|, never |orders|². The final top-k
+    is a bounded sort of the (x, y) aggregate."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = o.withColumn("r", F.row_number().over(w))
+    basket = (
+        li.join(ranked, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("c"), "r", F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    nxt = basket.select(F.col("c"), (F.col("r") - 1).alias("r"), F.col("p").alias("p_next"))
+    trans = basket.join(nxt, ["c", "r"]).where(F.col("p") != F.col("p_next"))
+    support = trans.groupBy(F.col("p").alias("x"), F.col("p_next").alias("y")).agg(
+        F.count(F.lit(1)).alias("support")
+    )
+    # baskets containing x that have at least one successor basket
+    has_next = basket.join(nxt.select("c", "r").distinct(), ["c", "r"]).groupBy(
+        F.col("p").alias("x")
+    ).agg(F.count(F.lit(1)).alias("n_x"))
+    scored = support.join(has_next, "x").select(
+        "x", "y", "support", F.round(F.col("support") / F.col("n_x"), 6).alias("confidence")
+    )
+    w_top = Window.orderBy(F.desc("support"), "x", "y")
+    return (
+        scored.withColumn("pos", F.row_number().over(w_top))
+        .where(F.col("pos") <= NEXT_TOP)
+        .select("pos", "x", "y", "support", "confidence")
+    )
+
+
+COVISIT_SQL = f"""
+WITH ranked AS (
+  SELECT o_orderkey, o_custkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS r
+  FROM orders
+),
+basket AS (
+  SELECT DISTINCT o_custkey AS c, r, l_partkey AS p
+  FROM lineitem JOIN ranked ON l_orderkey = o_orderkey
+),
+nxt AS (SELECT c, r - 1 AS r, p AS p_next FROM basket),
+trans AS (
+  SELECT b.p, n.p_next FROM basket b JOIN nxt n ON b.c = n.c AND b.r = n.r
+  WHERE b.p <> n.p_next
+),
+support AS (SELECT p AS x, p_next AS y, COUNT(*) AS support FROM trans GROUP BY 1, 2),
+has_next AS (
+  SELECT b.p AS x, COUNT(*) AS n_x
+  FROM basket b JOIN (SELECT DISTINCT c, r FROM nxt) s ON b.c = s.c AND b.r = s.r
+  GROUP BY b.p
+)
+SELECT pos, x, y, support, confidence FROM (
+  SELECT s.x, s.y, s.support,
+         ROUND(s.support / CAST(h.n_x AS DOUBLE), 6) AS confidence,
+         ROW_NUMBER() OVER (ORDER BY s.support DESC, s.x, s.y) AS pos
+  FROM support s JOIN has_next h ON s.x = h.x
+) WHERE pos <= {NEXT_TOP}
+"""
+
+register(
+    QuerySpec(
+        "covisitation_next_part",
+        covisitation_next_part,
+        COVISIT_SQL,
+        doc="sequential co-purchase (X then Y in the next order) with confidence",
+        cites="recommendation family; adjacent-basket equi-join, no cross-order blowup",
+        tags=("reco", "window", "join"),
+    )
+)
+
+
+# --- user-user collaborative filtering over rare-item profiles ------------
+
+RARE_MAX_BUYERS = 20  # blocking keys must be selective, IDF-style
+UU_TOP_PAIRS = 30
+
+
+def user_user_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-user similarity: Jaccard over each customer's RARE-part
+    profile (parts with ≤ {RARE_MAX_BUYERS} buyers). Restricting to rare
+    items is the IDF insight — popular items carry no signal — AND the
+    scale guarantee: the pair-generating self-join is keyed on part with
+    a hard per-key fan-out bound, so candidate volume is
+    Σ_p |buyers_p|² ≤ {RARE_MAX_BUYERS}·|incidence|, never |customers|².
+    Jaccard is exact integer |∩| / (|A|+|B|-|∩|)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    bought = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    rare = (
+        bought.groupBy("p").agg(F.count(F.lit(1)).alias("n_buyers"))
+        .where(F.col("n_buyers") <= RARE_MAX_BUYERS)
+        .select("p")
+    )
+    prof = bought.join(F.broadcast(rare), "p")
+    sizes = prof.groupBy("c").agg(F.count(F.lit(1)).alias("n"))
+    a, b = prof.alias("a"), prof.alias("b")
+    inter = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.c") < F.col("b.c")))
+        .groupBy(F.col("a.c").alias("c1"), F.col("b.c").alias("c2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    n1 = sizes.select(F.col("c").alias("c1"), F.col("n").alias("n1"))
+    n2 = sizes.select(F.col("c").alias("c2"), F.col("n").alias("n2"))
+    scored = (
+        inter.join(n1, "c1").join(n2, "c2")
+        .select(
+            "c1", "c2", "inter",
+            F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 6).alias("jaccard"),
+        )
+    )
+    w_top = Window.orderBy(F.desc("jaccard"), F.desc("inter"), "c1", "c2")
+    return (
+        scored.withColumn("pos", F.row_number().over(w_top))
+        .where(F.col("pos") <= UU_TOP_PAIRS)
+        .select("pos", "c1", "c2", "inter", "jaccard")
+    )
+
+
+UU_SQL = f"""
+WITH bought AS (
+  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+rare AS (
+  SELECT p FROM bought GROUP BY p HAVING COUNT(*) <= {RARE_MAX_BUYERS}
+),
+prof AS (SELECT b.c, b.p FROM bought b JOIN rare r ON b.p = r.p),
+sizes AS (SELECT c, COUNT(*) AS n FROM prof GROUP BY c),
+inter AS (
+  SELECT a.c AS c1, b.c AS c2, COUNT(*) AS inter
+  FROM prof a JOIN prof b ON a.p = b.p AND a.c < b.c
+  GROUP BY 1, 2
+)
+SELECT pos, c1, c2, inter, jaccard FROM (
+  SELECT i.c1, i.c2, i.inter,
+         ROUND(i.inter / CAST(s1.n + s2.n - i.inter AS DOUBLE), 6) AS jaccard,
+         ROW_NUMBER() OVER (ORDER BY ROUND(i.inter / CAST(s1.n + s2.n - i.inter AS DOUBLE), 6) DESC,
+                            i.inter DESC, i.c1, i.c2) AS pos
+  FROM inter i JOIN sizes s1 ON i.c1 = s1.c JOIN sizes s2 ON i.c2 = s2.c
+) WHERE pos <= {UU_TOP_PAIRS}
+"""
+
+register(
+    QuerySpec(
+        "user_user_jaccard",
+        user_user_jaccard,
+        UU_SQL,
+        doc="user-user CF: exact Jaccard over rare-item profiles (bounded blocking join)",
+        cites="recommendation family; rare-key blocking bounds Σ buyers² fan-out",
+        tags=("reco", "join", "dedup"),
+    )
+)

@@ -12,7 +12,7 @@ covered by rollup_order_revenue), and per-column profiling
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from analytics_data_platform_spark.operators.profile import profile_columns
 from analytics_data_platform_spark.queries import QuerySpec, register
@@ -287,5 +287,172 @@ register(
         doc="dbt-style data-quality expectation report (16 checks, violations per check)",
         cites="reference dbt data_tests: cycles.yml:5-21; dbt_utils expression/relationships",
         tags=("warehouse", "quality"),
+    )
+)
+
+
+# --- point-in-time join: facts against an SCD2 dimension -------------------
+
+PIT_GOLD = 500_000.0
+PIT_PLAT = 900_000.0
+
+
+def pit_join_orders_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join: every order is attributed to the loyalty
+    tier the customer held ON THE ORDER DATE, against an SCD2-style
+    version table (base segment from 1994, then a tier recomputed from
+    each closed year's exact-decimal spend, effective Jan 1 of the next
+    year). This is the late-arriving-fact pattern every warehouse needs
+    and plain equi-joins get silently wrong.
+
+    Scale shape: the version table is built with one (custkey, year)
+    aggregation, and the temporal match uses the union+ordered-window
+    as-of plan (operators/asof.py) — ONE shuffle on custkey, no
+    inequality nested-loop. Tier thresholds compare exact DECIMAL sums
+    so version boundaries cannot drift between engines."""
+    from analytics_data_platform_spark.operators.asof import asof_join
+    from analytics_data_platform_spark.queries.exact import sum_money
+
+    o = load_table(spark, sf_dir, "orders")
+    yearly = (
+        o.groupBy("o_custkey", F.year("o_orderdate").alias("yr"))
+        .agg(sum_money("o_totalprice").alias("spend"))
+    )
+    tier = (
+        F.when(F.col("spend") >= PIT_PLAT, "platinum")
+        .when(F.col("spend") >= PIT_GOLD, "gold")
+        .otherwise("standard")
+    )
+    versions = yearly.select(
+        F.col("o_custkey").alias("custkey"),
+        tier.alias("tier"),
+        F.to_timestamp(F.concat((F.col("yr") + 1).cast("string"), F.lit("-01-01"))).alias(
+            "valid_from"
+        ),
+    )
+    base = (
+        o.select(F.col("o_custkey").alias("custkey")).distinct()
+        .select("custkey", F.lit("new").alias("tier"),
+                F.to_timestamp(F.lit("1994-01-01")).alias("valid_from"))
+    )
+    dim = base.unionByName(versions)
+    fact = o.select("o_orderkey", F.col("o_custkey").alias("custkey"), "o_orderdate", "o_totalprice")
+    joined = asof_join(
+        fact, dim, on=["custkey"], left_ts="o_orderdate", right_ts="valid_from",
+        value_cols=["tier"], suffix="",
+    )
+    return (
+        joined.groupBy(F.col("tier"), F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), sum_money("o_totalprice").alias("revenue"))
+    )
+
+
+PIT_SQL = f"""
+WITH yearly AS (
+  SELECT o_custkey AS custkey, year(o_orderdate) AS yr,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+  FROM orders GROUP BY 1, 2
+),
+versions AS (
+  SELECT custkey,
+         CASE WHEN spend >= {PIT_PLAT} THEN 'platinum'
+              WHEN spend >= {PIT_GOLD} THEN 'gold'
+              ELSE 'standard' END AS tier,
+         CAST((yr + 1) || '-01-01' AS TIMESTAMP) AS valid_from
+  FROM yearly
+),
+dim AS (
+  SELECT DISTINCT o_custkey AS custkey, 'new' AS tier,
+         TIMESTAMP '1994-01-01' AS valid_from
+  FROM orders
+  UNION ALL SELECT * FROM versions
+),
+matched AS (
+  SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate, d.tier
+  FROM orders o ASOF JOIN dim d
+    ON o.o_custkey = d.custkey AND o.o_orderdate >= d.valid_from
+)
+SELECT tier, CAST(year(o_orderdate) AS INT) AS order_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM matched GROUP BY 1, 2
+"""
+
+register(
+    QuerySpec(
+        "pit_join_orders_tier",
+        pit_join_orders_tier,
+        PIT_SQL,
+        doc="point-in-time join of orders against an SCD2 tier dimension (as-of plan)",
+        cites="warehouse temporal family; operators/asof.py union+window single-shuffle",
+        tags=("warehouse", "asof", "join"),
+    )
+)
+
+
+# --- ratio-to-parent over the rollup lattice -------------------------------
+
+
+def ratio_to_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP ratio-to-parent: revenue by region→nation with each nation's
+    share of its region and each region's share of the grand total —
+    the drill-down percentage column every BI tool derives. Computed from
+    ONE rollup pass: window sums over the lattice levels (partitioned by
+    grouping id) provide the parent denominators without re-aggregating.
+    Shares divide exact decimal-summed revenues, so they are engine-stable."""
+    from analytics_data_platform_spark.queries.exact import sum_money
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    enriched = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    lattice = (
+        enriched.rollup("r_name", "n_name")
+        .agg(sum_money("o_totalprice").alias("revenue"), F.grouping_id().alias("gid"))
+    )
+    w_region = Window.partitionBy("gid", "r_name")
+    w_level = Window.partitionBy("gid")
+    share_of_parent = (
+        F.when(F.col("gid") == 0, F.col("revenue") / F.sum("revenue").over(w_region))
+        .when(F.col("gid") == 1, F.col("revenue") / F.sum("revenue").over(w_level))
+        .otherwise(F.lit(1.0))
+    )
+    return lattice.select(
+        "r_name", "n_name", "gid", "revenue",
+        F.round(share_of_parent, 6).alias("share_of_parent"),
+    )
+
+
+RATIO_PARENT_SQL = """
+WITH lattice AS (
+  SELECT r_name, n_name,
+         GROUPING(r_name) * 2 + GROUPING(n_name) AS gid,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY ROLLUP (r_name, n_name)
+)
+SELECT r_name, n_name, gid, revenue,
+       ROUND(CASE WHEN gid = 0 THEN revenue / SUM(revenue) OVER (PARTITION BY gid, r_name)
+                  WHEN gid = 1 THEN revenue / SUM(revenue) OVER (PARTITION BY gid)
+                  ELSE 1.0 END, 6) AS share_of_parent
+FROM lattice
+"""
+
+register(
+    QuerySpec(
+        "ratio_to_parent_rollup",
+        ratio_to_parent_rollup,
+        RATIO_PARENT_SQL,
+        doc="ratio-to-parent drill-down shares over one region→nation rollup pass",
+        cites="OLAP lattice family; windows over grouping_id avoid re-aggregation",
+        tags=("warehouse", "rollup", "window"),
     )
 )
