@@ -72,14 +72,14 @@ DRIVER_SHOWCASE: tuple[str, ...] = (
     # training-data pipeline
     "pack_sequences",
     "minhash_calibration",
-    "chi_square_type_hour",
+    "session_path_topk",
     "cross_validate_ols",
     # classical ML / evaluation
     "kmeans_embeddings",
     "naive_bayes_source",
-    "roc_auc_value_purchase",
+    "mmr_diversified_topk",
     "kaplan_meier_retention",
-    "item_item_cosine",
+    "covisitation_next_part",
     "cuped_adjusted_ab",
     # warehouse modeling + data quality
     "scd2_customer_segments",
@@ -106,11 +106,11 @@ DRIVER_SHOWCASE: tuple[str, ...] = (
     # geo / time-series analysis
     "geo_neighbor_pairs",
     "acf_daily_revenue",
-    "holt_trend_forecast",
+    "knn_label_classifier",
     # windows / time
     "asof_purchase_click",
-    "user_running_balance",
-    "gap_fill_user_values",
+    "dbscan_grid_clusters",
+    "pit_join_orders_tier",
     "sessionize_events",
     "bpe_train_merges",
 )

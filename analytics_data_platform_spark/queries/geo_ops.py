@@ -18,7 +18,7 @@ cell-collision candidates.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from analytics_data_platform_spark.operators.geo import pairs_within_radius, with_cell
 from analytics_data_platform_spark.queries import QuerySpec, register
@@ -193,5 +193,126 @@ register(
         doc="10-degree grid density rollup (count, balance, nation mix) over synthesized points",
         cites="operators/geo.py with_cell",
         tags=("geo", "agg"),
+    )
+)
+
+
+# --- grid-DBSCAN: density clusters from the same bucketed machinery --------
+
+DBSCAN_RADIUS_MICRO = 4_000_000  # 4° Chebyshev ε
+DBSCAN_MIN_NEIGHBORS = 2  # core = at least this many neighbors within ε
+DBSCAN_TOP = 10
+
+
+def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over customer points, composed from scale-safe pieces:
+    ε-neighbor pairs from the 3×3 grid equi-join (never a cross product),
+    core points by neighbor degree, clusters as connected components of
+    the core-core graph via the O(log n)-round large-star/small-star
+    operator, and border points attached to their MIN core-neighbor
+    cluster (deterministic where textbook DBSCAN says 'arbitrary').
+
+    The oracle rebuilds everything from first principles — all-pairs
+    neighbors + recursive transitive closure — so the hash match proves
+    both the grid pruning AND the star CC agree with exact DBSCAN."""
+    from analytics_data_platform_spark.operators.dedup import cluster_duplicates_star
+
+    pts = _customer_points(spark, sf_dir)
+    pairs = pairs_within_radius(pts, DBSCAN_RADIUS_MICRO, id_col="id").select("id_a", "id_b")
+    sym = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    deg = sym.groupBy("id_a").agg(F.count(F.lit(1)).alias("deg"))
+    cores = deg.where(F.col("deg") >= DBSCAN_MIN_NEIGHBORS).select(F.col("id_a").alias("id"))
+    core_edges = (
+        pairs.join(cores.select(F.col("id").alias("id_a")), "id_a")
+        .join(cores.select(F.col("id").alias("id_b")), "id_b")
+        .select("id_a", "id_b")
+    )
+    # isolated cores (no core neighbor) still form singleton clusters
+    cc = cluster_duplicates_star(core_edges, a_col="id_a", b_col="id_b").select(
+        F.col("doc_id").alias("id"), "cluster_id"
+    )
+    core_cc = cores.join(cc, "id", "left").select(
+        "id", F.coalesce("cluster_id", "id").alias("cluster_id")
+    )
+    border = (
+        sym.join(core_cc.withColumnRenamed("id", "id_b"), "id_b")
+        .join(cores.withColumnRenamed("id", "id_a"), "id_a", "left_anti")
+        .groupBy(F.col("id_a").alias("id"))
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    sizes = (
+        core_cc.select("cluster_id", F.lit(1).alias("is_core"))
+        .unionByName(border.select("cluster_id", F.lit(0).alias("is_core")))
+        .groupBy("cluster_id")
+        .agg(
+            F.sum("is_core").alias("n_core"),
+            F.sum(1 - F.col("is_core")).alias("n_border"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    )
+    w = Window.orderBy(F.desc("n_total"), "cluster_id")
+    return (
+        sizes.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= DBSCAN_TOP)
+        .select("pos", "cluster_id", "n_core", "n_border", "n_total")
+    )
+
+
+DBSCAN_SQL = f"""
+WITH RECURSIVE pts AS ({_POINTS_SQL}),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM pts a JOIN pts b ON a.id < b.id
+  WHERE GREATEST(ABS(a.lat_micro - b.lat_micro), ABS(a.lon_micro - b.lon_micro))
+        <= {DBSCAN_RADIUS_MICRO}
+),
+sym AS (
+  SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs
+),
+cores AS (
+  SELECT id_a AS id FROM sym GROUP BY id_a HAVING COUNT(*) >= {DBSCAN_MIN_NEIGHBORS}
+),
+core_edges AS (
+  SELECT s.id_a, s.id_b FROM sym s
+  JOIN cores c1 ON s.id_a = c1.id JOIN cores c2 ON s.id_b = c2.id
+),
+reach(a, b) AS (
+  SELECT id AS a, id AS b FROM cores
+  UNION
+  SELECT r.a, e.id_b AS b FROM reach r JOIN core_edges e ON r.b = e.id_a
+),
+core_cc AS (SELECT a AS id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+border AS (
+  SELECT s.id_a AS id, MIN(cc.cluster_id) AS cluster_id
+  FROM sym s JOIN core_cc cc ON s.id_b = cc.id
+  WHERE s.id_a NOT IN (SELECT id FROM cores)
+  GROUP BY s.id_a
+),
+members AS (
+  SELECT cluster_id, 1 AS is_core FROM core_cc
+  UNION ALL SELECT cluster_id, 0 AS is_core FROM border
+),
+sizes AS (
+  SELECT cluster_id,
+         CAST(SUM(is_core) AS BIGINT) AS n_core,
+         CAST(SUM(1 - is_core) AS BIGINT) AS n_border,
+         COUNT(*) AS n_total
+  FROM members GROUP BY cluster_id
+)
+SELECT pos, cluster_id, n_core, n_border, n_total FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n_total DESC, cluster_id) AS pos FROM sizes
+) WHERE pos <= {DBSCAN_TOP}
+"""
+
+register(
+    QuerySpec(
+        "dbscan_grid_clusters",
+        dbscan_grid_clusters,
+        DBSCAN_SQL,
+        doc="DBSCAN via grid ε-pairs + star connected components + border attach",
+        cites="spatial family; composes operators/geo.py with operators/dedup.py CC",
+        tags=("geo", "graph", "dedup"),
     )
 )

@@ -1349,3 +1349,122 @@ register(
         tags=("ml", "eval", "clustering"),
     )
 )
+
+
+# --- k-NN classification via the two-phase top-k similarity plan -----------
+
+KNN_K = 5
+
+
+def knn_label_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN classifier evaluation: every 10th vector is held out and
+    classified by majority label among its 5 nearest training vectors
+    (cosine); reports per-true-label accuracy. This is the eval loop a
+    labeling/QA pipeline runs over embedding spaces.
+
+    Scale shape: the held-out side broadcasts, the training corpus
+    streams once, and neighbor selection is the TWO-PHASE top-k
+    (operators.similarity.topk_per_query) — per-partition local top-k
+    then a bounded global window, never a full-corpus sort per query.
+    Votes rank on (count DESC, label ASC) so ties are engine-stable;
+    similarities rank on ROUND(cos, 4) with vec_id tie-break."""
+    from analytics_data_platform_spark.functions import vectors as V
+    from analytics_data_platform_spark.operators.similarity import topk_per_query
+
+    e = load_table(spark, sf_dir, "embeddings")
+    test = e.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("q_emb"),
+        V.norm("embedding").alias("q_nrm"),
+    )
+    train = e.where(F.col("vec_id") % 10 != 0).select(
+        "vec_id", F.col("label").alias("n_label"), "embedding",
+        V.norm("embedding").alias("c_nrm"),
+    )
+    cos = F.when(
+        (F.col("q_nrm") > 0) & (F.col("c_nrm") > 0),
+        V.dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("c_nrm")),
+    )
+    scored = train.join(F.broadcast(test), F.lit(True)).select(
+        "q_id", "vec_id", F.round(cos, 4).alias("cos_sim")
+    )
+    # phase-1 pruning keeps only (q_id, vec_id, score); labels rejoin after.
+    # The top-k result is bounded (k × |queries|) — IT broadcasts against
+    # the big training side, never the reverse.
+    topk = topk_per_query(scored, KNN_K, "q_id", "vec_id", "cos_sim")
+    nn = (
+        train.select("vec_id", "n_label")
+        .join(F.broadcast(topk), "vec_id")
+        .join(F.broadcast(test.select("q_id", "true_label")), "q_id")
+    )
+    votes = nn.groupBy("q_id", "true_label", "n_label").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    w_vote = Window.partitionBy("q_id").orderBy(F.desc("v"), "n_label")
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w_vote))
+        .where(F.col("rn") == 1)
+        .select("q_id", "true_label", F.col("n_label").alias("pred_label"))
+    )
+    return pred.groupBy("true_label").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum((F.col("pred_label") == F.col("true_label")).cast("bigint")).alias("n_correct"),
+        F.round(
+            F.sum((F.col("pred_label") == F.col("true_label")).cast("bigint"))
+            / F.count(F.lit(1)), 4
+        ).alias("accuracy"),
+    )
+
+
+KNN_SQL = f"""
+WITH test AS (
+  SELECT vec_id AS q_id, label AS true_label, embedding AS q_emb
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+train AS (
+  SELECT vec_id, label AS n_label, embedding FROM embeddings WHERE vec_id % 10 <> 0
+),
+scored AS (
+  SELECT t.q_id, t.true_label, tr.vec_id, tr.n_label,
+         ROUND(
+           list_sum(list_transform(list_zip(t.q_emb, tr.embedding),
+                                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(t.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(tr.embedding,
+                                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+           AS cos_sim
+  FROM train tr CROSS JOIN test t
+),
+nn AS (
+  SELECT q_id, true_label, n_label FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM scored
+  ) WHERE rank <= {KNN_K}
+),
+votes AS (
+  SELECT q_id, true_label, n_label, COUNT(*) AS v FROM nn GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT q_id, true_label, n_label AS pred_label FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY v DESC, n_label) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT true_label, COUNT(*) AS n_test,
+       CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       ROUND(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS accuracy
+FROM pred GROUP BY true_label
+"""
+
+register(
+    QuerySpec(
+        "knn_label_classifier",
+        knn_label_classifier,
+        KNN_SQL,
+        doc="5-NN majority-vote classifier eval per label (two-phase top-k plan)",
+        cites="ml-eval family; operators/similarity.topk_per_query",
+        tags=("ml", "vector", "topk"),
+    )
+)

@@ -17,7 +17,7 @@ between engines cannot reorder the cut.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from analytics_data_platform_spark.functions import vectors as V
 from analytics_data_platform_spark.operators.similarity import topk_per_query
@@ -277,5 +277,66 @@ register(
         doc="hybrid BM25+cosine retrieval fused by reciprocal rank",
         cites="training-data ops: hybrid lexical/semantic retrieval",
         tags=("text", "vector", "search", "topk"),
+    )
+)
+
+
+# --- exact phrase search via adjacent-token match --------------------------
+
+PHRASE_A, PHRASE_B = "table", "value"
+PHRASE_TOP = 20
+
+
+def phrase_search_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search ('table value') as an adjacent-token match:
+    zip each token list with its own 1-shifted tail and count aligned
+    pairs. Positional adjacency — not substring LIKE — so 'table,
+    value-add' style false positives are impossible and the operator
+    generalizes to any n-gram phrase.
+
+    Scale shape: one narrow projection per document, token lists never
+    explode into rows (array HOFs run inside whole-stage codegen), and
+    the final top-k sorts only matching documents."""
+    d = load_table(spark, sf_dir, "documents")
+    n_matches = F.expr(
+        f"size(filter(zip_with(slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 1, 0)),"
+        f" slice(split(text, ' '), 2, greatest(size(split(text, ' ')) - 1, 0)),"
+        f" (a, b) -> a = '{PHRASE_A}' AND b = '{PHRASE_B}'), x -> x))"
+    )
+    hits = (
+        d.select("doc_id", "source", n_matches.alias("n_matches"))
+        .where(F.col("n_matches") > 0)
+    )
+    w = Window.orderBy(F.desc("n_matches"), "doc_id")
+    return (
+        hits.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= PHRASE_TOP)
+        .select("pos", "doc_id", "source", "n_matches")
+    )
+
+
+PHRASE_SQL = f"""
+WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+hits AS (
+  SELECT doc_id, source,
+         len(list_filter(list_transform(list_zip(t[:len(t)-1], t[2:]),
+                                        x -> x[1] = '{PHRASE_A}' AND x[2] = '{PHRASE_B}'),
+                         x -> x)) AS n_matches
+  FROM toks
+)
+SELECT pos, doc_id, source, n_matches FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n_matches DESC, doc_id) AS pos
+  FROM hits WHERE n_matches > 0
+) WHERE pos <= {PHRASE_TOP}
+"""
+
+register(
+    QuerySpec(
+        "phrase_search_adjacent",
+        phrase_search_adjacent,
+        PHRASE_SQL,
+        doc="exact-phrase search by adjacent-token zip (positional, not substring)",
+        cites="retrieval family; complements bm25_search with positional semantics",
+        tags=("search", "text"),
     )
 )

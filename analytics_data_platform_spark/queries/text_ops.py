@@ -1229,3 +1229,93 @@ register(
         tags=("text", "eval", "stats"),
     )
 )
+
+
+# --- spell suggestion: banded edit-distance join ---------------------------
+
+SPELL_VOCAB_N = 30
+
+
+def spell_suggest_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did-you-mean: for deterministic misspellings (each top-vocab term
+    with its 2nd character dropped), suggest the nearest vocabulary term
+    by Levenshtein distance. The candidate join is BLOCKED on length
+    bands (|len(query) − len(term)| ≤ 1 guarantees distance ≤ 1 edits of
+    length change) — a 3-key explode + equi-join, so the edit-distance
+    UDF-free comparison runs on O(vocab per band), never vocab² —
+    the same banding idea the MinHash/SimHash operators use.
+
+    Output proves round-trip recovery: hit = (suggestion == original)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok")).where(
+        F.length("tok") >= 4
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    w_top = Window.orderBy(F.desc("n"), "tok")
+    vocab = (
+        freq.withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") <= SPELL_VOCAB_N)
+        .select(F.col("tok").alias("term"))
+    )
+    queries = vocab.select(
+        F.col("term").alias("truth"),
+        F.concat(F.substring("term", 1, 1), F.expr("substring(term, 3)")).alias("q"),
+    )
+    banded = queries.select(
+        "truth", "q",
+        F.explode(
+            F.array(F.length("q") - 1, F.length("q"), F.length("q") + 1)
+        ).alias("blen"),
+    )
+    cand = banded.join(
+        F.broadcast(vocab.withColumn("blen", F.length("term"))), "blen"
+    ).select("truth", "q", "term", F.levenshtein("q", "term").alias("dist"))
+    w_best = Window.partitionBy("q").orderBy("dist", "term")
+    return (
+        cand.withColumn("rn", F.row_number().over(w_best))
+        .where(F.col("rn") == 1)
+        .select(
+            "q", "truth", F.col("term").alias("suggestion"), "dist",
+            (F.col("term") == F.col("truth")).alias("hit"),
+        )
+    )
+
+
+SPELL_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+freq AS (
+  SELECT tok, COUNT(*) AS n FROM toks WHERE length(tok) >= 4 GROUP BY tok
+),
+vocab AS (
+  SELECT tok AS term FROM (
+    SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rn FROM freq
+  ) WHERE rn <= {SPELL_VOCAB_N}
+),
+queries AS (
+  SELECT term AS truth, substr(term, 1, 1) || substr(term, 3) AS q FROM vocab
+),
+banded AS (
+  SELECT truth, q, unnest([length(q) - 1, length(q), length(q) + 1]) AS blen
+  FROM queries
+),
+cand AS (
+  SELECT b.truth, b.q, v.term, levenshtein(b.q, v.term) AS dist
+  FROM banded b JOIN vocab v ON length(v.term) = b.blen
+)
+SELECT q, truth, term AS suggestion, dist, term = truth AS hit FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q ORDER BY dist, term) AS rn FROM cand
+) WHERE rn = 1
+"""
+
+register(
+    QuerySpec(
+        "spell_suggest_vocab",
+        spell_suggest_vocab,
+        SPELL_SQL,
+        doc="did-you-mean via length-banded Levenshtein join over the corpus vocabulary",
+        cites="fuzzy-matching family; banding bounds the comparison set",
+        tags=("text", "search", "join"),
+    )
+)

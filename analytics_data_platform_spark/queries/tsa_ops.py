@@ -1332,3 +1332,104 @@ register(
         tags=("timeseries", "stats", "bootstrap"),
     )
 )
+
+
+# --- STL-style decomposition: trend + day-of-week seasonal + residual ------
+
+STL_TAIL_DAYS = 28
+
+
+def stl_dow_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical decomposition of daily revenue into trend (7-day centered
+    moving average), day-of-week seasonal effect (mean detrended value per
+    weekday, centered to sum≈0), and residual — reported for the last 28
+    days. The additive identity revenue = trend + seasonal + residual
+    holds exactly by construction.
+
+    Engine notes: daily revenue is an exact decimal sum; weekday uses
+    Spark weekday()+1 ≡ DuckDB isodow (Mon=1) — Spark/DuckDB dayofweek
+    disagree on Sunday. Three window/agg passes over the tiny daily
+    series; everything upstream of it is the one orders aggregation."""
+    from analytics_data_platform_spark.queries.exact import sum_money
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        sum_money("o_totalprice").alias("revenue")
+    )
+    w_ma = Window.orderBy("day").rowsBetween(-3, 3)
+    # trend numerator as an exact decimal window sum: Spark folds window
+    # frames sequentially while DuckDB uses a segment tree, so a double
+    # sum would drift by association order
+    trended = daily.select(
+        "day", "revenue",
+        (
+            F.sum(F.col("revenue").cast("decimal(18,2)")).over(w_ma).cast("double")
+            / F.count(F.lit(1)).over(w_ma)
+        ).alias("trend"),
+        F.count(F.lit(1)).over(w_ma).alias("_span"),
+    ).where(F.col("_span") == 7)
+    detr = trended.select(
+        "day", "revenue", "trend",
+        (F.col("revenue") - F.col("trend")).alias("detrended"),
+        (F.weekday("day") + 1).alias("dow"),
+    )
+    dow_eff = detr.groupBy("dow").agg(F.avg("detrended").alias("raw_eff"))
+    centered = dow_eff.crossJoin(
+        F.broadcast(dow_eff.agg(F.avg("raw_eff").alias("grand")))
+    ).select("dow", (F.col("raw_eff") - F.col("grand")).alias("seasonal"))
+    w_tail = Window.orderBy(F.desc("day"))
+    return (
+        detr.join(F.broadcast(centered), "dow")
+        .withColumn("rn", F.row_number().over(w_tail))
+        .where(F.col("rn") <= STL_TAIL_DAYS)
+        .select(
+            "day", "dow", "revenue",
+            F.round("trend", 4).alias("trend"),
+            F.round("seasonal", 4).alias("seasonal"),
+            F.round(F.col("detrended") - F.col("seasonal"), 4).alias("residual"),
+        )
+    )
+
+
+STL_SQL = f"""
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+),
+trended AS (
+  SELECT day, revenue,
+         CAST(SUM(CAST(revenue AS DECIMAL(18,2))) OVER w AS DOUBLE)
+           / COUNT(*) OVER w AS trend,
+         COUNT(*) OVER w AS _span
+  FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+detr AS (
+  SELECT day, revenue, trend, revenue - trend AS detrended,
+         CAST(isodow(day) AS INT) AS dow
+  FROM trended WHERE _span = 7
+),
+dow_eff AS (SELECT dow, AVG(detrended) AS raw_eff FROM detr GROUP BY dow),
+centered AS (
+  SELECT dow, raw_eff - (SELECT AVG(raw_eff) FROM dow_eff) AS seasonal FROM dow_eff
+)
+SELECT day, dow, revenue,
+       ROUND(trend, 4) AS trend,
+       ROUND(seasonal, 4) AS seasonal,
+       ROUND(detrended - seasonal, 4) AS residual
+FROM (
+  SELECT d.*, c.seasonal, ROW_NUMBER() OVER (ORDER BY d.day DESC) AS rn
+  FROM detr d JOIN centered c ON d.dow = c.dow
+) WHERE rn <= {STL_TAIL_DAYS}
+"""
+
+register(
+    QuerySpec(
+        "stl_dow_decomposition",
+        stl_dow_decomposition,
+        STL_SQL,
+        doc="trend + day-of-week seasonal + residual decomposition of daily revenue",
+        cites="time-series family; weekday portability note (weekday+1 ≡ isodow)",
+        tags=("tsa", "window"),
+    )
+)

@@ -8,7 +8,7 @@ functions (functions.vectors) — JVM-side, no Python boundary.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from analytics_data_platform_spark.functions import vectors as V
 from analytics_data_platform_spark.operators.similarity import topk_per_query
@@ -285,5 +285,141 @@ register(
         doc="recall@10 of IVF probes vs exact brute force — the nprobe/centroid quality gate",
         cites="companion of ann_recall_at_10; composes ann_ivf_topk + ann_cosine_topk",
         tags=("similarity", "eval", "ann"),
+    )
+)
+
+
+# --- MMR: diversified top-k retrieval --------------------------------------
+
+MMR_QUERY_ID = 0
+MMR_CAND = 12
+MMR_K = 5
+MMR_LAMBDA = 0.7
+
+
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance: re-rank the query's top-12 cosine
+    candidates into 5 picks that balance relevance against redundancy —
+    pick t maximizes λ·sim(q,c) − (1−λ)·max_{s∈picked} sim(c,s). The
+    greedy loop is k bounded DataFrame steps over the candidate set (the
+    corpus-scale work — candidate generation — is the usual broadcast
+    scan + two-phase top-k; MMR only ever touches k·|candidates| rows).
+
+    Both engines compute the identical greedy: similarities are rounded
+    to 4dp BEFORE selection, scores are the same two-term double
+    expression, ties break on vec_id — the oracle unrolls the five steps
+    as QUALIFY CTEs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == MMR_QUERY_ID).select(
+        F.col("embedding").alias("q_emb"), V.norm("embedding").alias("q_nrm")
+    )
+    cand_pool = e.where(F.col("vec_id") != MMR_QUERY_ID).select(
+        "vec_id", "embedding", V.norm("embedding").alias("c_nrm")
+    )
+    simq = V.dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("c_nrm"))
+    scored = cand_pool.join(F.broadcast(q)).select(
+        "vec_id", "embedding", "c_nrm", F.round(simq, 4).alias("simq")
+    )
+    w_top = Window.orderBy(F.desc("simq"), "vec_id")
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") <= MMR_CAND)
+        .select("vec_id", "embedding", "c_nrm", "simq")
+        .localCheckpoint(eager=False)
+    )
+    a = cand.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"),
+                    F.col("c_nrm").alias("na"))
+    b = cand.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"),
+                    F.col("c_nrm").alias("nb"))
+    pair = (
+        a.join(b, F.col("a") != F.col("b"))
+        .select("a", "b", F.round(V.dot("ea", "eb") / (F.col("na") * F.col("nb")), 4).alias("sim"))
+        .localCheckpoint(eager=False)
+    )
+    lam, lam1 = float(MMR_LAMBDA), 1.0 - float(MMR_LAMBDA)
+    cur = cand.select("vec_id", "simq", F.lit(None).cast("double").alias("maxsel"))
+    chosen = None
+    for step in range(1, MMR_K + 1):
+        score = F.lit(lam) * F.col("simq") - F.lit(lam1) * F.coalesce("maxsel", F.lit(0.0))
+        best = (
+            cur.select("vec_id", "simq", score.alias("mmr_score"))
+            .orderBy(F.desc("mmr_score"), "vec_id")
+            .limit(1)
+            .select(F.lit(step).alias("step"), "vec_id", "simq", F.round("mmr_score", 4).alias("mmr_score"))
+        )
+        chosen = best if chosen is None else chosen.unionByName(best)
+        sel = best.select(F.col("vec_id").alias("sel_id"))
+        cur = (
+            cur.join(F.broadcast(sel))
+            .where(F.col("vec_id") != F.col("sel_id"))
+            .join(
+                F.broadcast(pair.select(F.col("a").alias("vec_id"),
+                                        F.col("b").alias("sel_id"), "sim")),
+                ["vec_id", "sel_id"], "left",
+            )
+            .select(
+                "vec_id", "simq",
+                F.when(F.col("maxsel").isNull(), F.col("sim"))
+                .otherwise(F.greatest("maxsel", "sim")).alias("maxsel"),
+            )
+        )
+    return chosen
+
+
+def _mmr_sql() -> str:
+    lam, lam1 = float(MMR_LAMBDA), 1.0 - float(MMR_LAMBDA)
+    cos = (
+        "ROUND(list_sum(list_transform(list_zip({L}, {R}),"
+        " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform({L}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform({R}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)"
+    )
+    simq = cos.format(L="q.q_emb", R="e.embedding")
+    simab = cos.format(L="ca.embedding", R="cb.embedding")
+    steps = []
+    prev_union = "SELECT vec_id FROM p1"
+    for k in range(2, MMR_K + 1):
+        steps.append(f"""
+p{k} AS (
+  SELECT {k} AS step, vec_id, simq, ROUND(score, 4) AS mmr_score FROM (
+    SELECT c.vec_id, c.simq,
+           {lam} * c.simq - {lam1} * MAX(p.sim) AS score
+    FROM cand c JOIN pair p ON p.a = c.vec_id AND p.b IN ({prev_union})
+    WHERE c.vec_id NOT IN ({prev_union})
+    GROUP BY c.vec_id, c.simq
+  ) QUALIFY ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) = 1
+)""")
+        prev_union += f" UNION ALL SELECT vec_id FROM p{k}"
+    picks = "\nUNION ALL ".join(f"SELECT * FROM p{k}" for k in range(1, MMR_K + 1))
+    return f"""
+WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {MMR_QUERY_ID}),
+scored AS (
+  SELECT e.vec_id, e.embedding, {simq} AS simq
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> {MMR_QUERY_ID}
+),
+cand AS (
+  SELECT vec_id, embedding, simq FROM scored
+  QUALIFY ROW_NUMBER() OVER (ORDER BY simq DESC, vec_id) <= {MMR_CAND}
+),
+pair AS (
+  SELECT ca.vec_id AS a, cb.vec_id AS b, {simab} AS sim
+  FROM cand ca JOIN cand cb ON ca.vec_id <> cb.vec_id
+),
+p1 AS (
+  SELECT 1 AS step, vec_id, simq, ROUND({lam} * simq, 4) AS mmr_score FROM cand
+  QUALIFY ROW_NUMBER() OVER (ORDER BY {lam} * simq DESC, vec_id) = 1
+),{",".join(steps)}
+SELECT step, vec_id, simq, mmr_score FROM ({picks})
+"""
+
+
+register(
+    QuerySpec(
+        "mmr_diversified_topk",
+        mmr_diversified_topk,
+        _mmr_sql(),
+        doc="maximal-marginal-relevance diversified top-5 over cosine candidates",
+        cites="retrieval diversity family; greedy bounded to k·|candidates| rows",
+        tags=("vector", "search", "topk"),
     )
 )
