@@ -845,3 +845,82 @@ register(
         tags=("eval", "experimentation", "causal"),
     )
 )
+
+
+# --- offline bandit policy evaluation by replay ----------------------------
+
+_ARMS = ["click", "error", "purchase", "signup", "view"]  # sorted event types
+
+
+def bandit_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline policy evaluation by REPLAY (Li et al., WSDM'11): treat each
+    event as a logged (context, arm, reward) pull — arm = event_type,
+    reward = value — and score three candidate policies on exactly the
+    pulls where the policy's choice matches the logged arm (an unbiased
+    estimate when logging is uniform). Policies are pure context
+    functions: a constant arm, a user-hash arm, and an md5 ε-greedy mix —
+    all engine-exact md5 arithmetic, so both engines replay the identical
+    subset.
+
+    One scan computes every policy's choice as a projection; the replay
+    filter + per-policy aggregate is a single unpivoted groupBy. No
+    per-policy passes, no driver loop."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    arm_arr = F.array(*[F.lit(a) for a in _ARMS])
+    h_user = F.conv(F.substring(F.md5(F.concat(F.lit("arm:"), F.col("user_id").cast("string"))), 1, 8), 16, 10).cast("bigint")
+    h_eps = F.conv(F.substring(F.md5(F.concat(F.lit("eps:"), F.col("event_id").cast("string"))), 1, 8), 16, 10).cast("bigint")
+    pol_constant = F.lit("view")
+    pol_userhash = F.element_at(arm_arr, (h_user % 5 + 1).cast("int"))
+    pol_eps = F.when(h_eps % 10 == 0, F.element_at(arm_arr, (h_eps % 5 + 1).cast("int"))).otherwise(F.lit("view"))
+    tagged = e.select(
+        "event_type", "value",
+        F.explode(
+            F.array(
+                F.struct(F.lit("constant_view").alias("policy"), pol_constant.alias("chosen")),
+                F.struct(F.lit("user_hash").alias("policy"), pol_userhash.alias("chosen")),
+                F.struct(F.lit("eps_greedy_10").alias("policy"), pol_eps.alias("chosen")),
+            )
+        ).alias("p"),
+    ).select("event_type", "value", "p.policy", "p.chosen")
+    matched = tagged.where(F.col("chosen") == F.col("event_type"))
+    from analytics_data_platform_spark.queries.exact import sum_money
+    return matched.groupBy("policy").agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.round(sum_money("value") / F.count(F.lit(1)), 4).alias("est_reward"),
+    )
+
+
+BANDIT_SQL = """
+WITH e AS (SELECT event_id, user_id, event_type, value FROM events),
+arms(i, arm) AS (VALUES (0, 'click'), (1, 'error'), (2, 'purchase'), (3, 'signup'), (4, 'view')),
+scored AS (
+  SELECT event_type, value,
+         ('0x' || substr(md5('arm:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 5 AS iu,
+         ('0x' || substr(md5('eps:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT AS he
+  FROM e
+),
+tagged AS (
+  SELECT event_type, value, 'constant_view' AS policy, 'view' AS chosen FROM scored
+  UNION ALL
+  SELECT s.event_type, s.value, 'user_hash', a.arm FROM scored s JOIN arms a ON a.i = s.iu
+  UNION ALL
+  SELECT s.event_type, s.value, 'eps_greedy_10',
+         CASE WHEN s.he % 10 = 0 THEN a.arm ELSE 'view' END
+  FROM scored s JOIN arms a ON a.i = s.he % 5
+)
+SELECT policy, COUNT(*) AS n_matched,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS est_reward
+FROM tagged WHERE chosen = event_type
+GROUP BY policy
+"""
+
+register(
+    QuerySpec(
+        "bandit_replay_eval",
+        bandit_replay_eval,
+        BANDIT_SQL,
+        doc="offline bandit policy evaluation by replay over logged events",
+        cites="experimentation family; unbiased replay estimator, md5-deterministic policies",
+        tags=("eval", "experiment"),
+    )
+)

@@ -679,3 +679,107 @@ register(
         tags=("dedup", "eval", "approx"),
     )
 )
+
+
+# --- entity resolution: blocked record linkage with known ground truth -----
+
+_RL_CLONE_OFFSET = 10_000_000
+_RL_THRESHOLD = 6.0
+
+
+def record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end, self-evaluating: every 7th customer
+    gets a synthetic duplicate (name truncated by one char, balance
+    +0.01), then blocking → field-similarity scoring → threshold
+    matching runs WITHOUT knowing which rows are clones, and the known
+    ground truth scores the result (pairs found / precision / recall).
+
+    Blocking key = (nationkey, digits 1-5 of the name tail): selectivity
+    grows with the key space, so block sizes — and the per-block pair
+    quadratic — stay bounded as the table grows; the score is a
+    Fellegi-Sunter-style weighted agreement (Levenshtein name similarity,
+    segment equality, balance-within-2-units on integer cents)."""
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"), F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    clones = base.where(F.col("id") % 7 == 0).select(
+        (F.col("id") + _RL_CLONE_OFFSET).alias("id"),
+        F.expr("substring(name, 1, length(name) - 1)").alias("name"),
+        "nat", "seg", (F.col("cents") + 1).alias("cents"),
+    )
+    dirty = base.unionByName(clones).withColumn(
+        "blk", F.concat(F.col("nat").cast("string"), F.lit("|"), F.expr("substring(name, 10, 5)"))
+    )
+    a, b = dirty.alias("a"), dirty.alias("b")
+    cand = a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+    name_sim = F.lit(1.0) - F.levenshtein(F.col("a.name"), F.col("b.name")) / F.greatest(
+        F.length("a.name"), F.length("b.name")
+    )
+    score = (
+        F.lit(4.0) * name_sim
+        + F.lit(2.0) * (F.col("a.seg") == F.col("b.seg")).cast("double")
+        + F.lit(1.0) * (F.abs(F.col("a.cents") - F.col("b.cents")) <= 200).cast("double")
+    )
+    scored = cand.select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), score.alias("score"),
+        (F.col("b.id") - F.col("a.id") == _RL_CLONE_OFFSET).cast("bigint").alias("is_true"),
+    )
+    matches = scored.where(F.col("score") >= _RL_THRESHOLD)
+    truth_n = clones.count()  # bounded metadata count for the report denominator
+    return matches.agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.sum("is_true").alias("true_found"),
+        F.sum(1 - F.col("is_true")).alias("false_matches"),
+        F.lit(truth_n).alias("n_true_pairs"),
+        F.round(F.sum("is_true") / F.count(F.lit(1)), 4).alias("precision"),
+        F.round(F.sum("is_true") / F.lit(float(truth_n)), 4).alias("recall"),
+    )
+
+
+RL_SQL = f"""
+WITH base AS (
+  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat, c_mktsegment AS seg,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+),
+clones AS (
+  SELECT id + {_RL_CLONE_OFFSET} AS id, substr(name, 1, length(name) - 1) AS name,
+         nat, seg, cents + 1 AS cents
+  FROM base WHERE id % 7 = 0
+),
+dirty AS (
+  SELECT *, CAST(nat AS VARCHAR) || '|' || substr(name, 10, 5) AS blk
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM clones)
+),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         4.0 * (1.0 - levenshtein(a.name, b.name)
+                / CAST(GREATEST(length(a.name), length(b.name)) AS DOUBLE))
+         + 2.0 * CASE WHEN a.seg = b.seg THEN 1.0 ELSE 0.0 END
+         + 1.0 * CASE WHEN ABS(a.cents - b.cents) <= 200 THEN 1.0 ELSE 0.0 END AS score,
+         CASE WHEN b.id - a.id = {_RL_CLONE_OFFSET} THEN 1 ELSE 0 END AS is_true
+  FROM dirty a JOIN dirty b ON a.blk = b.blk AND a.id < b.id
+),
+matches AS (SELECT * FROM cand WHERE score >= {_RL_THRESHOLD})
+SELECT COUNT(*) AS n_matches,
+       CAST(SUM(is_true) AS BIGINT) AS true_found,
+       CAST(SUM(1 - is_true) AS BIGINT) AS false_matches,
+       (SELECT COUNT(*) FROM clones) AS n_true_pairs,
+       ROUND(SUM(is_true) / CAST(COUNT(*) AS DOUBLE), 4) AS precision,
+       ROUND(SUM(is_true) / CAST((SELECT COUNT(*) FROM clones) AS DOUBLE), 4) AS recall
+FROM matches
+"""
+
+register(
+    QuerySpec(
+        "record_linkage_blocked",
+        record_linkage_blocked,
+        RL_SQL,
+        doc="entity resolution: blocking + weighted field scoring, precision/recall vs planted truth",
+        cites="dedup/linkage family; self-evaluating like ann_recall_at_10",
+        tags=("dedup", "join", "scale"),
+    )
+)

@@ -340,3 +340,65 @@ register(
         tags=("search", "text"),
     )
 )
+
+
+# --- KWIC: keyword-in-context snippets around the first phrase hit ---------
+
+KWIC_TOP = 20
+KWIC_CTX = 3  # tokens of context either side
+
+
+def kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context: for documents containing the phrase, extract a
+    ±3-token window around the FIRST occurrence — the preview snippet a
+    search UI renders. First-hit position and the slice are pure array
+    HOFs over the token list (sequence → filter → element_at → slice); no
+    explode, no UDF, so the per-document work is one codegen'd
+    projection."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    # try_element_at: ANSI element_at throws on out-of-range (single-token
+    # docs probe i+1 past the end; no-hit docs have an empty position list)
+    hit_positions = F.filter(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda i: (F.try_element_at(toks, i) == PHRASE_A)
+        & (F.try_element_at(toks, i + 1) == PHRASE_B),
+    )
+    first = F.try_element_at(hit_positions, F.lit(1))
+    start = F.greatest(first - KWIC_CTX, F.lit(1))
+    stop = F.least(first + 1 + KWIC_CTX, n)
+    snippet = F.array_join(F.slice(toks, start, stop - start + 1), " ")
+    return (
+        d.select("doc_id", "source", first.alias("first_pos"), snippet.alias("snippet"))
+        .where(F.col("first_pos").isNotNull())
+        .orderBy("doc_id")
+        .limit(KWIC_TOP)
+    )
+
+
+KWIC_SQL = f"""
+WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+hits AS (
+  SELECT doc_id, source, t,
+         list_filter(range(1, greatest(len(t), 2)),
+                     i -> t[i] = '{PHRASE_A}' AND t[i + 1] = '{PHRASE_B}')[1] AS first_pos
+  FROM toks
+)
+SELECT doc_id, source, first_pos,
+       array_to_string(list_slice(t, greatest(first_pos - {KWIC_CTX}, 1),
+                                  least(first_pos + 1 + {KWIC_CTX}, len(t))), ' ') AS snippet
+FROM hits WHERE first_pos IS NOT NULL
+ORDER BY doc_id LIMIT {KWIC_TOP}
+"""
+
+register(
+    QuerySpec(
+        "kwic_snippets",
+        kwic_snippets,
+        KWIC_SQL,
+        doc="keyword-in-context snippet extraction around the first phrase hit",
+        cites="retrieval family; snippet companion to phrase_search_adjacent",
+        tags=("search", "text"),
+    )
+)

@@ -1433,3 +1433,110 @@ register(
         tags=("tsa", "window"),
     )
 )
+
+
+# --- hierarchical forecast reconciliation (region → nation) ----------------
+
+_HF_TRAIN = ("2001-02-01", "2001-03-01", "2001-04-01")
+_HF_HOLDOUT = "2001-05-01"
+
+
+def hierarchical_forecast_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical forecasting: per-nation 3-month-mean base forecasts
+    disagree with the independently-forecast region total, so the region
+    forecast is allocated TOP-DOWN by each nation's base-forecast share —
+    the standard proportional reconciliation that makes drill-downs sum
+    to the headline number. Reports base vs reconciled vs holdout actual
+    per nation.
+
+    Monthly revenue is exact decimal; forecasts divide exact sums, so
+    both engines allocate identical shares. One aggregation builds the
+    monthly panel; windows over region provide the share denominators."""
+    from analytics_data_platform_spark.queries.exact import sum_money
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    panel = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name", F.date_trunc("month", "o_orderdate").alias("m"))
+        .agg(sum_money("o_totalprice").alias("rev"))
+    )
+    in_train = F.date_format("m", "yyyy-MM-dd").isin(list(_HF_TRAIN))
+    base = (
+        panel.where(in_train)
+        .groupBy("r_name", "n_name")
+        .agg((F.sum(F.col("rev").cast("decimal(18,2)")).cast("double") / 3.0).alias("base_fc"))
+    )
+    w_region = Window.partitionBy("r_name")
+    region_fc = F.sum("base_fc").over(w_region)  # bottom-up region total
+    # independent region forecast: mean of the region's 3 training months
+    region_own = (
+        panel.where(in_train)
+        .groupBy("r_name")
+        .agg((F.sum(F.col("rev").cast("decimal(18,2)")).cast("double") / 3.0).alias("region_fc"))
+    )
+    actual = (
+        panel.where(F.col("m") == F.to_timestamp(F.lit(_HF_HOLDOUT)))
+        .select("r_name", "n_name", F.col("rev").alias("actual"))
+    )
+    return (
+        base.withColumn("bu_region_sum", region_fc)
+        .join(F.broadcast(region_own), "r_name")
+        .join(actual, ["r_name", "n_name"], "left")
+        .select(
+            "r_name", "n_name",
+            F.round("base_fc", 2).alias("base_fc"),
+            F.round(F.col("region_fc") * F.col("base_fc") / F.col("bu_region_sum"), 2).alias("td_fc"),
+            F.round(F.coalesce("actual", F.lit(0.0)), 2).alias("actual"),
+        )
+    )
+
+
+HF_SQL = f"""
+WITH panel AS (
+  SELECT r_name, n_name, date_trunc('month', o_orderdate) AS m,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2, 3
+),
+base AS (
+  SELECT r_name, n_name,
+         CAST(SUM(CAST(rev AS DECIMAL(18,2))) AS DOUBLE) / 3.0 AS base_fc
+  FROM panel WHERE m IN (TIMESTAMP '{_HF_TRAIN[0]}', TIMESTAMP '{_HF_TRAIN[1]}', TIMESTAMP '{_HF_TRAIN[2]}')
+  GROUP BY 1, 2
+),
+region_own AS (
+  SELECT r_name,
+         CAST(SUM(CAST(rev AS DECIMAL(18,2))) AS DOUBLE) / 3.0 AS region_fc
+  FROM panel WHERE m IN (TIMESTAMP '{_HF_TRAIN[0]}', TIMESTAMP '{_HF_TRAIN[1]}', TIMESTAMP '{_HF_TRAIN[2]}')
+  GROUP BY 1
+),
+actual AS (
+  SELECT r_name, n_name, rev AS actual FROM panel WHERE m = TIMESTAMP '{_HF_HOLDOUT}'
+)
+SELECT b.r_name, b.n_name,
+       ROUND(b.base_fc, 2) AS base_fc,
+       ROUND(ro.region_fc * b.base_fc / SUM(b.base_fc) OVER (PARTITION BY b.r_name), 2) AS td_fc,
+       ROUND(COALESCE(a.actual, 0.0), 2) AS actual
+FROM base b
+JOIN region_own ro ON b.r_name = ro.r_name
+LEFT JOIN actual a ON b.r_name = a.r_name AND b.n_name = a.n_name
+"""
+
+register(
+    QuerySpec(
+        "hierarchical_forecast_reconcile",
+        hierarchical_forecast_reconcile,
+        HF_SQL,
+        doc="top-down proportional reconciliation of nation forecasts to the region total",
+        cites="hierarchical-forecasting family; exact decimal panel, window share allocation",
+        tags=("tsa", "warehouse", "window"),
+    )
+)

@@ -456,3 +456,63 @@ register(
         tags=("warehouse", "rollup", "window"),
     )
 )
+
+
+# --- referential-integrity audit over every FK edge ------------------------
+
+_FK_EDGES = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: for every declared FK edge, the child
+    row count, orphan count (left-anti join against the parent key), and
+    distinct child key cardinality — the first report a warehouse runs
+    after every load. One anti-join + one agg per edge; parents that are
+    dimension-sized broadcast, the two fact-side edges shuffle on the key
+    they would join on anyway."""
+    parts = []
+    for edge, child_t, child_k, parent_t, parent_k in _FK_EDGES:
+        child = load_table(spark, sf_dir, child_t).select(F.col(child_k).alias("k"))
+        parent = load_table(spark, sf_dir, parent_t).select(F.col(parent_k).alias("k"))
+        orphans = child.join(parent, "k", "left_anti")
+        parts.append(
+            child.agg(
+                F.lit(edge).alias("fk_edge"),
+                F.count(F.lit(1)).alias("n_child_rows"),
+                F.count_distinct("k").alias("n_child_keys"),
+            ).crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("fk_edge", "n_child_rows", "n_child_keys", "n_orphans")
+
+
+_FK_SQL_ROWS = "\nUNION ALL\n".join(
+    f"""SELECT '{edge}' AS fk_edge,
+       (SELECT COUNT(*) FROM {child_t}) AS n_child_rows,
+       (SELECT COUNT(DISTINCT {child_k}) FROM {child_t}) AS n_child_keys,
+       (SELECT COUNT(*) FROM {child_t} c WHERE NOT EXISTS
+          (SELECT 1 FROM {parent_t} p WHERE p.{parent_k} = c.{child_k})) AS n_orphans"""
+    for edge, child_t, child_k, parent_t, parent_k in _FK_EDGES
+)
+FK_SQL = _FK_SQL_ROWS
+
+register(
+    QuerySpec(
+        "fk_integrity_audit",
+        fk_integrity_audit,
+        FK_SQL,
+        doc="orphan + cardinality audit for every foreign-key edge in the schema",
+        cites="warehouse data-quality family; companion to dq_expectations",
+        tags=("warehouse", "dq", "join"),
+    )
+)
