@@ -976,3 +976,88 @@ register(
         tags=("econ", "ranking"),
     )
 )
+
+
+# --- Simpson's paradox screen: pooled vs within-brand OLS slopes -----------
+
+
+def simpson_paradox_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen: the pooled OLS slope of line revenue on
+    quantity vs each brand's within-brand slope — brands whose slope sign
+    OPPOSES the pooled sign are aggregation traps where a dashboard's
+    'overall trend' inverts on drill-down.
+
+    Slopes come from exact BIGINT co-moments (quantity is integer,
+    revenue in cents): slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), evaluated
+    in DOUBLE only at the final division, identically in both engines.
+    One pass builds brand moments; the pooled moments are their sums."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rows = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).select(
+        "p_brand",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    brand = rows.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    pooled = brand.agg(
+        F.sum("n").alias("tn"), F.sum("sx").alias("tsx"), F.sum("sy").alias("tsy"),
+        F.sum("sxx").alias("tsxx"), F.sum("sxy").alias("tsxy"),
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = F.when(den != 0, (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den)
+    tden = (F.col("tn") * F.col("tsxx") - F.col("tsx") * F.col("tsx")).cast("double")
+    pooled_slope = F.when(
+        tden != 0, (F.col("tn") * F.col("tsxy") - F.col("tsx") * F.col("tsy")) / tden
+    )
+    return (
+        brand.crossJoin(F.broadcast(pooled))
+        .select(
+            "p_brand", "n",
+            F.round(slope / 100.0, 6).alias("brand_slope"),
+            F.round(pooled_slope / 100.0, 6).alias("pooled_slope"),
+            (F.signum(slope) != F.signum(pooled_slope)).alias("sign_flip"),
+        )
+    )
+
+
+SIMPSON_SQL = """
+WITH rows_ AS (
+  SELECT p_brand, CAST(l_quantity AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+brand AS (
+  SELECT p_brand, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM rows_ GROUP BY p_brand
+),
+pooled AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(sx) AS BIGINT) AS tsx,
+         CAST(SUM(sy) AS BIGINT) AS tsy, CAST(SUM(sxx) AS BIGINT) AS tsxx,
+         CAST(SUM(sxy) AS BIGINT) AS tsxy
+  FROM brand
+)
+SELECT p_brand, n,
+       ROUND((n * sxy - sx * sy) / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0) / 100.0, 6) AS brand_slope,
+       ROUND((tn * tsxy - tsx * tsy) / NULLIF(CAST(tn * tsxx - tsx * tsx AS DOUBLE), 0) / 100.0, 6) AS pooled_slope,
+       SIGN((n * sxy - sx * sy) / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0))
+         <> SIGN((tn * tsxy - tsx * tsy) / NULLIF(CAST(tn * tsxx - tsx * tsx AS DOUBLE), 0)) AS sign_flip
+FROM brand CROSS JOIN pooled
+"""
+
+register(
+    QuerySpec(
+        "simpson_paradox_brands",
+        simpson_paradox_brands,
+        SIMPSON_SQL,
+        doc="pooled vs within-brand OLS slope sign flips (aggregation-trap screen)",
+        cites="statistics family; exact BIGINT co-moments, one pass + rollup of moments",
+        tags=("stats", "agg"),
+    )
+)

@@ -924,3 +924,107 @@ register(
         tags=("eval", "experiment"),
     )
 )
+
+
+# --- time-decay multi-touch attribution (dyadic weights, exact split) ------
+
+
+def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay attribution: clicks in the 24 h before a purchase share
+    its value with weight halving every 6 h — recent touches earn more.
+    Weights are DYADIC integers (8 >> (hours-before div 6) ∈ {8,4,2,1}),
+    so the split is exact integer arithmetic: credit = cents·w div Σw,
+    remainder to the most recent touch. No float pow — cross-engine libm
+    differences can flip a hash even when the math is 'the same formula'.
+
+    Same one-shuffle user-keyed range join as linear_attribution; only
+    the weighting differs."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("purchase_id"),
+        us.alias("p_us"), F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("click_id"), us.alias("c_us"),
+    )
+    span = ATTR_WINDOW_HOURS * 3_600_000_000
+    touched = purchases.join(
+        clicks,
+        (purchases.u == clicks.u)
+        & (F.col("c_us") <= F.col("p_us"))
+        & (F.col("c_us") > F.col("p_us") - span),
+    ).select(
+        "purchase_id", "cents", "click_id", "c_us",
+        F.expr("shiftright(8, CAST((p_us - c_us) div 21600000000 AS INT))").cast("bigint").alias("w"),
+    )
+    w_p = Window.partitionBy("purchase_id")
+    w_recent = Window.partitionBy("purchase_id").orderBy(F.desc("c_us"), "click_id")
+    alloc = touched.select(
+        "purchase_id", "click_id", "c_us", "cents",
+        F.sum("w").over(w_p).alias("sw"),
+        (F.row_number().over(w_recent) == 1).cast("int").alias("is_recent"),
+        "w",
+    ).withColumn("base_credit", F.expr("(cents * w) div sw"))
+    # remainder = cents - Σ base over the purchase, paid to the most recent
+    rem = F.col("cents") - F.sum("base_credit").over(w_p)
+    final = alloc.select(
+        "click_id", "c_us",
+        (F.col("base_credit") + rem * F.col("is_recent")).alias("credit_cents"),
+    )
+    return (
+        final.groupBy(F.date_trunc("hour", F.timestamp_micros("c_us")).alias("click_hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("credit_cents").alias("credit_cents"),
+        )
+    )
+
+
+TIME_DECAY_SQL = f"""
+WITH purchases AS (
+  SELECT user_id AS u, event_id AS purchase_id, epoch_us(ts) AS p_us,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id AS u, event_id AS click_id, epoch_us(ts) AS c_us
+  FROM events WHERE event_type = 'click'
+),
+touched AS (
+  SELECT p.purchase_id, p.cents, c.click_id, c.c_us,
+         CAST(8 // power(2, CAST((p.p_us - c.c_us) // 21600000000 AS INT)) AS BIGINT) AS w
+  FROM purchases p JOIN clicks c
+    ON p.u = c.u AND c.c_us <= p.p_us
+   AND c.c_us > p.p_us - {ATTR_WINDOW_HOURS} * 3600000000
+),
+alloc AS (
+  SELECT click_id, c_us, purchase_id, cents, w,
+         (cents * w) // SUM(w) OVER (PARTITION BY purchase_id) AS base_credit,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY purchase_id ORDER BY c_us DESC, click_id) = 1
+              THEN 1 ELSE 0 END AS is_recent
+  FROM touched
+),
+final AS (
+  SELECT click_id, c_us,
+         base_credit + (cents - SUM(base_credit) OVER (PARTITION BY purchase_id)) * is_recent
+           AS credit_cents
+  FROM alloc
+)
+SELECT date_trunc('hour', make_timestamp(c_us)) AS click_hour,
+       COUNT(*) AS n_touches,
+       CAST(SUM(credit_cents) AS BIGINT) AS credit_cents
+FROM final
+GROUP BY 1
+"""
+
+register(
+    QuerySpec(
+        "time_decay_attribution",
+        time_decay_attribution,
+        TIME_DECAY_SQL,
+        doc="time-decay multi-touch attribution with exact dyadic-integer splits",
+        cites="marketing-analytics family; dyadic weights avoid cross-engine pow",
+        tags=("analytics", "join", "window"),
+    )
+)

@@ -706,3 +706,107 @@ register(
         tags=("analytics", "interval", "window"),
     )
 )
+
+
+# --- Little's law audit per month ------------------------------------------
+
+
+def littles_law_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law audit (L = λ·W) on order fulfilment: per month,
+    average open orders (L) from month-overlap days, arrival rate (λ =
+    orders started / days-in-month), and mean residence time W of the
+    orders that started that month. The L/(λW) ratio deviates from 1
+    exactly where flow isn't stationary (boundary-spanning orders) — the
+    queueing sanity check behind every throughput dashboard.
+
+    The interval→month expansion explodes each order to the months it
+    spans (sequence over month starts — bounded by the order's own span,
+    no global calendar cross join); everything is integer day arithmetic
+    until the three final divisions."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    iv = (
+        li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("done"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("s"),
+            # synthetic data can ship before the order date; clamp so the
+            # month sequence never descends (Spark sequence errors on it)
+            F.greatest(F.to_date("done"), F.to_date("o_orderdate")).alias("e"),
+        )
+    )
+    months = iv.select(
+        "o_orderkey", "s", "e",
+        F.explode(
+            F.sequence(F.trunc("s", "month"), F.trunc("e", "month"), F.expr("interval 1 month"))
+        ).alias("m"),
+    )
+    m_end = F.last_day("m")
+    overlap = (
+        F.datediff(F.least(F.col("e"), m_end), F.greatest(F.col("s"), F.col("m"))) + 1
+    )
+    per_month = months.groupBy("m").agg(
+        F.sum(overlap).alias("open_days"),
+        F.sum((F.trunc("s", "month") == F.col("m")).cast("bigint")).alias("n_started"),
+        F.sum(
+            F.when(F.trunc("s", "month") == F.col("m"), F.datediff("e", "s") + 1)
+        ).alias("dur_started"),
+    )
+    days_in_m = (F.datediff(F.last_day("m"), F.col("m")) + 1).cast("double")
+    lam = F.col("n_started") / days_in_m
+    big_l = F.col("open_days") / days_in_m
+    big_w = F.col("dur_started") / F.col("n_started").cast("double")
+    return per_month.where(F.col("n_started") > 0).select(
+        F.col("m").cast("timestamp").alias("month"),
+        "n_started",
+        F.round(big_l, 4).alias("avg_open"),
+        F.round(lam, 4).alias("arrival_rate"),
+        F.round(big_w, 4).alias("mean_residence_days"),
+        F.round(big_l / (lam * big_w), 4).alias("littles_ratio"),
+    )
+
+
+LITTLES_SQL = """
+WITH iv AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS s,
+         GREATEST(CAST(done AS DATE), CAST(o_orderdate AS DATE)) AS e
+  FROM (SELECT l_orderkey, MAX(l_shipdate) AS done FROM lineitem GROUP BY l_orderkey) d
+  JOIN orders ON l_orderkey = o_orderkey
+),
+months AS (
+  SELECT o_orderkey, s, e,
+         CAST(unnest(generate_series(date_trunc('month', s), date_trunc('month', e),
+                                     INTERVAL 1 MONTH)) AS DATE) AS m
+  FROM iv
+),
+per_month AS (
+  SELECT m,
+         CAST(SUM(date_diff('day', GREATEST(s, m), LEAST(e, last_day(m))) + 1) AS BIGINT)
+           AS open_days,
+         CAST(SUM(CASE WHEN date_trunc('month', s) = m THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_started,
+         CAST(SUM(CASE WHEN date_trunc('month', s) = m
+                       THEN date_diff('day', s, e) + 1 END) AS BIGINT) AS dur_started
+  FROM months GROUP BY m
+)
+SELECT CAST(m AS TIMESTAMP) AS month, n_started,
+       ROUND(open_days / CAST(date_diff('day', m, last_day(m)) + 1 AS DOUBLE), 4) AS avg_open,
+       ROUND(n_started / CAST(date_diff('day', m, last_day(m)) + 1 AS DOUBLE), 4) AS arrival_rate,
+       ROUND(dur_started / CAST(n_started AS DOUBLE), 4) AS mean_residence_days,
+       ROUND((open_days / CAST(date_diff('day', m, last_day(m)) + 1 AS DOUBLE))
+             / ((n_started / CAST(date_diff('day', m, last_day(m)) + 1 AS DOUBLE))
+                * (dur_started / CAST(n_started AS DOUBLE))), 4) AS littles_ratio
+FROM per_month WHERE n_started > 0
+"""
+
+register(
+    QuerySpec(
+        "littles_law_monthly",
+        littles_law_monthly,
+        LITTLES_SQL,
+        doc="Little's law audit per month (avg open vs arrival rate x residence)",
+        cites="ops-analytics family; interval-to-month explode bounded by order span",
+        tags=("analytics", "window", "intervals"),
+    )
+)

@@ -1,0 +1,57 @@
+"""Plan guards for the round-3 operator additions: the scale claims in the
+docstrings (equi-join candidate generation, bounded broadcasts, HOF-only
+text paths) must be visible in the optimized physical plans."""
+
+from __future__ import annotations
+
+from tests.test_plans import plan_of
+
+
+def test_dbscan_is_equi_join_not_cartesian(spark, sf_dir):
+    plan = plan_of(spark, "dbscan_grid_clusters", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_phrase_and_kwic_stay_jvm_side_without_explode(spark, sf_dir):
+    for name in ("phrase_search_adjacent", "kwic_snippets"):
+        plan = plan_of(spark, name, sf_dir)
+        # token-list work is array HOFs inside projections: no Python
+        # boundary and no row explosion of the token lists
+        assert "EvalPython" not in plan, name
+        assert "Generate" not in plan, name
+
+
+def test_spell_suggest_blocked_join_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, "spell_suggest_vocab", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pit_join_single_shuffle_no_nested_loop(spark, sf_dir):
+    plan = plan_of(spark, "pit_join_orders_tier", sf_dir)
+    # the as-of match must be the union+window plan, not an inequality join
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_covisitation_adjacent_rank_equi_join(spark, sf_dir):
+    plan = plan_of(spark, "covisitation_next_part", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_record_linkage_blocked_join_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, "record_linkage_blocked", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_broadcasts_bounded_sides_only(spark, sf_dir):
+    plan = plan_of(spark, "knn_label_classifier", sf_dir)
+    # scoring joins broadcast the held-out queries and the k·|queries|
+    # top-k rows; the training corpus must never be the built side of a
+    # nested loop
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2
