@@ -1008,11 +1008,17 @@ def simpson_paradox_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("tn"), F.sum("sx").alias("tsx"), F.sum("sy").alias("tsy"),
         F.sum("sxx").alias("tsxx"), F.sum("sxy").alias("tsxy"),
     )
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    slope = F.when(den != 0, (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den)
-    tden = (F.col("tn") * F.col("tsxx") - F.col("tsx") * F.col("tsx")).cast("double")
+    # moment cross-products overflow int64 at sf0.1+ (tn·tsxy ~ 1e20);
+    # widen to DECIMAL(38,0) (Spark) / HUGEINT (oracle) — exact, loud on
+    # overflow, and both engines divide the same exact integers
+    def d(c):
+        return F.col(c).cast("decimal(19,0)")
+
+    den = (d("n") * d("sxx") - d("sx") * d("sx")).cast("double")
+    slope = F.when(den != 0, (d("n") * d("sxy") - d("sx") * d("sy")).cast("double") / den)
+    tden = (d("tn") * d("tsxx") - d("tsx") * d("tsx")).cast("double")
     pooled_slope = F.when(
-        tden != 0, (F.col("tn") * F.col("tsxy") - F.col("tsx") * F.col("tsy")) / tden
+        tden != 0, (d("tn") * d("tsxy") - d("tsx") * d("tsy")).cast("double") / tden
     )
     return (
         brand.crossJoin(F.broadcast(pooled))
@@ -1044,10 +1050,14 @@ pooled AS (
   FROM brand
 )
 SELECT p_brand, n,
-       ROUND((n * sxy - sx * sy) / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0) / 100.0, 6) AS brand_slope,
-       ROUND((tn * tsxy - tsx * tsy) / NULLIF(CAST(tn * tsxx - tsx * tsx AS DOUBLE), 0) / 100.0, 6) AS pooled_slope,
-       SIGN((n * sxy - sx * sy) / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0))
-         <> SIGN((tn * tsxy - tsx * tsy) / NULLIF(CAST(tn * tsxx - tsx * tsx AS DOUBLE), 0)) AS sign_flip
+       ROUND(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+         / NULLIF(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE), 0) / 100.0, 6) AS brand_slope,
+       ROUND(CAST(CAST(tn AS HUGEINT) * tsxy - CAST(tsx AS HUGEINT) * tsy AS DOUBLE)
+         / NULLIF(CAST(CAST(tn AS HUGEINT) * tsxx - CAST(tsx AS HUGEINT) * tsx AS DOUBLE), 0) / 100.0, 6) AS pooled_slope,
+       SIGN(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+            / NULLIF(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE), 0))
+         <> SIGN(CAST(CAST(tn AS HUGEINT) * tsxy - CAST(tsx AS HUGEINT) * tsy AS DOUBLE)
+            / NULLIF(CAST(CAST(tn AS HUGEINT) * tsxx - CAST(tsx AS HUGEINT) * tsx AS DOUBLE), 0)) AS sign_flip
 FROM brand CROSS JOIN pooled
 """
 

@@ -694,7 +694,7 @@ def record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching runs WITHOUT knowing which rows are clones, and the known
     ground truth scores the result (pairs found / precision / recall).
 
-    Blocking key = (nationkey, digits 1-5 of the name tail): selectivity
+    Blocking key = (nationkey, digits 1-7 of the name tail): selectivity
     grows with the key space, so block sizes — and the per-block pair
     quadratic — stay bounded as the table grows; the score is a
     Fellegi-Sunter-style weighted agreement (Levenshtein name similarity,
@@ -711,7 +711,7 @@ def record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nat", "seg", (F.col("cents") + 1).alias("cents"),
     )
     dirty = base.unionByName(clones).withColumn(
-        "blk", F.concat(F.col("nat").cast("string"), F.lit("|"), F.expr("substring(name, 10, 5)"))
+        "blk", F.concat(F.col("nat").cast("string"), F.lit("|"), F.expr("substring(name, 10, 7)"))
     )
     a, b = dirty.alias("a"), dirty.alias("b")
     cand = a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
@@ -751,7 +751,7 @@ clones AS (
   FROM base WHERE id % 7 = 0
 ),
 dirty AS (
-  SELECT *, CAST(nat AS VARCHAR) || '|' || substr(name, 10, 5) AS blk
+  SELECT *, CAST(nat AS VARCHAR) || '|' || substr(name, 10, 7) AS blk
   FROM (SELECT * FROM base UNION ALL SELECT * FROM clones)
 ),
 cand AS (
