@@ -1071,3 +1071,86 @@ register(
         tags=("stats", "agg"),
     )
 )
+
+
+# --- price indices: Laspeyres / Paasche / Fisher vs the base year ----------
+
+_IDX_BASE_YEAR = 1995
+
+
+def price_index_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres, Paasche and Fisher price indices per year against the
+    1995 base basket: unit values per (part, year) from exact integer
+    cents/quantity sums, index numerators/denominators as weighted sums
+    over the matched part basket. The sums are of non-grid rationals, so
+    double summation is drift-safe at 6-dp rounding; everything upstream
+    is exact integers. One lineitem aggregation + one self-join of the
+    compact (part, year) panel against its base-year slice."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_shipdate", "l_quantity", "l_extendedprice")
+    py = (
+        li.groupBy(F.col("l_partkey").alias("pk"), F.year("l_shipdate").alias("yr"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("cents"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+        )
+    )
+    base = py.where(F.col("yr") == _IDX_BASE_YEAR).select(
+        "pk", F.col("cents").alias("c0"), F.col("qty").alias("q0")
+    )
+    joined = py.where(F.col("yr") != _IDX_BASE_YEAR).join(base, "pk")
+    # unit values p = cents/qty; Laspeyres weights q0, Paasche weights qt
+    p_t = F.col("cents") / F.col("qty").cast("double")
+    p_0 = F.col("c0") / F.col("q0").cast("double")
+    agg = joined.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(p_t * F.col("q0")).alias("l_num"),
+        F.sum(p_0 * F.col("q0")).alias("l_den"),
+        F.sum(p_t * F.col("qty")).alias("p_num"),
+        F.sum(p_0 * F.col("qty")).alias("p_den"),
+    )
+    lasp = F.col("l_num") / F.col("l_den")
+    paas = F.col("p_num") / F.col("p_den")
+    return agg.select(
+        "yr", "n_parts",
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )
+
+
+PRICE_IDX_SQL = f"""
+WITH py AS (
+  SELECT l_partkey AS pk, year(l_shipdate) AS yr,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1, 2
+),
+base AS (SELECT pk, cents AS c0, qty AS q0 FROM py WHERE yr = {_IDX_BASE_YEAR}),
+joined AS (
+  SELECT p.*, b.c0, b.q0 FROM py p JOIN base b ON p.pk = b.pk WHERE p.yr <> {_IDX_BASE_YEAR}
+),
+agg AS (
+  SELECT yr, COUNT(*) AS n_parts,
+         SUM(cents / CAST(qty AS DOUBLE) * q0) AS l_num,
+         SUM(c0 / CAST(q0 AS DOUBLE) * q0) AS l_den,
+         SUM(cents / CAST(qty AS DOUBLE) * qty) AS p_num,
+         SUM(c0 / CAST(q0 AS DOUBLE) * qty) AS p_den
+  FROM joined GROUP BY yr
+)
+SELECT yr, n_parts,
+       ROUND(l_num / l_den, 6) AS laspeyres,
+       ROUND(p_num / p_den, 6) AS paasche,
+       ROUND(sqrt((l_num / l_den) * (p_num / p_den)), 6) AS fisher
+FROM agg
+"""
+
+register(
+    QuerySpec(
+        "price_index_yearly",
+        price_index_yearly,
+        PRICE_IDX_SQL,
+        doc="Laspeyres/Paasche/Fisher price indices per year vs the 1995 basket",
+        cites="economics family; exact integer unit-value panel",
+        tags=("econ", "agg"),
+    )
+)

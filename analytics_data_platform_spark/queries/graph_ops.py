@@ -130,23 +130,11 @@ register(
 )
 
 
-def triangle_count_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle counting on the part co-order graph: total triangles plus
-    the 10 parts participating in the most.
-
-    Edge-iterator plan: orient edges from the LOWER-degree endpoint to
-    the higher ((deg, id) total order), build each node's out-neighbor
-    set once, then enumerate per edge (u,v) the intersection
-    N+(u) ∩ N+(v) — every triangle surfaces at exactly one edge. The
-    degree orientation bounds out-degrees (and so array sizes AND skew)
-    to O(√m); the intersection runs as JVM array_intersect inside
-    codegen. Measured at sf0.1 this replaced a 49M-row wedge-join
-    shuffle with two 1.2M-row adjacency joins: triangle enumeration
-    15-30 s → ~4 s. The triangle SET is orientation-invariant, so the
-    id-orienting oracle is unchanged. Per-node counts come from exploding
-    each triangle's three corners — one extra groupBy, no second pass
-    over edges."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+def _oriented_triangles(li: DataFrame) -> DataFrame:
+    """Every co-order triangle exactly once, as rows (n1, n2, n3) — the
+    degree-oriented edge-iterator shared by the triangle-count and
+    clustering-coefficient queries (see triangle_count_coorder docstring
+    for the plan rationale)."""
     pairs = _pair_expand(li).select(F.col("src").alias("u"), F.col("dst").alias("v"))
     sym = pairs.unionByName(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("deg"))
@@ -171,7 +159,7 @@ def triangle_count_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = edges.groupBy("src").agg(F.collect_set("dst").alias("nbrs"))
     asrc = adj.select(F.col("src").alias("e_src"), F.col("nbrs").alias("n_src"))
     adst = adj.select(F.col("src").alias("e_dst"), F.col("nbrs").alias("n_dst"))
-    tris = (
+    return (
         edges.join(asrc, edges.src == asrc.e_src)
         .join(adst, edges.dst == adst.e_dst)
         .select(
@@ -180,6 +168,26 @@ def triangle_count_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.array_intersect("n_src", "n_dst")).alias("n3"),
         )
     )
+
+
+def triangle_count_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the part co-order graph: total triangles plus
+    the 10 parts participating in the most.
+
+    Edge-iterator plan: orient edges from the LOWER-degree endpoint to
+    the higher ((deg, id) total order), build each node's out-neighbor
+    set once, then enumerate per edge (u,v) the intersection
+    N+(u) ∩ N+(v) — every triangle surfaces at exactly one edge. The
+    degree orientation bounds out-degrees (and so array sizes AND skew)
+    to O(√m); the intersection runs as JVM array_intersect inside
+    codegen. Measured at sf0.1 this replaced a 49M-row wedge-join
+    shuffle with two 1.2M-row adjacency joins: triangle enumeration
+    15-30 s → ~4 s. The triangle SET is orientation-invariant, so the
+    id-orienting oracle is unchanged. Per-node counts come from exploding
+    each triangle's three corners — one extra groupBy, no second pass
+    over edges."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    tris = _oriented_triangles(li)
     per_node = (
         tris.select(F.explode(F.array("n1", "n2", "n3")).alias("part_key"))
         .groupBy("part_key")
@@ -764,5 +772,91 @@ register(
         doc="Hill tail-exponent of the co-order degree distribution (micro-nat exact sums)",
         cites="graph-stats: the skew diagnostic behind salting decisions; quantized-log idiom",
         tags=("graph", "stats"),
+    )
+)
+
+
+# --- local clustering coefficient ------------------------------------------
+
+LCC_TOP = 20
+LCC_MIN_DEG = 5
+
+
+def clustering_coefficient_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient: per part, triangles_at(v) divided by
+    deg(v)·(deg(v)−1)/2 — how clique-like each part's co-order
+    neighborhood is. Reuses the degree-oriented triangle enumeration
+    (each triangle credits its three corners — one explode + groupBy, no
+    second pass over edges); the denominator is the exact integer degree
+    from the distinct-pair graph. Top 20 by coefficient among parts with
+    degree ≥ 5, integer ratio rounded at the end."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = _pair_expand(li)
+    sym = pairs.unionByName(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = sym.groupBy(F.col("src").alias("part_key")).agg(F.count(F.lit(1)).alias("deg"))
+    per_node = (
+        _oriented_triangles(li)
+        .select(F.explode(F.array("n1", "n2", "n3")).alias("part_key"))
+        .groupBy("part_key")
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    scored = (
+        deg.where(F.col("deg") >= LCC_MIN_DEG)
+        .join(per_node, "part_key", "left")
+        .select(
+            "part_key", "deg",
+            F.coalesce("tri", F.lit(0)).alias("tri"),
+            F.round(
+                F.coalesce("tri", F.lit(0)) * 2 / (F.col("deg") * (F.col("deg") - 1)).cast("double"),
+                6,
+            ).alias("lcc"),
+        )
+    )
+    w = Window.orderBy(F.desc("lcc"), "part_key")
+    return (
+        scored.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= LCC_TOP)
+        .select("pos", "part_key", "deg", "tri", "lcc")
+    )
+
+
+LCC_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+deg AS (SELECT src AS part_key, COUNT(*) AS deg FROM sym GROUP BY src),
+tris AS (
+  SELECT e1.src AS n1, e1.dst AS n2, e2.dst AS n3
+  FROM pairs e1
+  JOIN pairs e2 ON e1.dst = e2.src
+  JOIN pairs e3 ON e1.src = e3.src AND e2.dst = e3.dst
+),
+per_node AS (
+  SELECT part_key, COUNT(*) AS tri
+  FROM (SELECT unnest([n1, n2, n3]) AS part_key FROM tris)
+  GROUP BY part_key
+)
+SELECT pos, part_key, deg, tri, lcc FROM (
+  SELECT d.part_key, d.deg, COALESCE(p.tri, 0) AS tri,
+         ROUND(COALESCE(p.tri, 0) * 2 / CAST(d.deg * (d.deg - 1) AS DOUBLE), 6) AS lcc,
+         ROW_NUMBER() OVER (
+           ORDER BY ROUND(COALESCE(p.tri, 0) * 2 / CAST(d.deg * (d.deg - 1) AS DOUBLE), 6) DESC,
+                    d.part_key) AS pos
+  FROM deg d LEFT JOIN per_node p ON d.part_key = p.part_key
+  WHERE d.deg >= {LCC_MIN_DEG}
+) WHERE pos <= {LCC_TOP}
+"""
+
+register(
+    QuerySpec(
+        "clustering_coefficient_coorder",
+        clustering_coefficient_coorder,
+        LCC_SQL,
+        doc="local clustering coefficient per part (triangles / deg-choose-2), top 20",
+        cites="graph analytics; shares _oriented_triangles with triangle_count_coorder",
+        tags=("graph",),
     )
 )

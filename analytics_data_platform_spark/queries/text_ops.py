@@ -1319,3 +1319,81 @@ register(
         tags=("text", "search", "join"),
     )
 )
+
+
+# --- keyness: distinctive vocabulary per language (log-odds) ---------------
+
+KEYNESS_TOP = 5
+_KEY_SCALE = 1_000_000  # micro-nats (naive-Bayes quantization idiom)
+
+
+def keyness_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary per language: smoothed log-odds of each
+    term inside vs outside the language (Monroe et al.'s +1-prior
+    log-odds), top 5 per language. Counts are exact integers from one
+    token explode; the two ln() calls are quantized to integer
+    micro-nats before differencing, so cross-engine libm ulps cannot
+    reach the hash. Group totals come from a window over the term-lang
+    aggregate — no second corpus pass."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(F.split("text", " ")).alias("tok")).where(
+        F.length("tok") >= 3
+    )
+    tl = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("a"))
+    w_lang = Window.partitionBy("lang")
+    w_tok = Window.partitionBy("tok")
+    stats = tl.select(
+        "lang", "tok", "a",
+        F.sum("a").over(w_lang).alias("big_a"),
+        (F.sum("a").over(w_tok) - F.col("a")).alias("b"),
+    ).withColumn("big_b", F.sum("a").over(Window.partitionBy()) - F.col("big_a"))
+    lodds = (
+        F.expr(f"CAST(round(ln((a + 1) / CAST(big_a - a + 1 AS DOUBLE)) * {_KEY_SCALE}) AS BIGINT)")
+        - F.expr(f"CAST(round(ln((b + 1) / CAST(big_b - b + 1 AS DOUBLE)) * {_KEY_SCALE}) AS BIGINT)")
+    )
+    scored = stats.select("lang", "tok", "a", lodds.alias("lodds_micro"))
+    w_top = Window.partitionBy("lang").orderBy(F.desc("lodds_micro"), "tok")
+    return (
+        scored.withColumn("pos", F.row_number().over(w_top))
+        .where(F.col("pos") <= KEYNESS_TOP)
+        .select("lang", "pos", "tok", "a", "lodds_micro")
+    )
+
+
+KEYNESS_SQL = f"""
+WITH toks AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tl AS (
+  SELECT lang, tok, COUNT(*) AS a FROM toks WHERE length(tok) >= 3 GROUP BY 1, 2
+),
+stats AS (
+  SELECT lang, tok, a,
+         SUM(a) OVER (PARTITION BY lang) AS big_a,
+         SUM(a) OVER (PARTITION BY tok) - a AS b,
+         SUM(a) OVER () - SUM(a) OVER (PARTITION BY lang) AS big_b
+  FROM tl
+),
+scored AS (
+  SELECT lang, tok, a,
+         CAST(round(ln((a + 1) / CAST(big_a - a + 1 AS DOUBLE)) * {_KEY_SCALE}) AS BIGINT)
+         - CAST(round(ln((b + 1) / CAST(big_b - b + 1 AS DOUBLE)) * {_KEY_SCALE}) AS BIGINT)
+           AS lodds_micro
+  FROM stats
+)
+SELECT lang, pos, tok, a, lodds_micro FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY lodds_micro DESC, tok) AS pos
+  FROM scored
+) WHERE pos <= {KEYNESS_TOP}
+"""
+
+register(
+    QuerySpec(
+        "keyness_by_lang",
+        keyness_by_lang,
+        KEYNESS_SQL,
+        doc="distinctive terms per language via smoothed log-odds (micro-nat quantized)",
+        cites="corpus-analytics family; Monroe-style keyness",
+        tags=("text", "window"),
+    )
+)
