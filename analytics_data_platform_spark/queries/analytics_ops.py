@@ -1891,3 +1891,152 @@ register(
         tags=("analytics", "window", "text"),
     )
 )
+
+
+# --- SLA compliance: fulfilment-day percentiles per month ------------------
+
+SLA_DAYS = 30
+
+
+def sla_fulfilment_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational SLA report: per order-month, the p50/p90 fulfilment
+    time (order date → last line shipped) selected by exact integer ROW
+    POSITION (ceil(q·n), ties by order key — no interpolated quantiles,
+    so the value is a real observation and engine-exact), plus the % of
+    orders inside the 30-day SLA. One lineitem max-reduce, one month
+    window for ranks."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    days = (
+        li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("done"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "o_orderkey",
+            F.date_trunc("month", "o_orderdate").alias("m"),
+            F.greatest(F.datediff(F.to_date("done"), F.to_date("o_orderdate")), F.lit(0)).alias("d"),
+        )
+    )
+    w_rank = Window.partitionBy("m").orderBy("d", "o_orderkey")
+    w_m = Window.partitionBy("m")
+    ranked = days.select(
+        "m", "d",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_m).alias("n"),
+    )
+    return ranked.groupBy("m", "n").agg(
+        F.max(F.when(F.col("rn") == F.ceil(F.col("n") * 0.5), F.col("d"))).alias("p50_days"),
+        F.max(F.when(F.col("rn") == F.ceil(F.col("n") * 0.9), F.col("d"))).alias("p90_days"),
+        F.round(
+            F.sum((F.col("d") <= SLA_DAYS).cast("bigint")) / F.col("n").cast("double"), 4
+        ).alias("pct_within_sla"),
+    ).select(F.col("m").alias("month"), "n", "p50_days", "p90_days", "pct_within_sla")
+
+
+SLA_SQL = f"""
+WITH days AS (
+  SELECT o_orderkey, date_trunc('month', o_orderdate) AS m,
+         GREATEST(date_diff('day', CAST(o_orderdate AS DATE), CAST(done AS DATE)), 0) AS d
+  FROM (SELECT l_orderkey, MAX(l_shipdate) AS done FROM lineitem GROUP BY l_orderkey) x
+  JOIN orders ON l_orderkey = o_orderkey
+),
+ranked AS (
+  SELECT m, d,
+         ROW_NUMBER() OVER (PARTITION BY m ORDER BY d, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY m) AS n
+  FROM days
+)
+SELECT m AS month, n,
+       MAX(CASE WHEN rn = CEIL(n * 0.5) THEN d END) AS p50_days,
+       MAX(CASE WHEN rn = CEIL(n * 0.9) THEN d END) AS p90_days,
+       ROUND(SUM(CASE WHEN d <= {SLA_DAYS} THEN 1 ELSE 0 END) / CAST(n AS DOUBLE), 4)
+         AS pct_within_sla
+FROM ranked GROUP BY m, n
+"""
+
+register(
+    QuerySpec(
+        "sla_fulfilment_percentiles",
+        sla_fulfilment_percentiles,
+        SLA_SQL,
+        doc="monthly fulfilment p50/p90 by exact row position + SLA compliance rate",
+        cites="ops-analytics family; position-selected percentiles, no interpolation",
+        tags=("analytics", "window"),
+    )
+)
+
+
+# --- discrete churn hazard by tenure month ---------------------------------
+
+CHURN_CUTOFF = "1998-05-01"  # quarter before the corpus end: no orders after = churned
+
+
+def churn_hazard_by_tenure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time churn hazard: customers enter at their first order;
+    tenure is measured in 90-day periods to their LAST order (censored at
+    the cutoff). hazard(t) = churners-at-t / at-risk-at-t, the
+    life-table form (Kaplan-Meier's sibling that reads as a per-period
+    churn probability). at-risk counts come from a reverse cumulative
+    window over the tenure histogram — one orders aggregation, one tiny
+    window."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    span = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_o"), F.max("o_orderdate").alias("last_o")
+    )
+    cutoff = F.to_timestamp(F.lit(CHURN_CUTOFF))
+    per_cust = span.select(
+        F.expr("CAST(datediff(to_date(last_o), to_date(first_o)) div 90 AS BIGINT)").alias("tenure_p"),
+        (F.col("last_o") < cutoff).cast("int").alias("churned"),
+    )
+    hist = per_cust.groupBy("tenure_p").agg(
+        F.count(F.lit(1)).alias("ended_here"),
+        F.sum("churned").alias("churned_here"),
+    )
+    w_risk = Window.orderBy(F.desc("tenure_p")).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        hist.select(
+            "tenure_p", "churned_here",
+            F.sum("ended_here").over(w_risk).alias("at_risk"),
+        )
+        .select(
+            "tenure_p", "churned_here", "at_risk",
+            F.round(F.col("churned_here") / F.col("at_risk").cast("double"), 4).alias("hazard"),
+        )
+        .orderBy("tenure_p")
+    )
+
+
+CHURN_SQL = f"""
+WITH span AS (
+  SELECT o_custkey, MIN(o_orderdate) AS first_o, MAX(o_orderdate) AS last_o
+  FROM orders GROUP BY o_custkey
+),
+per_cust AS (
+  SELECT CAST(date_diff('day', CAST(first_o AS DATE), CAST(last_o AS DATE)) // 90 AS BIGINT)
+           AS tenure_p,
+         CASE WHEN last_o < TIMESTAMP '{CHURN_CUTOFF}' THEN 1 ELSE 0 END AS churned
+  FROM span
+),
+hist AS (
+  SELECT tenure_p, COUNT(*) AS ended_here, CAST(SUM(churned) AS BIGINT) AS churned_here
+  FROM per_cust GROUP BY tenure_p
+)
+SELECT tenure_p, churned_here,
+       CAST(SUM(ended_here) OVER (ORDER BY tenure_p DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS at_risk,
+       ROUND(churned_here / CAST(SUM(ended_here) OVER (ORDER BY tenure_p DESC
+                                                       ROWS UNBOUNDED PRECEDING) AS DOUBLE), 4)
+         AS hazard
+FROM hist
+ORDER BY tenure_p
+"""
+
+register(
+    QuerySpec(
+        "churn_hazard_by_tenure",
+        churn_hazard_by_tenure,
+        CHURN_SQL,
+        doc="discrete life-table churn hazard per 90-day tenure period",
+        cites="retention family; kaplan_meier_retention's per-period sibling",
+        tags=("analytics", "window", "survival"),
+    )
+)
