@@ -48,6 +48,15 @@ HARDENED = [
     "rfm_segments",
     "yoy_revenue_growth",
     "interval_join_value_bands",
+    # round-3 additions that fold currency or wide integer moments
+    "session_path_topk",
+    "pit_join_orders_tier",
+    "ratio_to_parent_rollup",
+    "hierarchical_forecast_reconcile",
+    "stl_dow_decomposition",
+    "time_decay_attribution",
+    "simpson_paradox_brands",
+    "bandit_replay_eval",
 ]
 
 _ADVERSARIAL = {
