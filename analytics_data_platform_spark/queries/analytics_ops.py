@@ -2040,3 +2040,73 @@ register(
         tags=("analytics", "window", "survival"),
     )
 )
+
+
+# --- duplicate-invoice screen (fraud/ops audit) ----------------------------
+
+DUP_INV_WINDOW_DAYS = 7
+DUP_INV_TOP = 20
+
+
+def duplicate_invoice_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment screen: pairs of orders from the SAME customer
+    with the IDENTICAL total (exact cents) within 7 days — the classic
+    accounts-payable audit. The self-join is an EQUI-join on
+    (custkey, amount_cents) — the date window is a post-filter — so
+    candidate volume is bounded by per-(customer, amount) multiplicity,
+    never orders². Top pairs by narrowest gap."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.cents") == F.col("b.cents"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+    ).select(
+        F.col("a.o_custkey").alias("custkey"),
+        F.col("a.o_orderkey").alias("order_1"),
+        F.col("b.o_orderkey").alias("order_2"),
+        F.col("a.cents").alias("cents"),
+        F.abs(F.datediff(F.col("b.o_orderdate"), F.col("a.o_orderdate"))).alias("day_gap"),
+    ).where(F.col("day_gap") <= DUP_INV_WINDOW_DAYS)
+    w = Window.orderBy("day_gap", "custkey", "order_1", "order_2")
+    return (
+        pairs.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= DUP_INV_TOP)
+        .select("pos", "custkey", "order_1", "order_2", "cents", "day_gap")
+    )
+
+
+DUP_INV_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+pairs AS (
+  SELECT a.o_custkey AS custkey, a.o_orderkey AS order_1, b.o_orderkey AS order_2,
+         a.cents,
+         ABS(date_diff('day', CAST(a.o_orderdate AS DATE), CAST(b.o_orderdate AS DATE)))
+           AS day_gap
+  FROM o a JOIN o b
+    ON a.o_custkey = b.o_custkey AND a.cents = b.cents AND a.o_orderkey < b.o_orderkey
+)
+SELECT pos, custkey, order_1, order_2, cents, day_gap FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY day_gap, custkey, order_1, order_2) AS pos
+  FROM pairs WHERE day_gap <= {DUP_INV_WINDOW_DAYS}
+) WHERE pos <= {DUP_INV_TOP}
+"""
+
+register(
+    QuerySpec(
+        "duplicate_invoice_screen",
+        duplicate_invoice_screen,
+        DUP_INV_SQL,
+        doc="same-customer same-amount orders within 7 days (AP audit screen)",
+        cites="fraud/ops audit family; equi-join on (customer, exact cents)",
+        tags=("analytics", "dq", "join"),
+    )
+)

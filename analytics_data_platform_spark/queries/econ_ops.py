@@ -1154,3 +1154,58 @@ register(
         tags=("econ", "agg"),
     )
 )
+
+
+# --- revenue waterfall: gross → discount → net → tax → charged -------------
+
+
+def margin_waterfall_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finance waterfall per ship-year: gross line revenue, discount
+    given, net, tax collected, total charged — TPC-H's charge formula
+    decomposed into the bridge a CFO deck shows. Every component is an
+    exact DECIMAL product/sum (scales 2→4→6), so the waterfall ties out
+    to the cent and the identity net = gross − discount holds exactly in
+    both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    d = F.col("l_discount").cast("decimal(18,2)")
+    t = F.col("l_tax").cast("decimal(18,2)")
+    return (
+        li.groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            F.sum(p).cast("double").alias("gross"),
+            F.round(F.sum(p * d), 2).cast("double").alias("discount_given"),
+            F.round(F.sum(p * (F.lit(1) - d)), 2).cast("double").alias("net"),
+            F.round(F.sum(p * (F.lit(1) - d) * t), 2).cast("double").alias("tax_collected"),
+            F.round(F.sum(p * (F.lit(1) - d) * (F.lit(1) + t)), 2).cast("double").alias("charged"),
+        )
+    )
+
+
+WATERFALL_SQL = """
+SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS discount_given,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS net,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                      * CAST(l_tax AS DECIMAL(18,2))), 2) AS DOUBLE) AS tax_collected,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                      * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE) AS charged
+FROM lineitem
+GROUP BY year(l_shipdate)
+"""
+
+register(
+    QuerySpec(
+        "margin_waterfall_yearly",
+        margin_waterfall_yearly,
+        WATERFALL_SQL,
+        doc="gross/discount/net/tax/charged waterfall per year, exact to the cent",
+        cites="finance-reporting family; decimal product chain (q1's charge formula decomposed)",
+        tags=("econ", "agg"),
+    )
+)

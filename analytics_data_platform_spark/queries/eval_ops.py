@@ -1028,3 +1028,56 @@ register(
         tags=("analytics", "join", "window"),
     )
 )
+
+
+# --- sample-ratio-mismatch (SRM) guardrail ---------------------------------
+
+
+def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for the md5 A/B assignment: with a
+    50/50 split, chi-square for two cells reduces to (a−b)²/n; flag when
+    it exceeds the 3.84 critical value (p<0.05, df=1). SRM is the first
+    validity check every experimentation platform runs — a biased
+    assignment invalidates every downstream readout. Pure integer counts
+    from one aggregation; the statistic is one exact-integer ratio."""
+    c = load_table(spark, sf_dir, "customer")
+    arm = F.conv(F.substring(F.md5(F.concat(F.lit("ab:"), F.col("c_custkey").cast("string"))), 1, 8), 16, 10).cast("bigint") % 2
+    counts = c.select(arm.alias("arm")).groupBy().agg(
+        F.sum((F.col("arm") == 0).cast("bigint")).alias("n_a"),
+        F.sum((F.col("arm") == 1).cast("bigint")).alias("n_b"),
+    )
+    chi2 = (
+        (F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))
+    ).cast("double") / (F.col("n_a") + F.col("n_b")).cast("double")
+    return counts.select(
+        "n_a", "n_b",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841).alias("srm_detected"),
+    )
+
+
+SRM_SQL = """
+WITH counts AS (
+  SELECT
+    CAST(SUM(CASE WHEN ('0x' || substr(md5('ab:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN ('0x' || substr(md5('ab:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 2 = 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM customer
+)
+SELECT n_a, n_b,
+       ROUND(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / CAST(n_a + n_b AS DOUBLE), 6) AS chi2,
+       CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) > 3.841 AS srm_detected
+FROM counts
+"""
+
+register(
+    QuerySpec(
+        "ab_srm_check",
+        ab_srm_check,
+        SRM_SQL,
+        doc="sample-ratio-mismatch chi-square guardrail for the md5 A/B split",
+        cites="experimentation family; validity gate before any readout",
+        tags=("eval", "experiment"),
+    )
+)

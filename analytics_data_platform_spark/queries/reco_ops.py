@@ -283,3 +283,61 @@ register(
         tags=("reco", "join", "dedup"),
     )
 )
+
+
+# --- frequent 3-itemsets (a-priori ladder over baskets) --------------------
+
+TRIPLE_TOP = 15
+
+
+def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets: parts bought together in one order, the
+    a-priori step above association_rules_parts' pairs. Triple
+    generation is a double self-join keyed on the ORDER with ordered
+    part keys (p1<p2<p3) — work is Σ C(basket,3), bounded by
+    lines-per-order (≤7 ⇒ ≤35 per order), never |parts|³. Support
+    counts are exact integers; top-15 with full-key tie-break."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b, c = li.alias("a"), li.alias("b"), li.alias("c")
+    triples = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .join(c, (F.col("a.o") == F.col("c.o")) & (F.col("b.p") < F.col("c.p")))
+        .groupBy(
+            F.col("a.p").alias("p1"), F.col("b.p").alias("p2"), F.col("c.p").alias("p3")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    w = Window.orderBy(F.desc("support"), "p1", "p2", "p3")
+    return (
+        triples.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= TRIPLE_TOP)
+        .select("pos", "p1", "p2", "p3", "support")
+    )
+
+
+TRIPLES_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+triples AS (
+  SELECT a.p AS p1, b.p AS p2, c.p AS p3, COUNT(*) AS support
+  FROM li a
+  JOIN li b ON a.o = b.o AND a.p < b.p
+  JOIN li c ON a.o = c.o AND b.p < c.p
+  GROUP BY 1, 2, 3
+)
+SELECT pos, p1, p2, p3, support FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY support DESC, p1, p2, p3) AS pos FROM triples
+) WHERE pos <= {TRIPLE_TOP}
+"""
+
+register(
+    QuerySpec(
+        "frequent_triples",
+        frequent_triples,
+        TRIPLES_SQL,
+        doc="frequent 3-itemsets from order baskets (a-priori ladder above pairs)",
+        cites="market-basket family; order-keyed joins bound work to C(basket,3)",
+        tags=("reco", "join", "agg"),
+    )
+)
