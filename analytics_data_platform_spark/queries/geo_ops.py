@@ -218,7 +218,12 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from analytics_data_platform_spark.operators.dedup import cluster_duplicates_star
 
     pts = _customer_points(spark, sf_dir)
-    pairs = pairs_within_radius(pts, DBSCAN_RADIUS_MICRO, id_col="id").select("id_a", "id_b")
+    pairs = (
+        pairs_within_radius(pts, DBSCAN_RADIUS_MICRO, id_col="id")
+        .select("id_a", "id_b")
+        # grid join re-runs per reference otherwise (edges, degrees, border)
+        .localCheckpoint(eager=False)
+    )
     sym = pairs.unionByName(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )

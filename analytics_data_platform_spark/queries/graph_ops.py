@@ -130,12 +130,14 @@ register(
 )
 
 
-def _oriented_triangles(li: DataFrame) -> DataFrame:
+def _oriented_triangles(li: DataFrame, pair_df: DataFrame | None = None) -> DataFrame:
     """Every co-order triangle exactly once, as rows (n1, n2, n3) — the
     degree-oriented edge-iterator shared by the triangle-count and
     clustering-coefficient queries (see triangle_count_coorder docstring
-    for the plan rationale)."""
-    pairs = _pair_expand(li).select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    for the plan rationale). Pass ``pair_df`` (src, dst) to reuse an
+    already-materialized co-order pair list."""
+    base = pair_df if pair_df is not None else _pair_expand(li)
+    pairs = base.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     sym = pairs.unionByName(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("deg"))
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
@@ -791,11 +793,13 @@ def clustering_coefficient_coorder(spark: SparkSession, sf_dir: str) -> DataFram
     from the distinct-pair graph. Top 20 by coefficient among parts with
     degree ≥ 5, integer ratio rounded at the end."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = _pair_expand(li)
+    # one materialized pair list serves the degree aggregate AND the
+    # triangle enumeration — the co-order self-join runs once, not twice
+    pairs = _pair_expand(li).localCheckpoint(eager=False)
     sym = pairs.unionByName(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = sym.groupBy(F.col("src").alias("part_key")).agg(F.count(F.lit(1)).alias("deg"))
     per_node = (
-        _oriented_triangles(li)
+        _oriented_triangles(li, pair_df=pairs)
         .select(F.explode(F.array("n1", "n2", "n3")).alias("part_key"))
         .groupBy("part_key")
         .agg(F.count(F.lit(1)).alias("tri"))

@@ -136,6 +136,9 @@ def covisitation_next_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(ranked, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(F.col("o_custkey").alias("c"), "r", F.col("l_partkey").alias("p"))
         .distinct()
+        # referenced three times (transitions, successors, denominators) —
+        # materialize once instead of re-running the join+distinct per use
+        .localCheckpoint(eager=False)
     )
     nxt = basket.select(F.col("c"), (F.col("r") - 1).alias("r"), F.col("p").alias("p_next"))
     trans = basket.join(nxt, ["c", "r"]).where(F.col("p") != F.col("p_next"))
@@ -224,7 +227,7 @@ def user_user_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_buyers") <= RARE_MAX_BUYERS)
         .select("p")
     )
-    prof = bought.join(F.broadcast(rare), "p")
+    prof = bought.join(F.broadcast(rare), "p").localCheckpoint(eager=False)
     sizes = prof.groupBy("c").agg(F.count(F.lit(1)).alias("n"))
     a, b = prof.alias("a"), prof.alias("b")
     inter = (
