@@ -1209,3 +1209,140 @@ register(
         tags=("econ", "agg"),
     )
 )
+
+
+# --- cohort unit economics --------------------------------------------------
+
+
+def unit_economics_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit economics by acquisition cohort (first-order year): customers,
+    lifetime orders and revenue, orders-per-customer, AOV, and revenue per
+    customer. Revenue is exact decimal; the ratios divide exact values so
+    the cohort table is engine-stable. One orders aggregation + one
+    per-customer reduce."""
+    from analytics_data_platform_spark.queries.exact import sum_money
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.year(F.min("o_orderdate")).cast("int").alias("cohort_year"),
+        F.count(F.lit(1)).alias("n_orders"),
+        sum_money("o_totalprice").alias("revenue"),
+    )
+    return (
+        per_cust.groupBy("cohort_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("n_orders").alias("n_orders"),
+            F.sum(F.col("revenue").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+        .select(
+            "cohort_year", "n_customers", "n_orders", "revenue",
+            F.round(F.col("n_orders") / F.col("n_customers").cast("double"), 4).alias("orders_per_customer"),
+            F.round(F.col("revenue") / F.col("n_orders").cast("double"), 2).alias("aov"),
+            F.round(F.col("revenue") / F.col("n_customers").cast("double"), 2).alias("revenue_per_customer"),
+        )
+    )
+
+
+UNIT_ECON_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(year(MIN(o_orderdate)) AS INT) AS cohort_year,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY o_custkey
+),
+cohort AS (
+  SELECT cohort_year, COUNT(*) AS n_customers,
+         CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM per_cust GROUP BY cohort_year
+)
+SELECT cohort_year, n_customers, n_orders, revenue,
+       ROUND(n_orders / CAST(n_customers AS DOUBLE), 4) AS orders_per_customer,
+       ROUND(revenue / CAST(n_orders AS DOUBLE), 2) AS aov,
+       ROUND(revenue / CAST(n_customers AS DOUBLE), 2) AS revenue_per_customer
+FROM cohort
+"""
+
+register(
+    QuerySpec(
+        "unit_economics_cohort",
+        unit_economics_cohort,
+        UNIT_ECON_SQL,
+        doc="acquisition-cohort unit economics (orders/customer, AOV, revenue/customer)",
+        cites="business-analytics family; exact decimal lifetime revenue",
+        tags=("econ", "agg"),
+    )
+)
+
+
+# --- vendor scorecard -------------------------------------------------------
+
+SCORECARD_TOP = 15
+
+
+def vendor_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier scorecard: revenue, return rate, part breadth and average
+    discount per supplier, combined into a rank-sum composite (rank by
+    revenue DESC, return rate ASC, breadth DESC — integer ranks, so the
+    composite is engine-exact). Top 15 vendors. One lineitem aggregation;
+    the ranking windows run over the supplier-sized aggregate."""
+    from analytics_data_platform_spark.queries.exact import sum_disc_price
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        sum_disc_price().alias("revenue"),
+        F.round(
+            F.sum((F.col("l_returnflag") == "R").cast("bigint")) / F.count(F.lit(1)), 6
+        ).alias("return_rate"),
+        F.count_distinct("l_partkey").alias("n_parts"),
+    )
+    r_rev = F.row_number().over(Window.orderBy(F.desc("revenue"), "suppkey"))
+    r_ret = F.row_number().over(Window.orderBy(F.asc("return_rate"), "suppkey"))
+    r_brd = F.row_number().over(Window.orderBy(F.desc("n_parts"), "suppkey"))
+    scored = per_supp.select(
+        "suppkey", "revenue", "return_rate", "n_parts",
+        (r_rev + r_ret + r_brd).alias("rank_sum"),
+    )
+    w = Window.orderBy("rank_sum", "suppkey")
+    return (
+        scored.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= SCORECARD_TOP)
+        .select("pos", "suppkey", "revenue", "return_rate", "n_parts", "rank_sum")
+    )
+
+
+SCORECARD_SQL = f"""
+WITH per_supp AS (
+  SELECT l_suppkey AS suppkey,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+         ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS return_rate,
+         COUNT(DISTINCT l_partkey) AS n_parts
+  FROM lineitem GROUP BY l_suppkey
+),
+scored AS (
+  SELECT suppkey, revenue, return_rate, n_parts,
+         ROW_NUMBER() OVER (ORDER BY revenue DESC, suppkey)
+         + ROW_NUMBER() OVER (ORDER BY return_rate ASC, suppkey)
+         + ROW_NUMBER() OVER (ORDER BY n_parts DESC, suppkey) AS rank_sum
+  FROM per_supp
+)
+SELECT pos, suppkey, revenue, return_rate, n_parts, CAST(rank_sum AS BIGINT) AS rank_sum
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rank_sum, suppkey) AS pos FROM scored
+) WHERE pos <= {SCORECARD_TOP}
+"""
+
+register(
+    QuerySpec(
+        "vendor_scorecard",
+        vendor_scorecard,
+        SCORECARD_SQL,
+        doc="supplier rank-sum scorecard (revenue, return rate, breadth)",
+        cites="procurement-analytics family; integer rank composite",
+        tags=("econ", "window"),
+    )
+)

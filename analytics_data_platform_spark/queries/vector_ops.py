@@ -423,3 +423,77 @@ register(
         tags=("vector", "search", "topk"),
     )
 )
+
+
+# --- embedding isolation screen (nearest-neighbor distance outliers) -------
+
+ISOLATION_TOP = 20
+
+
+def embedding_isolation_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding data-quality screen: each vector's similarity to its
+    single nearest neighbor; the 20 most ISOLATED vectors (lowest 1-NN
+    cosine) are mislabeled/outlier candidates — the embedding analogue of
+    the MAD outlier screen. Every vector is a query: the all-to-all
+    scoring streams the corpus against itself and the 1-NN reduce is one
+    max_by-style struct max per vector — no per-query window over the
+    corpus. Rank on ROUND(cos,4) with id tie-breaks."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+                 V.norm("embedding").alias("qn"), F.col("label").alias("qlabel"))
+    b = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
+                 V.norm("embedding").alias("cn"))
+    cos = F.when((F.col("qn") > 0) & (F.col("cn") > 0),
+                 V.dot("qe", "ce") / (F.col("qn") * F.col("cn")))
+    best = (
+        a.join(b, F.col("qid") != F.col("cid"))
+        .select("qid", "qlabel", "cid", F.round(cos, 4).alias("sim"))
+        .groupBy("qid", "qlabel")
+        .agg(F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("negid"))).alias("m"))
+        .select(
+            "qid", "qlabel",
+            F.col("m.sim").alias("nn_sim"),
+            (-F.col("m.negid")).alias("nn_id"),
+        )
+    )
+    w = Window.orderBy(F.asc("nn_sim"), "qid")
+    return (
+        best.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= ISOLATION_TOP)
+        .select("pos", "qid", "qlabel", "nn_id", "nn_sim")
+    )
+
+
+ISOLATION_SQL = f"""
+WITH scored AS (
+  SELECT a.vec_id AS qid, a.label AS qlabel, b.vec_id AS cid,
+         ROUND(
+           list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding,
+                                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+           AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+best AS (
+  SELECT qid, qlabel, sim AS nn_sim, cid AS nn_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT pos, qid, qlabel, nn_id, nn_sim FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY nn_sim ASC, qid) AS pos FROM best
+) WHERE pos <= {ISOLATION_TOP}
+"""
+
+register(
+    QuerySpec(
+        "embedding_isolation_screen",
+        embedding_isolation_screen,
+        ISOLATION_SQL,
+        doc="1-NN cosine isolation outliers over the embedding corpus (struct-max argmax)",
+        cites="embedding data-quality family; no per-query corpus window",
+        tags=("vector", "dq"),
+    )
+)
