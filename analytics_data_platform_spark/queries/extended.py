@@ -826,3 +826,63 @@ register(
         tags=("stats", "window", "econ"),
     )
 )
+
+
+# --- 2-D skyline (Pareto frontier) ------------------------------------------
+
+
+def skyline_parts_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query: parts on the (cheapest, largest) Pareto frontier —
+    no other part is both cheaper-or-equal AND larger-or-equal with one
+    strict. In 2-D the skyline needs NO pairwise dominance join: sort by
+    (price asc, size desc) and keep rows whose size strictly exceeds the
+    running max of everything cheaper — one window over the part
+    dimension instead of the textbook O(n²) self-join. Prices compare in
+    exact cents."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    w = (
+        Window.orderBy(F.asc("price_cents"), F.desc("size"), F.asc("p_partkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = p.select(
+        "p_partkey", "price_cents", "size",
+        F.max("size").over(w).alias("best_prev"),
+    )
+    return (
+        flagged.where(F.col("best_prev").isNull() | (F.col("size") > F.col("best_prev")))
+        .select("p_partkey", "price_cents", "size")
+        .orderBy("price_cents", "p_partkey")
+    )
+
+
+SKYLINE_SQL = """
+WITH p AS (
+  SELECT p_partkey, CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS size
+  FROM part
+),
+flagged AS (
+  SELECT p_partkey, price_cents, size,
+         MAX(size) OVER (ORDER BY price_cents ASC, size DESC, p_partkey ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_prev
+  FROM p
+)
+SELECT p_partkey, price_cents, size
+FROM flagged WHERE best_prev IS NULL OR size > best_prev
+ORDER BY price_cents, p_partkey
+"""
+
+register(
+    QuerySpec(
+        "skyline_parts_price_size",
+        skyline_parts_price_size,
+        SKYLINE_SQL,
+        doc="2-D Pareto frontier (skyline) via running-max window, no dominance self-join",
+        cites="skyline-operator family; O(n log n) instead of O(n^2)",
+        tags=("window", "topk"),
+    )
+)

@@ -1540,3 +1540,110 @@ register(
         tags=("tsa", "warehouse", "window"),
     )
 )
+
+
+# --- Wald–Wolfowitz runs test on daily revenue ------------------------------
+
+
+def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz randomness test: is daily revenue's above/below-
+    median sequence random, or does it cluster (momentum/regimes)?
+    The median splits by exact integer row position; the observed run
+    count is a lag-compare sum; E[R] = 2·n₊·n₋/n + 1 and Var[R] follow
+    from exact integer counts, so z is one deterministic double
+    expression. Positive autocorrelation ⇒ fewer runs than expected ⇒
+    negative z."""
+    from analytics_data_platform_spark.queries.exact import sum_money
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        sum_money("o_totalprice").alias("rev")
+    )
+    w_pos = Window.orderBy("rev", "day")
+    n_w = Window.partitionBy()
+    med = daily.select(
+        "day", "rev",
+        F.row_number().over(w_pos).alias("rn"),
+        F.count(F.lit(1)).over(n_w).alias("n"),
+    ).select(
+        "day", "rev",
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("rev"))).over(n_w).alias("median"),
+    )
+    w_t = Window.orderBy("day")
+    seq = med.select(
+        "day",
+        (F.col("rev") > F.col("median")).cast("int").alias("above"),
+    ).select(
+        "above",
+        F.when(
+            F.lag("above").over(w_t).isNull() | (F.lag("above").over(w_t) != F.col("above")), 1
+        ).otherwise(0).alias("new_run"),
+    )
+    agg = seq.agg(
+        F.sum("new_run").alias("runs"),
+        F.sum("above").alias("n_pos"),
+        F.sum(1 - F.col("above")).alias("n_neg"),
+    )
+    n = (F.col("n_pos") + F.col("n_neg")).cast("double")
+    e_r = 2.0 * F.col("n_pos") * F.col("n_neg") / n + 1.0
+    var_r = (
+        2.0 * F.col("n_pos") * F.col("n_neg")
+        * (2.0 * F.col("n_pos") * F.col("n_neg") - n)
+        / (n * n * (n - 1.0))
+    )
+    return agg.select(
+        "runs", "n_pos", "n_neg",
+        F.round(e_r, 4).alias("expected_runs"),
+        F.round((F.col("runs") - e_r) / F.sqrt(var_r), 4).alias("z"),
+    )
+
+
+RUNS_TEST_SQL = """
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT day, rev,
+         ROW_NUMBER() OVER (ORDER BY rev, day) AS rn,
+         COUNT(*) OVER () AS n
+  FROM daily
+),
+med AS (
+  SELECT day, rev, MAX(CASE WHEN rn = (n + 1) // 2 THEN rev END) OVER () AS median
+  FROM ranked
+),
+seq AS (
+  SELECT CASE WHEN rev > median THEN 1 ELSE 0 END AS above,
+         CASE WHEN LAG(CASE WHEN rev > median THEN 1 ELSE 0 END) OVER (ORDER BY day) IS NULL
+                OR LAG(CASE WHEN rev > median THEN 1 ELSE 0 END) OVER (ORDER BY day)
+                   <> CASE WHEN rev > median THEN 1 ELSE 0 END
+              THEN 1 ELSE 0 END AS new_run
+  FROM med
+),
+agg AS (
+  SELECT CAST(SUM(new_run) AS BIGINT) AS runs,
+         CAST(SUM(above) AS BIGINT) AS n_pos,
+         CAST(SUM(1 - above) AS BIGINT) AS n_neg
+  FROM seq
+)
+SELECT runs, n_pos, n_neg,
+       ROUND(2.0 * n_pos * n_neg / CAST(n_pos + n_neg AS DOUBLE) + 1.0, 4) AS expected_runs,
+       ROUND((runs - (2.0 * n_pos * n_neg / CAST(n_pos + n_neg AS DOUBLE) + 1.0))
+             / sqrt(2.0 * n_pos * n_neg * (2.0 * n_pos * n_neg - CAST(n_pos + n_neg AS DOUBLE))
+                    / (CAST(n_pos + n_neg AS DOUBLE) * CAST(n_pos + n_neg AS DOUBLE)
+                       * (CAST(n_pos + n_neg AS DOUBLE) - 1.0))), 4) AS z
+FROM agg
+"""
+
+register(
+    QuerySpec(
+        "runs_test_daily_revenue",
+        runs_test_daily_revenue,
+        RUNS_TEST_SQL,
+        doc="Wald-Wolfowitz runs test for randomness of daily revenue around its median",
+        cites="statistics family; exact integer run/median machinery",
+        tags=("tsa", "stats", "window"),
+    )
+)
