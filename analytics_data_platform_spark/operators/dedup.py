@@ -611,6 +611,39 @@ def incremental_minhash_candidates(
     )
 
 
+def compact_band_index(
+    index_rows: DataFrame,
+    live_docs: DataFrame,
+    id_col: str = "doc_id",
+    version_col: str | None = None,
+) -> DataFrame:
+    """Expire dead rows from a persisted LSH band index.
+
+    :func:`incremental_minhash_candidates` appends each batch's band rows
+    to the index forever; two classes of rows go dead under re-ingest:
+    documents later DELETED upstream (id no longer live), and SUPERSEDED
+    versions — a re-ingested id whose new text produced new band rows,
+    leaving the old version's stale buckets colliding forever. Compaction
+    is a left-semi join against the live id set, plus (when the index
+    carries a ``version_col``, e.g. the ingest batch id) a semi-join on
+    each id's max version. Both joins shuffle on the id key only — no
+    re-shingling — so the maintenance loop runs this nightly next to file
+    compaction (tables/maintenance.py::compact_band_index_table).
+
+    ``live_docs`` is whatever defines liveness upstream (the current
+    documents table, or its id projection); duplicated ids there are
+    fine (semi-join semantics).
+    """
+    live = live_docs.select(F.col(id_col)).distinct()
+    out = index_rows.join(live, id_col, "left_semi")
+    if version_col is not None:
+        latest = index_rows.groupBy(id_col).agg(
+            F.max(version_col).alias(version_col)
+        )
+        out = out.join(latest, [id_col, version_col], "left_semi")
+    return out
+
+
 def minhash_lsh_candidates_portable(
     df: DataFrame,
     text_col: str = "text",

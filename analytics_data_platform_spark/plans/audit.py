@@ -64,6 +64,13 @@ class PlanReport:
     python_eval: bool = False
     aqe: bool = False
 
+    # "Exchange SinglePartition" nodes whose input is NOT provably bounded
+    # (no Limit/TakeOrderedAndProject below, and not fed by a grand-total
+    # partial aggregate which emits ≤1 row per upstream partition). Each
+    # one is a single-reducer sort/window at 100 TB — the scale-killer
+    # class operators/ordered.py exists to replace.
+    unbounded_single_partition: tuple[str, ...] = ()
+
     @property
     def has_cartesian(self) -> bool:
         return (
@@ -152,6 +159,66 @@ def _parse_scans(formatted: str) -> tuple[ScanInfo, ...]:
     return tuple(scans)
 
 
+def _plan_nodes(simple: str) -> list[tuple[int, str]]:
+    """Parse a simple-mode explain into (depth, text) rows.
+
+    Tree markers are ``+- `` / ``:- `` at a column proportional to depth;
+    continuation prefixes (``:  ``) keep column alignment, so marker
+    position is a faithful depth key."""
+    nodes: list[tuple[int, str]] = []
+    for line in simple.splitlines():
+        m = re.search(r"[+:]- ", line)
+        if m:
+            nodes.append((m.start(), line[m.end():]))
+        elif line.strip():
+            nodes.append((-1, line.strip()))  # root
+    return nodes
+
+
+_BOUNDED_BELOW = re.compile(
+    r"TakeOrderedAndProject|CollectLimit|GlobalLimit|LocalLimit"
+)
+_PARTIAL_TOTAL_AGG = re.compile(
+    # HashAggregate prints "keys=[]", SortAggregate prints "key=[]";
+    # count-distinct rewrites emit merge_* instead of partial_*
+    r"(Hash|Sort|ObjectHash)Aggregate\(keys?=\[\], functions=\[(partial_|merge_)"
+)
+
+
+def _find_unbounded_single_partition(simple: str) -> tuple[str, ...]:
+    """Every ``Exchange SinglePartition`` that concentrates an unbounded
+    input onto one task.
+
+    Bounded (not flagged) when the subtree below the exchange contains a
+    limit (global top-N via orderBy().limit() — the surviving rows are
+    ≤ n) or starts with a grand-total partial aggregate (scalar
+    aggregates ship ≤1 row per upstream partition). Everything else —
+    canonically a global Sort+Window — is the single-reducer class."""
+    nodes = _plan_nodes(simple)
+    flagged: list[str] = []
+    for i, (depth, text) in enumerate(nodes):
+        if "Exchange SinglePartition" not in text:
+            continue
+        bounded = False
+        for j in range(i + 1, len(nodes)):
+            d, t = nodes[j]
+            if d <= depth:
+                break
+            if _BOUNDED_BELOW.search(t):
+                bounded = True
+                break
+            # scalar-agg pattern: the exchange's DIRECT child is the
+            # grand-total partial aggregate (≤1 row per partition)
+            if j == i + 1 and _PARTIAL_TOTAL_AGG.search(t):
+                bounded = True
+                break
+        if not bounded:
+            # report the operator ABOVE the exchange (the sort/window)
+            above = nodes[i - 1][1] if i else text
+            flagged.append(above[:120])
+    return tuple(flagged)
+
+
 def audit(df: DataFrame, *, codegen: bool = False) -> PlanReport:
     """Build a :class:`PlanReport` from the query's optimized physical plan
     (plan compile only — nothing executes).
@@ -182,6 +249,7 @@ def audit(df: DataFrame, *, codegen: bool = False) -> PlanReport:
         python_eval="EvalPython" in simple or "MapInPandas" in simple
         or "FlatMapGroupsInPandas" in simple or "PythonUDTF" in simple,
         aqe="AdaptiveSparkPlan" in simple,
+        unbounded_single_partition=_find_unbounded_single_partition(simple),
     )
 
 
@@ -190,6 +258,7 @@ def assert_plan(
     *,
     no_cartesian: bool = True,
     no_python_eval: bool = False,
+    no_single_partition: bool = False,
     require_join: str | None = None,
     forbid_join: str | None = None,
     max_exchanges: int | None = None,
@@ -207,6 +276,12 @@ def assert_plan(
         raise AssertionError("plan contains CartesianProduct:\n" + r.simple[:2000])
     if no_python_eval and r.python_eval:
         raise AssertionError("plan crosses the Python boundary:\n" + r.simple[:2000])
+    if no_single_partition and r.unbounded_single_partition:
+        raise AssertionError(
+            "plan concentrates unbounded input on one task: "
+            + "; ".join(r.unbounded_single_partition)
+            + "\n" + r.simple[:2000]
+        )
     if require_join and r.join_strategies.get(require_join, 0) == 0:
         raise AssertionError(
             f"expected {require_join}, planned {dict(r.join_strategies)}:\n" + r.simple[:2000]

@@ -14,6 +14,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from analytics_data_platform_spark.functions.expr import spread
+from analytics_data_platform_spark.operators.ordered import (
+    ntile_distributed,
+    with_global_order,
+)
 from analytics_data_platform_spark.queries import QuerySpec, register
 from analytics_data_platform_spark.queries.exact import sum_money
 from analytics_data_platform_spark.sources.testdata import load_table
@@ -502,9 +506,10 @@ def ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributions of URGENT vs LOW priority orders — the distribution-
     drift monitor a data pipeline runs between corpus snapshots.
 
-    Exact ECDFs via one groupBy on distinct values + one ordered window
-    of cumulative counts (integer math until the final division), then
-    D = max |F1 - F2|. One shuffle on value, one tiny window — no
+    Exact ECDFs via one groupBy on distinct values + a distributed
+    two-pass cumulative count (operators/ordered.py — distinct prices
+    grow with data, so a global window would single-reduce at 100 TB),
+    then D = max |F1 - F2|. Integer math until the final division; no
     collect, no sampling; deterministic because cumulative counts are
     integers and the division happens once per distinct value."""
     pri_a, pri_b = "1-URGENT", "5-LOW"
@@ -520,14 +525,11 @@ def ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_totalprice")
         .agg(F.sum("a").alias("ca"), F.sum("b").alias("cb"))
     )
-    w = Window.orderBy("o_totalprice").rowsBetween(Window.unboundedPreceding, 0)
-    tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    cum = per_val.select(
-        F.sum("ca").over(w).alias("cum_a"),
-        F.sum("cb").over(w).alias("cum_b"),
-        F.sum("ca").over(tot).alias("n_a"),
-        F.sum("cb").over(tot).alias("n_b"),
-    )
+    tot = per_val.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
+    cum = with_global_order(
+        per_val, "o_totalprice",
+        prefix_sums={"cum_a": "ca", "cum_b": "cb"},
+    ).crossJoin(F.broadcast(tot))
     return cum.agg(
         F.round(
             F.max(
@@ -758,7 +760,7 @@ def ols_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x"),
         F.col("o_totalprice").alias("y"),
     )
-    daily = o.groupBy("x").agg(F.sum("y").alias("rev"))
+    daily = o.groupBy("x").agg(sum_money("y").alias("rev"))
     m = daily.agg(
         F.count("*").alias("n"),
         F.covar_pop("x", "rev").alias("sxy"),
@@ -781,7 +783,7 @@ def ols_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 OLS_SQL = """
 WITH pts AS (
   SELECT CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS DOUBLE) AS x,
-         SUM(o_totalprice) AS rev
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
   FROM orders GROUP BY o_orderdate
 ),
 m AS (
@@ -995,51 +997,57 @@ register(
 )
 
 
-PARETO_CUTOFF = 0.8
-
-
 def pareto_customer_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto analysis: the smallest set of customers covering 80% of
     revenue, with each customer's cumulative share — "how concentrated is
-    the business?". Revenue is rounded per customer BEFORE the ordered
-    cumulative sum, so the running share (and therefore the cutoff row
-    set) is identical across engines."""
+    the business?". Per-customer revenue is rounded to exact cents, the
+    ordered cumulative sum runs as a two-pass bucketed prefix scan
+    (operators/ordered.py — |customers| grows with data, so a global
+    window would single-reduce at 100 TB), and the 80% cutoff compares
+    in cleared-integer form (10·prev_cum < 8·total) so the selected row
+    set is engine-exact; the one division per output row happens last."""
     o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     per_cust = o.groupBy("o_custkey").agg(
-        sum_money("o_totalprice").alias("revenue")
+        sum_money("o_totalprice").alias("revenue"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"),
     )
-    w = Window.orderBy(F.desc("revenue"), "o_custkey").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    tot = Window.partitionBy()
-    ranked = per_cust.select(
-        "o_custkey",
-        "revenue",
-        (F.sum("revenue").over(w) / F.sum("revenue").over(tot)).alias("cum_share_raw"),
-        (F.col("revenue") / F.sum("revenue").over(tot)).alias("share"),
-    )
+    tot = per_cust.agg(F.sum("cents").alias("tot_cents"))
+    ranked = with_global_order(
+        per_cust, "revenue", descending=True, tiebreaks=["o_custkey"],
+        prefix_sums={"cum_cents": "cents"},
+    ).crossJoin(F.broadcast(tot))
     return (
         # keep every customer whose PREVIOUS cumulative share was below
         # the cutoff: the minimal prefix reaching 80%
-        ranked.where((F.col("cum_share_raw") - F.col("share")) < PARETO_CUTOFF)
-        .select("o_custkey", "revenue", F.round("cum_share_raw", 6).alias("cum_share"))
+        ranked.where(
+            (F.col("cum_cents") - F.col("cents")) * 10 < F.col("tot_cents") * 8
+        )
+        .select(
+            "o_custkey",
+            "revenue",
+            F.round(F.col("cum_cents") / F.col("tot_cents"), 6).alias("cum_share"),
+        )
     )
 
 
-PARETO_SQL = f"""
+PARETO_SQL = """
 WITH per_cust AS (
-  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
   FROM orders GROUP BY o_custkey
 ),
+tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS tot_cents FROM per_cust),
 ranked AS (
-  SELECT o_custkey, revenue,
-         SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey
-                            ROWS UNBOUNDED PRECEDING) / SUM(revenue) OVER () AS cum_share_raw,
-         revenue / SUM(revenue) OVER () AS share
+  SELECT o_custkey, revenue, cents,
+         CAST(SUM(cents) OVER (ORDER BY revenue DESC, o_custkey
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
   FROM per_cust
 )
-SELECT o_custkey, revenue, ROUND(cum_share_raw, 6) AS cum_share
-FROM ranked WHERE cum_share_raw - share < {PARETO_CUTOFF}
+SELECT o_custkey, revenue,
+       ROUND(CAST(cum_cents AS DOUBLE) / tot_cents, 6) AS cum_share
+FROM ranked, tot
+WHERE (cum_cents - cents) * 10 < tot_cents * 8
 """
 
 register(
@@ -1064,10 +1072,12 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     champion/loyal/at-risk/hibernating labels on the R×F grid.
 
     One groupBy(customer) computes all three metrics; the three quintile
-    windows share full-key tie-breaks (metric, custkey) so bucket
-    boundaries are engine-deterministic. Window input is one row per
-    customer — already aggregated, so the global NTILE sorts |customers|
-    rows, not |orders|."""
+    assignments share full-key tie-breaks (metric, custkey) so bucket
+    boundaries are engine-deterministic. |customers| grows with data, so
+    each NTILE runs as the distributed two-pass rank + closed-form tile
+    formula (operators/ordered.py) instead of a global sort window —
+    bucket assignment is provably identical to SQL NTILE over the same
+    tie-broken order."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_totalprice"
     )
@@ -1076,17 +1086,18 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("frequency"),
         sum_money("o_totalprice").alias("monetary"),
     )
-    r_w = Window.orderBy("recency_days", "o_custkey")
-    f_w = Window.orderBy(F.desc("frequency"), "o_custkey")
-    m_w = Window.orderBy(F.desc("monetary"), "o_custkey")
-    scored = per_cust.select(
-        "o_custkey",
-        "recency_days",
-        "frequency",
-        "monetary",
-        F.ntile(5).over(r_w).alias("r_score"),  # 1 = most recent
-        F.ntile(5).over(f_w).alias("f_score"),  # 1 = most frequent
-        F.ntile(5).over(m_w).alias("m_score"),  # 1 = highest spend
+    scored = ntile_distributed(
+        per_cust, "recency_days", 5, "r_score", tiebreaks=["o_custkey"]
+    )  # 1 = most recent
+    scored = ntile_distributed(
+        scored, "frequency", 5, "f_score", descending=True, tiebreaks=["o_custkey"]
+    )  # 1 = most frequent
+    scored = ntile_distributed(
+        scored, "monetary", 5, "m_score", descending=True, tiebreaks=["o_custkey"]
+    )  # 1 = highest spend
+    scored = scored.select(
+        "o_custkey", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
     )
     seg = (
         F.when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "champion")

@@ -10,6 +10,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from analytics_data_platform_spark.operators.ordered import with_global_order
 from analytics_data_platform_spark.queries import QuerySpec, register
 from analytics_data_platform_spark.sources.testdata import load_table
 
@@ -287,13 +288,12 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     first_seen = words.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
     doc_tokens = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("toks"))
-    wpos = Window.orderBy("doc_id")
+    n_docs = doc_tokens.agg(F.count(F.lit(1)).alias("n"))
     thresholds = (
-        doc_tokens.select(
-            "doc_id",
-            F.row_number().over(wpos).alias("rn"),
-            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-        )
+        # distributed global position over |documents| (operators/
+        # ordered.py two-pass scan — no global sort window)
+        with_global_order(doc_tokens, "doc_id", rank_col="rn")
+        .crossJoin(F.broadcast(n_docs))
         .where(F.expr("exists(sequence(1, 10), k -> rn = greatest(1, (k * n) div 10))"))
         .select(F.col("doc_id").alias("cut"), F.col("rn").cast("bigint").alias("docs_seen"))
     )

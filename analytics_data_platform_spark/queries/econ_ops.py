@@ -17,22 +17,24 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from analytics_data_platform_spark.operators.ordered import with_global_order
 from analytics_data_platform_spark.queries import QuerySpec, register
 from analytics_data_platform_spark.sources.testdata import load_table
 
 
 def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of per-customer order revenue (cents-exact), with
-    the component sums exposed for auditability. One groupBy(customer) +
-    one global sort window over the |customers|-row aggregate."""
+    the component sums exposed for auditability. One groupBy(customer),
+    then the global rank comes from the two-pass bucketed scan
+    (operators/ordered.py) — |customers| grows with data, so a global
+    sort window would be a single-reducer at 100 TB."""
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
     )
-    w = Window.orderBy("cents", "o_custkey")
-    ranked = per_cust.select(
-        "cents", F.row_number().over(w).alias("i")
-    )
+    ranked = with_global_order(
+        per_cust, "cents", tiebreaks=["o_custkey"], rank_col="i"
+    ).select("cents", "i")
     agg = ranked.agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("cents").alias("total_cents"),
@@ -91,16 +93,15 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
     )
-    w = Window.orderBy("cents", "o_custkey")
-    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     n_tot = per_cust.agg(
         F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total")
     )
     ranked = (
-        per_cust.select(
-            F.row_number().over(w).alias("i"),
-            F.sum("cents").over(w_cum).alias("cum_cents"),
+        with_global_order(
+            per_cust, "cents", tiebreaks=["o_custkey"],
+            rank_col="i", prefix_sums={"cum_cents": "cents"},
         )
+        .select("i", "cum_cents")
         .crossJoin(F.broadcast(n_tot))
         .withColumn("decile", F.expr("(i * 10) div n"))
         .where(F.col("i") == F.expr("(decile * n) div 10"))  # last row of each decile
@@ -405,10 +406,12 @@ def abc_xyz_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c") * F.col("c")).alias("ss"),
         F.sum("rev").alias("rev"),
     )
-    w = Window.orderBy(F.desc("rev"), "l_partkey")
     tot = per_part.agg(F.sum("rev").alias("tr"))
     classed = (
-        per_part.withColumn("cum", F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        with_global_order(
+            per_part, "rev", descending=True, tiebreaks=["l_partkey"],
+            prefix_sums={"cum": "rev"},
+        )
         .crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(weeks))
         .select(
@@ -1298,16 +1301,23 @@ def vendor_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("return_rate"),
         F.count_distinct("l_partkey").alias("n_parts"),
     )
-    r_rev = F.row_number().over(Window.orderBy(F.desc("revenue"), "suppkey"))
-    r_ret = F.row_number().over(Window.orderBy(F.asc("return_rate"), "suppkey"))
-    r_brd = F.row_number().over(Window.orderBy(F.desc("n_parts"), "suppkey"))
-    scored = per_supp.select(
-        "suppkey", "revenue", "return_rate", "n_parts",
-        (r_rev + r_ret + r_brd).alias("rank_sum"),
+    ranked = with_global_order(
+        per_supp, "revenue", descending=True, tiebreaks=["suppkey"], rank_col="_r_rev"
     )
-    w = Window.orderBy("rank_sum", "suppkey")
+    ranked = with_global_order(
+        ranked, "return_rate", tiebreaks=["suppkey"], rank_col="_r_ret"
+    )
+    ranked = with_global_order(
+        ranked, "n_parts", descending=True, tiebreaks=["suppkey"], rank_col="_r_brd"
+    )
+    scored = ranked.select(
+        "suppkey", "revenue", "return_rate", "n_parts",
+        (F.col("_r_rev") + F.col("_r_ret") + F.col("_r_brd")).alias("rank_sum"),
+    )
     return (
-        scored.withColumn("pos", F.row_number().over(w))
+        scored.withColumn(
+            "pos", F.row_number().over(Window.orderBy("rank_sum", "suppkey"))
+        )
         .where(F.col("pos") <= SCORECARD_TOP)
         .select("pos", "suppkey", "revenue", "return_rate", "n_parts", "rank_sum")
     )

@@ -22,6 +22,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from analytics_data_platform_spark.operators.ordered import with_global_order
 from analytics_data_platform_spark.queries import QuerySpec, register
 from analytics_data_platform_spark.sources.testdata import load_table
 
@@ -730,20 +731,23 @@ def stratified_effect_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("y"),
         )
     )
-    w = Window.orderBy("x", "user_id")
-    strat = users.select(
-        "user_id",
-        "x",
-        "y",
-        (
-            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
-            .cast("bigint")
-            % 2
-        ).alias("arm"),
-        F.expr(
-            "CAST(ceil(ROW_NUMBER() OVER (ORDER BY x, user_id) * 5"
-            " / (COUNT(1) OVER ())) AS BIGINT)"
-        ).alias("stratum"),
+    # distributed global rank over |users| (operators/ordered.py) — the
+    # quintile cut positions need a total order but not a global window
+    n_tot = users.agg(F.count(F.lit(1)).alias("_n"))
+    strat = (
+        with_global_order(users, "x", tiebreaks=["user_id"], rank_col="_rn")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "user_id",
+            "x",
+            "y",
+            (
+                F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+                .cast("bigint")
+                % 2
+            ).alias("arm"),
+            F.expr("CAST(ceil(_rn * 5 / _n) AS BIGINT)").alias("stratum"),
+        )
     )
     cells = strat.groupBy("stratum").agg(
         F.count(F.lit(1)).alias("n_users"),

@@ -9,6 +9,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from analytics_data_platform_spark.operators.ordered import (
+    ntile_distributed,
+    top_n_with_pos,
+    with_global_order,
+)
 from analytics_data_platform_spark.queries import QuerySpec, register
 from analytics_data_platform_spark.queries.exact import money, sum_money
 from analytics_data_platform_spark.sources.testdata import load_table
@@ -429,15 +434,18 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact total order (o_totalprice, o_orderkey tie-break — without the
     unique key, ties would make bucket boundaries engine-dependent).
     The profiling primitive behind CBO histograms and drift monitors.
-    NTILE's exact semantics force a global total order (one-task sort) —
-    correct here as the oracle-pinned exactness baseline; at 100 TB the
-    scale path is approx_percentile boundary cut-points + a broadcast
-    range join (no total sort), trading exact bucket counts for a
-    parallel plan."""
+    Exact NTILE over |orders| rows without a one-task sort: the
+    distributed two-pass rank (operators/ordered.py — approx-quantile
+    bucket cut-points for balance, exact in-bucket ranks + cross-bucket
+    offsets for correctness) feeds the closed-form tile formula, so the
+    plan parallelizes while bucket counts stay oracle-exact."""
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
-        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        ntile_distributed(
+            o.select("o_totalprice", "o_orderkey"),
+            "o_totalprice", 10, "decile", tiebreaks=["o_orderkey"],
+        )
+        .select("o_totalprice", "decile")
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_orders"),
@@ -569,15 +577,23 @@ def top_parts_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top parts by total shipped quantity using WITH-TIES semantics
     (dense_rank ≤ 3): every part on a tied total is kept, so the result
     is value-determined — unlike row_number top-k, no arbitrary ordering
-    inside ties ever reaches the output."""
+    inside ties ever reaches the output.
+
+    Distributed shape: dense_rank ≤ k over a data-linear aggregate never
+    needs a global window — the k highest DISTINCT totals come from a
+    distinct-aggregate + TakeOrderedAndProject (operators/ordered.py
+    top_n_with_pos), and a broadcast semi-join attaches the rank to
+    every tied part."""
     li = load_table(spark, sf_dir, "lineitem")
     totals = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty")
     )
-    w = Window.orderBy(F.desc("total_qty"))
+    top_vals = top_n_with_pos(
+        totals.select("total_qty").distinct(),
+        [F.desc("total_qty")], 3, pos_col="qty_rank",
+    )
     return (
-        totals.withColumn("qty_rank", F.dense_rank().over(w))
-        .where(F.col("qty_rank") <= 3)
+        totals.join(F.broadcast(top_vals), "total_qty")
         .select(F.col("l_partkey").alias("part_key"), "total_qty", "qty_rank")
         .orderBy("qty_rank", "part_key")
     )
@@ -695,13 +711,14 @@ def spearman_qty_vs_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rev"
         ),
     )
-    wq = Window.orderBy(F.desc("qty"), "l_partkey")
-    wr = Window.orderBy(F.desc("rev"), "l_partkey")
-    ranked = totals.select(
-        "l_partkey",
-        F.row_number().over(wq).alias("rank_qty"),
-        F.row_number().over(wr).alias("rank_rev"),
+    # two distributed global ranks (|parts| grows with data — no global
+    # sort window; operators/ordered.py two-pass scan)
+    ranked = with_global_order(
+        totals, "qty", descending=True, tiebreaks=["l_partkey"], rank_col="rank_qty"
     )
+    ranked = with_global_order(
+        ranked, "rev", descending=True, tiebreaks=["l_partkey"], rank_col="rank_rev"
+    ).select("l_partkey", "rank_qty", "rank_rev")
     return ranked.agg(
         F.count(F.lit(1)).alias("n_parts"),
         F.sum(
@@ -844,13 +861,13 @@ def skyline_parts_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("p_retailprice") * 100).cast("bigint").alias("price_cents"),
         F.col("p_size").cast("bigint").alias("size"),
     )
-    w = (
-        Window.orderBy(F.asc("price_cents"), F.desc("size"), F.asc("p_partkey"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    flagged = p.select(
-        "p_partkey", "price_cents", "size",
-        F.max("size").over(w).alias("best_prev"),
+    # exclusive running max in the global (price asc, size desc) order,
+    # via the distributed two-pass scan (operators/ordered.py) — |parts|
+    # grows with data, so a global window would single-reduce at 100 TB
+    flagged = with_global_order(
+        p, "price_cents",
+        tiebreaks=[F.desc("size"), F.asc("p_partkey")],
+        prefix_maxes_excl={"best_prev": "size"},
     )
     return (
         flagged.where(F.col("best_prev").isNull() | (F.col("size") > F.col("best_prev")))

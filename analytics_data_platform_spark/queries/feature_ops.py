@@ -18,6 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from analytics_data_platform_spark.operators.ordered import with_global_order
 from analytics_data_platform_spark.queries import QuerySpec, register
 from analytics_data_platform_spark.sources.testdata import load_table
 
@@ -244,15 +245,15 @@ def quantile_normalize_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical length distribution (the cross-assay normalization trick,
     applied to per-source corpus drift).
 
-    Two rank windows (one per grain) + an equi-join on the computed
-    position; every value is an integer, the position formula is integer
-    arithmetic, so the mapping is engine-exact. The global window is the
-    scale bound — at 100 TB rank globally via approx partition boundaries
-    (range partitioner) or normalize within date shards.
+    A per-source rank window (partitioned — scale-safe) + a DISTRIBUTED
+    global rank from the two-pass bucketed scan (operators/ordered.py; a
+    global sort window over |documents| would single-reduce at 100 TB)
+    + an equi-join on the computed position; every value is an integer,
+    the position formula is integer arithmetic, so the mapping is
+    engine-exact.
     """
     d = load_table(spark, sf_dir, "documents")
     w_src = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    w_all = Window.orderBy("n_chars", "doc_id")
     n_all = d.agg(F.count(F.lit(1)).alias("n_total"))
     ranked = (
         d.select("doc_id", "source", "n_chars")
@@ -261,8 +262,10 @@ def quantile_normalize_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_all))
         .withColumn("gpos", F.expr("(i * n_total + m - 1) div m"))
     )
-    glob = d.select(F.row_number().over(w_all).alias("gpos"),
-                    F.col("n_chars").alias("qn_chars"))
+    glob = with_global_order(
+        d.select("n_chars", "doc_id"), "n_chars", tiebreaks=["doc_id"],
+        rank_col="gpos",
+    ).select("gpos", F.col("n_chars").alias("qn_chars"))
     return ranked.join(glob, "gpos").select(
         "doc_id", "source", "n_chars", "qn_chars"
     )
@@ -524,13 +527,15 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
     )
     ref = e.where(F.col("period") == 0)
-    w = Window.orderBy("cents", "event_id")
+    n_ref = ref.agg(F.count(F.lit(1)).alias("n"))
     cuts = (
-        ref.select(
-            "cents",
-            F.row_number().over(w).alias("rn"),
-            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        # distributed global rank (|ref events| grows with data — two-pass
+        # bucketed scan, operators/ordered.py; no global sort window)
+        with_global_order(
+            ref.select("cents", "event_id"), "cents", tiebreaks=["event_id"],
+            rank_col="rn",
         )
+        .crossJoin(F.broadcast(n_ref))
         .where(F.expr(f"exists(sequence(1, {_PSI_BINS - 1}), k -> rn = (k * n) div {_PSI_BINS})"))
         .groupBy("cents")
         .agg(F.min(F.expr(f"CAST(ceil(rn * {_PSI_BINS} / n) AS BIGINT)")).alias("_"))

@@ -15,6 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from analytics_data_platform_spark.operators.ordered import with_global_order
 from analytics_data_platform_spark.queries import QuerySpec, register
 from analytics_data_platform_spark.sources.testdata import load_table
 
@@ -536,10 +537,11 @@ def kcore_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     deg0 = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    w_rank = Window.orderBy("deg", "src")
     n_nodes = deg0.agg(F.count(F.lit(1)).alias("cnt"))
     kth = (
-        deg0.withColumn("rn", F.row_number().over(w_rank))
+        # decile selection by distributed global rank (operators/
+        # ordered.py — |nodes| grows with data, no global sort window)
+        with_global_order(deg0, "deg", tiebreaks=["src"], rank_col="rn")
         .crossJoin(F.broadcast(n_nodes))
         .where(F.col("rn") == F.expr("(cnt + 9) div 10"))
         .select(F.col("deg").alias("k"))

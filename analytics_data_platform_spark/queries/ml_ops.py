@@ -33,6 +33,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from analytics_data_platform_spark.operators.ordered import with_global_order
 from analytics_data_platform_spark.queries import QuerySpec, register
 from analytics_data_platform_spark.sources.testdata import load_table
 
@@ -1107,12 +1108,15 @@ def decision_stump_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase").cast("bigint").alias("buy"),
         "event_id",
     )
-    w = Window.orderBy("cents", "event_id")
-    ranked = e.select(
-        "cents",
-        "buy",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    n_tot = e.agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        # distributed global position over |events| (operators/ordered.py
+        # two-pass scan — no global sort window at 100 TB)
+        with_global_order(
+            e.select("cents", "event_id"), "cents", tiebreaks=["event_id"],
+            rank_col="rn",
+        )
+        .crossJoin(F.broadcast(n_tot))
     )
     cuts = (
         ranked.where(F.expr("exists(sequence(1, 9), k -> rn = (k * n) div 10)"))

@@ -1342,11 +1342,18 @@ def keyness_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     tl = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("a"))
     w_lang = Window.partitionBy("lang")
     w_tok = Window.partitionBy("tok")
-    stats = tl.select(
-        "lang", "tok", "a",
-        F.sum("a").over(w_lang).alias("big_a"),
-        (F.sum("a").over(w_tok) - F.col("a")).alias("b"),
-    ).withColumn("big_b", F.sum("a").over(Window.partitionBy()) - F.col("big_a"))
+    # corpus total as a scalar aggregate + broadcast (a partitionBy()-less
+    # window would single-reduce the |vocab×lang| aggregate at scale)
+    total = tl.agg(F.sum("a").alias("_tot"))
+    stats = (
+        tl.select(
+            "lang", "tok", "a",
+            F.sum("a").over(w_lang).alias("big_a"),
+            (F.sum("a").over(w_tok) - F.col("a")).alias("b"),
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn("big_b", F.col("_tot") - F.col("big_a"))
+    )
     lodds = (
         F.expr(f"CAST(round(ln((a + 1) / CAST(big_a - a + 1 AS DOUBLE)) * {_KEY_SCALE}) AS BIGINT)")
         - F.expr(f"CAST(round(ln((b + 1) / CAST(big_b - b + 1 AS DOUBLE)) * {_KEY_SCALE}) AS BIGINT)")

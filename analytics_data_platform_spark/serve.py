@@ -68,3 +68,25 @@ def beeline_argv(sql_text: str, port: int = 10000, user: str = "anon") -> list[s
         "-e",
         sql_text,
     ]
+
+
+def connect_server_conf(port: int = 15002) -> dict[str, str]:
+    """Builder confs that turn a Spark application into a Spark Connect
+    endpoint (the modern gRPC twin of :func:`start_thrift_server` — the
+    §3.3 interactive surface for connect-native clients like recent
+    DBeaver, VS Code, or `pyspark --remote`).
+
+    The server plugin ships inside the Spark distribution
+    (spark-connect_2.13 jar — verified present in this image); clients
+    additionally need the grpcio wheel, which this container does NOT
+    ship, so the end-to-end test (tests/test_connect_surface.py) is
+    env-gated on `import grpc`. Usage::
+
+        spark = get_spark(extra_conf=connect_server_conf())
+        # then from any client: SparkSession.builder \
+        #     .remote("sc://host:15002").getOrCreate()
+    """
+    return {
+        "spark.plugins": "org.apache.spark.sql.connect.SparkConnectPlugin",
+        "spark.connect.grpc.binding.port": str(port),
+    }

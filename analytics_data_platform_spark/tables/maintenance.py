@@ -91,6 +91,34 @@ def compact_table(
     return f"{table}: compacted {n_files} files -> {parts}"
 
 
+def compact_band_index_table(
+    spark: SparkSession,
+    index_table: str,
+    live_table: str,
+    id_col: str = "doc_id",
+    version_col: str | None = None,
+) -> str:
+    """Nightly LSH band-index expiry (operators/dedup.py::
+    compact_band_index): rewrite ``index_table`` keeping only live-id
+    rows (and, given ``version_col``, only each id's latest version),
+    via the same crash-safe stage + INSERT OVERWRITE swap file
+    compaction uses. Keeps the incremental dedup index at O(live docs)
+    under re-ingest. No-op (reported) when nothing is dead."""
+    from analytics_data_platform_spark.operators.dedup import compact_band_index
+
+    io = TableIO(spark)
+    idx = spark.table(index_table)
+    before = idx.count()
+    kept = compact_band_index(idx, spark.table(live_table), id_col, version_col)
+    after = kept.count()
+    if after == before:
+        return f"{index_table}: band index clean ({before} rows)"
+    stage = index_table + "__compact"
+    kept.write.format("parquet").mode("overwrite").saveAsTable(stage)
+    io.swap_stage(stage, index_table)
+    return f"{index_table}: band index {before} -> {after} rows"
+
+
 def run_maintenance(
     spark: SparkSession,
     namespaces: list[str] | None = None,

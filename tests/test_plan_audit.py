@@ -16,19 +16,60 @@ PYTHON_ALLOWED = {
     "pack_sequences",
 }
 
+# Queries allowed to keep an Exchange SinglePartition over non-limited
+# input, each with the reason its input is BOUNDED regardless of data
+# volume (the corpus time span and schema domains are fixed — only row
+# counts grow at 100 TB). Every data-linear global window was migrated to
+# operators/ordered.py in round 4; anything newly flagged here is a
+# single-reducer scale regression and must be migrated, not allowlisted,
+# unless its window input provably does not grow with data.
+SINGLE_PARTITION_ALLOWED = {
+    "acf_daily_revenue": "window over per-day aggregate: ≤ ~2.4k calendar days",
+    "benford_first_digit": "window over 9 leading-digit rows",
+    "benford_second_digit": "window over 10 second-digit rows",
+    "chi_square_type_hour": "window over event_type × 24-hour cells (≤ ~100)",
+    "churn_hazard_by_tenure": "window over ≤ ⌈2556/90⌉ ≈ 29 tenure buckets",
+    "cross_validate_ols": "window over 5 fold-moment rows",
+    "cumulative_new_users": "window over calendar-hour buckets (fixed span)",
+    "cusum_changepoints": "window over per-day aggregate (calendar-bounded)",
+    "kaplan_meier_retention": "window over distinct day durations ≤ calendar span",
+    "learning_curve_ols": "window over 10 decile-moment rows",
+    "nation_rank_momentum": "window over 25 nations (TPC-H fixed dimension)",
+    "rolling_corr_revenue_orders": "window over per-day aggregate",
+    "runs_test_daily_revenue": "window over per-day aggregate",
+    "seasonal_naive_wape": "window over per-day aggregate",
+    "stl_dow_decomposition": "windows over per-day / 7 day-of-week aggregates",
+    "stratified_quota_sample": "window over per-source allocation (|sources| domain)",
+    "theil_sen_weekly_trend": "window over week-pair slopes (calendar² ≤ ~60k)",
+    "yoy_revenue_growth": "window over ≤ 7 yearly rows",
+}
 
-def test_registry_sweep_no_cartesian_no_python(spark, sf_dir):
+
+def test_registry_sweep_no_cartesian_no_python_no_single_reducer(spark, sf_dir):
     """Every registered query: no CartesianProduct, JVM-side unless
-    allowlisted. This is the single highest-leverage regression net in
+    allowlisted, and no unbounded single-partition exchange (global
+    sort/window over data-linear input) unless its input is provably
+    bounded. This is the single highest-leverage regression net in
     the repo — it runs the planner over the full surface."""
     offenders: list[str] = []
+    stale_allow = set(SINGLE_PARTITION_ALLOWED)
     for name, spec in sorted(all_queries().items()):
         r = audit(spec.fn(spark, sf_dir))
         if r.has_cartesian:
             offenders.append(f"{name}: cartesian")
         if r.python_eval and name not in PYTHON_ALLOWED:
             offenders.append(f"{name}: python boundary")
+        if r.unbounded_single_partition:
+            if name in SINGLE_PARTITION_ALLOWED:
+                stale_allow.discard(name)
+            else:
+                offenders.append(
+                    f"{name}: single-reducer {r.unbounded_single_partition[0][:80]}"
+                )
     assert not offenders, offenders
+    # an allowlist entry that no longer fires is stale — prune it so the
+    # list documents reality
+    assert not stale_allow, f"stale SINGLE_PARTITION_ALLOWED entries: {stale_allow}"
 
 
 def test_audit_parses_scan_details(spark, sf_dir):
