@@ -69,6 +69,18 @@ _NUMERIC = (
 DEFAULT_BUCKETS = 64
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Lazy localCheckpoint: the first job over ``df`` (the boundary
+    discovery pass) materializes its partitions; the main plan and any
+    chained scan then reuse them instead of recomputing the upstream
+    aggregate once per pass — without this, a 3×-chained NTILE (RFM)
+    recomputes its groupBy cascade ~7×. Tradeoff: localCheckpoint drops
+    lineage, so a lost executor fails the job instead of recomputing —
+    acceptable for the short-lived scans here (same call the iterative
+    graph operators already make)."""
+    return df.localCheckpoint(eager=False)
+
+
 def top_n_with_pos(
     df: DataFrame,
     order_by: Sequence[Column | str],
@@ -118,31 +130,58 @@ def _boundaries(df: DataFrame, key: str, nbuckets: int) -> list:
     return sorted(set(rows[step::step][: nbuckets - 1]))
 
 
+def _boundaries_map(df: DataFrame, keys: Sequence[str], nbuckets: int) -> dict[str, list]:
+    """Boundary sets for several keys, with all numeric keys batched into
+    ONE approxQuantile pass (one job instead of one per key)."""
+    probs = [i / nbuckets for i in range(1, nbuckets)]
+    numeric = [k for k in keys if isinstance(df.schema[k].dataType, _NUMERIC)]
+    out: dict[str, list] = {}
+    if numeric:
+        qss = df.stat.approxQuantile(numeric, probs, 0.001)
+        for k, qs in zip(numeric, qss):
+            out[k] = sorted(set(qs))
+    for k in keys:
+        if k not in out:
+            out[k] = _boundaries(df, k, nbuckets)
+    return out
+
+
 def _bucket_expr(df: DataFrame, key: str, bounds: list, descending: bool) -> Column:
     """Monotone bucket id from literal boundaries (ties stay together).
 
     A plain sum of boundary comparisons — deliberately no higher-order
     function: a lambda capturing the key column breaks when Catalyst
     pushes the derived isnotnull(bucket) filter through later joins
-    (attribute-not-found at bind time, observed on Spark 4.1)."""
+    (attribute-not-found at bind time, observed on Spark 4.1). Numeric
+    and date keys build the whole sum as ONE ``F.expr`` SQL string — a
+    fluent 63-term Column chain costs ~200 py4j round trips per call
+    site (seconds of driver time; same class as the SCALE.md "driver-side
+    costs are real" record); the parse result and codegen are identical."""
     if not bounds:
         return F.lit(0)
     dt = df.schema[key].dataType
+    op = ">" if descending else "<"  # descending: #boundaries strictly greater
     if isinstance(dt, (DateType, TimestampType)):
-        k = F.col(key).cast("double")
-        lits = [F.lit(float(b)).cast("double") for b in bounds]
+        k = f"CAST(`{key}` AS DOUBLE)"
+        lits = [f"CAST({float(b)!r} AS DOUBLE)" for b in bounds]
+    elif isinstance(dt, _NUMERIC):
+        k = f"`{key}`"
+        sql_t = dt.simpleString().upper()
+        # same value semantics as F.lit(b).cast(dt): approxQuantile hands
+        # back doubles; the cast reproduces the exact literal the Column
+        # path produced (double→integral truncates identically)
+        lits = [f"CAST({float(b)!r} AS {sql_t})" for b in bounds]
     else:
-        k = F.col(key)
-        lits = [F.lit(b).cast(dt) for b in bounds]
-    if descending:
-        # bucket = #boundaries strictly greater than the key
-        terms = [(b > k).cast("int") for b in lits]
-    else:
-        terms = [(b < k).cast("int") for b in lits]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+        # non-numeric (string ids from the sample fallback): keep the
+        # fluent path — values need proper literal escaping, and this
+        # branch is rare and small
+        kcol = F.col(key)
+        out = (F.lit(bounds[0]) > kcol if descending else F.lit(bounds[0]) < kcol).cast("int")
+        for b in bounds[1:]:
+            t = (F.lit(b) > kcol if descending else F.lit(b) < kcol).cast("int")
+            out = out + t
+        return out
+    return F.expr(" + ".join(f"CAST(({b} {op} {k}) AS INT)" for b in lits))
 
 
 def with_global_order(
@@ -155,7 +194,10 @@ def with_global_order(
     prefix_sums: dict[str, Column | str] | None = None,
     running_totals: dict[str, Column | str] | None = None,
     prefix_maxes_excl: dict[str, Column | str] | None = None,
+    total_count_col: str | None = None,
     nbuckets: int = DEFAULT_BUCKETS,
+    _pre_materialized: bool = False,
+    _bounds: list | None = None,
 ) -> DataFrame:
     """Attach a global row_number and/or exact inclusive running totals
     in ``(key [desc], *tiebreaks)`` order, without a global window.
@@ -170,46 +212,48 @@ def with_global_order(
     NULL on the globally first row) — the skyline/running-record shape.
     Max is associative and commutative, so any input type is exact.
 
-    Plan shape: one hash shuffle on the literal-boundary bucket id; two
-    Window operators (cumulative + whole-bucket totals) sharing that
-    exchange/sort; per-bucket totals (≤ B rows) aggregated and offset by
-    a triangular BroadcastNestedLoopJoin (B² ≤ 4096 pairs); offsets
-    broadcast-joined back. No Exchange SinglePartition.
+    Plan shape: one hash shuffle on the literal-boundary bucket id; ONE
+    Window pass for the in-bucket cumulatives; per-bucket totals come
+    from a separate cheap partial aggregate (map-side combine — not a
+    second evaluation of the window) over the same materialized input,
+    offset by a triangular join over ≤ B rows and broadcast-joined back.
+    No Exchange SinglePartition. The input is localCheckpoint'd so the
+    boundary pass, the totals pass, and the window pass share one
+    computation of the upstream plan.
     """
     sums = dict(prefix_sums or {})
     sums.update(running_totals or {})
     maxes = dict(prefix_maxes_excl or {})
-    if rank_col is None and not sums and not maxes:
+    if rank_col is None and not sums and not maxes and total_count_col is None:
         raise ValueError("need rank_col, prefix_sums, and/or prefix_maxes_excl")
+    if not _pre_materialized:
+        df = _materialize(df)
     key_order = F.desc(key) if descending else F.asc(key)
     order = [key_order, *tiebreaks]
-    bounds = _boundaries(df, key, nbuckets)
+    bounds = _bounds if _bounds is not None else _boundaries(df, key, nbuckets)
     b = df.withColumn("_bkt", _bucket_expr(df, key, bounds, descending))
     w_cum = (
         Window.partitionBy("_bkt").orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    w_all = Window.partitionBy("_bkt")
     proj: list[Column] = [F.col(c) for c in df.columns] + [F.col("_bkt")]
-    tot_cols: list[str] = ["_n"]
     proj.append(F.row_number().over(w_cum).cast("long").alias("_lrank"))
-    proj.append(F.count(F.lit(1)).over(w_all).alias("_t_n"))
     for out, src in sums.items():
         proj.append(F.sum(src).over(w_cum).alias(f"_l_{out}"))
-        proj.append(F.sum(src).over(w_all).alias(f"_t_{out}"))
-        tot_cols.append(out)
     w_cum_excl = (
         Window.partitionBy("_bkt").orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     for out, src in maxes.items():
         proj.append(F.max(src).over(w_cum_excl).alias(f"_l_{out}"))
-        proj.append(F.max(src).over(w_all).alias(f"_t_{out}"))
     local = b.select(*proj)
-    totals = local.groupBy("_bkt").agg(
-        F.first("_t_n").alias("_t_n"),
-        *[F.first(f"_t_{out}").alias(f"_t_{out}") for out in sums],
-        *[F.first(f"_t_{out}").alias(f"_t_{out}") for out in maxes],
+    # per-bucket totals as a plain aggregate (same rows, same exact
+    # types → identical values to a whole-bucket window, at partial-agg
+    # cost instead of a second window evaluation)
+    totals = b.groupBy("_bkt").agg(
+        F.count(F.lit(1)).alias("_t_n"),
+        *[F.sum(src).alias(f"_t_{out}") for out, src in sums.items()],
+        *[F.max(src).alias(f"_t_{out}") for out, src in maxes.items()],
     )
     # Exclusive cross-bucket offsets. The bucket id is ≤ nbuckets-1 by
     # construction, so totals has ≤ nbuckets rows; the explicit limit()
@@ -217,9 +261,17 @@ def with_global_order(
     # to the single-partition audit), so the tiny offset window runs over
     # provably bounded input.
     w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    w_tot = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     offsets = totals.limit(nbuckets).select(
         "_bkt",
         F.coalesce(F.sum("_t_n").over(w_off), F.lit(0)).alias("_o_n"),
+        *(
+            [F.sum("_t_n").over(w_tot).alias("_g_n")]
+            if total_count_col is not None
+            else []
+        ),
         *[F.sum(f"_t_{out}").over(w_off).alias(f"_o_{out}") for out in sums],
         *[F.max(f"_t_{out}").over(w_off).alias(f"_o_{out}") for out in maxes],
     )
@@ -227,6 +279,9 @@ def with_global_order(
     final: list[Column] = [F.col(c) for c in df.columns]
     if rank_col is not None:
         final.append((F.col("_lrank") + F.col("_o_n")).alias(rank_col))
+    if total_count_col is not None:
+        # grand total row count (offset window over the ≤ B bucket totals)
+        final.append(F.col("_g_n").cast("long").alias(total_count_col))
     for out, src in sums.items():
         zero = F.lit(0).cast(joined.schema[f"_l_{out}"].dataType)
         final.append(
@@ -250,24 +305,72 @@ def ntile_distributed(
     descending: bool = False,
     tiebreaks: Sequence[Column | str] = (),
     nbuckets: int = DEFAULT_BUCKETS,
+    _pre_materialized: bool = False,
+    _bounds: list | None = None,
 ) -> DataFrame:
     """Exact ``NTILE(n) OVER (ORDER BY key [DESC], *tiebreaks)`` without
     a single-partition window.
 
     SQL NTILE semantics: with ``total = q*n + r``, the first ``r`` tiles
     get ``q+1`` rows and the rest get ``q``; given a total (tie-broken)
-    order this is a pure function of the global row_number, which the
-    two-pass scan provides. Bucket assignment is therefore identical to
-    Spark's and DuckDB's NTILE over the same order.
+    order this is a pure function of (global row_number, total count),
+    both of which the two-pass scan provides in one evaluation (the
+    total rides the ≤ B-row bucket-totals frame — no extra count job).
+    Bucket assignment is therefore identical to Spark's and DuckDB's
+    NTILE over the same order.
     """
     ranked = with_global_order(
         df, key, descending=descending, tiebreaks=tiebreaks,
-        rank_col="_gr", nbuckets=nbuckets,
+        rank_col="_gr", total_count_col="_tc", nbuckets=nbuckets,
+        _pre_materialized=_pre_materialized, _bounds=_bounds,
     )
-    total = ranked.groupBy().agg(F.max("_gr").alias("_total"))
-    out = ranked.join(F.broadcast(total))
-    tile = _ntile_from_rank(F.col("_gr"), F.col("_total"), n)
-    return out.withColumn(out_col, tile).drop("_gr", "_total")
+    tile = _ntile_from_rank(F.col("_gr"), F.col("_tc"), n)
+    return ranked.withColumn(out_col, tile).drop("_gr", "_tc")
+
+
+def multi_global_ranks(
+    df: DataFrame,
+    on: Sequence[str],
+    specs: Sequence[dict],
+    nbuckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Attach several INDEPENDENT global rank / NTILE columns (different
+    order keys over the same rows — the RFM / multi-criteria-scorecard
+    shape) from one materialized input.
+
+    ``on``: join-key column names uniquely identifying each row.
+    ``specs``: dicts with ``key`` (order column), ``out`` (output
+    column), and optionally ``descending`` (bool), ``tiebreaks``
+    (column NAMES), ``ntile`` (int → NTILE id instead of a rank).
+
+    Chaining :func:`with_global_order` calls would re-evaluate every
+    earlier stage's windows at each step (each call references its input
+    twice); instead the base is localCheckpoint'd ONCE, every numeric
+    boundary set comes from one batched approxQuantile pass, each spec
+    ranks a slim (on ∪ key ∪ tiebreaks) projection of the base, and the
+    rank columns equi-join back on ``on`` — parallel hash joins, no
+    cascade."""
+    base = _materialize(df)
+    bounds = _boundaries_map(base, sorted({s["key"] for s in specs}), nbuckets)
+    out = base
+    for s in specs:
+        tiebreaks = [c for c in s.get("tiebreaks", ()) if c not in ("",)]
+        cols = list(dict.fromkeys([*on, s["key"], *tiebreaks]))
+        slim = base.select(*cols)
+        kw = dict(
+            descending=bool(s.get("descending", False)),
+            tiebreaks=tiebreaks,
+            nbuckets=nbuckets,
+            _pre_materialized=True,
+            _bounds=bounds[s["key"]],
+        )
+        k = s.get("ntile")
+        if k:
+            ranked = ntile_distributed(slim, s["key"], k, s["out"], **kw)
+        else:
+            ranked = with_global_order(slim, s["key"], rank_col=s["out"], **kw)
+        out = out.join(ranked.select(*on, s["out"]), list(on))
+    return out
 
 
 def _idiv(a: Column, b: Column) -> Column:

@@ -939,3 +939,63 @@ def brute_force_topk_numpy(
         F.desc_nulls_last("cos_sim"), F.asc(id_col)
     )
     return pruned.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def self_nearest_neighbor(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact cosine 1-NN for EVERY vector (corpus against itself) with
+    the fused Arrow scorer — the embedding data-quality screen shape.
+
+    The JVM formulation of all-pairs 1-NN is a non-equi self-join
+    (BroadcastNestedLoopJoin) evaluating an interpreted HOF fold per
+    pair: n² folds (30 s for n=2000 at sf0.1). Here the id-ASCENDING
+    corpus matrix rides the serialized closure (one copy per executor —
+    the same boundedness assumption the BNLJ's broadcast side already
+    made), each Arrow batch does ONE b×d @ d×n BLAS matmul, rounds to
+    4dp, masks self, and emits exactly one row per vector; because
+    columns sit in ascending-id order, numpy's first-argmax IS the
+    min-id tie-break on the rounded score. Only n rows ever shuffle.
+
+    Beyond closure-broadcast size, screen with LSH/IVF candidate pairs +
+    exact refine (the lsh/ivf paths above) — this exact variant is the
+    oracle baseline, the same split as brute_force vs IVF top-k.
+    """
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).collect()
+    ids = np.array([r[0] for r in rows])
+    M = np.asarray([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(M, axis=1)
+    norms[norms == 0.0] = np.inf
+    Mt = (M / norms[:, None]).T  # d×n, unit columns in ascending-id order
+
+    fields = {f.name: f.dataType.simpleString() for f in corpus.schema.fields}
+    out_schema = ", ".join(
+        [f"{id_col} {fields[id_col]}"]
+        + [f"{c} {fields[c]}" for c in carry_cols]
+        + ["nn_id " + fields[id_col], "nn_sim double"]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            qn = np.linalg.norm(Q, axis=1)
+            qn[qn == 0.0] = np.inf
+            S = (Q / qn[:, None]) @ Mt  # b×n
+            np.round(S, 4, out=S)
+            qids = pdf[id_col].to_numpy()
+            pos = np.searchsorted(ids, qids)
+            hit = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == qids)
+            S[np.arange(len(qids))[hit], pos[hit]] = -np.inf  # mask self
+            best = S.argmax(axis=1)
+            out = pdf[[id_col, *carry_cols]].copy()
+            out["nn_id"] = ids[best]
+            out["nn_sim"] = S[np.arange(len(qids)), best]
+            yield out
+
+    slim = corpus.select(id_col, *carry_cols, vec_col)
+    return spread(slim).mapInPandas(score, out_schema)

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from analytics_data_platform_spark.functions.expr import spread
 from analytics_data_platform_spark.operators.ordered import (
-    ntile_distributed,
+    multi_global_ranks,
     with_global_order,
 )
 from analytics_data_platform_spark.queries import QuerySpec, register
@@ -1086,15 +1086,19 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("frequency"),
         sum_money("o_totalprice").alias("monetary"),
     )
-    scored = ntile_distributed(
-        per_cust, "recency_days", 5, "r_score", tiebreaks=["o_custkey"]
-    )  # 1 = most recent
-    scored = ntile_distributed(
-        scored, "frequency", 5, "f_score", descending=True, tiebreaks=["o_custkey"]
-    )  # 1 = most frequent
-    scored = ntile_distributed(
-        scored, "monetary", 5, "m_score", descending=True, tiebreaks=["o_custkey"]
-    )  # 1 = highest spend
+    # three independent quintiles from ONE materialized base + one
+    # batched quantile pass (multi_global_ranks) — chaining three
+    # ntile_distributed calls would re-evaluate the groupBy cascade
+    scored = multi_global_ranks(
+        per_cust,
+        on=["o_custkey"],
+        specs=[
+            # 1 = most recent / most frequent / highest spend
+            dict(key="recency_days", out="r_score", ntile=5, tiebreaks=["o_custkey"]),
+            dict(key="frequency", out="f_score", ntile=5, descending=True, tiebreaks=["o_custkey"]),
+            dict(key="monetary", out="m_score", ntile=5, descending=True, tiebreaks=["o_custkey"]),
+        ],
+    )
     scored = scored.select(
         "o_custkey", "recency_days", "frequency", "monetary",
         "r_score", "f_score", "m_score",

@@ -17,7 +17,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from analytics_data_platform_spark.operators.ordered import with_global_order
+from analytics_data_platform_spark.operators.ordered import (
+    multi_global_ranks,
+    with_global_order,
+)
 from analytics_data_platform_spark.queries import QuerySpec, register
 from analytics_data_platform_spark.sources.testdata import load_table
 
@@ -1301,14 +1304,16 @@ def vendor_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("return_rate"),
         F.count_distinct("l_partkey").alias("n_parts"),
     )
-    ranked = with_global_order(
-        per_supp, "revenue", descending=True, tiebreaks=["suppkey"], rank_col="_r_rev"
-    )
-    ranked = with_global_order(
-        ranked, "return_rate", tiebreaks=["suppkey"], rank_col="_r_ret"
-    )
-    ranked = with_global_order(
-        ranked, "n_parts", descending=True, tiebreaks=["suppkey"], rank_col="_r_brd"
+    # three independent global ranks from ONE materialized base (chained
+    # with_global_order calls would re-evaluate every earlier stage)
+    ranked = multi_global_ranks(
+        per_supp,
+        on=["suppkey"],
+        specs=[
+            dict(key="revenue", out="_r_rev", descending=True, tiebreaks=["suppkey"]),
+            dict(key="return_rate", out="_r_ret", tiebreaks=["suppkey"]),
+            dict(key="n_parts", out="_r_brd", descending=True, tiebreaks=["suppkey"]),
+        ],
     )
     scored = ranked.select(
         "suppkey", "revenue", "return_rate", "n_parts",

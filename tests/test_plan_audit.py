@@ -14,6 +14,10 @@ PYTHON_ALLOWED = {
     # greedy bin-packing is inherently sequential per shard: applyInPandas
     # over shards is the distributed formulation (operators/packing.py)
     "pack_sequences",
+    # all-pairs 1-NN is dense linear algebra: the fused Arrow scorer
+    # (one BLAS matmul per batch vs n² interpreted HOF folds) is the
+    # audited fast path (operators/similarity.py::self_nearest_neighbor)
+    "embedding_isolation_screen",
 }
 
 # Queries allowed to keep an Exchange SinglePartition over non-limited
