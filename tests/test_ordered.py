@@ -137,3 +137,25 @@ def test_string_key_fallback_sampling(spark):
     )
     mine = with_global_order(sdf, "s", tiebreaks=["uid"], rank_col="r").select("uid", "r")
     _same(naive, mine)
+
+
+def test_multi_global_ranks_matches_naive_windows(spark, df):
+    from analytics_data_platform_spark.operators.ordered import multi_global_ranks
+
+    naive = df.select(
+        "uid",
+        F.row_number().over(Window.orderBy(F.desc("k"), "uid")).cast("long").alias("rk"),
+        F.ntile(5).over(Window.orderBy("v", "uid")).alias("tv"),
+        F.ntile(3).over(Window.orderBy(F.desc("d"), "uid")).alias("td"),
+    )
+    mine = multi_global_ranks(
+        df,
+        on=["uid"],
+        specs=[
+            dict(key="k", out="rk", descending=True, tiebreaks=["uid"]),
+            dict(key="v", out="tv", ntile=5, tiebreaks=["uid"]),
+            dict(key="d", out="td", ntile=3, descending=True, tiebreaks=["uid"]),
+        ],
+    ).select("uid", "rk", "tv", "td")
+    _same(naive, mine)
+    assert not audit(mine).unbounded_single_partition

@@ -4,6 +4,8 @@ product or silently falls off the JVM fails here, not on the cluster."""
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import pytest
 
 from analytics_data_platform_spark.plans.audit import assert_plan, audit
@@ -53,12 +55,32 @@ def test_registry_sweep_no_cartesian_no_python_no_single_reducer(spark, sf_dir):
     """Every registered query: no CartesianProduct, JVM-side unless
     allowlisted, and no unbounded single-partition exchange (global
     sort/window over data-linear input) unless its input is provably
-    bounded. This is the single highest-leverage regression net in
-    the repo — it runs the planner over the full surface."""
+    bounded, and its shuffle count must match the committed ledger
+    (tests/shuffle_ledger.json — every query's exchange budget, the
+    "minimize shuffles" contract made mechanical: a new join strategy or
+    lost broadcast that adds an Exchange fails here, not on the cluster;
+    a plan IMPROVEMENT also fails until the ledger is regenerated, so
+    the file always documents reality). Regenerate after intentional
+    plan changes with:
+
+        SPARK_GRAFT_REGEN_LEDGER=1 python -m pytest tests/test_plan_audit.py -k sweep
+
+    This is the single highest-leverage regression net in the repo — it
+    runs the planner over the full surface."""
+    import json
+    import os
+
+    ledger_path = Path(__file__).parent / "shuffle_ledger.json"
+    regen = os.environ.get("SPARK_GRAFT_REGEN_LEDGER") == "1"
+    ledger: dict[str, int] = (
+        json.loads(ledger_path.read_text()) if ledger_path.exists() and not regen else {}
+    )
+    seen: dict[str, int] = {}
     offenders: list[str] = []
     stale_allow = set(SINGLE_PARTITION_ALLOWED)
     for name, spec in sorted(all_queries().items()):
         r = audit(spec.fn(spark, sf_dir))
+        seen[name] = r.exchanges
         if r.has_cartesian:
             offenders.append(f"{name}: cartesian")
         if r.python_eval and name not in PYTHON_ALLOWED:
@@ -70,6 +92,21 @@ def test_registry_sweep_no_cartesian_no_python_no_single_reducer(spark, sf_dir):
                 offenders.append(
                     f"{name}: single-reducer {r.unbounded_single_partition[0][:80]}"
                 )
+        if not regen and ledger and name in ledger and r.exchanges != ledger[name]:
+            kind = "REGRESSION" if r.exchanges > ledger[name] else "improvement"
+            offenders.append(
+                f"{name}: shuffle-ledger {kind} {ledger[name]} -> {r.exchanges}"
+                " (regen tests/shuffle_ledger.json if intentional)"
+            )
+    if regen:
+        ledger_path.write_text(json.dumps(seen, indent=0, sort_keys=True) + "\n")
+    elif ledger:
+        missing = sorted(set(seen) - set(ledger))
+        stale = sorted(set(ledger) - set(seen))
+        if missing:
+            offenders.append(f"queries missing from shuffle ledger: {missing}")
+        if stale:
+            offenders.append(f"stale shuffle-ledger entries: {stale}")
     assert not offenders, offenders
     # an allowlist entry that no longer fires is stale — prune it so the
     # list documents reality
