@@ -551,6 +551,11 @@ def kcore_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = deg0.crossJoin(F.broadcast(kth))
     alive = deg.where(F.col("deg") >= F.col("k")).select(F.col("src").alias("node"))
     for _ in range(KCORE_ROUNDS - 1):
+        # alive feeds BOTH endpoint semi-joins: without the per-round
+        # lineage truncation each reference re-evaluates every earlier
+        # round (2^rounds growth — the graph.py Pregel loops make the
+        # same call); the checkpointed set is small (node ids)
+        alive = alive.localCheckpoint(eager=True)
         sub = (
             edges.join(alive.select(F.col("node").alias("src")), "src")
             .join(alive.select(F.col("node").alias("dst")), "dst")

@@ -116,6 +116,10 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cq"),
                 ).alias("cq"),
             )
+            # truncate per round: centroids are k×dims rows, but without
+            # this each round nests the previous round's full assignment
+            # into one deep multi-scan plan (54 exchanges at 3 iters)
+            .localCheckpoint(eager=True)
         )
 
     final = assign(cent)
@@ -1274,6 +1278,10 @@ def kmeans_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cq"),
                 ).alias("cq"),
             )
+            # truncate per round: centroids are k×dims rows, but without
+            # this each round nests the previous round's full assignment
+            # into one deep multi-scan plan (54 exchanges at 3 iters)
+            .localCheckpoint(eager=True)
         )
 
     alld = all_d2(cent).localCheckpoint(eager=False)  # reused by own + other
