@@ -57,6 +57,18 @@ HARDENED = [
     "time_decay_attribution",
     "simpson_paradox_brands",
     "bandit_replay_eval",
+    # round-4: two-pass global-order migrations (approxQuantile bucket
+    # boundaries SHIFT under a hostile layout; results must not — any
+    # monotone bucketing yields the same ranks/prefix sums) and the
+    # fused Arrow 1-NN scorer (batch splits change matmul grouping)
+    "pareto_customer_share",
+    "gini_customer_revenue",
+    "lorenz_curve_deciles",
+    "abc_xyz_segmentation",
+    "vendor_scorecard",
+    "ks_two_sample_drift",
+    "vocab_growth_curve",
+    "embedding_isolation_screen",
 ]
 
 _ADVERSARIAL = {
