@@ -242,3 +242,54 @@ def bloom_positions_sql(item: str) -> str:
         for j in range(BLOOM_K)
     )
     return f"[{parts}]"
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries heavy-hitter candidates (deterministic frequent-items sketch)
+# --------------------------------------------------------------------------
+
+MG_CAPACITY = 64
+
+
+def mg_candidates(token_arrays: "DataFrame", capacity: int = MG_CAPACITY) -> "DataFrame":
+    """Per-partition Misra-Gries summaries over a column ``t`` of token
+    arrays → the distinct union of surviving tokens (column ``token``).
+
+    The 100 TB heavy-hitter plan is two-phase: this candidate pass keeps
+    only ``capacity`` counters per partition (fixed memory, zero shuffle —
+    each partition emits ≤ capacity rows), then the caller exact-counts
+    ONLY the candidates, so the count shuffle is O(|candidates|), never
+    O(|vocab|). Misra-Gries guarantees every token with partition
+    frequency > n_p/(capacity+1) survives locally; any token with GLOBAL
+    frequency > n/k (k ≤ capacity) must exceed n_p/k ≥ n_p/(capacity+1)
+    in at least one partition, so the union is a superset of every true
+    heavy hitter REGARDLESS of partitioning — the exact verify pass then
+    makes the final answer deterministic. Python is the right tool here:
+    the decrement-all counter state is inherently sequential per
+    partition, and the Arrow batches keep transfer columnar (same
+    allowlist rationale as the greedy packer, operators/packing.py).
+    """
+
+    def gen(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for toks in pdf["t"]:
+                for tok in toks:
+                    if tok in counters:
+                        counters[tok] += 1
+                    elif len(counters) < capacity:
+                        counters[tok] = 1
+                    else:
+                        # decrement-all: the O(capacity) amortized step
+                        dead = []
+                        for w in counters:
+                            counters[w] -= 1
+                            if counters[w] == 0:
+                                dead.append(w)
+                        for w in dead:
+                            del counters[w]
+        yield pd.DataFrame({"token": list(counters)})
+
+    return token_arrays.select("t").mapInPandas(gen, "token string").distinct()

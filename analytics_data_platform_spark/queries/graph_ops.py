@@ -871,3 +871,123 @@ register(
         tags=("graph",),
     )
 )
+
+
+# --------------------------------------------------------------------------
+# label propagation communities (2 synchronous rounds) on the weighted
+# co-order graph
+# --------------------------------------------------------------------------
+
+LPA_ROUNDS = 2
+LPA_TOP = 15
+LPA_MIN_W = 2  # keep only pairs co-ordered at least twice (community signal)
+
+
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top communities after 2 synchronous label-propagation rounds on the
+    repeat-co-order part graph (edges = part pairs co-ordered ≥2 times —
+    the weight floor sparsifies the near-regular co-order graph so the
+    propagation has structure to find).
+
+    Each round is one edge⋈label shuffle join plus two aggregates: count
+    neighbor-label votes per (node, label), then pick the mode with a
+    deterministic tie-break (count DESC, label ASC) via min_by over a
+    struct — fully synchronous, so the DuckDB oracle unrolls the rounds
+    as CTE pairs and both engines reach the identical labeling.
+    Asynchronous/randomized LPA converges faster but is
+    partitioning-dependent; the synchronous variant is the one with a
+    deterministic distributed semantics (same call the PageRank/CC/k-core
+    loops make). Per-round lineage is truncated (localCheckpoint) so
+    round r does not re-evaluate rounds 1..r-1 per reference.
+    Output: top communities by size with their final label.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    wpairs = (
+        _pair_occurrences(li)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= LPA_MIN_W)
+    )
+    edges = (
+        wpairs.select("src", "dst")
+        .union(wpairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct().withColumn("lbl", F.col("node"))
+    )
+    for _ in range(LPA_ROUNDS):
+        labels = labels.localCheckpoint(eager=True)
+        votes = (
+            edges.join(labels.select(F.col("node").alias("dst"), "lbl"), "dst")
+            .groupBy(F.col("src").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = votes.groupBy("node").agg(
+            F.min_by(
+                "lbl", F.struct((-F.col("c")).alias("nc"), F.col("lbl").alias("l"))
+            ).alias("lbl")
+        )
+    comm = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("community_size"))
+    w = Window.orderBy(F.desc("community_size"), "lbl")
+    # rank + filter: Catalyst's LimitPushDownThroughWindow plans this as
+    # TakeOrderedAndProject(limit=15) + a ≤15-row window (plan-audited)
+    return (
+        comm.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= LPA_TOP)
+        .select("pos", F.col("lbl").alias("community"), "community_size")
+    )
+
+
+def _lpa_sql() -> str:
+    parts = [
+        f"""WITH co AS (
+  SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+wp AS (
+  SELECT src, dst FROM co GROUP BY src, dst HAVING COUNT(*) >= {LPA_MIN_W}
+),
+edges AS (SELECT src, dst FROM wp UNION ALL SELECT dst AS src, src AS dst FROM wp),
+l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges)"""
+    ]
+    for i in range(1, LPA_ROUNDS + 1):
+        parts.append(
+            f""",
+v{i} AS (
+  SELECT e.src AS node, l.lbl, COUNT(*) AS c
+  FROM edges e JOIN l{i - 1} l ON e.dst = l.node
+  GROUP BY e.src, l.lbl
+),
+l{i} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+    FROM v{i}
+  ) WHERE rn = 1
+)"""
+        )
+    parts.append(
+        f""",
+comm AS (
+  SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS community_size
+  FROM l{LPA_ROUNDS} GROUP BY lbl
+)
+SELECT pos, community, community_size FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY community_size DESC, community) AS pos
+  FROM comm
+) WHERE pos <= {LPA_TOP}"""
+    )
+    return "".join(parts)
+
+
+register(
+    QuerySpec(
+        "label_propagation_communities",
+        label_propagation_communities,
+        _lpa_sql(),
+        doc="2-round synchronous label propagation on the repeat-co-order graph",
+        cites="iterative graph family; shares the CC/PageRank/k-core round pattern",
+        tags=("graph", "iterative"),
+    )
+)

@@ -592,3 +592,73 @@ register(
         tags=("sketch", "eval", "approx"),
     )
 )
+
+
+# --- Misra-Gries heavy hitters (sketch-prune + exact verify) ---------------
+
+HH_K = 30  # heavy hitter = token with count > n / HH_K
+
+
+def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (count > n/30) found the scalable way:
+    Misra-Gries candidate pruning, then an exact count of candidates only.
+
+    Phase 1 (operators/sketches.py::mg_candidates) summarizes each
+    partition with 64 counters and unions the survivors — fixed memory,
+    ≤64 rows shuffled per partition, provably a superset of every true
+    heavy hitter under any partitioning. Phase 2 semi-joins the exploded
+    token stream against the broadcast candidate set and exact-counts
+    just those tokens, so the groupBy shuffles O(|candidates|) keys
+    instead of the full vocabulary (at 100 TB the long tail IS the
+    shuffle). The output is exact counts — the sketch only prunes, never
+    approximates, which is why a strict SQL oracle exists at all (the
+    DuckDB side counts everything and applies the same threshold).
+    """
+    from analytics_data_platform_spark.operators.sketches import mg_candidates
+
+    d = load_table(spark, sf_dir, "documents")
+    cand = mg_candidates(d.select(F.split("text", " ").alias("t")))
+    toks = d.select(F.explode(F.split("text", " ")).alias("token")).where(
+        F.col("token") != ""
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    counts = (
+        toks.join(F.broadcast(cand), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("n_occurrences") * HH_K > F.col("n"))
+        .select(
+            "token",
+            "n_occurrences",
+            F.round(F.col("n_occurrences") / F.col("n"), 6).alias("share"),
+        )
+    )
+
+
+HH_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+t2 AS (SELECT token FROM toks WHERE token <> ''),
+tot AS (SELECT COUNT(*) AS n FROM t2),
+c AS (SELECT token, COUNT(*) AS n_occurrences FROM t2 GROUP BY token)
+SELECT token,
+       CAST(n_occurrences AS BIGINT) AS n_occurrences,
+       ROUND(n_occurrences / CAST(n AS DOUBLE), 6) AS share
+FROM c, tot
+WHERE n_occurrences * {HH_K} > n
+"""
+
+register(
+    QuerySpec(
+        "heavy_hitters_tokens",
+        heavy_hitters_tokens,
+        HH_SQL,
+        doc="exact heavy hitters via Misra-Gries candidate pruning + exact verify",
+        cites="training-data ops: frequent-token/boilerplate detection at corpus scale",
+        tags=("sketch", "text"),
+    )
+)

@@ -20,6 +20,11 @@ PYTHON_ALLOWED = {
     # (one BLAS matmul per batch vs n² interpreted HOF folds) is the
     # audited fast path (operators/similarity.py::self_nearest_neighbor)
     "embedding_isolation_screen",
+    # Misra-Gries decrement-all counters are inherently sequential per
+    # partition; the Arrow pass emits ≤64 candidate rows per partition and
+    # the exact answer comes from the JVM verify phase
+    # (operators/sketches.py::mg_candidates)
+    "heavy_hitters_tokens",
 }
 
 # Queries allowed to keep an Exchange SinglePartition over non-limited

@@ -7,6 +7,9 @@ differ across engines by design), so the bound IS the contract."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
+
+from analytics_data_platform_spark.sources.testdata import load_table
 
 SF_DIR = "/root/testdata/sf0.01"
 
@@ -110,3 +113,44 @@ def test_ddsketch_within_relative_accuracy(spark):
     assert len(rows) == 15  # 5 priorities x 3 quantiles
     for r in rows:
         assert r.rel_err <= 0.02, (r.o_orderpriority, r.quantile, r.rel_err)
+
+
+class TestMisraGriesCandidates:
+    """mg_candidates (operators/sketches.py): the superset guarantee that
+    makes the two-phase heavy-hitter query deterministic must hold under
+    ADVERSARIAL partitioning — any layout, same final answer."""
+
+    def _true_heavy_hitters(self, spark, docs, k):
+        toks = docs.select(F.explode(F.split("text", " ")).alias("tok")).where(
+            F.col("tok") != ""
+        )
+        n = toks.count()
+        rows = toks.groupBy("tok").count().collect()
+        return {r["tok"] for r in rows if r["count"] * k > n}
+
+    @pytest.mark.parametrize("nparts", [1, 3, 17])
+    def test_candidate_superset_under_any_partitioning(self, spark, sf_dir, nparts):
+        from analytics_data_platform_spark.operators.sketches import mg_candidates
+
+        docs = load_table(spark, sf_dir, "documents")
+        truth = self._true_heavy_hitters(spark, docs, k=30)
+        assert truth  # the corpus has heavy hitters at every SF
+        arrays = docs.select(F.split("text", " ").alias("t")).repartition(nparts)
+        cand = {r["token"] for r in mg_candidates(arrays).collect()}
+        assert truth <= cand
+        # the sketch PRUNES: candidates stay sketch-sized, not vocab-sized
+        assert len(cand) <= 64 * nparts
+
+    def test_skewed_single_doc_partitioning(self, spark, sf_dir):
+        """Range-partitioning by doc_id concentrates near-duplicate docs —
+        the layout most likely to starve a counter — and the guarantee
+        must still hold."""
+        from analytics_data_platform_spark.operators.sketches import mg_candidates
+
+        docs = load_table(spark, sf_dir, "documents")
+        truth = self._true_heavy_hitters(spark, docs, k=30)
+        arrays = docs.repartitionByRange(5, "doc_id").select(
+            F.split("text", " ").alias("t")
+        )
+        cand = {r["token"] for r in mg_candidates(arrays).collect()}
+        assert truth <= cand
