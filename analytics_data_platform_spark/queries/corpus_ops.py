@@ -492,3 +492,131 @@ register(
         tags=("corpus", "text", "stats"),
     )
 )
+
+
+# --------------------------------------------------------------------------
+# winnowing fingerprints (MOSS): guaranteed-coverage fingerprint sampling
+# --------------------------------------------------------------------------
+
+WIN_K = 4  # tokens per k-gram
+WIN_W = 5  # winnowing window (consecutive k-gram hashes)
+WIN_MAX_DOCS = 50  # boilerplate cap, same rationale as duplicate_passages
+WIN_TOP = 50
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top document pairs by shared WINNOWING fingerprints (Schleimer,
+    Wilkerson & Aiken 2003 — the MOSS local fingerprinting algorithm).
+
+    Winnowing selects min(hash) from every window of W consecutive k-gram
+    hashes, keeping ~2/(W+1) of the grams while GUARANTEEING any shared
+    token run of length ≥ W+K-1 (= 8 here, the duplicate_passages
+    passage size) yields at least one shared fingerprint — sampling with
+    a coverage proof, unlike MinHash's probabilistic bands. At 100 TB
+    that is a W-fold cut in the gram shuffle with zero recall loss for
+    runs above the threshold. The selection is one pass of JVM array HOFs
+    per doc: both the token array and the hash array are let-bound
+    (functions/expr.bind) so CollapseProject cannot re-evaluate the hash
+    chain per window. Pairing then follows the duplicate_passages shape:
+    fingerprint equi-join with a boilerplate cap bounding Σ bucket².
+    """
+    from analytics_data_platform_spark.functions.expr import bind, spread
+    from analytics_data_platform_spark.operators.sketches import h32
+
+    d = load_table(spark, sf_dir, "documents")
+    fps_arr = bind(
+        F.split("text", " "),
+        lambda t: F.when(
+            F.size(t) >= WIN_K + WIN_W - 1,
+            bind(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - (WIN_K - 1)),
+                    lambda i: h32(F.concat_ws(" ", F.slice(t, i, WIN_K))),
+                ),
+                lambda h: F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(h) - (WIN_W - 1)),
+                        lambda j: F.array_min(F.slice(h, j, WIN_W)),
+                    )
+                ),
+            ),
+        ),
+    )
+    # no .distinct() needed: fps_arr is array_distinct per doc, so the
+    # exploded (doc_id, fp) stream is already unique — one shuffle saved
+    fps = spread(d.select("doc_id", "text")).select(
+        "doc_id", F.explode(fps_arr).alias("fp")
+    )
+    counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("nd"))
+    keep = counts.where((F.col("nd") >= 2) & (F.col("nd") <= WIN_MAX_DOCS)).select("fp")
+    eligible = (
+        fps.join(keep, "fp")
+        .groupBy("fp")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+    )
+    pairs = (
+        eligible.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(docs, (a, i) ->"
+                    " transform(slice(docs, i + 2, size(docs)), b -> struct(a, b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )
+    w = Window.orderBy(F.desc("shared_fps"), "doc_a", "doc_b")
+    return (
+        pairs.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= WIN_TOP)
+        .select("pos", "doc_a", "doc_b", "shared_fps")
+    )
+
+
+def _winnowing_sql() -> str:
+    from analytics_data_platform_spark.operators.sketches import h32_sql
+
+    gram = h32_sql(f"array_to_string(t[i + 1: i + {WIN_K}], ' ')")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= {WIN_K + WIN_W - 1}
+),
+hs AS (
+  SELECT doc_id,
+         list_transform(range(0, len(t) - {WIN_K} + 1), i -> {gram}) AS h
+  FROM toks
+),
+fps AS (
+  SELECT DISTINCT doc_id, unnest(
+    list_transform(range(0, len(h) - {WIN_W} + 1),
+                   j -> list_aggregate(h[j + 1: j + {WIN_W}], 'min'))
+  ) AS fp
+  FROM hs
+),
+by_fp AS (SELECT fp, COUNT(*) AS nd FROM fps GROUP BY fp),
+eligible AS (SELECT fp FROM by_fp WHERE nd BETWEEN 2 AND {WIN_MAX_DOCS}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  JOIN eligible e ON a.fp = e.fp
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT pos, doc_a, doc_b, shared_fps FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY shared_fps DESC, doc_a, doc_b) AS pos
+  FROM pairs
+) WHERE pos <= {WIN_TOP}
+"""
+
+
+register(
+    QuerySpec(
+        "winnowing_fingerprints",
+        winnowing_fingerprints,
+        _winnowing_sql(),
+        doc="MOSS winnowing: guaranteed-coverage fingerprint sampling + pair matches",
+        cites="training-data ops: near-verbatim copy detection at reduced shuffle",
+        tags=("dedup", "text"),
+    )
+)

@@ -883,24 +883,10 @@ LPA_TOP = 15
 LPA_MIN_W = 2  # keep only pairs co-ordered at least twice (community signal)
 
 
-def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top communities after 2 synchronous label-propagation rounds on the
-    repeat-co-order part graph (edges = part pairs co-ordered ≥2 times —
-    the weight floor sparsifies the near-regular co-order graph so the
-    propagation has structure to find).
-
-    Each round is one edge⋈label shuffle join plus two aggregates: count
-    neighbor-label votes per (node, label), then pick the mode with a
-    deterministic tie-break (count DESC, label ASC) via min_by over a
-    struct — fully synchronous, so the DuckDB oracle unrolls the rounds
-    as CTE pairs and both engines reach the identical labeling.
-    Asynchronous/randomized LPA converges faster but is
-    partitioning-dependent; the synchronous variant is the one with a
-    deterministic distributed semantics (same call the PageRank/CC/k-core
-    loops make). Per-round lineage is truncated (localCheckpoint) so
-    round r does not re-evaluate rounds 1..r-1 per reference.
-    Output: top communities by size with their final label.
-    """
+def _lpa_edges_and_labels(spark: SparkSession, sf_dir: str):
+    """Shared LPA core: the weight-floored symmetric edge list and the
+    labeling after LPA_ROUNDS synchronous rounds (see
+    label_propagation_communities for the semantics)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     wpairs = (
         _pair_occurrences(li)
@@ -928,6 +914,28 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
                 "lbl", F.struct((-F.col("c")).alias("nc"), F.col("lbl").alias("l"))
             ).alias("lbl")
         )
+    return edges, labels
+
+
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top communities after 2 synchronous label-propagation rounds on the
+    repeat-co-order part graph (edges = part pairs co-ordered ≥2 times —
+    the weight floor sparsifies the near-regular co-order graph so the
+    propagation has structure to find).
+
+    Each round is one edge⋈label shuffle join plus two aggregates: count
+    neighbor-label votes per (node, label), then pick the mode with a
+    deterministic tie-break (count DESC, label ASC) via min_by over a
+    struct — fully synchronous, so the DuckDB oracle unrolls the rounds
+    as CTE pairs and both engines reach the identical labeling.
+    Asynchronous/randomized LPA converges faster but is
+    partitioning-dependent; the synchronous variant is the one with a
+    deterministic distributed semantics (same call the PageRank/CC/k-core
+    loops make). Per-round lineage is truncated (localCheckpoint) so
+    round r does not re-evaluate rounds 1..r-1 per reference.
+    Output: top communities by size with their final label.
+    """
+    edges, labels = _lpa_edges_and_labels(spark, sf_dir)
     comm = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("community_size"))
     w = Window.orderBy(F.desc("community_size"), "lbl")
     # rank + filter: Catalyst's LimitPushDownThroughWindow plans this as
@@ -939,7 +947,8 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def _lpa_sql() -> str:
+def _lpa_sql_prefix() -> str:
+    """Shared oracle CTE chain: edges + unrolled LPA rounds → l{LPA_ROUNDS}."""
     parts = [
         f"""WITH co AS (
   SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS src, b.l_partkey AS dst
@@ -967,8 +976,13 @@ l{i} AS (
   ) WHERE rn = 1
 )"""
         )
-    parts.append(
-        f""",
+    return "".join(parts)
+
+
+def _lpa_sql() -> str:
+    return (
+        _lpa_sql_prefix()
+        + f""",
 comm AS (
   SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS community_size
   FROM l{LPA_ROUNDS} GROUP BY lbl
@@ -978,7 +992,6 @@ SELECT pos, community, community_size FROM (
   FROM comm
 ) WHERE pos <= {LPA_TOP}"""
     )
-    return "".join(parts)
 
 
 register(
@@ -989,5 +1002,125 @@ register(
         doc="2-round synchronous label propagation on the repeat-co-order graph",
         cites="iterative graph family; shares the CC/PageRank/k-core round pattern",
         tags=("graph", "iterative"),
+    )
+)
+
+
+# ---- modularity of the LPA labeling ---------------------------------------
+
+MOD_TOP = 10
+
+
+def lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label-propagation communities, per
+    community and in total — the standard quality score for a graph
+    partitioning (Q = Σ_c [A_c/2m − (d_c/2m)²]).
+
+    Cross-engine determinism: summing per-community DOUBLE contributions
+    is summation-order-dependent (the r02 hash-flake class), so both
+    engines compute the EXACT INTEGER numerator Σ_c (A_c·2m − d_c²)
+    first — integer addition is order-free — and divide by (2m)² once,
+    in double, at the end. A_c (intra-community directed edges) and d_c
+    (community degree sum) come from one edges⋈labels⋈labels join and a
+    single aggregate; 2m is the scalar edge count. Numerator magnitude
+    is bounded by (2m)², so the int64 path holds to ~3e9 directed edges;
+    above that, swap the two products to DECIMAL(38,0) — same plan.
+    Output: top communities by size with contribution, plus total Q.
+    """
+    edges, labels = _lpa_edges_and_labels(spark, sf_dir)
+    labels = labels.localCheckpoint(eager=True)  # referenced 3×: endpoints + sizes
+    inter = edges.join(
+        labels.select(F.col("node").alias("src"), F.col("lbl").alias("src_lbl")), "src"
+    ).join(
+        labels.select(F.col("node").alias("dst"), F.col("lbl").alias("dst_lbl")), "dst"
+    )
+    per = inter.groupBy(F.col("src_lbl").alias("community")).agg(
+        F.count(F.lit(1)).alias("degree_sum"),
+        F.sum(
+            F.when(F.col("dst_lbl") == F.col("src_lbl"), 1).otherwise(0)
+        ).alias("intra_edges"),
+    )
+    sizes = labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).alias("community_size")
+    )
+    m2 = edges.agg(F.count(F.lit(1)).alias("m2"))
+    pj = (
+        per.join(sizes, "community")
+        .crossJoin(F.broadcast(m2))
+        .withColumn(
+            "num",
+            F.col("intra_edges") * F.col("m2")
+            - F.col("degree_sum") * F.col("degree_sum"),
+        )
+    )
+    total = pj.agg(F.sum("num").alias("tnum"))
+    denom = F.col("m2").cast("double") * F.col("m2")
+    w = Window.orderBy(F.desc("community_size"), "community")
+    return (
+        pj.crossJoin(F.broadcast(total))
+        .select(
+            "community",
+            "community_size",
+            "intra_edges",
+            "degree_sum",
+            F.round(F.col("num") / denom, 6).alias("contribution"),
+            F.round(F.col("tnum") / denom, 6).alias("modularity"),
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= MOD_TOP)
+        .select(
+            "pos",
+            "community",
+            "community_size",
+            "intra_edges",
+            "degree_sum",
+            "contribution",
+            "modularity",
+        )
+    )
+
+
+def _lpa_modularity_sql() -> str:
+    return (
+        _lpa_sql_prefix()
+        + f""",
+lab AS (SELECT node, lbl FROM l{LPA_ROUNDS}),
+inter AS (
+  SELECT a.lbl AS src_lbl, b.lbl AS dst_lbl
+  FROM edges e JOIN lab a ON e.src = a.node JOIN lab b ON e.dst = b.node
+),
+m2 AS (SELECT COUNT(*) AS m2 FROM edges),
+per AS (
+  SELECT src_lbl AS community,
+         COUNT(*) AS degree_sum,
+         CAST(SUM(CASE WHEN dst_lbl = src_lbl THEN 1 ELSE 0 END) AS BIGINT) AS intra_edges
+  FROM inter GROUP BY src_lbl
+),
+sizes AS (SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS community_size FROM lab GROUP BY lbl),
+pj AS (
+  SELECT p.community, community_size, intra_edges, degree_sum,
+         (intra_edges * m2 - degree_sum * degree_sum) AS num, m2
+  FROM per p JOIN sizes s ON p.community = s.community, m2
+),
+tot AS (SELECT CAST(SUM(num) AS BIGINT) AS tnum FROM pj)
+SELECT pos, community, community_size, intra_edges, degree_sum, contribution, modularity
+FROM (
+  SELECT community, community_size, intra_edges, degree_sum,
+         ROUND(num / (CAST(m2 AS DOUBLE) * m2), 6) AS contribution,
+         ROUND(tnum / (CAST(m2 AS DOUBLE) * m2), 6) AS modularity,
+         ROW_NUMBER() OVER (ORDER BY community_size DESC, community) AS pos
+  FROM pj, tot
+) WHERE pos <= {MOD_TOP}"""
+    )
+
+
+register(
+    QuerySpec(
+        "lpa_modularity",
+        lpa_modularity,
+        _lpa_modularity_sql(),
+        doc="Newman modularity of the LPA labeling (exact-integer numerator)",
+        cites="graph evaluation family; composes label_propagation_communities",
+        tags=("graph", "eval"),
     )
 )

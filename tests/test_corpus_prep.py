@@ -66,3 +66,68 @@ def test_stats_mart_reconciles(built):
         assert r.raw_docs >= r.kept_docs
         if r.n_packs:
             assert 0 < r.avg_fill <= 1.5  # oversized singleton packs can exceed 1
+
+
+class TestWinnowingGuarantee:
+    """The MOSS coverage proof behind queries/corpus_ops.py::
+    winnowing_fingerprints: any shared token run of length ≥ W+K-1 MUST
+    produce at least one shared fingerprint — sampling without recall
+    loss above the threshold."""
+
+    def _fingerprints(self, spark, texts):
+        from analytics_data_platform_spark.queries.corpus_ops import (
+            WIN_K,
+            WIN_W,
+        )
+        from analytics_data_platform_spark.functions.expr import bind
+        from analytics_data_platform_spark.operators.sketches import h32
+
+        d = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        fps_arr = bind(
+            F.split("text", " "),
+            lambda t: F.when(
+                F.size(t) >= WIN_K + WIN_W - 1,
+                bind(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(t) - (WIN_K - 1)),
+                        lambda i: h32(F.concat_ws(" ", F.slice(t, i, WIN_K))),
+                    ),
+                    lambda h: F.array_distinct(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(h) - (WIN_W - 1)),
+                            lambda j: F.array_min(F.slice(h, j, WIN_W)),
+                        )
+                    ),
+                ),
+            ),
+        )
+        rows = d.select("doc_id", F.explode(fps_arr).alias("fp")).collect()
+        out: dict[int, set] = {}
+        for r in rows:
+            out.setdefault(r["doc_id"], set()).add(r["fp"])
+        return out
+
+    def test_shared_run_yields_shared_fingerprint(self, spark):
+        # 8 shared tokens (= W+K-1) embedded in otherwise-disjoint docs
+        shared = "q w e r t y u i"
+        a = "a1 a2 a3 " + shared + " a4 a5 a6"
+        b = "b1 b2 b3 b4 " + shared + " b5"
+        fps = self._fingerprints(spark, [a, b])
+        assert fps[0] & fps[1], "coverage guarantee violated"
+
+    def test_disjoint_docs_share_nothing(self, spark):
+        fps = self._fingerprints(
+            spark,
+            ["a1 a2 a3 a4 a5 a6 a7 a8 a9 a10", "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"],
+        )
+        assert not (fps[0] & fps[1])
+
+    def test_sampling_actually_prunes(self, spark):
+        # a long doc keeps far fewer fingerprints than k-grams: expected
+        # density ~2/(W+1) = 1/3, allow slack but require real pruning
+        text = " ".join(f"t{i % 97}" for i in range(400))
+        fps = self._fingerprints(spark, [text])
+        n_grams = 400 - 3
+        assert len(fps[0]) < 0.6 * n_grams
