@@ -818,3 +818,67 @@ register(
         tags=("relational", "semantics"),
     )
 )
+
+
+# --------------------------------------------------------------------------
+# native unpivot / melt (wide → long)
+# --------------------------------------------------------------------------
+
+
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag lineitem measure totals melted to long form via the
+    NATIVE ``DataFrame.unpivot`` (Spark 3.4+ melt) — the inverse of the
+    conditional-agg pivot family (A1).
+
+    Scale shape: aggregate FIRST (3 flags × 4 measures = 12 rows), melt
+    the tiny aggregate — never unpivot the fact table itself, which
+    would 4× its row count before the shuffle. Currency sums go through
+    the exact DECIMAL(18,2) path (queries/exact.py); quantity sums are
+    integer-valued doubles (exact in binary, order-free). The oracle
+    mirrors the melt with a UNION ALL (DuckDB's UNPIVOT normalizes
+    column-name case, so the explicit form is the portable one).
+    """
+    from analytics_data_platform_spark.queries.exact import money, sum_money
+
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("quantity"),
+        sum_money("l_extendedprice").alias("extendedprice"),
+        F.sum(money("l_discount")).cast("double").alias("discount"),
+        F.sum(money("l_tax")).cast("double").alias("tax"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"],
+        ["quantity", "extendedprice", "discount", "tax"],
+        "measure",
+        "total",
+    )
+
+
+UNPIVOT_SQL = """
+WITH agg AS (
+  SELECT l_returnflag,
+         SUM(l_quantity) AS quantity,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS extendedprice,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS discount,
+         CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS tax
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, measure, total FROM (
+  SELECT l_returnflag, 'quantity' AS measure, quantity AS total FROM agg
+  UNION ALL SELECT l_returnflag, 'extendedprice', extendedprice FROM agg
+  UNION ALL SELECT l_returnflag, 'discount', discount FROM agg
+  UNION ALL SELECT l_returnflag, 'tax', tax FROM agg
+)
+"""
+
+register(
+    QuerySpec(
+        "unpivot_lineitem_measures",
+        unpivot_lineitem_measures,
+        UNPIVOT_SQL,
+        doc="native DataFrame.unpivot over the per-flag measure aggregate",
+        cites="relational surface: melt/long-form inverse of the A1 pivot family",
+        tags=("relational",),
+    )
+)
