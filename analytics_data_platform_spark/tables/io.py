@@ -49,6 +49,11 @@ LAST_UPDATED_PROP = "ingest.last_updated_at"
 
 WRITE_MODES = ("append", "merge", "replace")
 
+# ``known_rows`` sentinel: the caller guarantees the batch is non-empty and
+# collects row count / watermark stats itself via ``Dataset.observe`` on the
+# write job (elt/runner.py) — write_table must neither persist nor count.
+ROWS_OBSERVED = -1
+
 # providers with DSv2 row-level operation support (MERGE INTO executes as
 # one atomic snapshot commit)
 ROW_LEVEL_PROVIDERS = {"iceberg", "delta"}
@@ -158,12 +163,22 @@ class TableIO:
 
         Callers that already persisted + counted the batch (the ingest
         runner folds count+watermark-max into one aggregation) pass
-        ``known_rows`` to skip the internal materialization.
+        ``known_rows`` to skip the internal materialization. Callers that
+        collect stats from the write job itself via ``Dataset.observe``
+        pass ``known_rows=ROWS_OBSERVED`` (append/replace only — merge
+        re-evaluates the source, so observed metrics would double-fire):
+        no persist, no count, and ``WriteResult.rows`` comes back as the
+        sentinel for the caller to replace with the observed count.
         """
         if mode not in WRITE_MODES:
             raise ValueError(f"write mode {mode!r} not in {WRITE_MODES}")
         if mode == "merge" and not merge_on:
             raise ValueError("merge mode requires merge_on join columns")
+        if known_rows == ROWS_OBSERVED and mode == "merge":
+            raise ValueError(
+                "observed-stats writes require a single-action mode; merge "
+                "evaluates the source more than once — use the persist path"
+            )
         if zorder and sort_spec:
             raise ValueError("zorder and sort_spec are mutually exclusive layouts")
 

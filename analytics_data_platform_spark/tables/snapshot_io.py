@@ -99,10 +99,12 @@ class SnapshotTableIO:
         else:
             v = t.merge(df, merge_on or [])
         snap = t.snapshot(v)
-        if known_rows is not None:
+        if known_rows is not None and known_rows >= 0:
             rows = known_rows
         else:
-            # new-file rows from manifest metadata — no extra scan
+            # new-file rows from manifest metadata — no extra scan (also
+            # covers known_rows=ROWS_OBSERVED: the manifest count is free
+            # and exact, so the observe sentinel never surfaces to callers)
             rows = sum(f.rows for f in snap.files if f.path not in before)
         return WriteResult(table, mode, rows, created)
 

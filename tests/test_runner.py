@@ -148,3 +148,46 @@ def test_incremental_merge_rerun_idempotent_keys(spark, ns):
     assert out.select("entry_id").distinct().count() == 6  # uniqueness after re-run
     assert out.where(F.col("entry_id") == 3).collect()[0]["comment"] == "v3-updated"
     assert io.get_watermark_json(f"{ns}.entries") == {"column": "changed_seq", "value": 8}
+
+
+class CountedEvaluations(Extract):
+    """Instrumented source: a Spark accumulator counts every row the
+    extractor actually PRODUCES across all evaluations of the chunk."""
+
+    def __init__(self, spark, acc, n=1000):
+        self.spark = spark
+        self.acc = acc
+        self.n = n
+
+    def extract_resource_properties(self):
+        acc, n = self.acc, self.n
+
+        def build(wm):
+            def gen(part):
+                for i in part:
+                    acc.add(1)
+                    yield (i, f"row{i}")
+
+            rdd = self.spark.sparkContext.parallelize(range(n), 4).mapPartitions(
+                lambda p: gen(p)
+            )
+            return iter([self.spark.createDataFrame(rdd, ["id", "payload"])])
+
+        yield "observed", ResourceProperties(build, watermark_column="id")
+
+
+def test_append_stats_ride_the_write_job_single_evaluation(spark, ns):
+    """The observe path must NOT re-evaluate the source for stats: rows
+    produced ≈ rows written (+ the LIMIT-1 emptiness probe's partial
+    partition), strictly below the 2N a count-then-write sequence costs —
+    and with no persist of the chunk (at 100 TB chunks, caching data just
+    to learn count+max writes it twice)."""
+    n = 1000
+    acc = spark.sparkContext.accumulator(0)
+    io = TableIO(spark)
+    stats = run_ingest(spark, CountedEvaluations(spark, acc, n), ns)
+    assert stats.resources["observed"].rows == n  # count came from observe
+    assert io.get_watermark_json(f"{ns}.observed") == {"column": "id", "value": n - 1}
+    assert io.read(f"{ns}.observed").count() == n
+    # one full evaluation + at most one partition's worth for isEmpty()
+    assert n <= acc.value <= n + n // 4 + 1, acc.value
