@@ -657,6 +657,62 @@ register(
 )
 
 
+# --- S6 as a registered format: Python DataSource REST scan ---------------
+
+
+def rest_source_customer_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read customers through the registered ``parquet_rest`` Python
+    DataSource: page-range input partitions fan the fetch across
+    executors, and the segment predicate reaches the server via
+    ``pushFilters`` → query param (the engine-native form of the
+    reference's hand-built watermark query, SURVEY P2)."""
+    import json as _json
+    import math as _math
+
+    import pyarrow.parquet as pq
+
+    from analytics_data_platform_spark.session import ensure_session_defaults
+    from analytics_data_platform_spark.sources.rest_datasource import ParquetRestSource
+
+    ensure_session_defaults(spark)  # python filter pushdown on plain sessions
+    spark.dataSource.register(ParquetRestSource)
+    path = f"{sf_dir}/customer.parquet"
+    n = pq.ParquetFile(path).metadata.num_rows  # footer read only
+    page_size = 500
+    df = (
+        spark.read.format("parquet_rest")
+        .schema("c_custkey BIGINT, c_name STRING, c_mktsegment STRING, c_acctbal DOUBLE")
+        .option("url", "local://customer")
+        .option("params", _json.dumps({"path": path}))
+        .option("pages", str(_math.ceil(n / page_size)))
+        .option("page_size", str(page_size))
+        .option("num_partitions", "8")
+        .option("pushdown_params", '{"c_mktsegment": {"eq": "segment"}}')
+        .load()
+    )
+    return df.where(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal")
+    )
+
+
+REST_SOURCE_SQL = """
+SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+FROM customer
+WHERE c_mktsegment = 'BUILDING'
+"""
+
+register(
+    QuerySpec(
+        "rest_source_customer_scan",
+        rest_source_customer_scan,
+        REST_SOURCE_SQL,
+        doc="paginated REST endpoint as a first-class Spark format with pushdown",
+        cites="SURVEY §2.1 S6 (statusdisplay.py:23-56) + §2.2 P2 via pushFilters",
+        tags=("json", "elt", "filter"),
+    )
+)
+
+
 # --- A5: watermark discovery (max per source) -----------------------------
 
 

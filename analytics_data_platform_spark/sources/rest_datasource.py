@@ -256,3 +256,27 @@ class RestCursorStream(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean server-side
+
+
+class ParquetRestSource(RestDataSource):
+    """Network-free transport: serves a local parquet file through the
+    paginated-REST protocol (rows in file order; the ``path`` entry of
+    ``params`` names the file). Lets the oracle-backed registry exercise
+    the ENTIRE DataSource path — partition planning, executor-side fetch,
+    filter pushdown, Arrow conversion — deterministically."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "parquet_rest"
+
+    @classmethod
+    def fetch_page(cls, url: str, params: dict[str, str], timeout: int = 30) -> list[dict]:
+        import pyarrow.parquet as pq
+
+        size = int(params.get("page_size", 100))
+        table = pq.read_table(params["path"])
+        records = table.to_pylist()
+        if "segment" in params:  # pushdown demo: EqualTo → query param
+            records = [r for r in records if r.get("c_mktsegment") == params["segment"]]
+        page = int(params["page"])
+        return records[(page - 1) * size : page * size]
