@@ -620,3 +620,110 @@ register(
         tags=("dedup", "text"),
     )
 )
+
+
+def boilerplate_gram_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-substring masking report — the masking half of
+    Lee et al. 2022 dedup that duplicate_passages defers to: every
+    occurrence of a corpus-repeated 8-token passage is masked EXCEPT in
+    the passage's canonical keeper doc (min doc_id among holders), and
+    the per-source masked-token footprint is reported.
+
+    Scale shape — this is the NO-quadratic-term dedup op: gram
+    occurrences stream with positions (one JVM transform pass), one hash
+    shuffle groups grams for (holder count, keeper) stats, matched
+    occurrences expand 8× into covered token positions, and a doc-key
+    shuffle counts distinct masked positions. No pair join anywhere, so
+    boilerplate grams held by millions of docs cost O(occurrences), not
+    O(holders²) — masking is exactly what the pair-capped
+    duplicate_passages cannot afford to do by pairing. The mask rate is
+    a single division of two exact integer sums (no float
+    re-association).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.split("text", " ").alias("t")
+    ).withColumn("n_tokens", F.size("t"))
+    occ = toks.where(F.size("t") >= PASSAGE_N).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {PASSAGE_N}),"
+                f" i -> struct(i AS pos, md5(concat_ws(' ', slice(t, i + 1, {PASSAGE_N}))) AS g))"
+            )
+        ).alias("o"),
+    ).select("doc_id", F.col("o.pos").alias("pos"), F.col("o.g").alias("g"))
+    gstats = (
+        occ.select("doc_id", "g").distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("nd"), F.min("doc_id").alias("keeper"))
+        .where(F.col("nd") >= 2)
+    )
+    masked_pos = (
+        occ.join(gstats, "g")
+        .where(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id", F.explode(F.expr(f"sequence(pos, pos + {PASSAGE_N - 1})")).alias("tp"))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("tp").alias("masked_tokens"))
+    )
+    return (
+        toks.join(masked_pos, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("masked_tokens").alias("docs_masked"),
+            F.sum(F.coalesce("masked_tokens", F.lit(0))).alias("masked_tokens"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (
+                F.sum(F.coalesce("masked_tokens", F.lit(0))).cast("double")
+                / F.sum("n_tokens").cast("double")
+            ).alias("mask_rate"),
+        )
+    )
+
+
+BOILERPLATE_MASK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, UNNEST(list_transform(range(0, len(t) - {PASSAGE_N} + 1),
+                 i -> struct_pack(pos := i,
+                                  g := md5(array_to_string(t[i + 1: i + {PASSAGE_N}], ' '))))) AS o
+  FROM toks WHERE n_tokens >= {PASSAGE_N}
+),
+occ2 AS (SELECT doc_id, o.pos AS pos, o.g AS g FROM occ),
+gstats AS (
+  SELECT g, COUNT(*) AS nd, MIN(doc_id) AS keeper
+  FROM (SELECT DISTINCT doc_id, g FROM occ2)
+  GROUP BY g HAVING COUNT(*) >= 2
+),
+masked AS (
+  SELECT doc_id, COUNT(DISTINCT tp) AS masked_tokens
+  FROM (
+    SELECT o.doc_id, UNNEST(range(o.pos, o.pos + {PASSAGE_N})) AS tp
+    FROM occ2 o JOIN gstats s ON o.g = s.g AND o.doc_id <> s.keeper
+  )
+  GROUP BY doc_id
+)
+SELECT t.source, COUNT(*) AS n_docs,
+       COUNT(m.masked_tokens) AS docs_masked,
+       CAST(COALESCE(SUM(m.masked_tokens), 0) AS BIGINT) AS masked_tokens,
+       CAST(SUM(t.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(COALESCE(SUM(m.masked_tokens), 0) AS DOUBLE) / CAST(SUM(t.n_tokens) AS DOUBLE) AS mask_rate
+FROM toks t LEFT JOIN masked m ON t.doc_id = m.doc_id
+GROUP BY t.source
+"""
+
+register(
+    QuerySpec(
+        "boilerplate_gram_mask",
+        boilerplate_gram_mask,
+        BOILERPLATE_MASK_SQL,
+        doc="exact-substring masking footprint per source (keeper-doc rule, no pair join)",
+        cites="training-data ops: substring dedup masking (Lee et al. 2022 §4.1)",
+        tags=("text", "dedup"),
+    )
+)

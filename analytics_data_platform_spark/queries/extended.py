@@ -903,3 +903,73 @@ register(
         tags=("window", "topk"),
     )
 )
+
+
+def spend_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK over per-customer lifetime spend, rolled into 20
+    equal-width percentile bands — the distribution-position profile
+    (who sits in the top 5%?) that NTILE's equal-COUNT buckets cannot
+    express when the question is about score position, not population.
+
+    percent_rank = (rank-1)/(total-1) needs a global rank AND the grand
+    total; both come from ONE two-pass distributed scan
+    (operators/ordered.py::with_global_order with total_count_col — the
+    total rides the ≤64-row bucket-totals frame, no extra count job) —
+    never a single-partition window over all customers. Spend is summed
+    in DECIMAL(18,2) (exact, order-independent); the band id is a single
+    identical double expression in both engines, so boundaries cannot
+    drift cross-engine.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(money("o_totalprice")).alias("spend_d"))
+    )
+    ranked = with_global_order(
+        spend, "spend_d", tiebreaks=["o_custkey"],
+        rank_col="rk", total_count_col="n",
+    )
+    pct = (F.col("rk") - 1).cast("double") / (F.col("n") - 1).cast("double")
+    band = F.least(F.floor(pct * 20), F.lit(19)).cast("int")
+    return (
+        ranked.select(F.col("spend_d"), band.alias("band"))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("spend_d").cast("double").alias("lo_spend"),
+            F.max("spend_d").cast("double").alias("hi_spend"),
+            F.sum("spend_d").cast("double").alias("total_spend"),
+        )
+    )
+
+
+SPEND_PCTL_SQL = """
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_d
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT spend_d,
+         ROW_NUMBER() OVER (ORDER BY spend_d, o_custkey) AS rk,
+         COUNT(*) OVER () AS n
+  FROM spend
+)
+SELECT CAST(LEAST(FLOOR((CAST(rk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)) * 20), 19) AS INT) AS band,
+       COUNT(*) AS n_customers,
+       CAST(MIN(spend_d) AS DOUBLE) AS lo_spend,
+       CAST(MAX(spend_d) AS DOUBLE) AS hi_spend,
+       CAST(SUM(spend_d) AS DOUBLE) AS total_spend
+FROM ranked
+GROUP BY 1
+"""
+
+register(
+    QuerySpec(
+        "spend_percentile_bands",
+        spend_percentile_bands,
+        SPEND_PCTL_SQL,
+        doc="percent_rank spend bands via the two-pass distributed global rank",
+        cites="profiling family: score-position distribution (PERCENT_RANK)",
+        tags=("analytics", "ordered"),
+    )
+)

@@ -493,3 +493,276 @@ register(
         tags=("vector", "dq"),
     )
 )
+
+
+# --- SemDeDup: cluster-then-dedup semantic deduplication -------------------
+
+SDD_K = 8  # clusters; scales as n/<cluster size> at corpus scale
+SDD_SCALE = 1000  # integer quantization resolution (see ml_ops._km_quantize)
+# cosine threshold 0.4 as an exact rational: cos >= 2/5  <=>  dot > 0 AND
+# 25*dot^2 >= 4*|a|^2*|b|^2 — integer arithmetic, no sqrt, no float drift
+SDD_T_NUM, SDD_T_DEN = 4, 25
+
+
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-style
+    cluster assignment, then exact cosine near-duplicate removal WITHIN
+    each cluster — the scale path that bounds the quadratic term to
+    Σ cluster² instead of n², with no LSH recall loss inside a cluster.
+
+    Spark-first shape: centroids are the first ``SDD_K`` vectors
+    (deterministic init, broadcast as DATA via a nested-loop broadcast —
+    k·dim literals would blow up the plan at Faiss-scale k, the same
+    decision as operators/similarity.py IVF); per-vector assignment is a
+    zip_with fold + min(struct(d2, cid)) groupBy (one shuffle, exact
+    argmin with cid tie-break). The within-cluster pair join shuffles on
+    cid only; the similarity test is pure integer arithmetic on 1e-3
+    quantized components (dot ≤ 64·530² here; DECIMAL(38,0) products so
+    100 TB-scale dims/magnitudes cannot overflow — the simpson_paradox
+    lesson). A vector is dropped when ANY ≥-threshold neighbor with a
+    smaller vec_id shares its cluster (the deterministic one-
+    representative-per-neighborhood rule). At 100 TB: k grows with n to
+    hold cluster sizes bounded, and a skewed cluster is sub-split by
+    recursing on its members — the published algorithm's own knob; the
+    per-cluster work here is provably Σ c², never n².
+
+    Output is one row per cluster (bounded by k): sizes, drops, and an
+    exact dropped-id checksum the DuckDB oracle reproduces bit-for-bit.
+    """
+    from analytics_data_platform_spark.functions.expr import bind
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * SDD_SCALE).cast("bigint"),
+        ).alias("xq"),
+    ).withColumn(
+        "n2",
+        F.aggregate(
+            F.transform("xq", lambda v: v * v), F.lit(0).cast("bigint"), lambda a, v: a + v
+        ),
+    )
+    cent = q.where(F.col("vec_id") < SDD_K).select(
+        F.col("vec_id").alias("cid"), F.col("xq").alias("cq")
+    )
+    d2 = F.aggregate(
+        F.zip_with("xq", "cq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    assigned = (
+        q.join(F.broadcast(cent))  # k-row broadcast fan-out, not a shuffle
+        .select("vec_id", "xq", "n2", "cid", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct("d2", "cid")).alias("best"),
+            F.first("xq").alias("xq"),
+            F.first("n2").alias("n2"),
+        )
+        .select("vec_id", "xq", "n2", F.col("best.cid").alias("cid"))
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"), F.col("xq").alias("a_xq"),
+        F.col("n2").alias("a_n2"), "cid",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"), F.col("xq").alias("b_xq"),
+        F.col("n2").alias("b_n2"), "cid",
+    )
+    dot = F.aggregate(
+        F.zip_with("a_xq", "b_xq", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    dec = "decimal(38,0)"
+    pairs = (
+        a.join(b, "cid")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("cid", "a_id", "b_id", "a_n2", "b_n2", dot.alias("dot"))
+        .where(
+            (F.col("dot") > 0)
+            & (
+                F.lit(SDD_T_DEN) * F.col("dot").cast(dec) * F.col("dot").cast(dec)
+                >= F.lit(SDD_T_NUM) * F.col("a_n2").cast(dec) * F.col("b_n2").cast(dec)
+            )
+        )
+    )
+    dropped = pairs.select("cid", F.col("b_id").alias("vec_id")).distinct()
+    return (
+        assigned.join(dropped.withColumn("is_drop", F.lit(1)), ["cid", "vec_id"], "left")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.coalesce("is_drop", F.lit(0))).alias("n_dropped"),
+            F.sum(
+                F.when(F.col("is_drop").isNotNull(), F.col("vec_id")).otherwise(F.lit(0))
+            ).alias("dropped_id_sum"),
+        )
+        .select("cid", "n_vecs", "n_dropped", "dropped_id_sum")
+    )
+
+
+SEMDEDUP_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {SDD_SCALE}) AS BIGINT)) AS xq
+  FROM embeddings
+),
+qn AS (
+  SELECT vec_id, xq,
+         list_sum(list_transform(xq, v -> v * v)) AS n2
+  FROM q
+),
+cent AS (SELECT vec_id AS cid, xq AS cq FROM q WHERE vec_id < {SDD_K}),
+dist AS (
+  SELECT qn.vec_id, cent.cid, qn.xq, qn.n2,
+         list_sum(list_transform(list_zip(qn.xq, cent.cq),
+                                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+  FROM qn CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, cid, xq, n2 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dist
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.cid, b.vec_id AS b_id
+  FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(list_zip(a.xq, b.xq), p -> p[1] * p[2])) > 0
+    AND {SDD_T_DEN} * CAST(list_sum(list_transform(list_zip(a.xq, b.xq), p -> p[1] * p[2])) AS HUGEINT)
+                    * CAST(list_sum(list_transform(list_zip(a.xq, b.xq), p -> p[1] * p[2])) AS HUGEINT)
+        >= {SDD_T_NUM} * CAST(a.n2 AS HUGEINT) * CAST(b.n2 AS HUGEINT)
+),
+dropped AS (SELECT DISTINCT cid, b_id AS vec_id FROM pairs)
+SELECT s.cid, COUNT(*) AS n_vecs,
+       COUNT(d.vec_id) AS n_dropped,
+       CAST(COALESCE(SUM(CASE WHEN d.vec_id IS NOT NULL THEN s.vec_id END), 0) AS BIGINT) AS dropped_id_sum
+FROM assigned s LEFT JOIN dropped d ON s.cid = d.cid AND s.vec_id = d.vec_id
+GROUP BY s.cid
+"""
+
+register(
+    QuerySpec(
+        "semantic_dedup_clusters",
+        semantic_dedup_clusters,
+        SEMDEDUP_SQL,
+        doc="SemDeDup: cluster-bounded exact-cosine near-dup removal (integer-exact)",
+        cites="training-data ops: semantic dedup (SemDeDup, arXiv:2303.09540)",
+        tags=("vector", "dedup"),
+    )
+)
+
+
+# --- Johnson-Lindenstrauss sign-projection distortion audit ----------------
+
+JL_OUT = 8  # projected dimensionality
+
+
+def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-sign (Achlioptas 2003) Johnson-Lindenstrauss projection
+    64 → 8 dims with an energy-preservation audit per label.
+
+    The ±1 projection matrix is derived IN-ENGINE from md5 of the
+    coordinate pair ("jl:<p>:<j>") — both engines compute the same signs
+    independently, so the oracle is a true re-derivation, not a shared
+    literal. The projection is one posexplode + an 8-way broadcast
+    fan-out aggregated by (vec_id, j): a single hash shuffle whose key
+    cardinality is 8n — map-side partial sums do the heavy lifting.
+    E[‖y‖²/d'] = ‖x‖², so the per-label energy ratio Σ‖y‖² / (d'·Σ‖x‖²)
+    should concentrate near 1. All accumulators are exact integers
+    (quantized components), each surfaced double is a SINGLE division of
+    two exact sums — no float re-association anywhere, the same
+    determinism contract as queries/exact.py.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    comps = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * SDD_SCALE).cast("bigint"),
+            )
+        ).alias("p", "xq"),
+    )
+    js = spark.range(JL_OUT).select(F.col("id").cast("int").alias("j"))
+    sign = F.when(
+        F.substring(F.md5(F.concat_ws(":", F.lit("jl"), F.col("p"), F.col("j"))), 1, 1)
+        .isin(*"01234567"),
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    proj = (
+        comps.join(F.broadcast(js))
+        .select("vec_id", "label", "j", (sign * F.col("xq")).alias("sx"))
+        .groupBy("vec_id", "label", "j")
+        .agg(F.sum("sx").alias("y"))
+    )
+    per_vec = proj.groupBy("vec_id", "label").agg(
+        F.sum(F.col("y") * F.col("y")).alias("y2")
+    )
+    x2 = comps.groupBy("vec_id").agg(F.sum(F.col("xq") * F.col("xq")).alias("x2"))
+    dec = "decimal(38,0)"
+    joined = per_vec.join(x2, "vec_id").select(
+        "label",
+        F.col("y2").cast(dec).alias("y2"),
+        F.col("x2").cast(dec).alias("x2"),
+        (F.col("y2").cast("double") / (F.lit(float(JL_OUT)) * F.col("x2").cast("double"))).alias("r"),
+    )
+    return joined.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        # exact decimal accumulation, double surface (queries/exact.py
+        # contract): one terminal cast, no float re-association
+        F.sum("y2").cast("double").alias("sum_y2"),
+        F.sum("x2").cast("double").alias("sum_x2"),
+        (F.sum("y2").cast("double") / (F.lit(float(JL_OUT)) * F.sum("x2").cast("double"))).alias("energy_ratio"),
+        F.min("r").alias("min_ratio"),
+        F.max("r").alias("max_ratio"),
+    )
+
+
+JL_SQL = f"""
+WITH comps AS (
+  SELECT vec_id, label, gs.p - 1 AS p,
+         CAST(round(CAST(embedding[gs.p] AS DOUBLE) * {SDD_SCALE}) AS BIGINT) AS xq
+  FROM embeddings, generate_series(1, 64) AS gs(p)
+),
+signs AS (
+  SELECT c.vec_id, c.label, c.p, c.xq, j.j,
+         CASE WHEN substr(md5(concat_ws(':', 'jl', c.p, j.j)), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7')
+              THEN 1 ELSE -1 END AS s
+  FROM comps c CROSS JOIN (SELECT UNNEST(range({JL_OUT})) AS j) j
+),
+proj AS (
+  SELECT vec_id, label, j, SUM(s * xq) AS y
+  FROM signs GROUP BY vec_id, label, j
+),
+per_vec AS (
+  SELECT vec_id, label, SUM(y * y) AS y2 FROM proj GROUP BY vec_id, label
+),
+x2 AS (SELECT vec_id, SUM(xq * xq) AS x2 FROM comps GROUP BY vec_id)
+SELECT p.label, COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(p.y2 AS HUGEINT)) AS DOUBLE) AS sum_y2,
+       CAST(SUM(CAST(x2.x2 AS HUGEINT)) AS DOUBLE) AS sum_x2,
+       CAST(SUM(CAST(p.y2 AS HUGEINT)) AS DOUBLE)
+         / ({JL_OUT} * CAST(SUM(CAST(x2.x2 AS HUGEINT)) AS DOUBLE)) AS energy_ratio,
+       MIN(CAST(p.y2 AS DOUBLE) / ({JL_OUT} * CAST(x2.x2 AS DOUBLE))) AS min_ratio,
+       MAX(CAST(p.y2 AS DOUBLE) / ({JL_OUT} * CAST(x2.x2 AS DOUBLE))) AS max_ratio
+FROM per_vec p JOIN x2 ON p.vec_id = x2.vec_id
+GROUP BY p.label
+"""
+
+register(
+    QuerySpec(
+        "jl_projection_distortion",
+        jl_projection_distortion,
+        JL_SQL,
+        doc="JL random-sign projection 64→8 with exact-integer energy audit per label",
+        cites="training-data ops: dimensionality reduction (Achlioptas 2003 sign JL)",
+        tags=("vector",),
+    )
+)
