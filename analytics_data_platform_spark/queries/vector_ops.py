@@ -766,3 +766,193 @@ register(
         tags=("vector",),
     )
 )
+
+
+# --- Product quantization: ADC top-k with a fully oracle-checked pipeline --
+
+PQ_M = 4  # subspaces
+PQ_DSUB = 16  # dims per subspace (4 × 16 = 64)
+PQ_KC = 4  # centroids per sub-codebook
+PQ_ITERS = 2  # Lloyd rounds per subspace
+PQ_TOPK = 10
+PQ_NQ = 3  # query vectors: vec_id < 3
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, end-to-end and integer-exact: train m
+    sub-codebooks with distributed Lloyd iterations, encode the corpus to
+    m-byte codes, score queries by asymmetric distance (ADC — m table
+    lookups per candidate, no vector math), select top-k two-phase.
+
+    This is the ORACLE-VERIFIED twin of operators/similarity.py's PQ path
+    (which trains on a driver sample with float numpy, the Faiss layout):
+    here every stage — subspace k-means (deterministic first-k init, the
+    kmeans_embeddings recipe extended with a subspace key), code
+    assignment, the ≤ nq·m·k ADC lookup table, and the final ranking —
+    runs in quantized integer arithmetic, so DuckDB re-derives the exact
+    same codebooks, codes, and scores from scratch.
+
+    Scale shape: all k-means joins key on (subspace, sub-position) against
+    a broadcastable m·k·dsub centroid table; per-iteration work is one
+    fan-out aggregate (map-side partials) — the subspace key adds
+    parallelism, not shuffle volume. Scoring joins n·m code rows against a
+    BROADCAST 48-row lookup table and two-phase top-k bounds the final
+    window to k·P rows per query. The corpus is never rescanned as raw
+    floats — at 100 TB the ADC scan touches m bytes per vector, the whole
+    point of PQ (Jégou et al. 2011).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    data = e.select(
+        "vec_id", F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * SDD_SCALE).cast("bigint"),
+            )
+        ).alias("pos", "xq"),
+    ).select(
+        "vec_id",
+        (F.col("pos") / PQ_DSUB).cast("int").alias("j"),
+        (F.col("pos") % PQ_DSUB).alias("sp"),
+        "xq",
+    )
+    data = data.localCheckpoint(eager=False)  # reused every iteration
+    cent = data.where(F.col("vec_id") < PQ_KC).select(
+        F.col("vec_id").alias("cid"), "j", "sp", F.col("xq").alias("cq")
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        d2 = (
+            data.join(F.broadcast(centroids), ["j", "sp"])
+            .groupBy("vec_id", "j", "cid")
+            .agg(F.sum((F.col("xq") - F.col("cq")) * (F.col("xq") - F.col("cq"))).alias("d2"))
+        )
+        return (
+            d2.groupBy("vec_id", "j")
+            .agg(F.min(F.struct("d2", "cid")).alias("best"))
+            .select("vec_id", "j", F.col("best.cid").alias("cid"), F.col("best.d2").alias("d2"))
+        )
+
+    for _ in range(PQ_ITERS):
+        asg = assign(cent)
+        sums = (
+            asg.join(data, ["vec_id", "j"])
+            .groupBy("cid", "j", "sp")
+            .agg(F.sum("xq").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        cent = (
+            cent.join(sums, ["cid", "j", "sp"], "left")
+            .select(
+                "cid", "j", "sp",
+                F.coalesce(
+                    F.floor(F.col("s") / F.col("n") + F.lit(0.5)).cast("bigint"),
+                    F.col("cq"),
+                ).alias("cq"),
+            )
+            .localCheckpoint(eager=True)  # truncate the per-round lineage
+        )
+
+    codes = assign(cent).select("vec_id", "j", F.col("cid").alias("code"))
+    qsub = data.where(F.col("vec_id") < PQ_NQ).select(
+        F.col("vec_id").alias("q_id"), "j", "sp", F.col("xq").alias("qx")
+    )
+    dtab = (
+        qsub.join(F.broadcast(cent), ["j", "sp"])
+        .groupBy("q_id", "j", "cid")
+        .agg(F.sum((F.col("qx") - F.col("cq")) * (F.col("qx") - F.col("cq"))).alias("dq"))
+    )
+    scored = (
+        codes.join(
+            F.broadcast(dtab),
+            (codes.j == dtab.j) & (codes.code == dtab.cid),
+        )
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("dq").alias("adc"))
+        # two-phase top-k ranks DESC: negate the distance for selection
+        .withColumn("neg", -F.col("adc"))
+    )
+    top = topk_per_query(
+        scored, PQ_TOPK, q_id_col="q_id", id_col="vec_id",
+        score_col="neg", rank_col="pos",
+    )
+    # phase 1 carries only (q_id, id, score): recover the distance from
+    # the negated ranking score
+    return top.select("q_id", "pos", "vec_id", (-F.col("neg")).alias("adc"))
+
+
+def _pq_adc_sql() -> str:
+    parts = [
+        f"""WITH data AS (
+  SELECT vec_id, CAST(i / {PQ_DSUB} AS INT) AS j, i % {PQ_DSUB} AS sp,
+         CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE) * {SDD_SCALE}) AS BIGINT) AS xq
+  FROM embeddings, range(0, {PQ_M * PQ_DSUB}) t(i)
+),
+cent0 AS (
+  SELECT vec_id AS cid, j, sp, xq AS cq FROM data WHERE vec_id < {PQ_KC}
+)"""
+    ]
+    for i in range(1, PQ_ITERS + 1):
+        parts.append(
+            f""",
+asg{i} AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT d.vec_id, d.j, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY d.vec_id, d.j
+             ORDER BY SUM((d.xq - c.cq) * (d.xq - c.cq)), c.cid) AS rn
+    FROM data d JOIN cent{i - 1} c ON d.j = c.j AND d.sp = c.sp
+    GROUP BY d.vec_id, d.j, c.cid
+  ) WHERE rn = 1
+),
+sums{i} AS (
+  SELECT a.cid, d.j, d.sp, SUM(d.xq) AS s, COUNT(*) AS n
+  FROM asg{i} a JOIN data d ON a.vec_id = d.vec_id AND a.j = d.j
+  GROUP BY a.cid, d.j, d.sp
+),
+cent{i} AS (
+  SELECT p.cid, p.j, p.sp,
+         COALESCE(CAST(FLOOR(CAST(s.s AS DOUBLE) / s.n + 0.5) AS BIGINT), p.cq) AS cq
+  FROM cent{i - 1} p LEFT JOIN sums{i} s
+    ON p.cid = s.cid AND p.j = s.j AND p.sp = s.sp
+)"""
+        )
+    parts.append(
+        f""",
+codes AS (
+  SELECT vec_id, j, cid AS code FROM (
+    SELECT d.vec_id, d.j, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY d.vec_id, d.j
+             ORDER BY SUM((d.xq - c.cq) * (d.xq - c.cq)), c.cid) AS rn
+    FROM data d JOIN cent{PQ_ITERS} c ON d.j = c.j AND d.sp = c.sp
+    GROUP BY d.vec_id, d.j, c.cid
+  ) WHERE rn = 1
+),
+dtab AS (
+  SELECT q.vec_id AS q_id, q.j, c.cid, SUM((q.xq - c.cq) * (q.xq - c.cq)) AS dq
+  FROM data q JOIN cent{PQ_ITERS} c ON q.j = c.j AND q.sp = c.sp
+  WHERE q.vec_id < {PQ_NQ}
+  GROUP BY q.vec_id, q.j, c.cid
+),
+scored AS (
+  SELECT t.q_id, k.vec_id, CAST(SUM(t.dq) AS BIGINT) AS adc
+  FROM codes k JOIN dtab t ON k.j = t.j AND k.code = t.cid
+  GROUP BY t.q_id, k.vec_id
+)
+SELECT q_id, pos, vec_id, adc FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS pos
+  FROM scored
+) WHERE pos <= {PQ_TOPK}"""
+    )
+    return "".join(parts)
+
+
+register(
+    QuerySpec(
+        "pq_adc_topk",
+        pq_adc_topk,
+        _pq_adc_sql(),
+        doc="product-quantization ADC top-k, codebooks trained in-engine (integer-exact)",
+        cites="training-data ops: PQ ANN (Jégou et al. 2011); operators/similarity.py PQ path",
+        tags=("vector", "ann", "iterative"),
+    )
+)
