@@ -1085,3 +1085,4 @@ register(
         tags=("eval", "experiment"),
     )
 )
+

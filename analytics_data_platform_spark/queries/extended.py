@@ -929,7 +929,12 @@ def spend_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         spend, "spend_d", tiebreaks=["o_custkey"],
         rank_col="rk", total_count_col="n",
     )
-    pct = (F.col("rk") - 1).cast("double") / (F.col("n") - 1).cast("double")
+    # n == 1 would make percent_rank 0/0 (engine-dependent NaN): a single
+    # customer is band 0 by definition, matching SQL's NULLIF guard
+    pct = F.when(
+        F.col("n") > 1,
+        (F.col("rk") - 1).cast("double") / (F.col("n") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
     band = F.least(F.floor(pct * 20), F.lit(19)).cast("int")
     return (
         ranked.select(F.col("spend_d"), band.alias("band"))
@@ -954,7 +959,7 @@ ranked AS (
          COUNT(*) OVER () AS n
   FROM spend
 )
-SELECT CAST(LEAST(FLOOR((CAST(rk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)) * 20), 19) AS INT) AS band,
+SELECT CAST(LEAST(FLOOR(COALESCE(CAST(rk - 1 AS DOUBLE) / NULLIF(CAST(n - 1 AS DOUBLE), 0), 0) * 20), 19) AS INT) AS band,
        COUNT(*) AS n_customers,
        CAST(MIN(spend_d) AS DOUBLE) AS lo_spend,
        CAST(MAX(spend_d) AS DOUBLE) AS hi_spend,

@@ -1404,3 +1404,147 @@ register(
         tags=("text", "window"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram LM cross-entropy (CCNet-style perplexity filter, one
+# level up from unigram_surprisal_score)
+# ---------------------------------------------------------------------------
+
+LM_LAMBDA_NUM, LM_LAMBDA_DEN = 3, 4  # λ = 0.75 bigram weight, exact rational
+LM_LOGSCALE = 1_000_000  # fixed-point micro-nat units
+
+
+def lm_bigram_xent_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language cross-entropy of the corpus under its own interpolated
+    bigram LM: P(w₂|w₁) = λ·c(w₁w₂)/c(w₁) + (1−λ)·c(w₂)/N — the CCNet
+    perplexity-bucketing signal computed WITHOUT an external model
+    (Wenzek et al. 2020 filter shape; here the LM trains in-engine).
+
+    Determinism/scale shape (the DSIR fixed-point contract):
+    - the surprisal −ln P is computed once per bigram TYPE (vocabulary-
+      bounded, not corpus-bounded) and fixed-pointed to integer micro-nats;
+    - each document's total surprisal is then an exact integer dot product
+      of its bigram counts — no float re-association across the corpus;
+    - per-language xent is ONE division of two exact integer sums.
+    Shuffles: bigram-type groupBy, unigram groupBy, two type-keyed joins,
+    one language agg — all token-keyed, linear in corpus size; the unigram
+    table joins broadcast-style only if small, otherwise hash (Catalyst's
+    call via AQE).
+    """
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length(F.trim("text")) > 0)
+        .select("doc_id", "lang", F.split(F.trim("text"), r"\s+").alias("t"))
+    )
+    uni = d.select(F.explode("t").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c_w")
+    )
+    n_tok = uni.agg(F.sum("c_w").alias("n_tok"))
+    bg_pairs = F.filter(
+        F.zip_with(
+            "t",
+            F.expr("slice(t, 2, greatest(size(t) - 1, 0))"),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        lambda s: s.getField("w2").isNotNull(),
+    )
+    doc_bg = (
+        d.select("doc_id", "lang", F.explode(bg_pairs).alias("bg"))
+        .select("doc_id", "lang", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("doc_id", "lang", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bg_types = doc_bg.groupBy("w1", "w2").agg(F.sum("n").alias("c_ab"))
+    lam = F.lit(LM_LAMBDA_NUM) / F.lit(LM_LAMBDA_DEN)
+    scored_types = (
+        bg_types.join(uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_w1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_w2")), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                -F.log(
+                    lam * F.col("c_ab").cast("double") / F.col("c_w1").cast("double")
+                    + (F.lit(1) - lam)
+                    * F.col("c_w2").cast("double")
+                    / F.col("n_tok").cast("double")
+                )
+                * LM_LOGSCALE
+            )
+            .cast("bigint")
+            .alias("s_micro"),
+        )
+    )
+    return (
+        doc_bg.join(scored_types, ["w1", "w2"])
+        .groupBy("lang")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.sum("n").alias("n_bigrams"),
+            F.sum(F.col("n") * F.col("s_micro")).alias("xent_micro_sum"),
+            F.round(
+                F.sum(F.col("n") * F.col("s_micro")).cast("double")
+                / (F.sum("n").cast("double") * LM_LOGSCALE),
+                6,
+            ).alias("xent_nats"),
+        )
+        .orderBy("lang")
+    )
+
+
+LM_BIGRAM_SQL = f"""
+WITH d AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS t
+           FROM documents WHERE length(trim(text)) > 0),
+doc_bg AS (
+  SELECT doc_id, lang, string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+         COUNT(*) AS n
+  FROM (
+    SELECT doc_id, lang,
+           unnest(list_transform(list_zip(t, list_slice(t, 2, len(t))),
+                                 x -> x[1] || ' ' || x[2])) AS bg
+    FROM d
+  )
+  WHERE bg IS NOT NULL
+  GROUP BY 1, 2, 3, 4
+),
+uni AS (
+  SELECT w, COUNT(*) AS c_w
+  FROM (SELECT unnest(t) AS w FROM d) GROUP BY w
+),
+n_tok AS (SELECT SUM(c_w) AS n_tok FROM uni),
+bg_types AS (SELECT w1, w2, SUM(n) AS c_ab FROM doc_bg GROUP BY 1, 2),
+scored_types AS (
+  SELECT w1, w2,
+         CAST(ROUND(-LN(({LM_LAMBDA_NUM} / CAST({LM_LAMBDA_DEN} AS DOUBLE))
+                          * CAST(c_ab AS DOUBLE) / CAST(u1.c_w AS DOUBLE)
+                        + (1 - {LM_LAMBDA_NUM} / CAST({LM_LAMBDA_DEN} AS DOUBLE))
+                          * CAST(u2.c_w AS DOUBLE) / CAST(n_tok AS DOUBLE))
+                    * {LM_LOGSCALE}) AS BIGINT) AS s_micro
+  FROM bg_types
+  JOIN uni u1 ON bg_types.w1 = u1.w
+  JOIN uni u2 ON bg_types.w2 = u2.w
+  CROSS JOIN n_tok
+)
+SELECT lang,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS n_bigrams,
+       CAST(SUM(n * s_micro) AS BIGINT) AS xent_micro_sum,
+       ROUND(CAST(SUM(n * s_micro) AS DOUBLE)
+             / (CAST(SUM(n) AS DOUBLE) * {LM_LOGSCALE}), 6) AS xent_nats
+FROM doc_bg JOIN scored_types USING (w1, w2)
+GROUP BY lang
+ORDER BY lang
+"""
+
+register(
+    QuerySpec(
+        "lm_bigram_xent_by_lang",
+        lm_bigram_xent_by_lang,
+        LM_BIGRAM_SQL,
+        doc="interpolated bigram LM cross-entropy per language (in-engine CCNet-style perplexity)",
+        cites="training-data ops: perplexity quality filter (Wenzek et al. 2020 CCNet shape)",
+        tags=("text", "quality", "training"),
+    )
+)

@@ -918,3 +918,137 @@ register(
         tags=("training", "sampling"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): hashed n-gram importance weights, exact-integer form
+# ---------------------------------------------------------------------------
+
+DSIR_LANG = "en"  # target distribution: English docs; raw = whole corpus
+DSIR_LOGSCALE = 1_000_000  # fixed-point micro-log units
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights over hashed n-gram features: score every
+    document by how target-like (here: the ``en`` slice) its hashed
+    unigram+bigram profile is, and surface the top-20.
+
+    Scale/determinism design:
+    - features are md5-prefix buckets (``substr(md5(gram),1,2)`` → 256
+      string keys) — both engines derive the SAME buckets independently,
+      no shared literal table and no engine-specific hash;
+    - the bucket log-ratio ln((c_t+1)(N_r+256) / ((c_r+1)(N_t+256))) is
+      computed ONCE per bucket (≤256 lns), then fixed-pointed to integer
+      micro-logs — per-document weights are EXACT integer dot products
+      (order-free: no float re-association across 100 TB of documents);
+    - shuffles: one gram-keyed groupBy for bucket counts (map-side
+      partials), one bucket-keyed join back (vs a BROADCAST ≤256-row
+      ratio table), one doc-keyed agg; top-20 via orderBy+limit
+      (TakeOrderedAndProject — never a global window).
+
+    At 100 TB the ratio table is still 256 rows — the whole "model" is a
+    broadcast variable, which is exactly why DSIR scales where trained
+    quality classifiers need GPU fleets.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    toks = d.select("doc_id", "lang", _tokens().alias("t"))
+    bigrams = F.zip_with(
+        "t",
+        F.expr("slice(t, 2, greatest(size(t) - 1, 0))"),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    grams = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(F.concat(F.col("t"), F.filter(bigrams, lambda g: g.contains(" ")))).alias(
+            "gram"
+        ),
+    ).select("doc_id", "lang", F.substring(F.md5("gram"), 1, 2).alias("bucket"))
+
+    per_bucket = grams.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum((F.col("lang") == DSIR_LANG).cast("bigint")).alias("c_tgt"),
+    )
+    totals = per_bucket.agg(
+        F.sum("c_raw").alias("n_raw"), F.sum("c_tgt").alias("n_tgt")
+    )
+    ratios = per_bucket.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            F.log(
+                ((F.col("c_tgt") + 1) * (F.col("n_raw") + 256)).cast("double")
+                / ((F.col("c_raw") + 1) * (F.col("n_tgt") + 256)).cast("double")
+            )
+            * DSIR_LOGSCALE
+        )
+        .cast("bigint")
+        .alias("lr"),
+    )
+    doc_buckets = grams.groupBy("doc_id", "lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    weights = (
+        doc_buckets.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("n").alias("n_grams"),
+            F.sum(F.col("n") * F.col("lr")).alias("w_micro"),
+        )
+    )
+    return (
+        weights.select("doc_id", "lang", "n_grams", "w_micro")
+        .orderBy(F.desc("w_micro"), "doc_id")
+        .limit(20)
+    )
+
+
+DSIR_SQL = f"""
+WITH d AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS t
+           FROM documents WHERE length(trim(text)) > 0),
+grams AS (
+  SELECT doc_id, lang, substr(md5(g), 1, 2) AS bucket FROM (
+    SELECT doc_id, lang, unnest(t) AS g FROM d
+    UNION ALL
+    SELECT doc_id, lang,
+           unnest(list_transform(list_zip(t, list_slice(t, 2, len(t))),
+                                 x -> x[1] || ' ' || x[2])) AS g
+    FROM d
+  )
+  WHERE g IS NOT NULL
+),
+per_bucket AS (
+  SELECT bucket, COUNT(*) AS c_raw,
+         SUM(CASE WHEN lang = '{DSIR_LANG}' THEN 1 ELSE 0 END) AS c_tgt
+  FROM grams GROUP BY bucket
+),
+totals AS (SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt FROM per_bucket),
+ratios AS (
+  SELECT bucket,
+         CAST(ROUND(LN(CAST((c_tgt + 1) * (n_raw + 256) AS DOUBLE)
+                       / CAST((c_raw + 1) * (n_tgt + 256) AS DOUBLE))
+                    * {DSIR_LOGSCALE}) AS BIGINT) AS lr
+  FROM per_bucket CROSS JOIN totals
+),
+doc_buckets AS (
+  SELECT doc_id, lang, bucket, COUNT(*) AS n FROM grams GROUP BY 1, 2, 3
+)
+SELECT doc_id, lang,
+       CAST(SUM(n) AS BIGINT) AS n_grams,
+       CAST(SUM(n * lr) AS BIGINT) AS w_micro
+FROM doc_buckets JOIN ratios USING (bucket)
+GROUP BY doc_id, lang
+ORDER BY w_micro DESC, doc_id
+LIMIT 20
+"""
+
+register(
+    QuerySpec(
+        "dsir_importance_weights",
+        dsir_importance_weights,
+        DSIR_SQL,
+        doc="DSIR hashed-ngram importance weights (target=en), exact-integer micro-log dot products",
+        cites="training-data ops: data selection via importance resampling (Xie et al. 2023, arXiv:2302.03169)",
+        tags=("training", "sampling", "quality"),
+    )
+)

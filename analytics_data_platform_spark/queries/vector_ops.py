@@ -143,10 +143,15 @@ def embedding_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CENTROID_SQL = """
-WITH per_dim AS (
-  SELECT label, t.i AS pos, AVG(CAST(embedding[t.i] AS DOUBLE)) AS mean_val
-  FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
-  GROUP BY label, t.i
+WITH per_row AS (
+  -- zipped unnest tracks the ACTUAL array length, like Spark's posexplode
+  SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
+         unnest(embedding) AS val
+  FROM embeddings
+),
+per_dim AS (
+  SELECT label, pos, AVG(CAST(val AS DOUBLE)) AS mean_val
+  FROM per_row GROUP BY label, pos
 )
 SELECT label, ROUND(sqrt(SUM(mean_val * mean_val)), 4) AS centroid_norm
 FROM per_dim GROUP BY label
@@ -524,13 +529,15 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative-per-neighborhood rule). At 100 TB: k grows with n to
     hold cluster sizes bounded, and a skewed cluster is sub-split by
     recursing on its members — the published algorithm's own knob; the
-    per-cluster work here is provably Σ c², never n².
+    per-cluster work here is provably Σ c², never n². The sub-split is
+    IMPLEMENTED in operators/semdedup.py::semdedup(max_cluster_size=...)
+    — deterministic secondary first-k centroids, hash-salt last resort,
+    adversarial-skew tested (tests/test_semdedup_operator.py); this query
+    form keeps flat clustering so the oracle is unchanged.
 
     Output is one row per cluster (bounded by k): sizes, drops, and an
     exact dropped-id checksum the DuckDB oracle reproduces bit-for-bit.
     """
-    from analytics_data_platform_spark.functions.expr import bind
-
     e = load_table(spark, sf_dir, "embeddings")
     q = e.select(
         "vec_id",
@@ -726,9 +733,11 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JL_SQL = f"""
 WITH comps AS (
-  SELECT vec_id, label, gs.p - 1 AS p,
-         CAST(round(CAST(embedding[gs.p] AS DOUBLE) * {SDD_SCALE}) AS BIGINT) AS xq
-  FROM embeddings, generate_series(1, 64) AS gs(p)
+  -- zipped unnest tracks the ACTUAL array length, like Spark's posexplode
+  SELECT vec_id, label,
+         unnest(generate_series(1, len(embedding))) - 1 AS p,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {SDD_SCALE}) AS BIGINT) AS xq
+  FROM embeddings
 ),
 signs AS (
   SELECT c.vec_id, c.label, c.p, c.xq, j.j,
@@ -802,6 +811,15 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     point of PQ (Jégou et al. 2011).
     """
     e = load_table(spark, sf_dir, "embeddings")
+    # the subspace math bakes in dim = PQ_M * PQ_DSUB (and the oracle SQL
+    # iterates exactly that many positions): fail loudly on a width change
+    # instead of silently desynchronizing the engines
+    e = e.withColumn(
+        "embedding",
+        F.when(F.size("embedding") == PQ_M * PQ_DSUB, F.col("embedding")).otherwise(
+            F.raise_error(F.lit(f"pq_adc_topk requires {PQ_M * PQ_DSUB}-dim embeddings"))
+        ),
+    )
     data = e.select(
         "vec_id", F.posexplode(
             F.transform(
@@ -882,7 +900,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pq_adc_sql() -> str:
     parts = [
         f"""WITH data AS (
-  SELECT vec_id, CAST(i / {PQ_DSUB} AS INT) AS j, i % {PQ_DSUB} AS sp,
+  SELECT vec_id, CAST(i // {PQ_DSUB} AS INT) AS j, i % {PQ_DSUB} AS sp,
          CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE) * {SDD_SCALE}) AS BIGINT) AS xq
   FROM embeddings, range(0, {PQ_M * PQ_DSUB}) t(i)
 ),
@@ -954,5 +972,139 @@ register(
         doc="product-quantization ADC top-k, codebooks trained in-engine (integer-exact)",
         cites="training-data ops: PQ ANN (Jégou et al. 2011); operators/similarity.py PQ path",
         tags=("vector", "ann", "iterative"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# nDCG@10 — graded ranking quality of the similarity search, hash-verified
+# ---------------------------------------------------------------------------
+
+NDCG_K = 10
+NDCG_SCALE = 1_000_000  # fixed-point micro-gain units
+
+
+def ndcg_at_10_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the brute-force cosine ranking with label-match
+    relevance: rel(q, v) = 1 iff label(v) == label(q). Complements
+    ann_recall_at_10 (set overlap) with a position-weighted metric — the
+    standard retrieval eval pair.
+
+    Exactness: the position discount 1/log₂(rank+1) is computed once per
+    RANK (k values, not n) and fixed-pointed to integer micro-gains, so
+    DCG and IDCG are exact integer sums and nDCG is one division. IDCG
+    uses the corpus-wide relevant count (capped at k) per query —
+    sequence/generate_series on both engines, identically.
+
+    Scale: rides ann_cosine_topk's two-phase top-k (broadcast queries,
+    one corpus pass); everything after the top-k touches ≤ k rows per
+    query plus one label-count aggregate over the corpus.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    labels = e.select("vec_id", "label")
+    q_labels = labels.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")
+    )
+    gain = lambda rank_col: (  # noqa: E731 - shared Spark/SQL shape
+        F.round(F.lit(NDCG_SCALE) / F.log2(rank_col + F.lit(1.0))).cast("bigint")
+    )
+    topk = (
+        ann_cosine_topk(spark, sf_dir)
+        .join(labels, "vec_id")
+        .join(F.broadcast(q_labels), "q_id")
+        .select(
+            "q_id",
+            "rank",
+            (F.col("label") == F.col("q_label")).cast("bigint").alias("rel"),
+        )
+    )
+    dcg = topk.groupBy("q_id").agg(
+        F.sum(F.col("rel") * gain(F.col("rank").cast("double"))).alias("dcg_micro"),
+        F.sum("rel").alias("n_rel_topk"),
+    )
+    # corpus-wide relevant count per query (excluding the query itself)
+    n_rel = (
+        q_labels.join(labels, q_labels.q_label == labels.label)
+        .where(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_rel_total"))
+    )
+    ideal = n_rel.select(
+        "q_id",
+        "n_rel_total",
+        F.explode(F.sequence(F.lit(1), F.least(F.col("n_rel_total"), F.lit(NDCG_K)))).alias(
+            "i"
+        ),
+    ).groupBy("q_id", "n_rel_total").agg(
+        F.sum(gain(F.col("i").cast("double"))).alias("idcg_micro")
+    )
+    return (
+        dcg.join(ideal, "q_id")
+        .select(
+            "q_id",
+            "n_rel_topk",
+            "n_rel_total",
+            F.col("dcg_micro"),
+            F.col("idcg_micro"),
+            F.round(
+                F.col("dcg_micro").cast("double") / F.col("idcg_micro").cast("double"), 6
+            ).alias("ndcg_at_10"),
+        )
+        .orderBy("q_id")
+    )
+
+
+def _ndcg_sql() -> str:
+    topk = ANN_TOPK_SQL
+    return f"""
+WITH topk AS (SELECT q_id, vec_id, rank FROM ({topk}) t),
+labels AS (SELECT vec_id, label FROM embeddings),
+q_labels AS (SELECT vec_id AS q_id, label AS q_label FROM embeddings WHERE vec_id < 5),
+rels AS (
+  SELECT t.q_id, t.rank,
+         CASE WHEN l.label = q.q_label THEN 1 ELSE 0 END AS rel
+  FROM topk t JOIN labels l ON t.vec_id = l.vec_id
+              JOIN q_labels q ON t.q_id = q.q_id
+),
+dcg AS (
+  SELECT q_id,
+         SUM(rel * CAST(ROUND({NDCG_SCALE} / log2(rank + 1.0)) AS BIGINT)) AS dcg_micro,
+         SUM(rel) AS n_rel_topk
+  FROM rels GROUP BY q_id
+),
+n_rel AS (
+  SELECT q.q_id, COUNT(*) AS n_rel_total
+  FROM q_labels q JOIN labels l ON q.q_label = l.label AND l.vec_id <> q.q_id
+  GROUP BY q.q_id
+),
+ideal AS (
+  SELECT q_id, n_rel_total,
+         SUM(CAST(ROUND({NDCG_SCALE} / log2(i + 1.0)) AS BIGINT)) AS idcg_micro
+  FROM (
+    SELECT q_id, n_rel_total,
+           unnest(generate_series(1, LEAST(n_rel_total, {NDCG_K}))) AS i
+    FROM n_rel
+  )
+  GROUP BY 1, 2
+)
+SELECT d.q_id,
+       CAST(d.n_rel_topk AS BIGINT) AS n_rel_topk,
+       CAST(i.n_rel_total AS BIGINT) AS n_rel_total,
+       CAST(d.dcg_micro AS BIGINT) AS dcg_micro,
+       CAST(i.idcg_micro AS BIGINT) AS idcg_micro,
+       ROUND(CAST(d.dcg_micro AS DOUBLE) / CAST(i.idcg_micro AS DOUBLE), 6) AS ndcg_at_10
+FROM dcg d JOIN ideal i ON d.q_id = i.q_id
+ORDER BY d.q_id
+"""
+
+
+register(
+    QuerySpec(
+        "ndcg_at_10_ann",
+        ndcg_at_10_ann,
+        _ndcg_sql(),
+        doc="nDCG@10 of cosine top-k with label relevance — position-weighted retrieval eval",
+        cites="composes ann_cosine_topk; standard ranking metric (Järvelin & Kekäläinen 2002)",
+        tags=("eval", "ann", "vector"),
     )
 )

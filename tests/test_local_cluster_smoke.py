@@ -55,6 +55,18 @@ QUERIES = [
     "kcore_coorder",
     "skyline_parts_price_size",
     "keyness_by_lang",
+    # round-4/5 additions — the newest, least-battle-tested plans are
+    # exactly what a runtime skew audit should cover (r4 verdict item #5)
+    "pq_adc_topk",
+    "semantic_dedup_clusters",
+    "heavy_hitters_tokens",
+    "winnowing_fingerprints",
+    "boilerplate_gram_mask",
+    "jl_projection_distortion",
+    "spend_percentile_bands",
+    "label_propagation_communities",
+    "lpa_modularity",
+    "unpivot_lineitem_measures",
 ]
 
 

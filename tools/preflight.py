@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Mandatory pre-commit gate for any change touching ``queries/``.
+
+One command, no Spark session, < 5 seconds:
+
+    python tools/preflight.py          # check (exit 1 on any failure)
+    python tools/preflight.py --write  # also refresh REGISTRY_COUNT.txt
+
+Runs the cheap structural gates that the r04 end-of-round commit skipped:
+
+1. registry == shuffle ledger (a registered query missing from
+   ``tests/shuffle_ledger.json`` means the plan sweep was not re-run);
+2. every query has an oracle SQL or an explicit ``weak`` tag;
+3. money lint + the DuckDB CAST-rounds-vs-Spark-truncates division lint;
+4. the authoritative registry count in REGISTRY_COUNT.txt is current.
+
+It does NOT replace the full sweep — after a plan-affecting change still run
+
+    SPARK_GRAFT_REGEN_LEDGER=1 python -m pytest tests/test_plan_audit.py -k sweep
+    python -m pytest tests/test_oracle_parity.py -q
+
+but it makes "forgot to run the sweep" loud at commit time.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def main() -> int:
+    write = "--write" in sys.argv
+    sys.path.insert(0, str(ROOT))
+    from analytics_data_platform_spark.queries import all_queries
+
+    count_path = ROOT / "REGISTRY_COUNT.txt"
+    n = len(all_queries())
+    if write:
+        count_path.write_text(f"{n}\n")
+        print(f"REGISTRY_COUNT.txt <- {n}")
+
+    rc = subprocess.call(
+        [
+            sys.executable,
+            "-m",
+            "pytest",
+            "tests/test_registry_gates.py",
+            "tests/test_money_lint.py",
+            "-q",
+            "--no-header",
+        ],
+        cwd=ROOT,
+    )
+    if rc == 0:
+        print(f"preflight OK — {n} registered queries, gates green")
+    else:
+        print("preflight FAILED — do not commit; see failures above", file=sys.stderr)
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
