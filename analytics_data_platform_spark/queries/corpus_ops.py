@@ -727,3 +727,109 @@ register(
         tags=("text", "dedup"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# C4 / Gopher cleaning-rule audit — named-rule pass rates per source
+# ---------------------------------------------------------------------------
+
+
+def c4_gopher_rule_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source pass counts for the canonical web-corpus cleaning rules
+    (C4, Raffel et al. 2020 §2.2; Gopher, Rae et al. 2021 §A1.1): word
+    count floor, mean-word-length band, symbol-to-word ratio,
+    alphabetic-word fraction, terminal punctuation, stopword presence,
+    lorem-ipsum and curly-brace exclusion, plus the all-rules pass count.
+
+    Every rule is an EXACT integer comparison (mean-word-length ∈ [3,10]
+    becomes 3·n_w ≤ chars ≤ 10·n_w — no division, no float), so the audit
+    hash-verifies. One narrow projection + one per-source agg: at 100 TB
+    this is a single corpus scan with map-side partials; the same rule
+    columns gate a cleaning WRITE by filtering on pass_all.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    t = F.split(F.trim("text"), r"\s+")
+    n_w = F.size(t)
+    word_chars = F.aggregate(
+        F.transform(t, lambda w: F.length(w)), F.lit(0), lambda a, v: a + v
+    )
+    n_alpha = F.size(F.filter(t, lambda w: w.rlike("(?i)[a-z]")))
+    n_sym = F.size(F.regexp_extract_all("text", F.lit(r"#|\.\.\."), F.lit(0)))
+    n_stop = F.size(
+        F.array_intersect(t, F.array(*[F.lit(w) for w in ("the", "be", "to", "of", "and")]))
+    )
+    rules = {
+        "r_word_count": (n_w >= 30) & (n_w <= 100000),
+        "r_mean_word_len": (word_chars >= 3 * n_w) & (word_chars <= 10 * n_w),
+        "r_symbol_ratio": 10 * n_sym <= n_w,
+        "r_alpha_words": 5 * n_alpha >= 4 * n_w,
+        "r_terminal_punct": F.expr("right(trim(text), 1)").isin(".", "!", "?", '"'),
+        "r_stopwords": n_stop >= 2,
+        "r_no_lorem": ~F.lower("text").contains("lorem ipsum"),
+        "r_no_braces": ~F.col("text").contains("{"),
+    }
+    flags = d.select(
+        "source", *[cond.cast("bigint").alias(name) for name, cond in rules.items()]
+    )
+    agg = [F.sum(name).alias(name) for name in rules]
+    pass_all = F.sum(
+        F.when(
+            sum(F.col(c) for c in rules) == len(rules), F.lit(1)
+        ).otherwise(F.lit(0))
+    ).alias("pass_all")
+    return (
+        flags.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), *agg, pass_all)
+        .orderBy("source")
+    )
+
+
+C4_GOPHER_SQL = r"""
+WITH d AS (
+  SELECT source, text, string_split(trim(text), ' ') AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+flags AS (
+  SELECT source,
+    CASE WHEN len(t) >= 30 AND len(t) <= 100000 THEN 1 ELSE 0 END AS r_word_count,
+    CASE WHEN list_sum(list_transform(t, w -> len(w))) >= 3 * len(t)
+          AND list_sum(list_transform(t, w -> len(w))) <= 10 * len(t)
+         THEN 1 ELSE 0 END AS r_mean_word_len,
+    CASE WHEN 10 * len(regexp_extract_all(text, '#|\.\.\.')) <= len(t)
+         THEN 1 ELSE 0 END AS r_symbol_ratio,
+    CASE WHEN 5 * len(list_filter(t, w -> regexp_matches(w, '(?i)[a-z]'))) >= 4 * len(t)
+         THEN 1 ELSE 0 END AS r_alpha_words,
+    CASE WHEN right(trim(text), 1) IN ('.', '!', '?', '"') THEN 1 ELSE 0 END AS r_terminal_punct,
+    CASE WHEN len(list_intersect(t, ['the', 'be', 'to', 'of', 'and'])) >= 2
+         THEN 1 ELSE 0 END AS r_stopwords,
+    CASE WHEN NOT contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END AS r_no_lorem,
+    CASE WHEN NOT contains(text, '{') THEN 1 ELSE 0 END AS r_no_braces
+  FROM d
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(r_word_count) AS BIGINT) AS r_word_count,
+       CAST(SUM(r_mean_word_len) AS BIGINT) AS r_mean_word_len,
+       CAST(SUM(r_symbol_ratio) AS BIGINT) AS r_symbol_ratio,
+       CAST(SUM(r_alpha_words) AS BIGINT) AS r_alpha_words,
+       CAST(SUM(r_terminal_punct) AS BIGINT) AS r_terminal_punct,
+       CAST(SUM(r_stopwords) AS BIGINT) AS r_stopwords,
+       CAST(SUM(r_no_lorem) AS BIGINT) AS r_no_lorem,
+       CAST(SUM(r_no_braces) AS BIGINT) AS r_no_braces,
+       CAST(SUM(CASE WHEN r_word_count + r_mean_word_len + r_symbol_ratio + r_alpha_words
+                        + r_terminal_punct + r_stopwords + r_no_lorem + r_no_braces = 8
+                     THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+FROM flags
+GROUP BY source
+ORDER BY source
+"""
+
+register(
+    QuerySpec(
+        "c4_gopher_rule_stats",
+        c4_gopher_rule_stats,
+        C4_GOPHER_SQL,
+        doc="C4/Gopher web-corpus cleaning rules: exact-integer pass counts per source",
+        cites="training-data ops: heuristic quality filtering (Raffel et al. 2020; Rae et al. 2021)",
+        tags=("text", "quality", "training"),
+    )
+)

@@ -1480,3 +1480,201 @@ register(
         tags=("ml", "vector", "topk"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes language classifier, trained AND evaluated
+# in-engine (fastText-style supervised baseline, exact fixed-point)
+# ---------------------------------------------------------------------------
+
+NB_LOGSCALE = 1_000_000  # micro-nat fixed point
+
+
+def nb_lang_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a multinomial Naive Bayes classifier P(lang | tokens) on the
+    corpus and evaluate it on the same corpus (resubstitution confusion
+    matrix) — the supervised counterpart of the n-gram-heuristic
+    ``lang_id_confusion``: that row audits a hand-built scorer, this one
+    audits the trainable baseline every data pipeline reaches for first
+    (fastText's linear recipe, minus the embedding layer).
+
+    Exactness: token log-likelihoods ln((c_tl+1)/(n_l+V)) are computed
+    once per (token, lang) SEEN pair and fixed-pointed to integer
+    micro-nats; the unseen-token contribution collapses to a per-lang
+    constant u_l = ln(1/(n_l+V)) because Laplace smoothing makes every
+    unseen count identical — so each document score is an exact integer
+    dot product plus (n_tokens − matched)·u_l + prior, and argmax with a
+    lang tie-break is bit-stable across engines and partitionings.
+
+    Scale: one token-keyed groupBy for the model (vocab-bounded, not
+    corpus-bounded), one token-keyed join for scoring, one doc-keyed agg;
+    the lang dimension (|L| rows) broadcasts. No per-row Python anywhere.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    toks = d.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+    )
+    doc_toks = toks.groupBy("doc_id", "true_lang", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # model: per-lang token counts, totals, vocab size, doc priors
+    tl = doc_toks.groupBy("tok", F.col("true_lang").alias("lang")).agg(
+        F.sum("c").alias("c_tl")
+    )
+    lang_tot = tl.groupBy("lang").agg(F.sum("c_tl").alias("n_l"))
+    vocab = tl.select("tok").distinct().agg(F.count(F.lit(1)).alias("v"))
+    n_docs_total = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    priors = (
+        d.groupBy(F.col("lang"))
+        .agg(F.count(F.lit(1)).alias("n_lang_docs"))
+        .crossJoin(F.broadcast(n_docs_total))
+        .select(
+            "lang",
+            F.round(
+                F.log(F.col("n_lang_docs").cast("double") / F.col("n_docs").cast("double"))
+                * NB_LOGSCALE
+            )
+            .cast("bigint")
+            .alias("prior_micro"),
+        )
+    )
+    lang_const = (
+        lang_tot.crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            "n_l",
+            "v",
+            F.round(
+                -F.log((F.col("n_l") + F.col("v")).cast("double")) * NB_LOGSCALE
+            )
+            .cast("bigint")
+            .alias("u_micro"),  # ln(1/(n_l+V)) for any unseen token
+        )
+    )
+    seen = (
+        tl.join(lang_const.select("lang", "n_l", "v"), "lang")
+        .select(
+            "tok",
+            "lang",
+            F.round(
+                F.log(
+                    (F.col("c_tl") + 1).cast("double")
+                    / (F.col("n_l") + F.col("v")).cast("double")
+                )
+                * NB_LOGSCALE
+            )
+            .cast("bigint")
+            .alias("s_micro"),
+        )
+    )
+    doc_len = doc_toks.groupBy("doc_id", "true_lang").agg(F.sum("c").alias("n_tok"))
+    matched = (
+        doc_toks.join(seen, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.col("c") * F.col("s_micro")).alias("seen_micro"),
+            F.sum("c").alias("n_matched"),
+        )
+    )
+    langs = priors.select("lang", "prior_micro").join(
+        lang_const.select("lang", "u_micro"), "lang"
+    )
+    scored = (
+        doc_len.crossJoin(F.broadcast(langs))
+        .join(matched, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id",
+            "true_lang",
+            "lang",
+            (
+                F.coalesce("seen_micro", F.lit(0))
+                + (F.col("n_tok") - F.coalesce("n_matched", F.lit(0))) * F.col("u_micro")
+                + F.col("prior_micro")
+            ).alias("score"),
+        )
+    )
+    # deterministic argmax: highest score, then SMALLEST lang string
+    pred = (
+        scored.withColumn("_neg", -F.col("score"))
+        .groupBy("doc_id", "true_lang")
+        .agg(F.min(F.struct(F.col("_neg"), F.col("lang"))).alias("best"))
+        .select("doc_id", "true_lang", F.col("best.lang").alias("pred_lang"))
+    )
+    return (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+NB_SQL = f"""
+WITH d AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS t
+           FROM documents WHERE length(trim(text)) > 0),
+doc_toks AS (
+  SELECT doc_id, lang AS true_lang, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, lang, unnest(t) AS tok FROM d)
+  GROUP BY 1, 2, 3
+),
+tl AS (SELECT tok, true_lang AS lang, SUM(c) AS c_tl FROM doc_toks GROUP BY 1, 2),
+lang_tot AS (SELECT lang, SUM(c_tl) AS n_l FROM tl GROUP BY 1),
+vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM tl),
+n_docs_total AS (SELECT COUNT(*) AS n_docs FROM d),
+priors AS (
+  SELECT lang,
+         CAST(ROUND(LN(CAST(COUNT(*) AS DOUBLE) / (SELECT CAST(n_docs AS DOUBLE) FROM n_docs_total))
+                    * {NB_LOGSCALE}) AS BIGINT) AS prior_micro
+  FROM d GROUP BY lang
+),
+lang_const AS (
+  SELECT lang, n_l, v,
+         CAST(ROUND(-LN(CAST(n_l + v AS DOUBLE)) * {NB_LOGSCALE}) AS BIGINT) AS u_micro
+  FROM lang_tot CROSS JOIN vocab
+),
+seen AS (
+  SELECT tl.tok, tl.lang,
+         CAST(ROUND(LN(CAST(tl.c_tl + 1 AS DOUBLE) / CAST(lc.n_l + lc.v AS DOUBLE))
+                    * {NB_LOGSCALE}) AS BIGINT) AS s_micro
+  FROM tl JOIN lang_const lc ON tl.lang = lc.lang
+),
+doc_len AS (SELECT doc_id, true_lang, SUM(c) AS n_tok FROM doc_toks GROUP BY 1, 2),
+matched AS (
+  SELECT dt.doc_id, s.lang,
+         SUM(dt.c * s.s_micro) AS seen_micro,
+         SUM(dt.c) AS n_matched
+  FROM doc_toks dt JOIN seen s ON dt.tok = s.tok
+  GROUP BY 1, 2
+),
+langs AS (
+  SELECT p.lang, p.prior_micro, lc.u_micro
+  FROM priors p JOIN lang_const lc ON p.lang = lc.lang
+),
+scored AS (
+  SELECT dl.doc_id, dl.true_lang, l.lang,
+         COALESCE(m.seen_micro, 0)
+           + (dl.n_tok - COALESCE(m.n_matched, 0)) * l.u_micro
+           + l.prior_micro AS score
+  FROM doc_len dl CROSS JOIN langs l
+  LEFT JOIN matched m ON dl.doc_id = m.doc_id AND l.lang = m.lang
+),
+pred AS (
+  SELECT doc_id, true_lang, lang AS pred_lang FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+register(
+    QuerySpec(
+        "nb_lang_classifier_eval",
+        nb_lang_classifier_eval,
+        NB_SQL,
+        doc="multinomial Naive Bayes lang classifier trained + confusion-evaluated in-engine (exact fixed-point)",
+        cites="training-data ops: supervised quality/domain classification (fastText-recipe baseline)",
+        tags=("ml", "text", "training"),
+    )
+)

@@ -783,3 +783,151 @@ register(
         tags=("dedup", "join", "scale"),
     )
 )
+
+
+# ---- leakage-safe train/val/test split -------------------------------------
+
+
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split: assign each document's whole
+    near-duplicate CLUSTER to one split, so a test document can never
+    have a train-set near-copy (the eval-contamination failure mode of
+    naive per-doc splitting — Lee et al. 2022 measured inflated eval
+    scores from exactly this leak).
+
+    Composition: LSH candidate pairs → exact-Jaccard verify →
+    large-star/small-star CC (all existing registry operators) → split by
+    md5 of the cluster REPRESENTATIVE (singletons: the doc itself), the
+    same salted-hash rule as train_val_test_split, so membership stays a
+    pure function of content relationships and adding docs never
+    reshuffles existing assignments.
+
+    Output: per-split sizes plus two global audit columns —
+    ``leaked_pairs_grouped`` (near-dup pairs straddling splits under THIS
+    split; provably 0 because both endpoints hash the same rep) and
+    ``leaked_pairs_naive`` (what the per-doc split would have leaked).
+    Scale: the corpus itself never shuffles for assignment (a narrow
+    projection); only the dedup graph (pairs ≪ docs) joins back.
+    """
+    pairs = near_dup_minhash(spark, sf_dir).select("id_a", "id_b")
+    cc = dedup.cluster_duplicates_star(pairs, a_col="id_a", b_col="id_b")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    rep = d.join(cc, "doc_id", "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("rep"),
+    )
+
+    def split_of(key_col):
+        bucket = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("leak-42:"), key_col.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        )
+        return F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+
+    assigned = rep.select(
+        "doc_id",
+        "n_chars",
+        "rep",
+        split_of(F.col("rep")).alias("split"),
+        split_of(F.col("doc_id")).alias("naive_split"),
+    )
+    sa = assigned.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("split").alias("split_a"),
+        F.col("naive_split").alias("naive_a"),
+    )
+    sb = assigned.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("split").alias("split_b"),
+        F.col("naive_split").alias("naive_b"),
+    )
+    leaks = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .agg(
+            F.sum((F.col("split_a") != F.col("split_b")).cast("bigint")).alias(
+                "leaked_pairs_grouped"
+            ),
+            F.sum((F.col("naive_a") != F.col("naive_b")).cast("bigint")).alias(
+                "leaked_pairs_naive"
+            ),
+        )
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.count_distinct("rep").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leaks))
+        .orderBy("split")
+    )
+
+
+def _leakage_split_sql() -> str:
+    from analytics_data_platform_spark.queries import REGISTRY
+
+    pair_sql = REGISTRY["near_dup_minhash"].oracle
+    split_case = (
+        "CASE WHEN ('0x' || substr(md5('leak-42:' || CAST({k} AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'train' "
+        "WHEN ('0x' || substr(md5('leak-42:' || CAST({k} AS VARCHAR)), 1, 8))::BIGINT % 100 < 95 THEN 'val' "
+        "ELSE 'test' END"
+    )
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({pair_sql}) q
+),
+cedges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(a, b) AS (
+  SELECT src AS a, src AS b FROM cedges
+  UNION
+  SELECT r.a, e.dst AS b FROM reach r JOIN cedges e ON r.b = e.src
+),
+cc AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+assigned AS (
+  SELECT d.doc_id, d.n_chars,
+         COALESCE(cc.cluster_id, d.doc_id) AS rep,
+         {split_case.format(k="COALESCE(cc.cluster_id, d.doc_id)")} AS split,
+         {split_case.format(k="d.doc_id")} AS naive_split
+  FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+),
+leaks AS (
+  SELECT CAST(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT)
+           AS leaked_pairs_grouped,
+         CAST(SUM(CASE WHEN a.naive_split <> b.naive_split THEN 1 ELSE 0 END) AS BIGINT)
+           AS leaked_pairs_naive
+  FROM pairs p JOIN assigned a ON p.id_a = a.doc_id
+               JOIN assigned b ON p.id_b = b.doc_id
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_clusters,
+       leaked_pairs_grouped, leaked_pairs_naive
+FROM assigned CROSS JOIN leaks
+GROUP BY split, leaked_pairs_grouped, leaked_pairs_naive
+ORDER BY split
+"""
+
+
+register(
+    QuerySpec(
+        "leakage_safe_split",
+        leakage_safe_split,
+        _leakage_split_sql(),
+        doc="near-dup-cluster-aware train/val/test split with a contamination audit vs the naive split",
+        cites="training-data ops: eval decontamination (Lee et al. 2022); composes near_dup_minhash + star CC",
+        tags=("training", "dedup", "sampling", "scale"),
+    )
+)
