@@ -833,7 +833,9 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") % PQ_DSUB).alias("sp"),
         "xq",
     )
-    data = data.localCheckpoint(eager=False)  # reused every iteration
+    # reused every iteration; persist (not checkpoint) — the lineage is one
+    # cheap scan+explode, and skipping the checkpoint write saves ~2 s cold
+    data = data.persist()
     cent = data.where(F.col("vec_id") < PQ_KC).select(
         F.col("vec_id").alias("cid"), "j", "sp", F.col("xq").alias("cq")
     )
@@ -857,17 +859,19 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("cid", "j", "sp")
             .agg(F.sum("xq").alias("s"), F.count(F.lit(1)).alias("n"))
         )
-        cent = (
-            cent.join(sums, ["cid", "j", "sp"], "left")
-            .select(
-                "cid", "j", "sp",
-                F.coalesce(
-                    F.floor(F.col("s") / F.col("n") + F.lit(0.5)).cast("bigint"),
-                    F.col("cq"),
-                ).alias("cq"),
-            )
-            .localCheckpoint(eager=True)  # truncate the per-round lineage
+        newc = cent.join(sums, ["cid", "j", "sp"], "left").select(
+            "cid", "j", "sp",
+            F.coalesce(
+                F.floor(F.col("s") / F.col("n") + F.lit(0.5)).cast("bigint"),
+                F.col("cq"),
+            ).alias("cq"),
         )
+        # the codebook is the MODEL, not data: m·k·dsub = 256 rows, bounded
+        # by construction — collect it and rebuild as a literal frame (the
+        # IVF broadcast-closure-centroids pattern). Each Lloyd round is then
+        # exactly ONE job with a flat plan; measured 11.0 → 6.0 s cold at
+        # sf0.1 vs eager localCheckpoint, bit-identical output.
+        cent = spark.createDataFrame(newc.collect(), newc.schema)
 
     codes = assign(cent).select("vec_id", "j", F.col("cid").alias("code"))
     qsub = data.where(F.col("vec_id") < PQ_NQ).select(
