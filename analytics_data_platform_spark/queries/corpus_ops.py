@@ -772,14 +772,22 @@ def c4_gopher_rule_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", *[cond.cast("bigint").alias(name) for name, cond in rules.items()]
     )
     agg = [F.sum(name).alias(name) for name in rules]
+    # core = the structural rules; terminal-punct and stopwords are
+    # English-prose-specific (C4 applies rule subsets per corpus — on this
+    # synthetic keyword corpus they are the rules a calibration pass would
+    # drop, and the audit columns SHOW that: their pass counts are 0)
+    core = [r for r in rules if r not in ("r_terminal_punct", "r_stopwords")]
     pass_all = F.sum(
         F.when(
             sum(F.col(c) for c in rules) == len(rules), F.lit(1)
         ).otherwise(F.lit(0))
     ).alias("pass_all")
+    pass_core = F.sum(
+        F.when(sum(F.col(c) for c in core) == len(core), F.lit(1)).otherwise(F.lit(0))
+    ).alias("pass_core")
     return (
         flags.groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_docs"), *agg, pass_all)
+        .agg(F.count(F.lit(1)).alias("n_docs"), *agg, pass_all, pass_core)
         .orderBy("source")
     )
 
@@ -817,7 +825,10 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(r_no_braces) AS BIGINT) AS r_no_braces,
        CAST(SUM(CASE WHEN r_word_count + r_mean_word_len + r_symbol_ratio + r_alpha_words
                         + r_terminal_punct + r_stopwords + r_no_lorem + r_no_braces = 8
-                     THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+                     THEN 1 ELSE 0 END) AS BIGINT) AS pass_all,
+       CAST(SUM(CASE WHEN r_word_count + r_mean_word_len + r_symbol_ratio + r_alpha_words
+                        + r_no_lorem + r_no_braces = 6
+                     THEN 1 ELSE 0 END) AS BIGINT) AS pass_core
 FROM flags
 GROUP BY source
 ORDER BY source

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from analytics_data_platform_spark.operators.profile import profile_columns
 from analytics_data_platform_spark.queries import QuerySpec, register
-from analytics_data_platform_spark.queries.exact import sum_money
+from analytics_data_platform_spark.queries.exact import money, sum_money
 from analytics_data_platform_spark.sources.testdata import load_table
 from analytics_data_platform_spark.tables.scd2 import scd2_apply
 
@@ -514,5 +514,75 @@ register(
         doc="orphan + cardinality audit for every foreign-key edge in the schema",
         cites="warehouse data-quality family; companion to dq_expectations",
         tags=("warehouse", "dq", "join"),
+    )
+)
+
+
+def cdc_apply_changes_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY CHANGES over the events stream read as a changelog:
+    ``error`` events are delete tombstones, everything else upserts; the
+    sequence is (ts, event_id) so out-of-order arrival cannot change the
+    outcome. The collapsed per-user state is then profiled per surviving
+    event_type (exact DECIMAL value sums).
+
+    Operator: operators/cdc.py::apply_changes — one key shuffle with
+    map-side max(struct) partials, never a per-key sort buffer. This is
+    the step that turns a raw Debezium-style feed into the pre-collapsed
+    batch the upsert sink (S13) merges.
+    """
+    from analytics_data_platform_spark.operators.cdc import apply_changes
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        "event_type",
+        money("value").alias("value_d"),
+    )
+    state = apply_changes(
+        e, key_cols=["user_id"], seq_cols=["ts", "event_id"], op_col="op"
+    )
+    return (
+        state.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("value_d").cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+CDC_APPLY_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts_us, event_id,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+         event_type, CAST(value AS DECIMAL(18,2)) AS value_d
+  FROM events
+),
+latest AS (
+  SELECT user_id, op, event_type, value_d FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+    FROM e
+  ) WHERE rn = 1
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(value_d) AS DOUBLE) AS total_value
+FROM latest WHERE op <> 'delete'
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+register(
+    QuerySpec(
+        "cdc_apply_changes_state",
+        cdc_apply_changes_state,
+        CDC_APPLY_SQL,
+        doc="CDC apply_changes: out-of-order changelog -> current state (deletes tombstoned), per-type profile",
+        cites="warehouse family: DLT apply_changes semantics; feeds the S13 upsert sink",
+        tags=("warehouse", "cdc"),
     )
 )

@@ -78,3 +78,98 @@ def test_c4_gopher_flags_bounded_by_doc_counts(spark, sf_dir):
         for c in rule_cols:
             assert 0 <= d[c] <= r.n_docs
         assert 0 <= r.pass_all <= min(d[c] for c in rule_cols)
+        assert r.pass_all <= r.pass_core <= r.n_docs
+        # the corpus-calibration story: the structural core discriminates
+    assert sum(r.pass_core for r in rows) > 0
+
+
+def test_apply_changes_out_of_order_and_deletes(spark):
+    from analytics_data_platform_spark.operators.cdc import apply_changes
+
+    rows = [
+        # key 1: upsert v1 @seq 1, delete @seq 3, late upsert v2 @seq 2
+        # (arrives LAST) -> delete wins, key absent
+        (1, 1, "upsert", "v1"),
+        (1, 3, "delete", None),
+        (1, 2, "upsert", "v2"),
+        # key 2: late-arriving lower seq must NOT override
+        (2, 5, "upsert", "new"),
+        (2, 4, "upsert", "old"),
+        # key 3: delete then re-insert at higher seq -> alive
+        (3, 1, "delete", None),
+        (3, 2, "upsert", "back"),
+    ]
+    log = spark.createDataFrame(rows, "k int, seq int, op string, payload string")
+    got = {
+        r.k: (r.seq, r.op, r.payload)
+        for r in apply_changes(log, key_cols=["k"], seq_cols=["seq"]).collect()
+    }
+    assert 1 not in got
+    assert got[2] == (5, "upsert", "new")
+    assert got[3] == (2, "upsert", "back")
+
+
+def test_apply_changes_is_arrival_order_free(spark):
+    """Same multiset of changes under a hostile partitioning must produce
+    the same state (max-struct is associative/commutative)."""
+    from analytics_data_platform_spark.operators.cdc import apply_changes
+
+    rows = [(k, s, "delete" if (k + s) % 7 == 0 else "upsert", f"p{k}-{s}")
+            for k in range(20) for s in range(10)]
+    log = spark.createDataFrame(rows, "k int, seq int, op string, payload string")
+    base = sorted(map(tuple, apply_changes(log, key_cols=["k"], seq_cols=["seq"]).collect()))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        again = sorted(map(tuple, apply_changes(
+            log.repartition(13), key_cols=["k"], seq_cols=["seq"]).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert base == again
+
+
+def test_c4_rule_gated_cleaning_write(spark, sf_dir):
+    """End-to-end cleaning pass: the same rule columns that feed the audit
+    query gate a corpus WRITE through TableIO — the written clean table's
+    per-source counts must equal the audit's pass_all counts."""
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from analytics_data_platform_spark.queries.corpus_ops import c4_gopher_rule_stats
+    from analytics_data_platform_spark.sources.testdata import load_table
+    from analytics_data_platform_spark.tables.io import TableIO
+
+    audit = {r.source: r.pass_core for r in c4_gopher_rule_stats(spark, sf_dir).collect()}
+
+    d = load_table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    t = F.split(F.trim("text"), r"\s+")
+    n_w = F.size(t)
+    word_chars = F.aggregate(F.transform(t, lambda w: F.length(w)), F.lit(0), lambda a, v: a + v)
+    n_alpha = F.size(F.filter(t, lambda w: w.rlike("(?i)[a-z]")))
+    n_sym = F.size(F.regexp_extract_all("text", F.lit(r"#|\.\.\."), F.lit(0)))
+    clean = d.where(
+        (n_w >= 30) & (n_w <= 100000)
+        & (word_chars >= 3 * n_w) & (word_chars <= 10 * n_w)
+        & (10 * n_sym <= n_w)
+        & (5 * n_alpha >= 4 * n_w)
+        & ~F.lower("text").contains("lorem ipsum")
+        & ~F.col("text").contains("{")
+    )
+
+    io = TableIO(spark)
+    ns = f"clean_{uuid.uuid4().hex[:8]}"
+    io.ensure_namespace(ns)
+    try:
+        io.write_table(clean, f"{ns}.documents_clean", mode="replace")
+        written = {
+            r.source: r.n
+            for r in io.read(f"{ns}.documents_clean")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        for src, n_pass in audit.items():
+            assert written.get(src, 0) == n_pass, src
+    finally:
+        io.drop_namespace(ns)
