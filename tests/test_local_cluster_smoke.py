@@ -67,6 +67,14 @@ QUERIES = [
     "label_propagation_communities",
     "lpa_modularity",
     "unpivot_lineitem_measures",
+    # round-5 additions
+    "leakage_safe_split",
+    "dsir_importance_weights",
+    "nb_lang_classifier_eval",
+    "lm_bigram_xent_by_lang",
+    "ndcg_at_10_ann",
+    "cdc_apply_changes_state",
+    "c4_gopher_rule_stats",
 ]
 
 

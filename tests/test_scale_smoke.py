@@ -155,3 +155,54 @@ def test_geo_nearest_survives_8x(spark, smoke_dir_geo):
     n, dt = _timed(spark, "geo_nearest_within_radius", smoke_dir_geo)
     assert n > 0
     print(f"geo_nearest_within_radius 8x: {n} rows in {dt:.1f}s")
+
+
+# ---- round-5 ops under 8x -------------------------------------------------
+
+
+def test_leakage_safe_split_survives_8x(spark, smoke_dir):
+    """The near-dup graph is 28 pairs per replica family here — the split
+    must still assign whole components and leak nothing, inside budget."""
+    import pyspark.sql.functions as SF
+
+    t0 = time.time()
+    df = all_queries()["leakage_safe_split"].fn(spark, smoke_dir)
+    rows = df.collect()
+    dt = time.time() - t0
+    assert dt < BUDGET_S, f"leakage_safe_split took {dt:.0f}s at 8x"
+    assert all(r.leaked_pairs_grouped == 0 for r in rows)
+    assert sum(r.n_docs for r in rows) == spark.read.parquet(
+        f"{smoke_dir}/documents.parquet"
+    ).count()
+    print(f"leakage_safe_split 8x: naive would leak {rows[0].leaked_pairs_naive} pairs, "
+          f"grouped leaks 0, in {dt:.1f}s")
+
+
+def test_dsir_and_nb_survive_8x(spark, smoke_dir):
+    for name in ("dsir_importance_weights", "nb_lang_classifier_eval",
+                 "c4_gopher_rule_stats", "lm_bigram_xent_by_lang"):
+        n, dt = _timed(spark, name, smoke_dir)
+        assert n > 0
+        print(f"{name} 8x: {n} rows in {dt:.1f}s")
+
+
+def test_semdedup_subsplit_survives_8x(spark, smoke_dir_vec):
+    """8x replicated embeddings: every replica family is a tight cone —
+    adversarial for cluster balance. The bounded operator must keep the
+    max cluster under the cap and finish in budget."""
+    from analytics_data_platform_spark.operators.semdedup import (
+        quantize_vectors,
+        semdedup,
+    )
+
+    e = spark.read.parquet(f"{smoke_dir_vec}/embeddings.parquet")
+    t0 = time.time()
+    out = semdedup(
+        quantize_vectors(e), k=8, max_cluster_size=500, max_split_rounds=6
+    )
+    sizes = [r["count"] for r in out.groupBy("cluster").count().collect()]
+    dt = time.time() - t0
+    assert dt < BUDGET_S, f"semdedup 8x took {dt:.0f}s"
+    assert max(sizes) <= 500
+    assert sum(sizes) == e.count()
+    print(f"semdedup 8x: {len(sizes)} clusters, max {max(sizes)}, in {dt:.1f}s")
