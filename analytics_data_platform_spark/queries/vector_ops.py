@@ -787,29 +787,10 @@ PQ_TOPK = 10
 PQ_NQ = 3  # query vectors: vec_id < 3
 
 
-def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN, end-to-end and integer-exact: train m
-    sub-codebooks with distributed Lloyd iterations, encode the corpus to
-    m-byte codes, score queries by asymmetric distance (ADC — m table
-    lookups per candidate, no vector math), select top-k two-phase.
-
-    This is the ORACLE-VERIFIED twin of operators/similarity.py's PQ path
-    (which trains on a driver sample with float numpy, the Faiss layout):
-    here every stage — subspace k-means (deterministic first-k init, the
-    kmeans_embeddings recipe extended with a subspace key), code
-    assignment, the ≤ nq·m·k ADC lookup table, and the final ranking —
-    runs in quantized integer arithmetic, so DuckDB re-derives the exact
-    same codebooks, codes, and scores from scratch.
-
-    Scale shape: all k-means joins key on (subspace, sub-position) against
-    a broadcastable m·k·dsub centroid table; per-iteration work is one
-    fan-out aggregate (map-side partials) — the subspace key adds
-    parallelism, not shuffle volume. Scoring joins n·m code rows against a
-    BROADCAST 48-row lookup table and two-phase top-k bounds the final
-    window to k·P rows per query. The corpus is never rescanned as raw
-    floats — at 100 TB the ADC scan touches m bytes per vector, the whole
-    point of PQ (Jégou et al. 2011).
-    """
+def _pq_train(spark: SparkSession, sf_dir: str):
+    """Shared PQ training pipeline: dim-guarded quantized explode (persisted),
+    Lloyd-trained sub-codebooks (collected as a literal frame — the model),
+    and the corpus codes. Used by pq_adc_topk and ivf_pq_adc_topk."""
     e = load_table(spark, sf_dir, "embeddings")
     # the subspace math bakes in dim = PQ_M * PQ_DSUB (and the oracle SQL
     # iterates exactly that many positions): fail loudly on a width change
@@ -874,6 +855,10 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent = spark.createDataFrame(newc.collect(), newc.schema)
 
     codes = assign(cent).select("vec_id", "j", F.col("cid").alias("code"))
+    return data, cent, codes
+
+
+def _pq_score_topk(data, cent, codes) -> DataFrame:
     qsub = data.where(F.col("vec_id") < PQ_NQ).select(
         F.col("vec_id").alias("q_id"), "j", "sp", F.col("xq").alias("qx")
     )
@@ -899,6 +884,33 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # phase 1 carries only (q_id, id, score): recover the distance from
     # the negated ranking score
     return top.select("q_id", "pos", "vec_id", (-F.col("neg")).alias("adc"))
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, end-to-end and integer-exact: train m
+    sub-codebooks with distributed Lloyd iterations, encode the corpus to
+    m-byte codes, score queries by asymmetric distance (ADC — m table
+    lookups per candidate, no vector math), select top-k two-phase.
+
+    This is the ORACLE-VERIFIED twin of operators/similarity.py's PQ path
+    (which trains on a driver sample with float numpy, the Faiss layout):
+    here every stage — subspace k-means (deterministic first-k init, the
+    kmeans_embeddings recipe extended with a subspace key), code
+    assignment, the ≤ nq·m·k ADC lookup table, and the final ranking —
+    runs in quantized integer arithmetic, so DuckDB re-derives the exact
+    same codebooks, codes, and scores from scratch.
+
+    Scale shape: all k-means joins key on (subspace, sub-position) against
+    a broadcastable m·k·dsub centroid table; per-iteration work is one
+    fan-out aggregate (map-side partials) — the subspace key adds
+    parallelism, not shuffle volume. Scoring joins n·m code rows against a
+    BROADCAST 48-row lookup table and two-phase top-k bounds the final
+    window to k·P rows per query. The corpus is never rescanned as raw
+    floats — at 100 TB the ADC scan touches m bytes per vector, the whole
+    point of PQ (Jégou et al. 2011).
+    """
+    data, cent, codes = _pq_train(spark, sf_dir)
+    return _pq_score_topk(data, cent, codes)
 
 
 def _pq_adc_sql() -> str:
@@ -1110,5 +1122,152 @@ register(
         doc="nDCG@10 of cosine top-k with label relevance — position-weighted retrieval eval",
         cites="composes ann_cosine_topk; standard ranking metric (Järvelin & Kekäläinen 2002)",
         tags=("eval", "ann", "vector"),
+    )
+)
+
+
+# ---- IVF-PQ: probe coarse cells, ADC-score only the candidates -------------
+
+IVF_NLIST = 8  # coarse cells
+IVF_NPROBE = 2  # cells scanned per query
+
+
+def ivf_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition — the ACTUAL 100 TB ANN serving path: a coarse
+    inverted file restricts each query to its ``IVF_NPROBE`` nearest cells,
+    and PQ ADC scores only those candidates (m byte-code lookups each).
+    Same integer-exact contract as pq_adc_topk, so the oracle re-derives
+    coarse cells, probes, codebooks, codes and scores from scratch.
+
+    Simplification vs Faiss IVF-PQ (documented): codes quantize RAW
+    vectors, not per-cell residuals — one shared codebook table instead of
+    nlist of them; recall at equal bytes is lower, the plumbing and scale
+    shape are identical (operators/similarity.py:586+ carries the
+    cell-partitioned write + DPP pruning variant of the same design).
+
+    Scale shape: coarse assignment is one broadcast fan-out over NLIST
+    full-vector centroids (zip_with fold, no explode); the probe table is
+    nq·nprobe rows (broadcast); candidate filtering is a broadcast
+    semi-join BEFORE any ADC work, so the scored fraction is
+    ~nprobe/nlist of the corpus — at 100 TB with nlist ∝ √n that is the
+    difference between scanning terabytes and gigabytes per query batch.
+    """
+    data, cent, codes = _pq_train(spark, sf_dir)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qfull = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * SDD_SCALE).cast("bigint"),
+        ).alias("xq"),
+    )
+    coarse = qfull.where(F.col("vec_id") < IVF_NLIST).select(
+        F.col("vec_id").alias("ccid"), F.col("xq").alias("cvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with("xq", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    dists = qfull.join(F.broadcast(coarse)).select("vec_id", "ccid", d2.alias("d2"))
+    cells = (
+        dists.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "ccid")).alias("best"))
+        .select("vec_id", F.col("best.ccid").alias("cell"))
+    )
+    probe_w = Window.partitionBy("vec_id").orderBy("d2", "ccid")
+    probes = (
+        dists.where(F.col("vec_id") < PQ_NQ)
+        .withColumn("rn", F.row_number().over(probe_w))
+        .where(F.col("rn") <= IVF_NPROBE)
+        .select(F.col("vec_id").alias("q_id"), F.col("ccid").alias("cell"))
+    )
+    # candidates: corpus vectors living in any probed cell of any query —
+    # the (q_id, vec_id) pair set the ADC join is allowed to score
+    cand = cells.join(F.broadcast(probes), "cell").select("q_id", "vec_id")
+    cand_codes = codes.join(cand, "vec_id").select("q_id", "vec_id", "j", "code")
+
+    qsub = data.where(F.col("vec_id") < PQ_NQ).select(
+        F.col("vec_id").alias("q_id"), "j", "sp", F.col("xq").alias("qx")
+    )
+    dtab = (
+        qsub.join(F.broadcast(cent), ["j", "sp"])
+        .groupBy("q_id", "j", "cid")
+        .agg(F.sum((F.col("qx") - F.col("cq")) * (F.col("qx") - F.col("cq"))).alias("dq"))
+    )
+    scored = (
+        cand_codes.join(
+            F.broadcast(dtab),
+            (cand_codes.q_id == dtab.q_id)
+            & (cand_codes.j == dtab.j)
+            & (cand_codes.code == dtab.cid),
+        )
+        .drop(dtab.q_id)
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("dq").alias("adc"))
+        .withColumn("neg", -F.col("adc"))
+    )
+    top = topk_per_query(
+        scored, PQ_TOPK, q_id_col="q_id", id_col="vec_id",
+        score_col="neg", rank_col="pos",
+    )
+    return top.select("q_id", "pos", "vec_id", (-F.col("neg")).alias("adc"))
+
+
+def _ivf_pq_sql() -> str:
+    base = _pq_adc_sql()
+    # reuse the PQ oracle up to and including `codes`/`dtab`; replace the
+    # final scored/top-k with the cell-filtered variant
+    cut = base.index(",\nscored AS (")
+    prefix = base[:cut]
+    return f"""{prefix},
+qfull AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(ROUND(CAST(x AS DOUBLE) * {SDD_SCALE}) AS BIGINT)) AS xq
+  FROM embeddings
+),
+coarse AS (SELECT vec_id AS ccid, xq AS cvec FROM qfull WHERE vec_id < {IVF_NLIST}),
+dists AS (
+  SELECT q.vec_id, c.ccid,
+         list_sum(list_transform(list_zip(q.xq, c.cvec),
+                                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS cd2
+  FROM qfull q CROSS JOIN coarse c
+),
+cells AS (
+  SELECT vec_id, ccid AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd2, ccid) AS rn FROM dists
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, ccid AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd2, ccid) AS rn FROM dists
+  ) WHERE rn <= {IVF_NPROBE} AND vec_id < {PQ_NQ}
+),
+cand AS (
+  SELECT p.q_id, c.vec_id FROM cells c JOIN probes p ON c.cell = p.cell
+),
+scored AS (
+  SELECT t.q_id, k.vec_id, CAST(SUM(t.dq) AS BIGINT) AS adc
+  FROM codes k
+  JOIN cand ON cand.vec_id = k.vec_id
+  JOIN dtab t ON t.q_id = cand.q_id AND k.j = t.j AND k.code = t.cid
+  GROUP BY t.q_id, k.vec_id
+)
+SELECT q_id, pos, vec_id, adc FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS pos
+  FROM scored
+) WHERE pos <= {PQ_TOPK}"""
+
+
+register(
+    QuerySpec(
+        "ivf_pq_adc_topk",
+        ivf_pq_adc_topk,
+        _ivf_pq_sql(),
+        doc="IVF-PQ: coarse-cell probe restricts the PQ ADC scan to ~nprobe/nlist of the corpus",
+        cites="training-data ops: IVF-PQ serving path (Jégou et al. 2011); operators/similarity.py:586 IVF layout",
+        tags=("vector", "ann", "iterative", "topk"),
     )
 )

@@ -173,3 +173,29 @@ def test_c4_rule_gated_cleaning_write(spark, sf_dir):
             assert written.get(src, 0) == n_pass, src
     finally:
         io.drop_namespace(ns)
+
+
+def test_ivf_pq_subset_of_probed_cells_and_recall_vs_pq(spark, sf_dir):
+    """IVF-PQ results must (a) come only from probed cells, (b) agree with
+    full PQ ADC on any candidate both scored — the cell filter changes the
+    candidate SET, never a surviving candidate's score."""
+    import pyspark.sql.functions as F
+
+    from analytics_data_platform_spark.queries import all_queries
+
+    ivf = all_queries()["ivf_pq_adc_topk"].fn(spark, sf_dir).collect()
+    pq = {
+        (r.q_id, r.vec_id): r.adc
+        for r in all_queries()["pq_adc_topk"].fn(spark, sf_dir).collect()
+    }
+    assert ivf
+    by_q = {}
+    for r in ivf:
+        by_q.setdefault(r.q_id, []).append(r)
+        # same (query, candidate) pair scored by both => identical ADC
+        if (r.q_id, r.vec_id) in pq:
+            assert pq[(r.q_id, r.vec_id)] == r.adc
+    for q_rows in by_q.values():
+        q_rows.sort(key=lambda r: r.pos)
+        for a, b in zip(q_rows, q_rows[1:]):
+            assert a.adc <= b.adc
