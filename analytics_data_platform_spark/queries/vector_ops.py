@@ -1271,3 +1271,59 @@ register(
         tags=("vector", "ann", "iterative", "topk"),
     )
 )
+
+
+def ivf_pq_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of IVF-PQ against exact brute-force cosine — closes the
+    per-variant eval family (LSH and IVF-flat already have recall gates).
+    Quantifies BOTH losses at once: the coarse probe's candidate misses
+    and the PQ code's ranking distortion; drift here is the re-train /
+    re-probe signal for the serving index. Composes two registry
+    operators; the oracle re-derives both sides from scratch."""
+    brute = ann_cosine_topk(spark, sf_dir).where(F.col("q_id") < PQ_NQ).select(
+        "q_id", "vec_id"
+    )
+    ivfpq = ivf_pq_adc_topk(spark, sf_dir).select(
+        "q_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        brute.join(ivfpq, ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("k_brute"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+        )
+        .selectExpr(
+            "q_id",
+            "k_brute",
+            "n_hit",
+            "round(CAST(n_hit AS DOUBLE) / k_brute, 4) AS recall_at_10",
+        )
+        .orderBy("q_id")
+    )
+
+
+def _ivf_pq_recall_sql() -> str:
+    return f"""
+WITH brute AS (SELECT q_id, vec_id FROM ({ANN_TOPK_SQL}) b WHERE q_id < {PQ_NQ}),
+ivfpq AS (SELECT q_id, vec_id FROM ({_ivf_pq_sql()}) v)
+SELECT b.q_id,
+       COUNT(*) AS k_brute,
+       CAST(SUM(CASE WHEN v.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       ROUND(CAST(SUM(CASE WHEN v.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS recall_at_10
+FROM brute b LEFT JOIN ivfpq v ON b.q_id = v.q_id AND b.vec_id = v.vec_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
+register(
+    QuerySpec(
+        "ivf_pq_recall_at_10",
+        ivf_pq_recall_at_10,
+        _ivf_pq_recall_sql(),
+        doc="recall@10 of IVF-PQ vs exact brute force — probe misses + code distortion in one gate",
+        cites="composes ann_cosine_topk + ivf_pq_adc_topk; the continuous serving-index quality gate",
+        tags=("vector", "eval", "ann", "iterative"),
+    )
+)

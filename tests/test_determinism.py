@@ -69,6 +69,17 @@ HARDENED = [
     "ks_two_sample_drift",
     "vocab_growth_curve",
     "embedding_isolation_screen",
+    # round-5: fixed-point micro-log families (ln once per TYPE, integer
+    # dot products — layout must not move a single micro-nat), iterative
+    # PQ/IVF-PQ codebooks, and the CC-component split assignment
+    "dsir_importance_weights",
+    "lm_bigram_xent_by_lang",
+    "nb_lang_classifier_eval",
+    "ndcg_at_10_ann",
+    "leakage_safe_split",
+    "cdc_apply_changes_state",
+    "pq_adc_topk",
+    "ivf_pq_adc_topk",
 ]
 
 _ADVERSARIAL = {
