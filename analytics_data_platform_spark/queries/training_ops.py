@@ -1052,3 +1052,103 @@ register(
         tags=("training", "sampling", "quality"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# packing_efficiency_sweep — padding waste vs context budget
+# ---------------------------------------------------------------------------
+
+PACK_SWEEP_BUDGETS = (128, 256, 512)
+
+
+def packing_efficiency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding waste of greedy first-fit packing at three context budgets —
+    the decision table a training pipeline reads before fixing its sequence
+    length: small contexts waste little padding but truncate long docs'
+    packing freedom; large contexts invert the trade. One row per budget:
+    pack count, used tokens, capacity, waste fraction (exact integers, one
+    terminal division).
+
+    Runs the same pack_greedy operator three times (the sweep IS the
+    product — each run is the linear per-group pass pack_sequences
+    documents); results union to a 3-row frame.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    slim = d.select("source", "doc_id", F.size(_tokens()).alias("n_tokens"))
+    out = None
+    for budget in PACK_SWEEP_BUDGETS:
+        packed = pack_greedy(
+            slim,
+            group_cols=["source"],
+            order_col="doc_id",
+            token_col="n_tokens",
+            budget=budget,
+        )
+        agg = (
+            packed.groupBy("source", "pack_id")
+            .agg(F.sum("n_tokens").alias("pack_tokens"))
+            .agg(
+                F.count(F.lit(1)).alias("n_packs"),
+                F.sum("pack_tokens").alias("used_tokens"),
+            )
+            .select(
+                F.lit(budget).alias("budget"),
+                "n_packs",
+                "used_tokens",
+                (F.col("n_packs") * budget).alias("capacity"),
+                F.round(
+                    (F.col("n_packs") * budget - F.col("used_tokens")).cast("double")
+                    / (F.col("n_packs") * budget).cast("double"),
+                    6,
+                ).alias("waste_frac"),
+            )
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.orderBy("budget")
+
+
+def _pack_sweep_sql() -> str:
+    def one(budget: int) -> str:
+        return f"""SELECT * FROM (
+WITH RECURSIVE toks AS (
+  SELECT source, doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+  WHERE length(trim(text)) > 0
+),
+packed AS (
+  SELECT source, doc_id, n_tokens, rn, 1 AS pack_id, n_tokens AS acc
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.doc_id, t.n_tokens, t.rn,
+         CASE WHEN p.acc + t.n_tokens > {budget} THEN p.pack_id + 1 ELSE p.pack_id END,
+         CASE WHEN p.acc + t.n_tokens > {budget} THEN t.n_tokens ELSE p.acc + t.n_tokens END
+  FROM toks t JOIN packed p ON t.source = p.source AND t.rn = p.rn + 1
+),
+per_pack AS (
+  SELECT source, pack_id, SUM(n_tokens) AS pack_tokens
+  FROM packed GROUP BY 1, 2
+)
+SELECT {budget} AS budget,
+       CAST(COUNT(*) AS BIGINT) AS n_packs,
+       CAST(SUM(pack_tokens) AS BIGINT) AS used_tokens,
+       CAST(COUNT(*) * {budget} AS BIGINT) AS capacity,
+       ROUND(CAST(COUNT(*) * {budget} - SUM(pack_tokens) AS DOUBLE)
+             / CAST(COUNT(*) * {budget} AS DOUBLE), 6) AS waste_frac
+FROM per_pack
+)"""
+
+    return "\nUNION ALL\n".join(one(b) for b in PACK_SWEEP_BUDGETS) + "\nORDER BY budget"
+
+
+register(
+    QuerySpec(
+        "packing_efficiency_sweep",
+        packing_efficiency_sweep,
+        _pack_sweep_sql(),
+        doc="padding-waste table for greedy packing at 128/256/512-token budgets",
+        cites="training-data ops: context-length selection; composes operators/packing.py",
+        tags=("training", "packing"),
+    )
+)

@@ -16,6 +16,8 @@ PYTHON_ALLOWED = {
     # greedy bin-packing is inherently sequential per shard: applyInPandas
     # over shards is the distributed formulation (operators/packing.py)
     "pack_sequences",
+    # same audited Arrow surface, run at three context budgets
+    "packing_efficiency_sweep",
     # all-pairs 1-NN is dense linear algebra: the fused Arrow scorer
     # (one BLAS matmul per batch vs n² interpreted HOF folds) is the
     # audited fast path (operators/similarity.py::self_nearest_neighbor)
