@@ -1,0 +1,127 @@
+"""End-to-end training-corpus build: the pipeline a user of this engine
+actually runs, composed from the registry's own stages —
+
+    raw documents
+      → C4/Gopher structural cleaning      (queries/corpus_ops rules)
+      → exact dedup                        (operators/dedup, min-id keeper)
+      → near-dup clustering + LEAKAGE-SAFE
+        train/val/test assignment          (LSH → CC → component-hash split)
+      → greedy sequence packing per split  (operators/packing)
+      → parquet shards + a stage manifest
+
+Every stage is the already-oracle-verified formulation; this module is the
+composition plus the conservation contract between stages (each stage's
+output counts reconcile with the previous stage's — asserted in
+tests/test_training_pipeline.py). At 100 TB each arrow is the same plan
+shape the per-query SCALE.md entries argue for; nothing here collects data
+to the driver except the ≤ |stages| manifest rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from analytics_data_platform_spark.operators import dedup
+from analytics_data_platform_spark.operators.packing import pack_greedy
+from analytics_data_platform_spark.sources.testdata import load_table
+
+PACK_BUDGET = 256
+
+
+@dataclass
+class StageCount:
+    stage: str
+    n_docs: int
+
+
+def _c4_core_clean(d: DataFrame) -> DataFrame:
+    """The structural C4/Gopher rules (pass_core of c4_gopher_rule_stats)."""
+    t = F.split(F.trim("text"), r"\s+")
+    n_w = F.size(t)
+    word_chars = F.aggregate(
+        F.transform(t, lambda w: F.length(w)), F.lit(0), lambda a, v: a + v
+    )
+    n_alpha = F.size(F.filter(t, lambda w: w.rlike("(?i)[a-z]")))
+    n_sym = F.size(F.regexp_extract_all("text", F.lit(r"#|\.\.\."), F.lit(0)))
+    return d.where(
+        (n_w >= 30) & (n_w <= 100000)
+        & (word_chars >= 3 * n_w) & (word_chars <= 10 * n_w)
+        & (10 * n_sym <= n_w)
+        & (5 * n_alpha >= 4 * n_w)
+        & ~F.lower("text").contains("lorem ipsum")
+        & ~F.col("text").contains("{")
+    )
+
+
+def _leakage_safe_assign(docs: DataFrame) -> DataFrame:
+    """(doc_id, split): near-dup components hash to one split (the
+    leakage_safe_split rule; singletons hash on their own id)."""
+    cands = dedup.minhash_lsh_candidates_portable(docs)
+    pairs = dedup.exact_jaccard_pairs(docs, cands).where(F.col("jaccard") >= 0.5)
+    cc = dedup.cluster_duplicates_star(
+        pairs.select("id_a", "id_b"), a_col="id_a", b_col="id_b"
+    )
+    rep = docs.select("doc_id").join(cc, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("rep")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("leak-42:"), F.col("rep").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    return rep.select("doc_id", split.alias("split"))
+
+
+def build_training_corpus(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> list[StageCount]:
+    """Run the full pipeline; write per-split packed shards under
+    ``out_dir`` and return the stage manifest (also written as parquet)."""
+    raw = load_table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    manifest: list[StageCount] = [StageCount("raw", raw.count())]
+
+    clean = _c4_core_clean(raw)
+    manifest.append(StageCount("clean", clean.count()))
+
+    exact = dedup.dedup_exact(clean)
+    manifest.append(StageCount("exact_dedup", exact.count()))
+
+    assigned = exact.join(_leakage_safe_assign(exact), "doc_id")
+    packed = pack_greedy(
+        assigned.select(
+            "split",
+            "source",
+            "doc_id",
+            F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        ),
+        group_cols=["split", "source"],
+        order_col="doc_id",
+        token_col="n_tokens",
+        budget=PACK_BUDGET,
+    )
+    shards = assigned.join(
+        packed.select("doc_id", "pack_id"), "doc_id"
+    ).select("split", "source", "pack_id", "doc_id", "text", "lang", "n_chars")
+    shards.write.mode("overwrite").partitionBy("split").parquet(f"{out_dir}/shards")
+    for row in (
+        spark.read.parquet(f"{out_dir}/shards")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ):
+        manifest.append(StageCount(f"split:{row.split}", row.n))
+
+    mdf = spark.createDataFrame(
+        [(m.stage, m.n_docs) for m in manifest], "stage string, n_docs long"
+    )
+    mdf.write.mode("overwrite").parquet(f"{out_dir}/manifest")
+    return manifest
