@@ -75,6 +75,9 @@ QUERIES = [
     "ndcg_at_10_ann",
     "cdc_apply_changes_state",
     "c4_gopher_rule_stats",
+    "ivf_pq_adc_topk",
+    "ivf_pq_recall_at_10",
+    "packing_efficiency_sweep",
 ]
 
 
