@@ -53,4 +53,7 @@ def apply_changes(
             *[F.col(f"_w.{c}").alias(c) for c in payload],
         )
     )
-    return latest.where(F.col(op_col) != delete_op)
+    # eqNullSafe: a winning change with op NULL is an upsert, not a silent
+    # delete (`NULL != 'delete'` is NULL and a plain where() would drop the
+    # key entirely — sources that only stamp op on deletes would lose rows)
+    return latest.where(~F.col(op_col).eqNullSafe(delete_op))

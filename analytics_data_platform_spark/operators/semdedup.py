@@ -13,10 +13,14 @@ centroid set (the k member vectors with the smallest ids — the same
 first-k rule as the top level, so both levels are reproducible without a
 random seed). After ``max_split_rounds`` a cluster that refuses to shrink
 (e.g. thousands of bit-identical vectors: every sub-centroid coincides, so
-re-clustering cannot separate them) is modulo-salted on the id as a LAST
-resort — deterministic and bounded, at a documented recall cost confined
-to that degenerate cluster (pairs across salt buckets are not compared;
-for bit-identical members exact dedup upstream is the right tool anyway).
+re-clustering cannot separate them) is hash-salted on the id, and any
+bucket the salt leaves oversized (hash uniformity is only expected) is
+rank-split exactly — so the size bound is HARD, not probabilistic. The
+rank-split's per-cluster window sort is acceptable only there: its input
+is already salt-bounded, never the original hot cluster. Recall cost is
+confined to those degenerate clusters (pairs across salt/rank buckets are
+not compared; for bit-identical members exact dedup upstream is the right
+tool anyway).
 
 Scale shape per split round:
 - sizes ride a groupBy(cluster) count (map-side partial, one shuffle);
@@ -187,6 +191,31 @@ def semdedup(
                     "n2",
                 )
             )
+            # HARD bound: hash buckets are uniform only in expectation, so a
+            # residual bucket can still exceed max. Rank-split whatever
+            # remains oversized — an exact equal-width cut via a per-cluster
+            # window sort, acceptable ONLY here because each such bucket is
+            # already salt-bounded (≤ the pre-salt cluster / 2·ceil factor),
+            # never the original 50%-of-corpus cluster.
+            from pyspark.sql import Window as _W
+
+            sizes2 = members.groupBy("cluster").agg(F.count(F.lit(1)).alias("_csz"))
+            joined = members.join(F.broadcast(sizes2), "cluster")
+            fine = joined.where(F.col("_csz") <= max_cluster_size).drop("_csz")
+            residue = joined.where(F.col("_csz") > max_cluster_size).drop("_csz")
+            rank = F.row_number().over(_W.partitionBy("cluster").orderBy(id_col))
+            residue = residue.select(
+                F.col(id_col),
+                F.concat_ws(
+                    ":",
+                    "cluster",
+                    F.lit("r"),
+                    F.floor((rank - 1) / max_cluster_size).cast("string"),
+                ).alias("cluster"),
+                "xq",
+                "n2",
+            )
+            members = fine.unionByName(residue)
 
     a = members.select(
         F.col(id_col).alias("_a_id"),

@@ -26,9 +26,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from analytics_data_platform_spark.operators import dedup
 from analytics_data_platform_spark.operators.packing import pack_greedy
+from analytics_data_platform_spark.queries.corpus_ops import c4_core_pass
+from analytics_data_platform_spark.queries.scale_ops import leak_split_of
+from analytics_data_platform_spark.queries.training_ops import PACK_BUDGET
 from analytics_data_platform_spark.sources.testdata import load_table
-
-PACK_BUDGET = 256
 
 
 @dataclass
@@ -38,22 +39,9 @@ class StageCount:
 
 
 def _c4_core_clean(d: DataFrame) -> DataFrame:
-    """The structural C4/Gopher rules (pass_core of c4_gopher_rule_stats)."""
-    t = F.split(F.trim("text"), r"\s+")
-    n_w = F.size(t)
-    word_chars = F.aggregate(
-        F.transform(t, lambda w: F.length(w)), F.lit(0), lambda a, v: a + v
-    )
-    n_alpha = F.size(F.filter(t, lambda w: w.rlike("(?i)[a-z]")))
-    n_sym = F.size(F.regexp_extract_all("text", F.lit(r"#|\.\.\."), F.lit(0)))
-    return d.where(
-        (n_w >= 30) & (n_w <= 100000)
-        & (word_chars >= 3 * n_w) & (word_chars <= 10 * n_w)
-        & (10 * n_sym <= n_w)
-        & (5 * n_alpha >= 4 * n_w)
-        & ~F.lower("text").contains("lorem ipsum")
-        & ~F.col("text").contains("{")
-    )
+    """pass_core of c4_gopher_rule_stats — the SHARED predicate, so a rule
+    change in the audited query changes the pipeline with it."""
+    return d.where(c4_core_pass("text"))
 
 
 def _leakage_safe_assign(docs: DataFrame) -> DataFrame:
@@ -67,18 +55,7 @@ def _leakage_safe_assign(docs: DataFrame) -> DataFrame:
     rep = docs.select("doc_id").join(cc, "doc_id", "left").select(
         "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("rep")
     )
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("leak-42:"), F.col("rep").cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 100
-    )
-    split = F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
-    return rep.select("doc_id", split.alias("split"))
+    return rep.select("doc_id", leak_split_of(F.col("rep")).alias("split"))
 
 
 def build_training_corpus(
@@ -87,12 +64,21 @@ def build_training_corpus(
     """Run the full pipeline; write per-split packed shards under
     ``out_dir`` and return the stage manifest (also written as parquet)."""
     raw = load_table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
-    manifest: list[StageCount] = [StageCount("raw", raw.count())]
+    # ONE pass for the raw + clean counts (the predicate rides the same
+    # scan), instead of two full corpus jobs
+    counts = raw.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(c4_core_pass("text").cast("long")).alias("n_clean"),
+    ).collect()[0]
+    manifest: list[StageCount] = [
+        StageCount("raw", counts.n_raw),
+        StageCount("clean", counts.n_clean),
+    ]
 
     clean = _c4_core_clean(raw)
-    manifest.append(StageCount("clean", clean.count()))
-
-    exact = dedup.dedup_exact(clean)
+    # persisted: reused by the count, the split-assignment LSH pass, and
+    # the final write — without this the dedup shuffle re-executes 3×
+    exact = dedup.dedup_exact(clean).persist()
     manifest.append(StageCount("exact_dedup", exact.count()))
 
     assigned = exact.join(_leakage_safe_assign(exact), "doc_id")
@@ -124,4 +110,5 @@ def build_training_corpus(
         [(m.stage, m.n_docs) for m in manifest], "stage string, n_docs long"
     )
     mdf.write.mode("overwrite").parquet(f"{out_dir}/manifest")
+    exact.unpersist()
     return manifest

@@ -734,6 +734,51 @@ register(
 # ---------------------------------------------------------------------------
 
 
+C4_CORE_RULES = (
+    "r_word_count",
+    "r_mean_word_len",
+    "r_symbol_ratio",
+    "r_alpha_words",
+    "r_no_lorem",
+    "r_no_braces",
+)
+
+
+def c4_rules(text_col: str = "text") -> dict:
+    """The named C4/Gopher rule predicates as Columns — the SINGLE source
+    shared by the audit query, the training-corpus pipeline, and tests (a
+    threshold change cannot silently desynchronize them)."""
+    t = F.split(F.trim(text_col), r"\s+")
+    n_w = F.size(t)
+    word_chars = F.aggregate(
+        F.transform(t, lambda w: F.length(w)), F.lit(0), lambda a, v: a + v
+    )
+    n_alpha = F.size(F.filter(t, lambda w: w.rlike("(?i)[a-z]")))
+    n_sym = F.size(F.regexp_extract_all(text_col, F.lit(r"#|\.\.\."), F.lit(0)))
+    n_stop = F.size(
+        F.array_intersect(t, F.array(*[F.lit(w) for w in ("the", "be", "to", "of", "and")]))
+    )
+    return {
+        "r_word_count": (n_w >= 30) & (n_w <= 100000),
+        "r_mean_word_len": (word_chars >= 3 * n_w) & (word_chars <= 10 * n_w),
+        "r_symbol_ratio": 10 * n_sym <= n_w,
+        "r_alpha_words": 5 * n_alpha >= 4 * n_w,
+        "r_terminal_punct": F.expr(f"right(trim({text_col}), 1)").isin(".", "!", "?", '"'),
+        "r_stopwords": n_stop >= 2,
+        "r_no_lorem": ~F.lower(text_col).contains("lorem ipsum"),
+        "r_no_braces": ~F.col(text_col).contains("{"),
+    }
+
+
+def c4_core_pass(text_col: str = "text"):
+    """Conjunction of the structural core rules (pass_core semantics)."""
+    rules = c4_rules(text_col)
+    cond = rules[C4_CORE_RULES[0]]
+    for name in C4_CORE_RULES[1:]:
+        cond = cond & rules[name]
+    return cond
+
+
 def c4_gopher_rule_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source pass counts for the canonical web-corpus cleaning rules
     (C4, Raffel et al. 2020 §2.2; Gopher, Rae et al. 2021 §A1.1): word
@@ -748,26 +793,7 @@ def c4_gopher_rule_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns gate a cleaning WRITE by filtering on pass_all.
     """
     d = load_table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
-    t = F.split(F.trim("text"), r"\s+")
-    n_w = F.size(t)
-    word_chars = F.aggregate(
-        F.transform(t, lambda w: F.length(w)), F.lit(0), lambda a, v: a + v
-    )
-    n_alpha = F.size(F.filter(t, lambda w: w.rlike("(?i)[a-z]")))
-    n_sym = F.size(F.regexp_extract_all("text", F.lit(r"#|\.\.\."), F.lit(0)))
-    n_stop = F.size(
-        F.array_intersect(t, F.array(*[F.lit(w) for w in ("the", "be", "to", "of", "and")]))
-    )
-    rules = {
-        "r_word_count": (n_w >= 30) & (n_w <= 100000),
-        "r_mean_word_len": (word_chars >= 3 * n_w) & (word_chars <= 10 * n_w),
-        "r_symbol_ratio": 10 * n_sym <= n_w,
-        "r_alpha_words": 5 * n_alpha >= 4 * n_w,
-        "r_terminal_punct": F.expr("right(trim(text), 1)").isin(".", "!", "?", '"'),
-        "r_stopwords": n_stop >= 2,
-        "r_no_lorem": ~F.lower("text").contains("lorem ipsum"),
-        "r_no_braces": ~F.col("text").contains("{"),
-    }
+    rules = c4_rules("text")
     flags = d.select(
         "source", *[cond.cast("bigint").alias(name) for name, cond in rules.items()]
     )
@@ -776,7 +802,7 @@ def c4_gopher_rule_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # English-prose-specific (C4 applies rule subsets per corpus — on this
     # synthetic keyword corpus they are the rules a calibration pass would
     # drop, and the audit columns SHOW that: their pass counts are 0)
-    core = [r for r in rules if r not in ("r_terminal_punct", "r_stopwords")]
+    core = list(C4_CORE_RULES)
     pass_all = F.sum(
         F.when(
             sum(F.col(c) for c in rules) == len(rules), F.lit(1)

@@ -788,6 +788,23 @@ register(
 # ---- leakage-safe train/val/test split -------------------------------------
 
 
+LEAK_SALT = "leak-42:"
+
+
+def leak_split_of(key_col):
+    """train/val/test (90/5/5) by salted md5 of a key — the SINGLE split
+    rule shared by leakage_safe_split and pipelines/training_corpus.py."""
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(LEAK_SALT), key_col.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+
+
 def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup-aware train/val/test split: assign each document's whole
     near-duplicate CLUSTER to one split, so a test document can never
@@ -818,25 +835,12 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("cluster_id", F.col("doc_id")).alias("rep"),
     )
 
-    def split_of(key_col):
-        bucket = (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit("leak-42:"), key_col.cast("string"))), 1, 8
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 100
-        )
-        return F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
-
     assigned = rep.select(
         "doc_id",
         "n_chars",
         "rep",
-        split_of(F.col("rep")).alias("split"),
-        split_of(F.col("doc_id")).alias("naive_split"),
+        leak_split_of(F.col("rep")).alias("split"),
+        leak_split_of(F.col("doc_id")).alias("naive_split"),
     )
     sa = assigned.select(
         F.col("doc_id").alias("id_a"),

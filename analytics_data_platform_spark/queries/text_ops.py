@@ -1483,9 +1483,14 @@ def lm_bigram_xent_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count_distinct("doc_id").alias("n_docs"),
             F.sum("n").alias("n_bigrams"),
-            F.sum(F.col("n") * F.col("s_micro")).alias("xent_micro_sum"),
+            # DECIMAL(38,0) accumulator (the JL sum_y2 pattern): the int64
+            # sum of n*s_micro overflows a few TB into the corpus the
+            # docstring targets; DOUBLE is the surface type only
+            F.sum((F.col("n") * F.col("s_micro")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("xent_micro_sum"),
             F.round(
-                F.sum(F.col("n") * F.col("s_micro")).cast("double")
+                F.sum((F.col("n") * F.col("s_micro")).cast("decimal(38,0)")).cast("double")
                 / (F.sum("n").cast("double") * LM_LOGSCALE),
                 6,
             ).alias("xent_nats"),
@@ -1530,8 +1535,8 @@ scored_types AS (
 SELECT lang,
        COUNT(DISTINCT doc_id) AS n_docs,
        CAST(SUM(n) AS BIGINT) AS n_bigrams,
-       CAST(SUM(n * s_micro) AS BIGINT) AS xent_micro_sum,
-       ROUND(CAST(SUM(n * s_micro) AS DOUBLE)
+       CAST(SUM(CAST(n * s_micro AS HUGEINT)) AS DOUBLE) AS xent_micro_sum,
+       ROUND(CAST(SUM(CAST(n * s_micro AS HUGEINT)) AS DOUBLE)
              / (CAST(SUM(n) AS DOUBLE) * {LM_LOGSCALE}), 6) AS xent_nats
 FROM doc_bg JOIN scored_types USING (w1, w2)
 GROUP BY lang

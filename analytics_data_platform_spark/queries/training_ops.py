@@ -977,8 +977,11 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.round(
             F.log(
-                ((F.col("c_tgt") + 1) * (F.col("n_raw") + 256)).cast("double")
-                / ((F.col("c_raw") + 1) * (F.col("n_tgt") + 256)).cast("double")
+                # cast factors BEFORE multiplying: the int64 product overflows
+                # at corpus scale (n_raw ~ total gram count); double*double is
+                # IEEE-identical in both engines
+                (F.col("c_tgt") + 1).cast("double") * (F.col("n_raw") + 256).cast("double")
+                / ((F.col("c_raw") + 1).cast("double") * (F.col("n_tgt") + 256).cast("double"))
             )
             * DSIR_LOGSCALE
         )
@@ -1025,8 +1028,8 @@ per_bucket AS (
 totals AS (SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt FROM per_bucket),
 ratios AS (
   SELECT bucket,
-         CAST(ROUND(LN(CAST((c_tgt + 1) * (n_raw + 256) AS DOUBLE)
-                       / CAST((c_raw + 1) * (n_tgt + 256) AS DOUBLE))
+         CAST(ROUND(LN((CAST(c_tgt + 1 AS DOUBLE) * CAST(n_raw + 256 AS DOUBLE))
+                       / (CAST(c_raw + 1 AS DOUBLE) * CAST(n_tgt + 256 AS DOUBLE)))
                     * {DSIR_LOGSCALE}) AS BIGINT) AS lr
   FROM per_bucket CROSS JOIN totals
 ),

@@ -913,7 +913,10 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_score_topk(data, cent, codes)
 
 
-def _pq_adc_sql() -> str:
+def _pq_common_sql() -> str:
+    """Shared oracle prefix (quantized explode, Lloyd rounds, codes, ADC
+    lookup table) composed by BOTH _pq_adc_sql and _ivf_pq_sql — no string
+    splicing, so a reformat of one cannot break the other at import."""
     parts = [
         f"""WITH data AS (
   SELECT vec_id, CAST(i // {PQ_DSUB} AS INT) AS j, i % {PQ_DSUB} AS sp,
@@ -966,7 +969,13 @@ dtab AS (
   FROM data q JOIN cent{PQ_ITERS} c ON q.j = c.j AND q.sp = c.sp
   WHERE q.vec_id < {PQ_NQ}
   GROUP BY q.vec_id, q.j, c.cid
-),
+)"""
+    )
+    return "".join(parts)
+
+
+def _pq_adc_sql() -> str:
+    return f"""{_pq_common_sql()},
 scored AS (
   SELECT t.q_id, k.vec_id, CAST(SUM(t.dq) AS BIGINT) AS adc
   FROM codes k JOIN dtab t ON k.j = t.j AND k.code = t.cid
@@ -976,8 +985,6 @@ SELECT q_id, pos, vec_id, adc FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS pos
   FROM scored
 ) WHERE pos <= {PQ_TOPK}"""
-    )
-    return "".join(parts)
 
 
 register(
@@ -1216,12 +1223,7 @@ def ivf_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_pq_sql() -> str:
-    base = _pq_adc_sql()
-    # reuse the PQ oracle up to and including `codes`/`dtab`; replace the
-    # final scored/top-k with the cell-filtered variant
-    cut = base.index(",\nscored AS (")
-    prefix = base[:cut]
-    return f"""{prefix},
+    return f"""{_pq_common_sql()},
 qfull AS (
   SELECT vec_id,
          list_transform(embedding,

@@ -50,3 +50,17 @@ def test_every_anchor_exists():
 def test_every_entry_names_its_verification():
     empty = [k for k, v in MAP.items() if not v.get("verified_by", "").strip()]
     assert not empty, f"coverage-map entries with no verification note: {empty}"
+
+
+VAGUE = {"def ", "class ", "max", "count", "IN", "replace", "limit", "dedup"}
+
+
+def test_anchors_are_specific():
+    """A symbol that matches any Python file verifies nothing — reject the
+    vague anchors that made the first version of this map unfalsifiable."""
+    offenders = [
+        f"{k}: {v['symbol']!r}"
+        for k, v in MAP.items()
+        if v["symbol"].strip() in VAGUE or len(v["symbol"].strip()) < 4
+    ]
+    assert not offenders, f"unfalsifiable coverage anchors: {offenders}"

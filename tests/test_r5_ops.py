@@ -22,9 +22,10 @@ def test_leakage_safe_split_has_zero_grouped_leaks(spark, sf_dir):
         # the whole point: a cluster never straddles splits
         assert r.leaked_pairs_grouped == 0
         assert r.n_clusters <= r.n_docs
-    # the naive per-doc split leaks on this corpus (it has near-dups), so
-    # the audit column demonstrates the improvement it claims
-    assert rows[0].leaked_pairs_naive >= 0
+    # the naive per-doc split LEAKS on this corpus (5 pairs at sf0.001,
+    # 6 at sf0.01) — the audit column must demonstrate the improvement it
+    # claims, not just be a well-typed count
+    assert rows[0].leaked_pairs_naive > 0
 
 
 def test_dsir_weights_rank_target_lang_higher(spark, sf_dir):
@@ -199,3 +200,39 @@ def test_ivf_pq_subset_of_probed_cells_and_recall_vs_pq(spark, sf_dir):
         q_rows.sort(key=lambda r: r.pos)
         for a, b in zip(q_rows, q_rows[1:]):
             assert a.adc <= b.adc
+
+
+def test_apply_changes_null_op_is_upsert_not_silent_delete(spark):
+    """A winning change with op NULL must surface as live state — plain
+    `op != 'delete'` would NULL out and drop the key (code-review r5)."""
+    from analytics_data_platform_spark.operators.cdc import apply_changes
+
+    log = spark.createDataFrame(
+        [(1, 1, "upsert", "v1"), (1, 2, None, "v2"), (2, 1, "delete", None)],
+        "k int, seq int, op string, payload string",
+    )
+    got = {r.k: (r.op, r.payload) for r in
+           apply_changes(log, key_cols=["k"], seq_cols=["seq"]).collect()}
+    assert got == {1: (None, "v2")}
+
+
+def test_semdedup_rank_split_hard_bound(spark):
+    """Adversarial salt collisions: even if the hash salt under-splits, the
+    rank-split residue pass makes the size bound HARD (code-review r5)."""
+    from analytics_data_platform_spark.operators.semdedup import (
+        quantize_vectors,
+        semdedup,
+    )
+
+    # 300 bit-identical vectors: un-separable by re-clustering, so the
+    # bound can only come from the salt + rank-split fallback
+    rows = [(i, [5.0, 5.0, 5.0, 5.0]) for i in range(300)]
+    vecs = quantize_vectors(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    )
+    out = semdedup(vecs, k=4, max_cluster_size=7, max_split_rounds=1).cache()
+    sizes = [r["count"] for r in out.groupBy("cluster").count().collect()]
+    assert max(sizes) <= 7, sorted(sizes, reverse=True)[:5]
+    assert sum(sizes) == 300
+    assert out.where("NOT is_dropped").count() == len(sizes)
+    out.unpersist()

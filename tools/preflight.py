@@ -49,6 +49,7 @@ def main() -> int:
             "pytest",
             "tests/test_registry_gates.py",
             "tests/test_money_lint.py",
+            "tests/test_coverage_map.py",
             "-q",
             "--no-header",
         ],
