@@ -143,6 +143,7 @@ def all_queries() -> dict[str, QuerySpec]:
         scale_ops,
         search_ops,
         sketch_ops,
+        streaming_ops,
         text_ops,
         tpch,
         training_ops,
