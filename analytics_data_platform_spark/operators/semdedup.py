@@ -153,7 +153,10 @@ def semdedup(
     if max_cluster_size is not None:
         for _ in range(max_split_rounds):
             sizes = members.groupBy("cluster").agg(F.count(F.lit(1)).alias("_csz"))
-            members = members.join(F.broadcast(sizes), "cluster")
+            # no forced broadcast: cluster cardinality grows ~n/max at scale
+            # (unbounded), so let AQE pick broadcast-vs-shuffle by observed
+            # size; forced broadcast is reserved for the k-row centroid table
+            members = members.join(sizes, "cluster")
             over = members.where(F.col("_csz") > max_cluster_size).drop("_csz")
             ok = members.where(F.col("_csz") <= max_cluster_size).drop("_csz")
             if over.isEmpty():
@@ -178,7 +181,7 @@ def semdedup(
                 (F.ceil(F.col("_csz") / F.lit(max_cluster_size)) * 2).cast("bigint"),
             )
             members = (
-                members.join(F.broadcast(sizes), "cluster")
+                members.join(sizes, "cluster")
                 .select(
                     F.col(id_col),
                     F.when(

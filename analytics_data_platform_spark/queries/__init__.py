@@ -45,83 +45,73 @@ def register(spec: QuerySpec) -> QuerySpec:
 
 # The verification driver records side-by-side oracle results for the FIRST
 # 50 registry entries only (observed cap in CORRECTNESS_r*.json). Rotate the
-# window each round so the external gate ACCUMULATES coverage: round 4's
-# window (below) contains only queries that never appeared in
-# Round-5 rotation: 50 queries that have NEVER appeared in any driver
-# correctness window (CORRECTNESS_r01-r04 cover 147 distinct queries; 114
-# remain ungated — these 50 span all 17 query modules, with every round-4/5
-# addition included). tests/test_registry_gates.py pins the no-overlap
-# property. Everything else keeps registration order and stays covered by
+# window each round so the external gate ACCUMULATES coverage.
+# Round-6 rotation: 50 queries that have NEVER appeared in any driver
+# correctness window (CORRECTNESS_r01-r05 cover 197 distinct queries; 75
+# carried queries plus this round's 4 additions remain — these 50 lead with
+# every round-5 and round-6 addition, then span the econ/tsa/eval/analytics
+# residue). tests/test_registry_gates.py pins the no-overlap property.
+# Everything else keeps registration order and stays covered by
 # tests/test_oracle_parity.py, which sweeps the whole registry.
 DRIVER_SHOWCASE: tuple[str, ...] = (
-    # vector / ANN — includes the r4 additions and the repaired pq_adc_topk
-    "pq_adc_topk",
-    "semantic_dedup_clusters",
-    "jl_projection_distortion",
-    "ann_ivf_recall_at_10",
-    "embedding_isolation_screen",
-    # corpus / dedup
-    "boilerplate_gram_mask",
-    "winnowing_fingerprints",
-    "duplicate_passages",
-    "zipf_exponent_fit",
-    # sketches
-    "heavy_hitters_tokens",
-    # time-series
-    "theil_sen_weekly_trend",
-    "stl_dow_decomposition",
-    "hurst_weekly_revenue",
-    "croston_part_demand",
-    "user_burstiness",
-    # feature engineering
-    "cusum_changepoints",
-    "join_key_skew_profile",
-    "peak_concurrency",
-    "interval_coverage_per_user",
-    "winsorized_stats_by_type",
-    # evaluation / causal
-    "ab_srm_check",
-    "bandit_replay_eval",
-    "did_spend_effect",
-    "time_decay_attribution",
-    # governance
-    "dp_noisy_counts",
-    "l_diversity_audit",
-    # geo
-    "geo_grid_density",
-    "geo_nearest_within_radius",
-    # graph
-    "degree_tail_index",
-    "label_propagation_communities",
-    "lpa_modularity",
-    # classical ML
-    "kmeans_separation",
-    "learning_curve_ols",
-    # recommendation
-    "frequent_triples",
-    "item_item_cosine",
-    "user_user_jaccard",
-    # relational edge semantics
-    "null_semantics_audit",
-    "unpivot_lineitem_measures",
-    # text analysis
-    "tfidf_top_terms",
-    "pmi_collocations",
-    "rake_keywords",
-    # training-data pipeline
-    "bpe_encode_stats",
-    "domain_mixture_sample",
-    # econ
-    "pvm_revenue_decomposition",
-    "margin_waterfall_yearly",
-    # analytics
-    "benford_first_digit",
-    "timed_funnel_conversion",
-    # ordered/global-rank family
-    "spend_percentile_bands",
-    # warehouse
-    "fk_integrity_audit",
-    "ratio_to_parent_rollup",
+    # round-6 additions: pipeline / multimodal / append-mode streaming
+    "training_pipeline_manifest",
+    "multimodal_binary_stats",
+    "multimodal_frame_sample",
+    "streaming_watermark_dedup_counts",
+    # round-5 additions (never driver-gated until now)
+    "cdc_apply_changes_state",
+    "dsir_importance_weights",
+    "leakage_safe_split",
+    "ivf_pq_adc_topk",
+    "ivf_pq_recall_at_10",
+    "lm_bigram_xent_by_lang",
+    "nb_lang_classifier_eval",
+    "c4_gopher_rule_stats",
+    "streaming_hourly_type_counts",
+    "ndcg_at_10_ann",
+    "packing_efficiency_sweep",
+    # evaluation / causal / experimentation residue
+    "ab_test_spend",
+    "bootstrap_mean_ci",
+    "bootstrap_trend_slope",
+    "chi_square_type_hour",
+    "linear_attribution",
+    "next_event_accuracy",
+    # analytics / customer residue
+    "basket_brand_diversity",
+    "benford_second_digit",
+    "churn_hazard_by_tenure",
+    "conversion_latency_histogram",
+    "cumulative_new_users",
+    "customer_aliveness",
+    "ltv_cohort_curve",
+    "new_vs_returning_revenue",
+    # econ residue
+    "demand_elasticity_by_brand",
+    "discount_effectiveness",
+    "gini_mean_difference",
+    "herfindahl_supplier_share",
+    "littles_law_monthly",
+    # time-series residue
+    "dow_seasonal_effects",
+    "ewma_user_values",
+    "gap_fill_user_values",
+    "hierarchical_forecast_reconcile",
+    "nation_rank_momentum",
+    "bestseller_stability",
+    # corpus / text residue
+    "dup_rate_by_source",
+    "event_trigrams_top",
+    "lang_entropy_by_source",
+    "lang_id_confusion",
+    "lang_id_kappa",
+    "ngram_overlap_pairs",
+    "fuzzy_part_names",
+    # recommendation / relational residue
+    "association_rules_parts",
+    "corr_matrix_lineitem",
+    "duplicate_invoice_screen",
 )
 
 
@@ -138,6 +128,8 @@ def all_queries() -> dict[str, QuerySpec]:
         governance_ops,
         graph_ops,
         ml_ops,
+        multimodal_ops,
+        pipeline_ops,
         reco_ops,
         relational,
         scale_ops,

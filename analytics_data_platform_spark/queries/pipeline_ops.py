@@ -1,0 +1,127 @@
+"""The end-to-end training-corpus pipeline under the DuckDB oracle gate.
+
+pipelines/training_corpus.py is the flagship user journey (clean → exact
+dedup → leakage-safe split → pack → shards+manifest) and was pytest-only
+until this module: ``training_pipeline_manifest`` RUNS the pipeline — a
+real multi-stage execution with parquet shard writes to a temp dir — and
+returns its stage manifest, while the oracle recomputes every manifest
+count from the same base tables in one SQL statement:
+
+- raw / clean: the C4 core-rule conjunction (the same rule SQL the
+  oracle-verified ``c4_gopher_rule_stats`` uses);
+- exact_dedup: min-id-per-normalized-md5 (the ``dup_rate_by_source``
+  fingerprint rule);
+- split:{train,val,test}: the near-dup pair SQL of the oracle-verified
+  ``near_dup_minhash`` — retargeted at the cleaned+deduped sub-corpus —
+  closed into connected components by a recursive CTE, then split by the
+  same salted-md5 component-hash rule (``leak_split_of``).
+
+So a drift in ANY pipeline stage (a rule threshold, the dedup keeper, the
+LSH family, the component closure, the split hash, or a shard write that
+drops rows — split counts are re-read from the written parquet) diverges
+from the oracle hash. Packing is count-preserving by construction and
+stays pytest-gated (tests/test_training_pipeline.py conservation checks).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from analytics_data_platform_spark.pipelines.training_corpus import build_training_corpus
+from analytics_data_platform_spark.queries import QuerySpec, register
+from analytics_data_platform_spark.queries.scale_ops import LEAK_SALT
+
+
+def training_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the full training-corpus pipeline into a temp dir; return the
+    stage manifest (stage, n_docs) — the ≤ |stages| rows that are the
+    pipeline's only driver-side data. The temp output (packed shards +
+    manifest parquet) is removed before returning; the result is a
+    literal frame so nothing references the deleted files."""
+    out = tempfile.mkdtemp(prefix="adps-pipeline-")
+    try:
+        manifest = build_training_corpus(spark, sf_dir, out)
+        rows = sorted((m.stage, m.n_docs) for m in manifest)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, "stage string, n_docs long")
+
+
+def _split_case(key: str) -> str:
+    h = f"('0x' || substr(md5('{LEAK_SALT}' || CAST({key} AS VARCHAR)), 1, 8))::BIGINT % 100"
+    return f"CASE WHEN {h} < 90 THEN 'train' WHEN {h} < 95 THEN 'val' ELSE 'test' END"
+
+
+def _pipeline_sql() -> str:
+    from analytics_data_platform_spark.queries import REGISTRY
+
+    pair_sql = REGISTRY["near_dup_minhash"].oracle
+    # the pipeline runs LSH on the cleaned+deduped sub-corpus, not the raw
+    # table: retarget the (oracle-verified) pair SQL's one table reference
+    assert pair_sql.count("FROM documents") == 1, "near_dup_minhash oracle shape changed"
+    pair_sql = pair_sql.replace("FROM documents", "FROM dd")
+
+    clean_where = r"""len(t) >= 30 AND len(t) <= 100000
+    AND list_sum(list_transform(t, w -> len(w))) >= 3 * len(t)
+    AND list_sum(list_transform(t, w -> len(w))) <= 10 * len(t)
+    AND 10 * len(regexp_extract_all(text, '#|\.\.\.')) <= len(t)
+    AND 5 * len(list_filter(t, w -> regexp_matches(w, '(?i)[a-z]'))) >= 4 * len(t)
+    AND NOT contains(lower(text), 'lorem ipsum')
+    AND NOT contains(text, '{')"""
+
+    return rf"""
+WITH RECURSIVE
+base AS (
+  SELECT doc_id, text, lang, source, n_chars, string_split(trim(text), ' ') AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+clean AS (
+  SELECT doc_id, text, lang, source, n_chars FROM base
+  WHERE {clean_where}
+),
+fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM clean
+),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fp),
+dd AS (SELECT c.* FROM clean c JOIN keep k ON c.doc_id = k.doc_id),
+pairs AS (SELECT id_a, id_b FROM ({pair_sql}) q),
+cedges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(a, b) AS (
+  SELECT src AS a, src AS b FROM cedges
+  UNION
+  SELECT r.a, e.dst AS b FROM reach r JOIN cedges e ON r.b = e.src
+),
+cc AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+assigned AS (
+  SELECT d.doc_id,
+         {_split_case("COALESCE(cc.cluster_id, d.doc_id)")} AS split
+  FROM dd d LEFT JOIN cc ON d.doc_id = cc.doc_id
+),
+stages AS (
+  SELECT 'raw' AS stage, COUNT(*) AS n_docs FROM base
+  UNION ALL SELECT 'clean', COUNT(*) FROM clean
+  UNION ALL SELECT 'exact_dedup', COUNT(*) FROM dd
+  UNION ALL SELECT 'split:' || split, COUNT(*) FROM assigned GROUP BY split
+)
+SELECT stage, CAST(n_docs AS BIGINT) AS n_docs FROM stages ORDER BY stage
+"""
+
+
+register(
+    QuerySpec(
+        "training_pipeline_manifest",
+        training_pipeline_manifest,
+        _pipeline_sql(),
+        doc="end-to-end training-corpus pipeline execution; stage manifest oracle-recomputed from the base tables",
+        cites="pipelines/training_corpus.py; composes c4_gopher_rule_stats + dup_rate_by_source + near_dup_minhash + leak_split_of",
+        tags=("training", "pipeline", "dedup", "scale"),
+    )
+)

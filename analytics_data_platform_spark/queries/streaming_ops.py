@@ -1,17 +1,27 @@
 """Structured-Streaming queries under the DuckDB oracle gate.
 
-Everything else in streaming/ is pytest-verified; this module puts an
-actual streaming EXECUTION under the same external hash-verification as
-the batch registry: the query runs a real ``readStream → window agg →
-availableNow`` pipeline over the events table and returns its final
-result, and the oracle recomputes the same aggregate in batch SQL — if
-the streaming engine dropped, duplicated, or mis-windowed anything, the
-value hash catches it. (Exactly-once replay, watermark-drop and state
-semantics stay in tests/test_streaming.py — they need multiple drains.)
+Everything else in streaming/ is pytest-verified; this module puts actual
+streaming EXECUTIONS under the same external hash-verification as the
+batch registry:
+
+- ``streaming_hourly_type_counts``: readStream → event-time tumbling
+  window → complete-mode memory sink, one availableNow drain.
+- ``streaming_watermark_dedup_counts``: readStream → watermark →
+  dropDuplicates → APPEND-mode parquet sink across TWO availableNow
+  drains sharing one checkpoint — the second drain replays the whole
+  input as duplicates, so the final table proves watermark state
+  survival across restarts, duplicate suppression via state, and
+  late-row dropping (every replayed row is either late or a known key).
+
+If the streaming engine dropped, duplicated, or mis-windowed anything,
+the value hash against the batch oracle catches it. (Multi-drain replay
+semantics beyond these, exactly-once sinks and state eviction details
+stay in tests/test_streaming.py.)
 """
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 
@@ -27,8 +37,8 @@ from pyspark.sql.types import (
 
 from analytics_data_platform_spark.queries import QuerySpec, register
 
-# the events parquet stores TIMESTAMP(NANOS); with the session's
-# nanosAsLong conf it surfaces as LongType nanos (see sources/testdata.py)
+# read with an explicit LongType for ts so BOTH micro- and nano-precision
+# parquet sources stream without the batch reader's nanosAsLong conf
 _EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -41,6 +51,34 @@ _EVENTS_SCHEMA = StructType(
 )
 
 
+def _events_ts_unit(path: str) -> str:
+    """The parquet logical-type time unit of events.ts ('us' | 'ns' | ...),
+    read from the file footer — schema-based detection instead of guessing
+    from value magnitude (a pre-1973 nano timestamp would fool a magnitude
+    heuristic; the footer cannot be fooled)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).schema_arrow.field("ts").type.unit
+
+
+def _ts_long_to_timestamp(unit: str):
+    """LongType ts (as surfaced by the streaming reader under the explicit
+    schema) → TimestampType, using the footer-declared unit."""
+    if unit == "ns":
+        # the streaming parquet reader has been observed to coerce
+        # TIMESTAMP(NANOS)→LongType to MICROS (unlike the batch
+        # nanosAsLong path, which yields raw nanos) — keep a magnitude
+        # disambiguation ONLY inside this declared-nanos branch, where
+        # the post-1973 precondition is documented: epoch micros are
+        # ~1e15-1e16 this millennium, nanos ~1e18
+        return F.timestamp_micros(
+            F.when(F.col("ts") > F.lit(100_000_000_000_000_000), F.expr("ts div 1000"))
+            .otherwise(F.col("ts"))
+        )
+    # declared micros: the long IS micros, no heuristic involved
+    return F.timestamp_micros(F.col("ts"))
+
+
 def streaming_hourly_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly per-type event counts computed BY THE STREAMING ENGINE
     (file-stream source → event-time tumbling window → availableNow drain
@@ -49,30 +87,24 @@ def streaming_hourly_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output cardinality is calendar×|types| — bounded regardless of corpus
     size, so the complete-mode state is safe at any SF (a data-linear
     aggregate would use append mode + watermark instead, as
-    streaming/streams.py does). At 100 TB the same plan runs continuously
-    with ``trigger(processingTime=…)`` against arriving files; availableNow
-    here makes it a terminating, driver-gateable query.
+    streaming_watermark_dedup_counts does). At 100 TB the same plan runs
+    continuously with ``trigger(processingTime=…)`` against arriving
+    files; availableNow here makes it a terminating, driver-gateable
+    query. The bounded result is materialized as a literal frame so the
+    checkpoint dir and the memory-sink table can be torn down before
+    returning (no per-invocation leak in long-lived sessions).
     """
     from analytics_data_platform_spark.session import ensure_session_defaults
 
     ensure_session_defaults(spark)
+    unit = _events_ts_unit(f"{sf_dir}/events.parquet")
     stream = (
         spark.readStream.schema(_EVENTS_SCHEMA)
         # the file-stream source needs a DIRECTORY; select just the events
         # file out of the sf dir with a glob filter
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        # the streaming parquet reader coerces TIMESTAMP(NANOS)→LongType to
-        # MICROS (unlike the batch nanosAsLong path, which yields nanos) —
-        # normalize by magnitude so either behavior converts correctly:
-        # epoch micros are ~1e15-1e16 this millennium, nanos ~1e18
-        .withColumn(
-            "ts",
-            F.timestamp_micros(
-                F.when(F.col("ts") > F.lit(100_000_000_000_000_000), F.expr("ts div 1000"))
-                .otherwise(F.col("ts"))
-            ),
-        )
+        .withColumn("ts", _ts_long_to_timestamp(unit))
     )
     agg = (
         stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -80,20 +112,27 @@ def streaming_hourly_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"stream_hourly_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="adps-stream-q-")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select(
-        F.col("w.start").alias("hour_start"),
-        "event_type",
-        F.col("n").cast("bigint").alias("n"),
-    )
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(name).select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+        )
+        rows = out.collect()  # bounded: calendar-hours × |event types|
+        schema = out.schema
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
 
 
 STREAM_HOURLY_SQL = """
@@ -111,6 +150,106 @@ register(
         STREAM_HOURLY_SQL,
         doc="hourly event counts computed by Structured Streaming (availableNow), batch-oracle hash-verified",
         cites="streaming/streams.py windowed aggregation; SURVEY §2.10 streaming family",
+        tags=("streaming",),
+    )
+)
+
+
+def streaming_watermark_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup across TWO availableNow drains, final
+    table hash-verified against batch SQL — the append-mode/watermark
+    path that matters at 100 TB (SURVEY §2.10), where complete-mode state
+    would be data-linear and unbounded.
+
+    Drain 1 streams the events file through ``withWatermark(ts, 1 hour)
+    → dropDuplicates([event_id, ts])`` into an append-mode parquet sink.
+    The file is then copied into the staging dir a second time — every
+    row now a byte-identical duplicate — and drain 2 resumes from the
+    SAME checkpoint. Each replayed row is either older than the restored
+    watermark (dropped as late) or matches retained dedup state (dropped
+    as a duplicate); the boundary is the same watermark value, so no row
+    can slip through both checks. The final table therefore holds exactly
+    one copy of each input row iff watermark persistence, state-backed
+    dedup, and late-row dropping all work across a restart.
+
+    The dedup key includes the event-time column so state is evictable by
+    watermark (bounded state at scale: retained keys span only the
+    watermark delay, not the full history).
+    """
+    from analytics_data_platform_spark.session import ensure_session_defaults
+
+    ensure_session_defaults(spark)
+    src = f"{sf_dir}/events.parquet"
+    unit = _events_ts_unit(src)
+    staging = tempfile.mkdtemp(prefix="adps-stream-stage-")
+    ckpt = tempfile.mkdtemp(prefix="adps-stream-ckpt-")
+    outdir = tempfile.mkdtemp(prefix="adps-stream-out-")
+
+    def drain() -> None:
+        stream = (
+            spark.readStream.schema(_EVENTS_SCHEMA)
+            .parquet(staging)
+            .withColumn("ts", _ts_long_to_timestamp(unit))
+        )
+        dd = stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id", "ts"])
+        q = (
+            dd.writeStream.format("parquet")
+            .option("path", f"{outdir}/table")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        shutil.copy(src, f"{staging}/part-000.parquet")
+        drain()
+        # replay: the identical file again — all duplicates, zero new rows
+        shutil.copy(src, f"{staging}/part-001.parquet")
+        drain()
+        out = (
+            spark.read.parquet(f"{outdir}/table")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.count_distinct("event_id").alias("n_ids"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            )
+            .orderBy("event_type")
+        )
+        rows = out.collect()  # bounded: |event types|
+        schema = out.schema
+    finally:
+        for d in (staging, ckpt, outdir):
+            shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+# the oracle replays the dedup rule in batch: one copy per (event_id, ts) —
+# with the replayed file every key appears exactly twice with identical
+# attributes, so DISTINCT over the carried columns is the same collapse
+STREAM_DEDUP_SQL = """
+WITH dd AS (
+  SELECT DISTINCT event_id, ts, event_type, CAST(value AS DECIMAL(18,2)) AS value_d
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+       CAST(SUM(value_d) AS DOUBLE) AS total_value
+FROM dd
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+register(
+    QuerySpec(
+        "streaming_watermark_dedup_counts",
+        streaming_watermark_dedup_counts,
+        STREAM_DEDUP_SQL,
+        doc="append-mode watermarked streaming dedup across two checkpointed drains, batch-oracle hash-verified",
+        cites="streaming/streams.py watermark path; SURVEY §2.10 out-of-order/replay family",
         tags=("streaming",),
     )
 )

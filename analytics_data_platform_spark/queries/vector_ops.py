@@ -787,6 +787,14 @@ PQ_TOPK = 10
 PQ_NQ = 3  # query vectors: vec_id < 3
 
 
+# the most recent _pq_train persisted frame: the composing queries consume
+# it lazily (the driver collects their result later), so it cannot be
+# unpersisted inside _pq_train — instead each new invocation releases the
+# previous one, bounding cache residency to ONE exploded frame per session
+# (registry sweeps and determinism tests call the PQ family repeatedly).
+_PQ_PERSISTED: list[DataFrame] = []
+
+
 def _pq_train(spark: SparkSession, sf_dir: str):
     """Shared PQ training pipeline: dim-guarded quantized explode (persisted),
     Lloyd-trained sub-codebooks (collected as a literal frame — the model),
@@ -816,7 +824,10 @@ def _pq_train(spark: SparkSession, sf_dir: str):
     )
     # reused every iteration; persist (not checkpoint) — the lineage is one
     # cheap scan+explode, and skipping the checkpoint write saves ~2 s cold
+    while _PQ_PERSISTED:
+        _PQ_PERSISTED.pop().unpersist()
     data = data.persist()
+    _PQ_PERSISTED.append(data)
     cent = data.where(F.col("vec_id") < PQ_KC).select(
         F.col("vec_id").alias("cid"), "j", "sp", F.col("xq").alias("cq")
     )

@@ -557,7 +557,11 @@ def cdc_apply_changes_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CDC_APPLY_SQL = """
 WITH e AS (
-  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts_us, event_id,
+  -- order by the RAW nanosecond epoch, not CAST(ts AS TIMESTAMP): the cast
+  -- truncates TIMESTAMP_NS to microseconds while the Spark side compares
+  -- full-precision values, so two changes for one user within the same
+  -- microsecond whose nano order opposes event_id order would diverge
+  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
          CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
          event_type, CAST(value AS DECIMAL(18,2)) AS value_d
   FROM events
@@ -565,7 +569,7 @@ WITH e AS (
 latest AS (
   SELECT user_id, op, event_type, value_d FROM (
     SELECT *, ROW_NUMBER() OVER (
-      PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+      PARTITION BY user_id ORDER BY ts_ns DESC, event_id DESC) AS rn
     FROM e
   ) WHERE rn = 1
 )

@@ -27,6 +27,11 @@ PYTHON_ALLOWED = {
     # the exact answer comes from the JVM verify phase
     # (operators/sketches.py::mg_candidates)
     "heavy_hitters_tokens",
+    # the multimodal feature stage IS the audited Arrow surface: byte
+    # histogram/entropy over opaque binary payloads via mapInPandas with
+    # size-bounded partitions — the codec slot this stage feeds is Python
+    # by necessity (operators/multimodal.py::extract_byte_features)
+    "multimodal_binary_stats",
 }
 
 # Queries allowed to keep an Exchange SinglePartition over non-limited

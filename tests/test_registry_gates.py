@@ -58,8 +58,8 @@ def test_registry_count_is_documented():
 
 
 def test_driver_showcase_never_previously_gated():
-    """Round-5 rotation contract: all 50 showcase queries must be ones no
-    prior driver correctness window has gated (r01-r04), so cumulative
+    """Round-6 rotation contract: all 50 showcase queries must be ones no
+    prior driver correctness window has gated (r01-r05), so cumulative
     external gating keeps widening."""
     from analytics_data_platform_spark.queries import DRIVER_SHOWCASE
 
@@ -67,9 +67,9 @@ def test_driver_showcase_never_previously_gated():
     assert len(set(DRIVER_SHOWCASE)) == 50
     root = Path(__file__).parent.parent
     seen: set[str] = set()
-    for r in (1, 2, 3, 4):
+    for r in (1, 2, 3, 4, 5):
         path = root / f"CORRECTNESS_r0{r}.json"
         if path.exists():
             seen |= set(json.loads(path.read_text()))
     overlap = sorted(set(DRIVER_SHOWCASE) & seen)
-    assert not overlap, f"showcase queries already driver-gated in r01-r04: {overlap}"
+    assert not overlap, f"showcase queries already driver-gated in r01-r05: {overlap}"

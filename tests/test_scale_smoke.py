@@ -206,3 +206,44 @@ def test_semdedup_subsplit_survives_8x(spark, smoke_dir_vec):
     assert max(sizes) <= 500
     assert sum(sizes) == e.count()
     print(f"semdedup 8x: {len(sizes)} clusters, max {max(sizes)}, in {dt:.1f}s")
+
+
+# ---- round-6 ops under 8x -------------------------------------------------
+
+
+def test_ivf_pq_adc_survives_8x(spark, smoke_dir_vec):
+    """8x vectors: the coarse probe must keep the scored fraction at
+    ~nprobe/nlist of the corpus — ADC cost grows linearly with n, never
+    with n x queries."""
+    n, dt = _timed(spark, "ivf_pq_adc_topk", smoke_dir_vec)
+    assert n > 0
+    print(f"ivf_pq_adc_topk 8x (16k vecs): {n} rows in {dt:.1f}s")
+
+
+def test_training_pipeline_survives_8x(spark, smoke_dir, tmp_path):
+    """The flagship composition at 8x: clean -> dedup -> leakage-safe split
+    -> pack -> shards. Conservation must hold on the adversarial corpus
+    (28 near-dup pairs per replica family) inside the time budget."""
+    from analytics_data_platform_spark.pipelines.training_corpus import (
+        build_training_corpus,
+    )
+
+    t0 = time.time()
+    manifest = {m.stage: m.n_docs for m in
+                build_training_corpus(spark, smoke_dir, str(tmp_path / "corpus"))}
+    dt = time.time() - t0
+    assert dt < BUDGET_S, f"training pipeline took {dt:.0f}s at 8x"
+    # replicas carry unique marker tokens: near-dups, never exact-dups
+    assert manifest["exact_dedup"] == manifest["clean"]
+    split_total = sum(v for k, v in manifest.items() if k.startswith("split:"))
+    assert split_total == manifest["exact_dedup"]
+    print(f"training pipeline 8x: {manifest} in {dt:.1f}s")
+
+
+def test_multimodal_binary_stats_survives_8x(spark, smoke_dir):
+    """8x payloads through the Arrow-batched feature stage: the
+    size-bounded repartition must keep batches flowing (linear scan, one
+    partial-agg groupBy)."""
+    n, dt = _timed(spark, "multimodal_binary_stats", smoke_dir)
+    assert n > 0
+    print(f"multimodal_binary_stats 8x: {n} rows in {dt:.1f}s")

@@ -5,6 +5,11 @@ One command, no Spark session, < 5 seconds:
 
     python tools/preflight.py          # check (exit 1 on any failure)
     python tools/preflight.py --write  # also refresh REGISTRY_COUNT.txt
+    python tools/preflight.py --full   # the full release gate (Spark):
+                                       # structural gates + plan-audit sweep
+                                       # + whole-registry oracle parity
+                                       # + 2-executor local-cluster smoke
+                                       # + 8x scale smoke + bench.py
 
 Runs the cheap structural gates that the r04 end-of-round commit skipped:
 
@@ -31,8 +36,21 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 
 
+def _run(label: str, args: list[str], env: dict | None = None) -> int:
+    import os
+
+    print(f"==> {label}")
+    e = dict(os.environ)
+    if env:
+        e.update(env)
+    rc = subprocess.call(args, cwd=ROOT, env=e)
+    print(f"<== {label}: {'OK' if rc == 0 else f'FAILED (rc={rc})'}")
+    return rc
+
+
 def main() -> int:
     write = "--write" in sys.argv
+    full = "--full" in sys.argv
     sys.path.insert(0, str(ROOT))
     from analytics_data_platform_spark.queries import all_queries
 
@@ -59,7 +77,34 @@ def main() -> int:
         print(f"preflight OK — {n} registered queries, gates green")
     else:
         print("preflight FAILED — do not commit; see failures above", file=sys.stderr)
-    return rc
+    if rc != 0 or not full:
+        return rc
+
+    # --full: the end-of-round release gate as ONE command. Each stage is
+    # the documented standalone invocation; order is cheap → expensive.
+    py = sys.executable
+    stages = [
+        ("plan-audit sweep", [py, "-m", "pytest", "tests/test_plan_audit.py", "-q"], None),
+        ("oracle parity (full registry)", [py, "-m", "pytest", "tests/test_oracle_parity.py", "-q"], None),
+        (
+            "2-executor local-cluster smoke",
+            [py, "-m", "pytest", "tests/test_local_cluster_smoke.py", "-q"],
+            {"SPARK_GRAFT_LOCAL_CLUSTER": "1"},
+        ),
+        (
+            "8x scale smoke",
+            [py, "-m", "pytest", "tests/test_scale_smoke.py", "-q"],
+            {"SPARK_GRAFT_SCALE_SMOKE": "1"},
+        ),
+        ("bench", [py, "bench.py"], None),
+    ]
+    for label, args, env in stages:
+        rc = _run(label, args, env)
+        if rc != 0:
+            print(f"preflight --full FAILED at: {label}", file=sys.stderr)
+            return rc
+    print("preflight --full OK — all release gates green")
+    return 0
 
 
 if __name__ == "__main__":
