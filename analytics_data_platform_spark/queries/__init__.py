@@ -120,6 +120,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from analytics_data_platform_spark.queries import (  # noqa: F401
         analytics_ops,
         corpus_ops,
+        customer_ops,
         econ_ops,
         eval_ops,
         extended,
@@ -127,6 +128,7 @@ def all_queries() -> dict[str, QuerySpec]:
         geo_ops,
         governance_ops,
         graph_ops,
+        ml_classify_ops,
         ml_ops,
         multimodal_ops,
         pipeline_ops,
@@ -136,9 +138,11 @@ def all_queries() -> dict[str, QuerySpec]:
         search_ops,
         sketch_ops,
         streaming_ops,
+        text_lang_ops,
         text_ops,
         tpch,
         training_ops,
+        tsa_forecast_ops,
         tsa_ops,
         warehouse_ops,
         vector_ops,

@@ -12,6 +12,9 @@ batch registry:
   input as duplicates, so the final table proves watermark state
   survival across restarts, duplicate suppression via state, and
   late-row dropping (every replayed row is either late or a known key).
+- ``streaming_session_windows``: ``session_window`` sessionization in
+  append mode — emitted sessions are exactly those the final watermark
+  closed, re-derived by a gaps-and-islands oracle with the same cutoff.
 
 If the streaming engine dropped, duplicated, or mis-windowed anything,
 the value hash against the batch oracle catches it. (Multi-drain replay
@@ -250,6 +253,138 @@ register(
         STREAM_DEDUP_SQL,
         doc="append-mode watermarked streaming dedup across two checkpointed drains, batch-oracle hash-verified",
         cites="streaming/streams.py watermark path; SURVEY §2.10 out-of-order/replay family",
+        tags=("streaming",),
+    )
+)
+
+
+_SESSION_GAP_MIN = 30
+_SESSION_DELAY_MIN = 120
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSIONIZATION under the oracle gate: a real
+    ``session_window`` aggregation (Spark merges overlapping per-event
+    gap windows into dynamic sessions in state) in APPEND mode with a
+    watermark, drained with availableNow into a parquet sink.
+
+    Append mode only emits sessions the watermark has CLOSED (final
+    watermark = max(ts) − delay; a session is closed once its end —
+    last event + gap — falls at or below it), so the emitted set is a
+    deterministic function of the data: the oracle re-derives the same
+    sessions with gaps-and-islands SQL and applies the same closure
+    cutoff. Trailing sessions near max(ts) correctly stay in state —
+    at 100 TB this plan runs continuously and they emit when later
+    files advance the watermark; availableNow only terminates it.
+
+    The profile returned (sessions bucketed by event count, per
+    event-count bucket: session count, event total, exact DECIMAL value
+    sum) is |buckets|-bounded, so the collect is a few rows.
+    """
+    from analytics_data_platform_spark.session import ensure_session_defaults
+
+    ensure_session_defaults(spark)
+    src = f"{sf_dir}/events.parquet"
+    unit = _events_ts_unit(src)
+    ckpt = tempfile.mkdtemp(prefix="adps-stream-sess-ckpt-")
+    outdir = tempfile.mkdtemp(prefix="adps-stream-sess-out-")
+    try:
+        stream = (
+            spark.readStream.schema(_EVENTS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", _ts_long_to_timestamp(unit))
+        )
+        sessions = (
+            stream.withWatermark("ts", f"{_SESSION_DELAY_MIN} minutes")
+            .groupBy(
+                F.session_window("ts", f"{_SESSION_GAP_MIN} minutes").alias("s"),
+                "user_id",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)")).alias("value_d"),
+            )
+        )
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", f"{outdir}/table")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(f"{outdir}/table")
+            .groupBy(
+                F.when(F.col("n_events") >= 4, F.lit("4+"))
+                .otherwise(F.col("n_events").cast("string"))
+                .alias("session_size")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_sessions"),
+                F.sum("n_events").alias("n_events"),
+                F.sum("value_d").cast("double").alias("total_value"),
+            )
+            .orderBy("session_size")
+        )
+        rows = out.collect()  # bounded: |session-size buckets|
+        schema = out.schema
+    finally:
+        for d in (ckpt, outdir):
+            shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+# gaps-and-islands replay of session_window semantics: a new session
+# starts when the gap to the previous event (per user) is >= the session
+# gap (Spark merges [ts, ts+gap) windows that OVERLAP; two events exactly
+# gap apart do NOT merge). Closure cutoff mirrors append-mode emission:
+# session end (last event + gap) at or below the final watermark
+# (max ts − delay).
+STREAM_SESSION_SQL = f"""
+WITH e AS (
+  SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS value_d,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= {_SESSION_GAP_MIN * 60 * 1000000}
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, value_d,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM e
+),
+sess AS (
+  SELECT user_id, session_id,
+         COUNT(*) AS n_events,
+         SUM(value_d) AS value_d,
+         MAX(ts) AS last_ts
+  FROM s GROUP BY user_id, session_id
+),
+closed AS (
+  SELECT * FROM sess
+  WHERE epoch_us(last_ts) + {_SESSION_GAP_MIN * 60 * 1000000}
+        <= (SELECT MAX(epoch_us(ts)) FROM events) - {_SESSION_DELAY_MIN * 60 * 1000000}
+)
+SELECT CASE WHEN n_events >= 4 THEN '4+' ELSE CAST(n_events AS VARCHAR) END AS session_size,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(value_d) AS DOUBLE) AS total_value
+FROM closed
+GROUP BY 1
+ORDER BY session_size
+"""
+
+register(
+    QuerySpec(
+        "streaming_session_windows",
+        streaming_session_windows,
+        STREAM_SESSION_SQL,
+        doc="streaming session_window aggregation (append mode + watermark closure), batch-oracle hash-verified",
+        cites="streaming/streams.py sessionize_stream; SURVEY §2.10 streaming family",
         tags=("streaming",),
     )
 )
