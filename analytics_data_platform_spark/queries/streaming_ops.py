@@ -388,3 +388,113 @@ register(
         tags=("streaming",),
     )
 )
+
+
+_SSJ_HORIZON_MIN = 30
+_SSJ_DELAY_MIN = 10
+
+
+def streaming_interval_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INTERVAL JOIN under the oracle gate: purchases pick
+    up the same user's clicks from the preceding 30 minutes
+    (streaming/streams.py::join_purchases_with_clicks — watermarks on
+    BOTH sides + the closed time bound let Spark expire buffered state;
+    without the bound a stream-stream join buffers forever).
+
+    Inner stream-stream joins emit every match once both sides have
+    arrived, with no watermark emission cutoff (the watermark only
+    bounds state retention), so one availableNow drain over the static
+    file emits exactly the batch interval-join result — the oracle
+    recomputes it with epoch-microsecond range SQL. Per purchase-day
+    pair counts/distinct-side counts/exact DECIMAL value sums are the
+    |calendar-days|-bounded profile returned.
+    """
+    from analytics_data_platform_spark.session import ensure_session_defaults
+    from analytics_data_platform_spark.streaming.streams import (
+        join_purchases_with_clicks,
+    )
+
+    ensure_session_defaults(spark)
+    unit = _events_ts_unit(f"{sf_dir}/events.parquet")
+    ckpt = tempfile.mkdtemp(prefix="adps-stream-ssj-ckpt-")
+    outdir = tempfile.mkdtemp(prefix="adps-stream-ssj-out-")
+
+    def branch(event_type: str) -> DataFrame:
+        return (
+            spark.readStream.schema(_EVENTS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", _ts_long_to_timestamp(unit))
+            .where(F.col("event_type") == event_type)
+        )
+
+    try:
+        joined = join_purchases_with_clicks(
+            branch("click"),
+            branch("purchase"),
+            horizon=f"{_SSJ_HORIZON_MIN} minutes",
+            delay=f"{_SSJ_DELAY_MIN} minutes",
+            how="inner",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", f"{outdir}/table")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(f"{outdir}/table")
+            .groupBy(F.date_trunc("day", "purchase_ts").alias("purchase_day"))
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.count_distinct("purchase_id").alias("n_purchases"),
+                F.count_distinct("click_id").alias("n_clicks"),
+                F.sum(F.col("purchase_value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+            .orderBy("purchase_day")
+        )
+        rows = out.collect()  # bounded: calendar days
+        schema = out.schema
+    finally:
+        for d in (ckpt, outdir):
+            shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+STREAM_SSJ_SQL = f"""
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+         CAST(value AS DECIMAL(18,2)) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT date_trunc('day', purchase_ts) AS purchase_day,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+       CAST(COUNT(DISTINCT click_id) AS BIGINT) AS n_clicks,
+       CAST(SUM(purchase_value) AS DOUBLE) AS total_value
+FROM p JOIN c ON p.user_id = c.user_id
+ AND epoch_us(c.click_ts) <= epoch_us(p.purchase_ts)
+ AND epoch_us(c.click_ts) >= epoch_us(p.purchase_ts) - {_SSJ_HORIZON_MIN * 60 * 1000000}
+GROUP BY 1
+ORDER BY purchase_day
+"""
+
+register(
+    QuerySpec(
+        "streaming_interval_join_stats",
+        streaming_interval_join_stats,
+        STREAM_SSJ_SQL,
+        doc="stream-stream interval join (dual watermarks, bounded state), batch-oracle hash-verified",
+        cites="streaming/streams.py join_purchases_with_clicks; batch twin operators/asof.py; SURVEY §2.10",
+        tags=("streaming", "join", "asof"),
+    )
+)

@@ -78,6 +78,16 @@ QUERIES = [
     "ivf_pq_adc_topk",
     "ivf_pq_recall_at_10",
     "packing_efficiency_sweep",
+    # round-6 additions: pipeline / multimodal / streaming — the streaming
+    # queries exercise checkpointed state + sinks under a real 2-executor
+    # scheduler; the pipeline runs its full multi-stage DAG cross-JVM
+    "training_pipeline_manifest",
+    "multimodal_binary_stats",
+    "multimodal_frame_sample",
+    "streaming_hourly_type_counts",
+    "streaming_watermark_dedup_counts",
+    "streaming_session_windows",
+    "streaming_interval_join_stats",
 ]
 
 
