@@ -15,6 +15,13 @@ batch registry:
 - ``streaming_session_windows``: ``session_window`` sessionization in
   append mode — emitted sessions are exactly those the final watermark
   closed, re-derived by a gaps-and-islands oracle with the same cutoff.
+- ``streaming_interval_join_stats``: stream-stream interval join (dual
+  watermarks + closed time bound → bounded buffered state); inner-join
+  emission has no watermark cutoff, so the oracle is the exact batch
+  range join.
+- ``streaming_stateful_running_totals``: applyInPandasWithState custom
+  state across two checkpointed drains — the 2× replay invariant proves
+  cross-restart state resume and exactly-once update accounting.
 
 If the streaming engine dropped, duplicated, or mis-windowed anything,
 the value hash against the batch oracle catches it. (Multi-drain replay
@@ -496,5 +503,148 @@ register(
         doc="stream-stream interval join (dual watermarks, bounded state), batch-oracle hash-verified",
         cites="streaming/streams.py join_purchases_with_clicks; batch twin operators/asof.py; SURVEY §2.10",
         tags=("streaming", "join", "asof"),
+    )
+)
+
+
+_STATEFUL_DELAY_MIN = 10
+
+
+def streaming_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL OPERATOR under the oracle gate:
+    ``applyInPandasWithState`` per-user running totals (explicit state
+    tuple per key, update-mode emission) across TWO availableNow drains
+    sharing one checkpoint — the semantics class the built-in windowed /
+    session aggregations cannot express (SURVEY §2.10 escape hatch;
+    streaming/streams.py::user_running_totals_stateful is the shared
+    operator, re-derived here with integer-cent accumulation so the
+    state arithmetic is exact and hash-stable).
+
+    Drain 2 replays the whole file. Unlike dropDuplicates / windowed
+    aggregations, ARBITRARY stateful operators receive late rows too —
+    Spark documents that late filtering inside applyInPandasWithState is
+    the user function's responsibility (the watermark drives timeouts
+    and replay bounds, not an input filter) — and a raw counter does not
+    dedup, so every per-user total accumulates EXACTLY TWICE its
+    single-file value. That doubling is the assertion: if state failed
+    to resume across the restart, drain 2 would re-emit the single-file
+    totals (1×); if an update were lost or applied twice, the 2×
+    invariant breaks. The oracle computes the doubled profile in SQL.
+
+    Scale shape: state is one 2-field tuple per user key, partitioned by
+    the grouping key across executors and checkpointed; Arrow-batched
+    Python per group. The final collect is the 1-row profile.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from analytics_data_platform_spark.session import ensure_session_defaults
+
+    ensure_session_defaults(spark)
+    src = f"{sf_dir}/events.parquet"
+    unit = _events_ts_unit(src)
+    staging = tempfile.mkdtemp(prefix="adps-stream-st-stage-")
+    ckpt = tempfile.mkdtemp(prefix="adps-stream-st-ckpt-")
+    outdir = tempfile.mkdtemp(prefix="adps-stream-st-out-")
+
+    def update(key, pdfs, state):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # exact integer cents: the corpus stores 2-decimal values, so
+            # v*100 rounds to the same integer on every engine
+            cents += int((pdf["value"].fillna(0.0) * 100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "value_cents": [cents]}
+        )
+
+    def drain() -> None:
+        stream = (
+            spark.readStream.schema(_EVENTS_SCHEMA)
+            .parquet(staging)
+            .withColumn("ts", _ts_long_to_timestamp(unit))
+        )
+        totals = (
+            stream.withWatermark("ts", f"{_STATEFUL_DELAY_MIN} minutes")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType="user_id long, n_events long, value_cents long",
+                stateStructType="n long, cents long",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("append").parquet(f"{outdir}/table")
+
+        q = (
+            totals.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        shutil.copy(src, f"{staging}/part-000.parquet")
+        drain()
+        shutil.copy(src, f"{staging}/part-001.parquet")
+        drain()
+        # latest emission per user = the row with the largest n_events
+        # (strictly monotone per accumulating user; single row otherwise)
+        final = (
+            spark.read.parquet(f"{outdir}/table")
+            .groupBy("user_id")
+            .agg(F.max(F.struct("n_events", "value_cents")).alias("s"))
+            .select("user_id", "s.n_events", "s.value_cents")
+        )
+        out = final.agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_events").alias("total_events"),
+            (F.sum("value_cents") / 100.0).alias("total_value"),
+            F.max("n_events").alias("max_events_per_user"),
+        )
+        rows = out.collect()  # 1-row profile
+        schema = out.schema
+    finally:
+        for d in (staging, ckpt, outdir):
+            shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+# the replay accumulates every row a second time (arbitrary stateful ops
+# receive late rows — filtering is the user function's job), so the final
+# state is exactly 2× the single-file totals; the doubling is what proves
+# cross-restart state resume (a reset would read 1×)
+STREAM_STATEFUL_SQL = """
+WITH cents AS (
+  SELECT user_id, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+         2 * COUNT(*) AS n_events,
+         2 * SUM(c) AS value_cents
+  FROM cents GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n_events) AS BIGINT) AS total_events,
+       CAST(SUM(value_cents) AS DOUBLE) / 100.0 AS total_value,
+       CAST(MAX(n_events) AS BIGINT) AS max_events_per_user
+FROM per_user
+"""
+
+register(
+    QuerySpec(
+        "streaming_stateful_running_totals",
+        streaming_stateful_running_totals,
+        STREAM_STATEFUL_SQL,
+        doc="applyInPandasWithState running totals across two checkpointed drains (2x replay proves state resume), oracle-verified",
+        cites="streaming/streams.py user_running_totals_stateful; SURVEY §2.10 custom-stateful escape hatch",
+        tags=("streaming", "stateful"),
     )
 )

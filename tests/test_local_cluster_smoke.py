@@ -88,6 +88,7 @@ QUERIES = [
     "streaming_watermark_dedup_counts",
     "streaming_session_windows",
     "streaming_interval_join_stats",
+    "streaming_stateful_running_totals",
 ]
 
 
