@@ -54,11 +54,14 @@ def register(spec: QuerySpec) -> QuerySpec:
 # Everything else keeps registration order and stays covered by
 # tests/test_oracle_parity.py, which sweeps the whole registry.
 DRIVER_SHOWCASE: tuple[str, ...] = (
-    # round-6 additions: pipeline / multimodal / append-mode streaming
+    # round-6 additions: pipeline / multimodal / streaming depth
     "training_pipeline_manifest",
     "multimodal_binary_stats",
     "multimodal_frame_sample",
     "streaming_watermark_dedup_counts",
+    "streaming_session_windows",
+    "streaming_interval_join_stats",
+    "streaming_stateful_running_totals",
     # round-5 additions (never driver-gated until now)
     "cdc_apply_changes_state",
     "dsir_importance_weights",
@@ -107,11 +110,8 @@ DRIVER_SHOWCASE: tuple[str, ...] = (
     "lang_id_confusion",
     "lang_id_kappa",
     "ngram_overlap_pairs",
-    "fuzzy_part_names",
-    # recommendation / relational residue
+    # recommendation residue (relational residue rotates in r7)
     "association_rules_parts",
-    "corr_matrix_lineitem",
-    "duplicate_invoice_screen",
 )
 
 

@@ -238,7 +238,11 @@ def streaming_watermark_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFr
 
 # the oracle replays the dedup rule in batch: one copy per (event_id, ts) —
 # with the replayed file every key appears exactly twice with identical
-# attributes, so DISTINCT over the carried columns is the same collapse
+# attributes, so DISTINCT over the carried columns is the same collapse.
+# (If the RAW corpus ever carried two different rows under one
+# (event_id, ts) key, Spark would keep an arbitrary one while DISTINCT
+# keeps both — n_events vs n_ids would separate and the hash would fail
+# loudly, which is the desired behavior for a broken key assumption.)
 STREAM_DEDUP_SQL = """
 WITH dd AS (
   SELECT DISTINCT event_id, ts, event_type, CAST(value AS DECIMAL(18,2)) AS value_d

@@ -825,7 +825,14 @@ def _pq_train(spark: SparkSession, sf_dir: str):
     # reused every iteration; persist (not checkpoint) — the lineage is one
     # cheap scan+explode, and skipping the checkpoint write saves ~2 s cold
     while _PQ_PERSISTED:
-        _PQ_PERSISTED.pop().unpersist()
+        stale = _PQ_PERSISTED.pop()
+        try:
+            stale.unpersist()
+        except Exception:
+            # the tracked frame may belong to an already-stopped session
+            # (e.g. the local-cluster smoke tears its session down);
+            # dropping the reference is all that's left to do then
+            pass
     data = data.persist()
     _PQ_PERSISTED.append(data)
     cent = data.where(F.col("vec_id") < PQ_KC).select(
