@@ -870,3 +870,128 @@ register(
         tags=("text", "quality", "training"),
     )
 )
+
+
+_PPL_SCALE = 1_000_000  # micro-nats (the repo's fixed-point log idiom)
+
+
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): score
+    every document by its mean token surprisal under the corpus's own
+    unigram LM, then split EACH LANGUAGE into head/middle/tail thirds by
+    that score — the quality-tiering step a web-scale pipeline runs
+    before choosing which tier feeds training.
+
+    Fixed-point contract: ln is computed once per distinct term
+    frequency (vocab-bounded), quantized to integer micro-nats; each
+    document's score is an exact integer sum with ONE floor division by
+    its token count, so the per-language ordering (score, doc_id) is
+    total and tie-free across engines. The tercile rule is the explicit
+    closed form bucket = ((rank−1)·3) // n_lang + 1 on BOTH engines —
+    not NTILE, whose remainder-distribution rule would have to be
+    replicated blind.
+
+    Scale shape: LM training and scoring are two term-keyed linear
+    shuffles (no driver state); the per-language rank is the one
+    data-linear-per-key sort — inherent to CCNet's per-language split —
+    and shards with the two-pass bucketed-rank recipe
+    (operators/ordered.py) applied per language at 100 TB.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.col("term") != "")
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    # micro-nat surprisal per TERM (vocab-bounded ln), exact int per token
+    s_int = F.floor(
+        F.lit(_PPL_SCALE)
+        * F.log(F.col("total").cast("double") / F.col("tf").cast("double"))
+    ).cast("bigint")
+    scored = (
+        tok.join(freq, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(s_int).alias("s_sum"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.expr("s_sum div n_tokens").alias("score"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("score", "doc_id")
+    n_lang = scored.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    bucketed = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(n_lang), "lang")
+        .withColumn(
+            "bucket",
+            F.when(F.expr("((rn - 1) * 3) div n_lang") == 0, "head")
+            .when(F.expr("((rn - 1) * 3) div n_lang") == 1, "middle")
+            .otherwise("tail"),
+        )
+    )
+    return (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+CCNET_PPL_SQL = f"""
+WITH base AS (SELECT doc_id, lang, text FROM documents WHERE length(trim(text)) > 0),
+tok AS (
+  SELECT doc_id, lang, term FROM (
+    SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS term FROM base
+  ) WHERE term <> ''
+),
+total AS (SELECT COUNT(*) AS total FROM tok),
+freq AS (SELECT term, COUNT(*) AS tf FROM tok GROUP BY term),
+scored AS (
+  SELECT doc_id, lang, COUNT(*) AS n_tokens,
+         SUM(CAST(FLOOR({_PPL_SCALE} * LN(CAST(total AS DOUBLE) / CAST(tf AS DOUBLE))) AS BIGINT))
+           // COUNT(*) AS score
+  FROM tok JOIN freq USING (term) CROSS JOIN total
+  GROUP BY doc_id, lang
+),
+ranked AS (
+  SELECT lang, n_tokens, score,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n_lang
+  FROM scored
+),
+bucketed AS (
+  SELECT lang, n_tokens, score,
+         CASE ((rn - 1) * 3) // n_lang
+           WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+  FROM ranked
+)
+SELECT lang, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(MIN(score) AS BIGINT) AS min_score,
+       CAST(MAX(score) AS BIGINT) AS max_score
+FROM bucketed
+GROUP BY lang, bucket
+ORDER BY lang, bucket
+"""
+
+register(
+    QuerySpec(
+        "ccnet_perplexity_buckets",
+        ccnet_perplexity_buckets,
+        CCNET_PPL_SQL,
+        doc="CCNet head/middle/tail perplexity tiers per language (fixed-point surprisal, closed-form terciles)",
+        cites="training-data ops: CCNet quality bucketing (Wenzek et al. 2020); builds on unigram_surprisal_score",
+        tags=("text", "quality", "training", "corpus"),
+    )
+)

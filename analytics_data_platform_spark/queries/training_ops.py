@@ -1155,3 +1155,151 @@ register(
         tags=("training", "packing"),
     )
 )
+
+
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language — subword tokens emitted per word
+    — for the 5 globally-learned BPE merges: the standard multilingual
+    tokenizer-quality metric (a tokenizer trained on a skewed mix
+    fragments under-represented languages; fertility by lang is how that
+    is measured and monitored in training-data pipelines).
+
+    The merges are learned once on GLOBAL pair counts (identical merges
+    to bpe_train_merges: the per-(lang, word) frequency table sums to
+    the global word table, and pair counting aggregates over lang), then
+    applied to every language's words; fertility is the exact integer
+    ratio Σ freq·|subwords| / Σ freq per lang, surfaced as a rounded
+    double with both exact integer terms kept alongside.
+
+    Scale shape: identical to bpe_encode_stats — the corpus collapses to
+    a |vocab|-sized frequency table once, every merge round runs over
+    that table with a broadcast 1-row argmax; the lang key multiplies
+    vocab rows by ≤|langs|, never re-scanning the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "lang",
+            F.concat(
+                F.lit("  "),
+                F.array_join(F.split(F.col("word"), ""), "  "),
+                F.lit("  "),
+            ).alias("w"),
+            "freq",
+        )
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(BPE_MERGES):
+        syms = words.select("freq", F.split(F.trim(F.col("w")), "  ").alias("s"))
+        pairs = syms.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(slice(s, 1, size(s) - 1),"
+                    " (x, i) -> struct(x AS a, s[i + 1] AS b))"
+                )
+            ).alias("p"),
+        ).groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+            F.sum("freq").alias("cnt")
+        )
+        w_best = Window.orderBy(F.desc("cnt"), "a", "b")
+        best = (
+            pairs.withColumn("rn", F.row_number().over(w_best))
+            .where(F.col("rn") == 1)
+            .select("a", "b")
+        )
+        words = (
+            words.crossJoin(F.broadcast(best))
+            .select(
+                "lang",
+                F.expr(
+                    "replace(w, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ')"
+                ).alias("w"),
+                "freq",
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        words.select(
+            "lang", "freq", F.size(F.split(F.trim(F.col("w")), "  ")).alias("n_sub")
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("freq").alias("n_words"),
+            F.sum(F.col("freq") * F.col("n_sub")).alias("n_subwords"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_subwords",
+            F.round(F.col("n_subwords") / F.col("n_words"), 6).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _bpe_fertility_sql() -> str:
+    parts = [
+        """WITH words0 AS (
+  SELECT lang,
+         '  ' || array_to_string(string_split(word, ''), '  ') || '  ' AS w,
+         COUNT(*) AS freq
+  FROM (
+    SELECT lang, UNNEST(string_split(text, ' ')) AS word FROM documents
+  ) t(lang, word)
+  WHERE word <> ''
+  GROUP BY lang, word
+)"""
+    ]
+    for i in range(1, BPE_MERGES + 1):
+        parts.append(
+            f""",
+pairs{i} AS (
+  SELECT s[i] AS a, s[i + 1] AS b, SUM(freq) AS cnt
+  FROM (
+    SELECT string_split(trim(w), '  ') AS s, freq FROM words{i - 1}
+  ), range(1, 1000) r(i)
+  WHERE i < len(s)
+  GROUP BY s[i], s[i + 1]
+),
+best{i} AS (
+  SELECT a, b FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, a, b) AS rn FROM pairs{i}
+  ) WHERE rn = 1
+),
+words{i} AS (
+  SELECT lang,
+         replace(w, ' ' || x.a || '  ' || x.b || ' ', ' ' || x.a || x.b || ' ') AS w,
+         freq
+  FROM words{i - 1} CROSS JOIN best{i} x
+)"""
+        )
+    parts.append(
+        f"""
+SELECT lang,
+       CAST(SUM(freq) AS BIGINT) AS n_words,
+       CAST(SUM(freq * n_sub) AS BIGINT) AS n_subwords,
+       ROUND(CAST(SUM(freq * n_sub) AS DOUBLE) / SUM(freq), 6) AS fertility
+FROM (
+  SELECT lang, freq, len(string_split(trim(w), '  ')) AS n_sub FROM words{BPE_MERGES}
+)
+GROUP BY lang
+ORDER BY lang"""
+    )
+    return "".join(parts)
+
+
+register(
+    QuerySpec(
+        "tokenizer_fertility_by_lang",
+        tokenizer_fertility_by_lang,
+        _bpe_fertility_sql(),
+        doc="per-language subwords-per-word fertility of the globally-learned BPE merges",
+        cites="training-data ops: multilingual tokenizer quality (fertility); shares the bpe_train_merges recipe",
+        tags=("training", "text", "iterative"),
+    )
+)
