@@ -32,12 +32,19 @@ def apply_changes(
     seq_cols: Sequence[str],
     op_col: str = "op",
     delete_op: str = "delete",
+    keep_tombstones: bool = False,
 ) -> DataFrame:
     """Collapse a changelog to current state.
 
     Returns one row per live key with the winning change's payload columns
     (everything that is not a key column), including ``op_col`` and the
     sequence columns of the winning change.
+
+    ``keep_tombstones=True`` returns deleted keys too (their winning row
+    carries the delete op) — required when the collapsed state is itself
+    persisted and incrementally re-merged with later batches: dropping a
+    tombstone early would let a LATE, lower-sequence upsert resurrect the
+    key in a later merge round. Readers filter deletes at query time.
     """
     payload = [c for c in changelog.columns if c not in key_cols and c not in seq_cols]
     # seq columns lead the struct so max() orders by sequence first; payload
@@ -53,6 +60,8 @@ def apply_changes(
             *[F.col(f"_w.{c}").alias(c) for c in payload],
         )
     )
+    if keep_tombstones:
+        return latest
     # eqNullSafe: a winning change with op NULL is an upsert, not a silent
     # delete (`NULL != 'delete'` is NULL and a plain where() would drop the
     # key entirely — sources that only stamp op on deletes would lose rows)

@@ -180,8 +180,11 @@ _BOUNDED_BELOW = re.compile(
 )
 _PARTIAL_TOTAL_AGG = re.compile(
     # HashAggregate prints "keys=[]", SortAggregate prints "key=[]";
-    # count-distinct rewrites emit merge_* instead of partial_*
-    r"(Hash|Sort|ObjectHash)Aggregate\(keys?=\[\], functions=\[(partial_|merge_)"
+    # count-distinct rewrites emit merge_* instead of partial_*; column
+    # pruning can empty the function list entirely ("functions=[]", e.g. a
+    # scalar count whose value a cross-joined branch never reads) — a
+    # keyless aggregate ships ≤1 row per upstream partition in every case
+    r"(Hash|Sort|ObjectHash)Aggregate\(keys?=\[\], functions=\[(partial_|merge_|\])"
 )
 
 

@@ -22,6 +22,10 @@ batch registry:
 - ``streaming_stateful_running_totals``: applyInPandasWithState custom
   state across two checkpointed drains — the 2× replay invariant proves
   cross-restart state resume and exactly-once update accounting.
+- ``streaming_cdc_merge_state``: streaming CDC ingestion — two
+  incremental foreachBatch ``apply_changes`` merges into persisted
+  tombstone-retaining state; the associative winner rule makes the
+  incremental result provably equal the oracle's one-shot collapse.
 
 If the streaming engine dropped, duplicated, or mis-windowed anything,
 the value hash against the batch oracle catches it. (Multi-drain replay
@@ -650,5 +654,133 @@ register(
         doc="applyInPandasWithState running totals across two checkpointed drains (2x replay proves state resume), oracle-verified",
         cites="streaming/streams.py user_running_totals_stateful; SURVEY §2.10 custom-stateful escape hatch",
         tags=("streaming", "stateful"),
+    )
+)
+
+
+def streaming_cdc_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC INGESTION end to end: a Debezium-style changelog
+    arrives in TWO incremental micro-batches (the events table split by
+    event_id parity into two staged files, drained one per availableNow
+    tick from a shared checkpoint), and each ``foreachBatch`` merges the
+    batch into a persisted state table with
+    ``operators/cdc.py::apply_changes(keep_tombstones=True)`` — the
+    collapse → upsert-sink loop (S13) a warehouse runs continuously.
+
+    Tombstones are RETAINED in the persisted state (a delete dropped
+    early would let a late, lower-sequence upsert from a later batch
+    resurrect its key) and filtered only at read time; because the
+    winner rule is an associative max(struct(seq…)), incremental
+    per-batch merging provably equals the one-shot collapse of the full
+    changelog — which is exactly what the oracle computes (the same SQL
+    as ``cdc_apply_changes_state``). A lost batch, a dropped tombstone,
+    or a merge that kept the wrong winner hash-diverges.
+
+    Scale shape: each merge round is one key shuffle over
+    state ∪ batch with map-side max partials; state stays one row per
+    ever-seen key. (The copy-on-write versioned-path state table here is
+    the catalog-free stand-in for the MERGE INTO sink.)
+    """
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    from analytics_data_platform_spark.operators.cdc import apply_changes
+    from analytics_data_platform_spark.session import ensure_session_defaults
+
+    ensure_session_defaults(spark)
+    src = f"{sf_dir}/events.parquet"
+    unit = _events_ts_unit(src)
+    staging = tempfile.mkdtemp(prefix="adps-stream-cdc-stage-")
+    ckpt = tempfile.mkdtemp(prefix="adps-stream-cdc-ckpt-")
+    outdir = tempfile.mkdtemp(prefix="adps-stream-cdc-out-")
+
+    def state_versions() -> list[str]:
+        import os
+
+        return sorted(
+            f"{outdir}/{d}" for d in os.listdir(outdir) if d.startswith("state_v")
+        )
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        batch = bdf.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "error", F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias("op"),
+            "event_type",
+            F.col("value").cast("decimal(18,2)").alias("value_d"),
+        )
+        versions = state_versions()
+        merged_src = (
+            spark.read.parquet(versions[-1]).unionByName(batch) if versions else batch
+        )
+        state = apply_changes(
+            merged_src,
+            key_cols=["user_id"],
+            seq_cols=["ts", "event_id"],
+            op_col="op",
+            keep_tombstones=True,
+        )
+        state.write.mode("overwrite").parquet(f"{outdir}/state_v{batch_id:05d}")
+
+    def drain() -> None:
+        stream = (
+            spark.readStream.schema(_EVENTS_SCHEMA)
+            .parquet(staging)
+            .withColumn("ts", _ts_long_to_timestamp(unit))
+        )
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        # split the changelog into two incremental arrivals by key parity
+        t = pq.read_table(src)
+        even = pc.equal(pc.bit_wise_and(t.column("event_id"), 1), 0)
+        pq.write_table(t.filter(even), f"{staging}/part-000.parquet")
+        drain()
+        pq.write_table(t.filter(pc.invert(even)), f"{staging}/part-001.parquet")
+        drain()
+        final = spark.read.parquet(state_versions()[-1]).where(
+            ~F.col("op").eqNullSafe("delete")
+        )
+        out = (
+            final.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_users"),
+                F.sum("value_d").cast("double").alias("total_value"),
+            )
+            .orderBy("event_type")
+        )
+        rows = out.collect()  # bounded: |event types|
+        schema = out.schema
+    finally:
+        for d in (staging, ckpt, outdir):
+            shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+def _cdc_merge_oracle() -> str:
+    # incremental merge == one-shot collapse (associative max winner), so
+    # the oracle IS the cdc_apply_changes_state SQL
+    from analytics_data_platform_spark.queries.warehouse_ops import CDC_APPLY_SQL
+
+    return CDC_APPLY_SQL
+
+
+register(
+    QuerySpec(
+        "streaming_cdc_merge_state",
+        streaming_cdc_merge_state,
+        _cdc_merge_oracle(),
+        doc="streaming CDC ingestion: two foreachBatch apply_changes merges into persisted state, oracle = one-shot collapse",
+        cites="operators/cdc.py apply_changes; S13 upsert sink; SURVEY §2.10 incremental-batch ticks",
+        tags=("streaming", "cdc", "warehouse"),
     )
 )

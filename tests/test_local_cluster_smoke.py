@@ -89,6 +89,9 @@ QUERIES = [
     "streaming_session_windows",
     "streaming_interval_join_stats",
     "streaming_stateful_running_totals",
+    "streaming_cdc_merge_state",
+    "tokenizer_fertility_by_lang",
+    "ccnet_perplexity_buckets",
 ]
 
 
