@@ -236,3 +236,42 @@ def test_semdedup_rank_split_hard_bound(spark):
     assert sum(sizes) == 300
     assert out.where("NOT is_dropped").count() == len(sizes)
     out.unpersist()
+
+
+def test_apply_changes_tombstones_block_late_resurrection(spark):
+    """Incremental two-stage merge: a delete collapsed in batch 1 must
+    survive into the persisted state (keep_tombstones=True) so a LATE,
+    lower-sequence upsert arriving in batch 2 cannot resurrect the key —
+    and the test also proves the failure mode is real: WITHOUT retained
+    tombstones the same replay resurrects the key with stale data."""
+    from analytics_data_platform_spark.operators.cdc import apply_changes
+
+    batch1 = spark.createDataFrame(
+        [(1, 1, "upsert", "v1"), (1, 3, "delete", None), (2, 1, "upsert", "x")],
+        "k int, seq int, op string, payload string",
+    )
+    batch2 = spark.createDataFrame(
+        [(1, 2, "upsert", "v2-late")],  # lower seq than key 1's delete
+        "k int, seq int, op string, payload string",
+    )
+
+    def merge(state, batch, keep):
+        src = state.unionByName(batch) if state is not None else batch
+        return apply_changes(
+            src, key_cols=["k"], seq_cols=["seq"], keep_tombstones=keep
+        )
+
+    # correct path: tombstones retained between batches, filtered at read
+    state = merge(None, batch1, keep=True)
+    state = merge(state, batch2, keep=True)
+    live = {r.k: r.payload for r in state.where("op <> 'delete'").collect()}
+    assert live == {2: "x"}, f"late lower-seq upsert resurrected a key: {live}"
+
+    # failure mode: dropping tombstones per batch resurrects key 1
+    naive = merge(None, batch1, keep=False)
+    naive = merge(naive, batch2, keep=False)
+    resurrected = {r.k: r.payload for r in naive.collect()}
+    assert resurrected.get(1) == "v2-late", (
+        "expected the naive no-tombstone merge to exhibit the resurrection "
+        "bug this parameter exists to prevent"
+    )
