@@ -203,7 +203,10 @@ def semdedup(
             from pyspark.sql import Window as _W
 
             sizes2 = members.groupBy("cluster").agg(F.count(F.lit(1)).alias("_csz"))
-            joined = members.join(F.broadcast(sizes2), "cluster")
+            # no forced broadcast here either: sizes2 has one row per cluster
+            # (~n/max at scale — unbounded), the same argument as the main
+            # split loop above; AQE decides broadcast-vs-shuffle
+            joined = members.join(sizes2, "cluster")
             fine = joined.where(F.col("_csz") <= max_cluster_size).drop("_csz")
             residue = joined.where(F.col("_csz") > max_cluster_size).drop("_csz")
             rank = F.row_number().over(_W.partitionBy("cluster").orderBy(id_col))

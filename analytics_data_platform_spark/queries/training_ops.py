@@ -584,6 +584,29 @@ register(
 BPE_MERGES = 5
 
 
+def _best_pair(pairs: DataFrame) -> DataFrame:
+    """Argmax over the pair-count table: max by (cnt DESC, a ASC, b ASC).
+
+    One `min_by` scalar aggregate over struct(-cnt, a, b) instead of a
+    global `row_number()` sort window: partial-aggregable map-side, no
+    WindowExec, one fewer exchange per merge round. The input is the
+    vocab-bounded aggregated pair table (never corpus-linear), so the
+    final single-partition reduce is over partial maxima only.
+    """
+    return pairs.agg(
+        F.min_by(
+            F.struct("a", "b", "cnt"),
+            F.struct(
+                (-F.col("cnt")).alias("nc"),
+                F.col("a").alias("a"),
+                F.col("b").alias("b"),
+            ),
+        ).alias("m")
+    ).select(
+        F.col("m.a").alias("a"), F.col("m.b").alias("b"), F.col("m.cnt").alias("cnt")
+    )
+
+
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn the first 5 BPE merges from the corpus, fully distributed.
 
@@ -636,12 +659,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
             F.sum("freq").alias("cnt")
         )
-        w_best = Window.orderBy(F.desc("cnt"), "a", "b")
-        best = (
-            pairs.withColumn("rn", F.row_number().over(w_best))
-            .where(F.col("rn") == 1)
-            .select(F.lit(step).alias("step"), "a", "b", "cnt")
-        )
+        best = _best_pair(pairs).select(F.lit(step).alias("step"), "a", "b", "cnt")
         merges.append(best)
         words = (
             words.crossJoin(F.broadcast(best.select("a", "b")))
@@ -763,12 +781,7 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
             F.sum("freq").alias("cnt")
         )
-        w_best = Window.orderBy(F.desc("cnt"), "a", "b")
-        best = (
-            pairs.withColumn("rn", F.row_number().over(w_best))
-            .where(F.col("rn") == 1)
-            .select("a", "b")
-        )
+        best = _best_pair(pairs).select("a", "b")
         words = (
             words.crossJoin(F.broadcast(best))
             .select(
@@ -1206,12 +1219,7 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
             F.sum("freq").alias("cnt")
         )
-        w_best = Window.orderBy(F.desc("cnt"), "a", "b")
-        best = (
-            pairs.withColumn("rn", F.row_number().over(w_best))
-            .where(F.col("rn") == 1)
-            .select("a", "b")
-        )
+        best = _best_pair(pairs).select("a", "b")
         words = (
             words.crossJoin(F.broadcast(best))
             .select(
