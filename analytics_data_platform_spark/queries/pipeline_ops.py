@@ -125,3 +125,83 @@ register(
         tags=("training", "pipeline", "dedup", "scale"),
     )
 )
+
+
+def incremental_pipeline_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL corpus refresh end to end: the documents table arrives
+    in TWO streaming micro-batches (split by doc_id parity, drained one
+    per availableNow tick from a shared checkpoint), and each
+    ``foreachBatch`` folds the batch into persisted corpus state via
+    ``pipelines/incremental.py::refresh_corpus_state`` — exact-dedup
+    keeper merge, LSH band-index compact+append, incremental candidate
+    join, pair retention under eviction.
+
+    The oracle is the ONE-SHOT pipeline SQL over the full table (the same
+    statement ``training_pipeline_manifest`` is gated on): because the
+    keeper rule is an associative min, band rows are deterministic per
+    text, and pairs/components/split are pure functions of the live set,
+    the incremental result provably equals the one-shot collapse — a
+    dropped batch, a stale band-index row, a missed eviction cascade, or
+    a lost cross-batch near-dup pair hash-diverges.
+
+    Scale shape per tick: one fingerprint shuffle over state ∪ batch,
+    id-key semi-joins for compaction, shingling of only the new docs;
+    the corpus is never re-shingled. Reference analogue: the incremental
+    watermark machinery of elt-common/src/elt_common/runner.py:67-107.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from analytics_data_platform_spark.pipelines.incremental import (
+        corpus_split_manifest,
+        refresh_corpus_state,
+    )
+    from analytics_data_platform_spark.session import ensure_session_defaults
+
+    ensure_session_defaults(spark)
+    src = f"{sf_dir}/documents.parquet"
+    staging = _tempfile.mkdtemp(prefix="adps-incr-stage-")
+    ckpt = _tempfile.mkdtemp(prefix="adps-incr-ckpt-")
+    state = _tempfile.mkdtemp(prefix="adps-incr-state-")
+
+    def drain() -> None:
+        stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(
+            staging
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, bid: refresh_corpus_state(spark, state, bdf, bid)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        t = pq.read_table(src)
+        even = pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 0)
+        pq.write_table(t.filter(even), f"{staging}/part-000.parquet")
+        drain()
+        pq.write_table(t.filter(pc.invert(even)), f"{staging}/part-001.parquet")
+        drain()
+        rows = corpus_split_manifest(spark, state)
+    finally:
+        for d in (staging, ckpt, state):
+            _shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, "stage string, n_docs long")
+
+
+register(
+    QuerySpec(
+        "incremental_pipeline_refresh",
+        incremental_pipeline_refresh,
+        _pipeline_sql(),
+        doc="streaming incremental corpus refresh (2 foreachBatch ticks: dedup-state merge, band-index compaction, incremental LSH); provably equals the one-shot pipeline SQL",
+        cites="pipelines/incremental.py; operators/dedup.py incremental_minhash_candidates+compact_band_index; ref elt-common/src/elt_common/runner.py:67-107 incremental watermark machinery",
+        tags=("training", "pipeline", "dedup", "streaming", "scale"),
+    )
+)

@@ -1,0 +1,110 @@
+"""Incremental corpus refresh (pipelines/incremental.py): the per-batch
+state merge must equal the one-shot pipeline on the unioned corpus —
+including the hard case, EVICTION (a later batch brings a smaller-id
+fingerprint-duplicate, so the previously-kept doc must leave the live
+set, its band-index rows must be compacted away, and its pairs dropped).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from analytics_data_platform_spark.operators import dedup
+from analytics_data_platform_spark.pipelines.incremental import (
+    corpus_split_manifest,
+    refresh_corpus_state,
+)
+from analytics_data_platform_spark.queries.corpus_ops import c4_core_pass
+from analytics_data_platform_spark.sources.testdata import load_table
+
+_SCHEMA = "doc_id long, text string, lang string, source string, n_chars int"
+
+# long enough to pass the C4 core rules (>=30 tokens, letter ratio, ...)
+_BODY = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(12))
+
+
+def _doc(doc_id: int, text: str):
+    return (doc_id, text, "en", "unit", len(text))
+
+
+def test_eviction_cascades_through_state(spark, tmp_path):
+    state = str(tmp_path / "state")
+    # tick 0: doc 10 (text A, mixed case) and doc 11 (unrelated text B)
+    t0 = spark.createDataFrame(
+        [_doc(10, f"Hello World {_BODY}"), _doc(11, f"other corpus {_BODY} zz")],
+        _SCHEMA,
+    )
+    refresh_corpus_state(spark, state, t0, 0)
+    live0 = spark.read.parquet(f"{state}/state_v00000/live")
+    assert {r.doc_id for r in live0.collect()} == {10, 11}
+
+    # tick 1: doc 3 is a fingerprint-duplicate of doc 10 (case/whitespace
+    # differ, normalized text identical) with a SMALLER id -> evicts 10
+    t1 = spark.createDataFrame([_doc(3, f"hello  world {_BODY}")], _SCHEMA)
+    refresh_corpus_state(spark, state, t1, 1)
+    latest = f"{state}/state_v00001"
+    live = {r.doc_id for r in spark.read.parquet(f"{latest}/live").collect()}
+    assert live == {3, 11}, "smaller-id fp-duplicate must evict the old keeper"
+    idx_ids = {
+        r.doc_id for r in spark.read.parquet(f"{latest}/band_index").collect()
+    }
+    assert 10 not in idx_ids, "evicted doc's band rows must be compacted away"
+    assert 3 in idx_ids
+    pair_ids = {
+        x
+        for r in spark.read.parquet(f"{latest}/pairs").collect()
+        for x in (r.id_a, r.id_b)
+    }
+    assert 10 not in pair_ids, "pairs of evicted docs must not survive"
+
+
+def test_three_tick_refresh_equals_one_shot(spark, sf_dir, tmp_path):
+    """Fold the documents table in THREE batches (doc_id % 3) and assert
+    the final state equals the one-shot formulation on the full corpus:
+    live set, band index (rebuilt from live), and verified pair set."""
+    state = str(tmp_path / "state")
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    for tick in range(3):
+        refresh_corpus_state(
+            spark, state, docs.where(F.col("doc_id") % 3 == tick), tick
+        )
+    latest = f"{state}/state_v00002"
+    live = spark.read.parquet(f"{latest}/live")
+    band_index = spark.read.parquet(f"{latest}/band_index")
+    pairs = spark.read.parquet(f"{latest}/pairs")
+
+    clean = docs.where(c4_core_pass("text")).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    one_shot_live = dedup.dedup_exact(clean)
+    assert live.count() == one_shot_live.count()
+    assert live.join(one_shot_live, "doc_id", "left_anti").isEmpty()
+    assert one_shot_live.join(live, "doc_id", "left_anti").isEmpty()
+
+    # band index == band rows of the live set, as a multiset
+    rebuilt = dedup.minhash_band_rows(one_shot_live)
+    diff = band_index.groupBy("doc_id", "bucket").count().exceptAll(
+        rebuilt.groupBy("doc_id", "bucket").count()
+    )
+    assert diff.isEmpty()
+
+    one_shot_pairs = (
+        dedup.exact_jaccard_pairs(
+            one_shot_live, dedup.minhash_lsh_candidates_portable(one_shot_live)
+        )
+        .where(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    p_inc = pairs.select("id_a", "id_b").distinct()
+    p_one = one_shot_pairs.select("id_a", "id_b").distinct()
+    assert p_inc.exceptAll(p_one).isEmpty()
+    assert p_one.exceptAll(p_inc).isEmpty()
+
+    manifest = dict(corpus_split_manifest(spark, state))
+    assert manifest["raw"] == docs.count()
+    assert manifest["clean"] == clean.count()
+    assert manifest["exact_dedup"] == one_shot_live.count()
+    split_total = sum(v for k, v in manifest.items() if k.startswith("split:"))
+    assert split_total == manifest["exact_dedup"]

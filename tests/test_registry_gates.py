@@ -57,19 +57,48 @@ def test_registry_count_is_documented():
     )
 
 
-def test_driver_showcase_never_previously_gated():
-    """Round-6 rotation contract: all 50 showcase queries must be ones no
-    prior driver correctness window has gated (r01-r05), so cumulative
-    external gating keeps widening."""
-    from analytics_data_platform_spark.queries import DRIVER_SHOWCASE
-
-    assert len(DRIVER_SHOWCASE) == 50
-    assert len(set(DRIVER_SHOWCASE)) == 50
+def _previously_gated() -> set[str]:
+    """Union of all driver correctness windows up to r06 (hardcoded range:
+    the rotation contract below is pinned against THESE rounds; when a new
+    window lands, the next round's rotation updates this list with it)."""
     root = Path(__file__).parent.parent
     seen: set[str] = set()
-    for r in (1, 2, 3, 4, 5):
+    for r in (1, 2, 3, 4, 5, 6):
         path = root / f"CORRECTNESS_r0{r}.json"
         if path.exists():
             seen |= set(json.loads(path.read_text()))
-    overlap = sorted(set(DRIVER_SHOWCASE) & seen)
-    assert not overlap, f"showcase queries already driver-gated in r01-r05: {overlap}"
+    return seen
+
+
+def test_driver_showcase_round7_rotation():
+    """Round-7 rotation contract — completes the external-gating program:
+
+    1. every registry query NOT gated in any r01-r06 window must be in the
+       showcase (this is also the 'gated the round it lands' rule: a newly
+       registered query immediately becomes never-gated, so registering
+       one without adding it to the showcase fails HERE, structurally,
+       instead of being noticed a round later);
+    2. the only previously-gated queries allowed in the window are the 14
+       pinned scale-critical re-confirmation slots (SHOWCASE_BACKFILL).
+    """
+    from analytics_data_platform_spark.queries import (
+        DRIVER_SHOWCASE,
+        SHOWCASE_BACKFILL,
+        all_queries,
+    )
+
+    assert len(DRIVER_SHOWCASE) == 50
+    assert len(set(DRIVER_SHOWCASE)) == 50
+    gated = _previously_gated()
+    never = set(all_queries()) - gated
+    missing = sorted(never - set(DRIVER_SHOWCASE))
+    assert not missing, (
+        f"queries never driver-gated (r01-r06) and not in the round-7 showcase: "
+        f"{missing} — every new registration must enter DRIVER_SHOWCASE the "
+        "round it lands"
+    )
+    stray = sorted((set(DRIVER_SHOWCASE) & gated) - set(SHOWCASE_BACKFILL))
+    assert not stray, (
+        f"previously-gated showcase entries outside the pinned backfill list: {stray}"
+    )
+    assert set(SHOWCASE_BACKFILL) <= gated, "backfill entries must be previously gated"
