@@ -92,6 +92,9 @@ QUERIES = [
     "streaming_cdc_merge_state",
     "tokenizer_fertility_by_lang",
     "ccnet_perplexity_buckets",
+    # round-7: incremental corpus refresh — foreachBatch state merges,
+    # band-index compaction, and the CC finalize under a multi-JVM scheduler
+    "incremental_pipeline_refresh",
 ]
 
 

@@ -240,6 +240,41 @@ def test_training_pipeline_survives_8x(spark, smoke_dir, tmp_path):
     print(f"training pipeline 8x: {manifest} in {dt:.1f}s")
 
 
+def test_incremental_refresh_survives_8x(spark, smoke_dir, tmp_path):
+    """Two-tick incremental refresh at 8x: per-tick cost must be governed
+    by the batch (shingling only newly-live docs; id-key semi-joins for
+    compaction), and the final state must reconcile with the one-shot
+    keeper count — the provable-collapse contract under adversarial
+    near-dup density."""
+    import pyspark.sql.functions as F
+
+    from analytics_data_platform_spark.operators.dedup import dedup_exact
+    from analytics_data_platform_spark.pipelines.incremental import (
+        corpus_split_manifest,
+        refresh_corpus_state,
+    )
+    from analytics_data_platform_spark.queries.corpus_ops import c4_core_pass
+    from analytics_data_platform_spark.sources.testdata import load_table
+
+    docs = load_table(spark, smoke_dir, "documents")
+    state = str(tmp_path / "incr-state")
+    t0 = time.time()
+    for tick in range(2):
+        refresh_corpus_state(
+            spark, state, docs.where(F.col("doc_id") % 2 == tick), tick
+        )
+    manifest = dict(corpus_split_manifest(spark, state))
+    dt = time.time() - t0
+    assert dt < BUDGET_S, f"incremental refresh took {dt:.0f}s at 8x"
+    one_shot = dedup_exact(
+        docs.where(F.length(F.trim("text")) > 0).where(c4_core_pass("text"))
+    ).count()
+    assert manifest["exact_dedup"] == one_shot
+    split_total = sum(v for k, v in manifest.items() if k.startswith("split:"))
+    assert split_total == manifest["exact_dedup"]
+    print(f"incremental refresh 8x: {manifest} in {dt:.1f}s")
+
+
 def test_multimodal_binary_stats_survives_8x(spark, smoke_dir):
     """8x payloads through the Arrow-batched feature stage: the
     size-bounded repartition must keep batches flowing (linear scan, one
