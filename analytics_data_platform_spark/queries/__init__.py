@@ -57,7 +57,7 @@ def register(spec: QuerySpec) -> QuerySpec:
 # Everything else keeps registration order and stays covered by
 # tests/test_oracle_parity.py, which sweeps the whole registry.
 
-# 14 previously-gated re-confirmation slots (pinned; the gate test asserts
+# 13 previously-gated re-confirmation slots (pinned; the gate test asserts
 # every previously-gated showcase entry is from this list, so an accidental
 # rotation shrinkage is loud)
 SHOWCASE_BACKFILL: tuple[str, ...] = (
@@ -73,13 +73,13 @@ SHOWCASE_BACKFILL: tuple[str, ...] = (
     "multimodal_frame_sample",
     "ivf_pq_adc_topk",
     "dsir_importance_weights",
-    "c4_gopher_rule_stats",
     "semantic_dedup_clusters",
 )
 
 DRIVER_SHOWCASE: tuple[str, ...] = (
-    # round-7 addition: gated the round it lands
+    # round-7 additions: gated the round they land
     "incremental_pipeline_refresh",
+    "ivf_index_incremental_topk",
     # the 3 queries registered after the r6 showcase was pinned
     "streaming_cdc_merge_state",
     "tokenizer_fertility_by_lang",

@@ -355,6 +355,98 @@ register(
 )
 
 
+class _DirIvfIndex:
+    """Minimal io adapter for operators/similarity.py::ivf_table_topk over a
+    cell-partitioned parquet DIRECTORY (the temp-dir registry pattern; a
+    real deployment passes TableIO and a catalog table instead)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self._spark = spark
+        self._path = path
+
+    def read(self, table: str) -> DataFrame:  # noqa: ARG002 - io protocol
+        return self._spark.read.parquet(self._path)
+
+
+def ivf_index_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL ANN index maintenance — the production serving pattern:
+    the IVF index is created once on the initial corpus (centroids PINNED
+    there), and later embedding batches are ASSIGNED to the existing cells
+    and appended as new partition files — no retraining, no re-assignment
+    of the resident corpus, no index rebuild.
+
+    Two arrival ticks: the initial corpus (even vec_ids plus the centroid
+    ids) is written as a cell-partitioned index; the remaining vectors are
+    assigned with the pinned centroids and APPENDED partition-wise. The
+    serving join (operators/similarity.py::ivf_table_topk) then probes
+    nprobe cells per query with dynamic partition pruning.
+
+    Because assignment is a per-row pure function of (vector, pinned
+    centroids) and the centroid vectors are the same rows the one-shot
+    formulation picks, the incremental index provably equals the one-shot
+    build — so the oracle IS ann_ivf_topk's SQL. A stale cell file, a
+    batch assigned against drifted centroids, or an append that re-wrote
+    resident partitions hash-diverges.
+
+    Scale shape per tick: one broadcast fan-out of NLIST centroid
+    literals over the new batch only, then a partition-aligned append —
+    O(batch), corpus never rescanned. Reference analogue: the incremental
+    append machinery of elt-common/src/elt_common/runner.py:67-107.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        e.where(F.col("vec_id") < _IVF_NLIST).orderBy("vec_id").select("embedding").collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in rows]
+
+    idx_dir = _tempfile.mkdtemp(prefix="adps-ivf-incr-")
+    try:
+        cell = similarity.assign_centroid_col("embedding", cents).cast("int")
+        # tick 0: initial corpus -> index creation (centroid ids live here)
+        tick0 = e.where((F.col("vec_id") % 2 == 0) | (F.col("vec_id") < _IVF_NLIST))
+        tick0.withColumn("_cell", cell).write.partitionBy("_cell").mode(
+            "overwrite"
+        ).parquet(idx_dir)
+        # tick 1: new batch -> assign with PINNED centroids, append
+        tick1 = e.where((F.col("vec_id") % 2 == 1) & (F.col("vec_id") >= _IVF_NLIST))
+        tick1.withColumn("_cell", cell).write.partitionBy("_cell").mode(
+            "append"
+        ).parquet(idx_dir)
+
+        q = e.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+        out = similarity.ivf_table_topk(
+            _DirIvfIndex(spark, idx_dir),
+            "ivf_index",
+            q,
+            cents,
+            k=10,
+            nprobe=_IVF_NPROBE,
+            score_round=4,
+        ).select("q_id", "vec_id", "cos_sim", "rank")
+        res = out.collect()  # bounded: 5 queries x 10
+        schema = out.schema
+    finally:
+        _shutil.rmtree(idx_dir, ignore_errors=True)
+    return spark.createDataFrame(res, schema)
+
+
+register(
+    QuerySpec(
+        "ivf_index_incremental_topk",
+        ivf_index_incremental_topk,
+        _ivf_sql(),
+        doc="incremental IVF index maintenance: pinned-centroid batch assignment + partition-wise append; provably equals the one-shot build (oracle = ann_ivf_topk SQL)",
+        cites="operators/similarity.py write_ivf_table/ivf_table_topk; ref elt-common/src/elt_common/runner.py:67-107 incremental append machinery",
+        tags=("vector", "approx", "incremental", "scale"),
+    )
+)
+
+
 # ---- embedding_near_dups --------------------------------------------------
 
 # 8 bits/band = 256 buckets per band: with 4 bits (16 buckets) a random
