@@ -80,6 +80,16 @@ def refresh_corpus_state(
     versions are left in place (copy-on-write — the catalog-free stand-in
     for an Iceberg snapshot commit).
     """
+    # predecessor = latest version with a LOWER batch id — never this
+    # batch's own (possibly partial) output: a foreachBatch retry replays
+    # with the same batch_id after a crash, and merging against the failed
+    # attempt would double-count (idempotence test pins this)
+    prior = [
+        v
+        for v in _versions(state_dir)
+        if int(v.rsplit("state_v", 1)[1]) < int(batch_id)
+    ]
+
     nonempty = batch.where(F.length(F.trim("text")) > 0)
     # ONE scan for both manifest tallies (raw + clean predicates ride it)
     tallies = nonempty.agg(
@@ -90,12 +100,11 @@ def refresh_corpus_state(
     ).collect()[0]
     clean = nonempty.where(c4_core_pass("text")).select(*_DOC_COLS)
 
-    prev = _versions(state_dir)
-    if prev:
-        old_live = spark.read.parquet(f"{prev[-1]}/live")
-        old_index = spark.read.parquet(f"{prev[-1]}/band_index")
-        old_pairs = spark.read.parquet(f"{prev[-1]}/pairs")
-        old_counts = spark.read.parquet(f"{prev[-1]}/counts")
+    if prior:
+        old_live = spark.read.parquet(f"{prior[-1]}/live")
+        old_index = spark.read.parquet(f"{prior[-1]}/band_index")
+        old_pairs = spark.read.parquet(f"{prior[-1]}/pairs")
+        old_counts = spark.read.parquet(f"{prior[-1]}/counts")
     else:
         # bootstrap: empty state with the computed frames' own schemas —
         # the unified path below then IS the full run on the first batch

@@ -58,6 +58,31 @@ def test_eviction_cascades_through_state(spark, tmp_path):
     assert 10 not in pair_ids, "pairs of evicted docs must not survive"
 
 
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    """foreachBatch retry semantics: a crashed tick replays with the SAME
+    batch_id — the refresh must overwrite its own state version and leave
+    state identical to a single application (copy-on-write idempotence)."""
+    state = str(tmp_path / "state")
+    t0 = spark.createDataFrame(
+        [_doc(10, f"Hello World {_BODY}"), _doc(11, f"other corpus {_BODY} zz")],
+        _SCHEMA,
+    )
+    refresh_corpus_state(spark, state, t0, 0)
+    t1 = spark.createDataFrame([_doc(3, f"hello  world {_BODY}")], _SCHEMA)
+    refresh_corpus_state(spark, state, t1, 1)
+    before = {
+        part: sorted(map(tuple, spark.read.parquet(f"{state}/state_v00001/{part}").collect()))
+        for part in ("live", "band_index", "pairs", "counts")
+    }
+    # replay: same batch, same id (reads state_v00000 again, overwrites v1)
+    refresh_corpus_state(spark, state, t1, 1)
+    after = {
+        part: sorted(map(tuple, spark.read.parquet(f"{state}/state_v00001/{part}").collect()))
+        for part in ("live", "band_index", "pairs", "counts")
+    }
+    assert before == after
+
+
 def test_three_tick_refresh_equals_one_shot(spark, sf_dir, tmp_path):
     """Fold the documents table in THREE batches (doc_id % 3) and assert
     the final state equals the one-shot formulation on the full corpus:
