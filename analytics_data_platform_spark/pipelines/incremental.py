@@ -70,6 +70,57 @@ def _versions(state_dir: str) -> list[str]:
     )
 
 
+def merge_corpus_state(
+    old_live: DataFrame,
+    old_index: DataFrame,
+    old_pairs: DataFrame,
+    clean: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The pure state-merge plan: (old_live, old_index, old_pairs) × a
+    CLEANED batch → (live, band_index, pairs). No I/O — callers persist
+    `live` (it is referenced by all three outputs) and write; tests audit
+    the plans directly."""
+    # 1) exact-dedup merge: min-id keeper per fingerprint over old ∪ new —
+    #    associative, so the merged keeper set equals the one-shot's
+    live = (
+        old_live.unionByName(clean)
+        .groupBy(dedup.fingerprint_col("text").alias("_fp"))
+        .agg(
+            F.min_by(
+                F.struct(*[F.col(c) for c in _DOC_COLS]), F.col("doc_id")
+            ).alias("m")
+        )
+        .select("m.*")
+    )
+    newly_live = live.join(old_live.select("doc_id"), "doc_id", "left_anti")
+
+    # 2) band-index maintenance: expire evicted docs' rows (live semi-join),
+    #    shingle/hash ONLY the newly-live docs and append their rows
+    compacted = dedup.compact_band_index(old_index, live.select("doc_id"))
+    new_rows = dedup.minhash_band_rows(newly_live)
+    band_index = compacted.unionByName(new_rows)
+
+    # 3) near-dup candidates touching new docs: bucket equi-join of the new
+    #    band rows against the compacted index (+ new×new), then the exact
+    #    Jaccard verify over only the candidate docs' shingles
+    cands = dedup.incremental_minhash_candidates(compacted, new_rows)
+    new_pairs = (
+        dedup.exact_jaccard_pairs(live, cands)
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("id_a", "id_b")
+    )
+
+    # 4) retained pairs: both endpoints still live (pairs of evicted docs
+    #    die with them, exactly as the one-shot never emits them)
+    live_ids = live.select("doc_id")
+    retained = old_pairs.join(
+        live_ids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi"
+    ).join(live_ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
+    # join-on-id_b reorders columns; normalize before the union/write
+    pairs = retained.select("id_a", "id_b").unionByName(new_pairs)
+    return live, band_index, pairs
+
+
 def refresh_corpus_state(
     spark: SparkSession, state_dir: str, batch: DataFrame, batch_id: int
 ) -> None:
@@ -115,46 +166,9 @@ def refresh_corpus_state(
         ).limit(0)
         old_counts = None
 
-    # 1) exact-dedup merge: min-id keeper per fingerprint over old ∪ new —
-    #    associative, so the merged keeper set equals the one-shot's
-    live = (
-        old_live.unionByName(clean)
-        .groupBy(dedup.fingerprint_col("text").alias("_fp"))
-        .agg(
-            F.min_by(
-                F.struct(*[F.col(c) for c in _DOC_COLS]), F.col("doc_id")
-            ).alias("m")
-        )
-        .select("m.*")
-        # reused by the anti-join, compaction, verify, and the write
-        .persist()
-    )
-    newly_live = live.join(old_live.select("doc_id"), "doc_id", "left_anti")
-
-    # 2) band-index maintenance: expire evicted docs' rows (live semi-join),
-    #    shingle/hash ONLY the newly-live docs and append their rows
-    compacted = dedup.compact_band_index(old_index, live.select("doc_id"))
-    new_rows = dedup.minhash_band_rows(newly_live)
-    band_index = compacted.unionByName(new_rows)
-
-    # 3) near-dup candidates touching new docs: bucket equi-join of the new
-    #    band rows against the compacted index (+ new×new), then the exact
-    #    Jaccard verify over only the candidate docs' shingles
-    cands = dedup.incremental_minhash_candidates(compacted, new_rows)
-    new_pairs = (
-        dedup.exact_jaccard_pairs(live, cands)
-        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("id_a", "id_b")
-    )
-
-    # 4) retained pairs: both endpoints still live (pairs of evicted docs
-    #    die with them, exactly as the one-shot never emits them)
-    live_ids = live.select("doc_id")
-    retained = old_pairs.join(
-        live_ids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi"
-    ).join(live_ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
-    # join-on-id_b reorders columns; normalize before the union/write
-    pairs = retained.select("id_a", "id_b").unionByName(new_pairs)
+    live, band_index, pairs = merge_corpus_state(old_live, old_index, old_pairs, clean)
+    live = live.persist()  # reused by compaction/verify inside the lazy
+    # plan AND by the write below; unpersisted after the state commit
 
     batch_counts = spark.createDataFrame(
         [(int(batch_id), int(tallies.n_raw), int(tallies.n_clean))],
@@ -170,6 +184,25 @@ def refresh_corpus_state(
     pairs.write.mode("overwrite").parquet(f"{out}/pairs")
     counts.write.mode("overwrite").parquet(f"{out}/counts")
     live.unpersist()
+
+
+def expire_state_versions(state_dir: str, keep_last: int = 2) -> list[str]:
+    """Expire old copy-on-write state versions (the M3 expire_snapshots
+    analog for incremental-pipeline state): every version before the last
+    ``keep_last`` is removed. Versions are self-contained (each holds the
+    FULL live/band_index/pairs/counts state, not deltas), so expiry never
+    breaks a later read. keep_last >= 2 (the default) also keeps the
+    latest batch's predecessor, so a foreachBatch retry of the CURRENT
+    batch — the only batch the checkpoint can replay — still finds its
+    true prior state after expiry. Returns the removed version paths."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    doomed = _versions(state_dir)[:-keep_last]
+    for v in doomed:
+        shutil.rmtree(v, ignore_errors=True)
+    return doomed
 
 
 def corpus_split_manifest(spark: SparkSession, state_dir: str) -> list[tuple[str, int]]:

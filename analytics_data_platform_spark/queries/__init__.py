@@ -48,9 +48,10 @@ def register(spec: QuerySpec) -> QuerySpec:
 # window each round so the external gate ACCUMULATES coverage.
 # Round-7 rotation — COMPLETES the external-gating program: all 35 queries
 # never gated in any prior window (CORRECTNESS_r01-r06 cover 247 distinct),
-# plus this round's addition (incremental_pipeline_refresh — new queries
-# enter the showcase the round they land, enforced by
-# tests/test_registry_gates.py), plus 14 backfill slots re-confirming the
+# plus this round's additions (incremental_pipeline_refresh and
+# ivf_index_incremental_topk — new queries enter the showcase the round
+# they land, enforced by
+# tests/test_registry_gates.py), plus 13 backfill slots re-confirming the
 # most scale-critical previously-gated queries (pipeline, leakage split,
 # the streaming family, CDC, multimodal, IVF-PQ, semdedup — the anchors of
 # the 100 TB design, incl. the ones whose code moved this round).

@@ -12,6 +12,7 @@ import pyspark.sql.functions as F
 from analytics_data_platform_spark.operators import dedup
 from analytics_data_platform_spark.pipelines.incremental import (
     corpus_split_manifest,
+    expire_state_versions,
     refresh_corpus_state,
 )
 from analytics_data_platform_spark.queries.corpus_ops import c4_core_pass
@@ -81,6 +82,51 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
         for part in ("live", "band_index", "pairs", "counts")
     }
     assert before == after
+
+
+def test_empty_and_all_dirty_batches_are_noops(spark, tmp_path):
+    """A tick whose batch is empty (or entirely cleaned away) must leave
+    live/band_index/pairs unchanged and record a zero-or-raw-only tally."""
+    state = str(tmp_path / "state")
+    t0 = spark.createDataFrame([_doc(10, f"Hello World {_BODY}")], _SCHEMA)
+    refresh_corpus_state(spark, state, t0, 0)
+    # tick 1: zero rows; tick 2: rows that fail the C4 core rules
+    refresh_corpus_state(spark, state, spark.createDataFrame([], _SCHEMA), 1)
+    refresh_corpus_state(
+        spark, state, spark.createDataFrame([_doc(99, "too short")], _SCHEMA), 2
+    )
+    latest = f"{state}/state_v00002"
+    assert {r.doc_id for r in spark.read.parquet(f"{latest}/live").collect()} == {10}
+    counts = {
+        r.batch_id: (r.n_raw, r.n_clean)
+        for r in spark.read.parquet(f"{latest}/counts").collect()
+    }
+    assert counts[1] == (0, 0)
+    assert counts[2] == (1, 0)
+    manifest = dict(corpus_split_manifest(spark, state))
+    assert manifest["raw"] == 2 and manifest["clean"] == 1
+    assert manifest["exact_dedup"] == 1
+
+
+def test_expire_state_versions_keeps_replay_predecessor(spark, tmp_path):
+    state = str(tmp_path / "state")
+    for tick in range(4):
+        batch = spark.createDataFrame(
+            [_doc(100 + tick, f"tick {tick} corpus {_BODY}")], _SCHEMA
+        )
+        refresh_corpus_state(spark, state, batch, tick)
+    removed = expire_state_versions(state, keep_last=2)
+    assert [p.rsplit("/", 1)[1] for p in removed] == ["state_v00000", "state_v00001"]
+    # the latest batch can still replay against its true predecessor
+    batch3 = spark.createDataFrame([_doc(103, f"tick 3 corpus {_BODY}")], _SCHEMA)
+    refresh_corpus_state(spark, state, batch3, 3)
+    live = {
+        r.doc_id
+        for r in spark.read.parquet(f"{state}/state_v00003/live").collect()
+    }
+    assert live == {100, 101, 102, 103}
+    manifest = dict(corpus_split_manifest(spark, state))
+    assert manifest["raw"] == 4 and manifest["exact_dedup"] == 4
 
 
 def test_three_tick_refresh_equals_one_shot(spark, sf_dir, tmp_path):
