@@ -48,17 +48,17 @@ def register(spec: QuerySpec) -> QuerySpec:
 # window each round so the external gate ACCUMULATES coverage.
 # Round-7 rotation — COMPLETES the external-gating program: all 35 queries
 # never gated in any prior window (CORRECTNESS_r01-r06 cover 247 distinct),
-# plus this round's additions (incremental_pipeline_refresh and
-# ivf_index_incremental_topk — new queries enter the showcase the round
-# they land, enforced by
-# tests/test_registry_gates.py), plus 13 backfill slots re-confirming the
+# plus this round's additions (incremental_pipeline_refresh,
+# ivf_index_incremental_topk, streaming_sketch_merge_state — new queries
+# enter the showcase the round they land, enforced by
+# tests/test_registry_gates.py), plus 12 backfill slots re-confirming the
 # most scale-critical previously-gated queries (pipeline, leakage split,
 # the streaming family, CDC, multimodal, IVF-PQ, semdedup — the anchors of
 # the 100 TB design, incl. the ones whose code moved this round).
 # Everything else keeps registration order and stays covered by
 # tests/test_oracle_parity.py, which sweeps the whole registry.
 
-# 13 previously-gated re-confirmation slots (pinned; the gate test asserts
+# 12 previously-gated re-confirmation slots (pinned; the gate test asserts
 # every previously-gated showcase entry is from this list, so an accidental
 # rotation shrinkage is loud)
 SHOWCASE_BACKFILL: tuple[str, ...] = (
@@ -73,7 +73,6 @@ SHOWCASE_BACKFILL: tuple[str, ...] = (
     "multimodal_binary_stats",
     "multimodal_frame_sample",
     "ivf_pq_adc_topk",
-    "dsir_importance_weights",
     "semantic_dedup_clusters",
 )
 
@@ -81,6 +80,7 @@ DRIVER_SHOWCASE: tuple[str, ...] = (
     # round-7 additions: gated the round they land
     "incremental_pipeline_refresh",
     "ivf_index_incremental_topk",
+    "streaming_sketch_merge_state",
     # the 3 queries registered after the r6 showcase was pinned
     "streaming_cdc_merge_state",
     "tokenizer_fertility_by_lang",

@@ -662,3 +662,118 @@ register(
         tags=("sketch", "text"),
     )
 )
+
+
+# --- streaming HLL register-state merge ------------------------------------
+
+
+def streaming_sketch_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SKETCH-STATE ingestion: documents arrive in two
+    foreachBatch ticks (doc_id parity, shared checkpoint), each tick
+    computes the BATCH's per-source HLL bigram registers and merges them
+    into persisted register state with ``max(mj)`` per (source, idx).
+
+    This is the monitoring pattern that makes sketches the lakehouse
+    cardinality primitive at 100 TB: per-tick state is O(sources × m)
+    regardless of batch size, the merge is one bounded-key shuffle, and —
+    because register max is associative and commutative — the merged
+    state provably equals the one-shot registers over the full corpus.
+    The oracle is therefore the one-shot register/estimate SQL (the same
+    chain ``hll_distinct_bigrams`` is gated on, minus the exact-truth
+    join, which is not incrementally maintainable and not part of the
+    state). A dropped tick, a stale register, or a merge that kept the
+    smaller rank hash-diverges.
+
+    Predecessor state is selected by batch id (never "latest dir"), so a
+    foreachBatch retry is idempotent — same contract as
+    pipelines/incremental.py.
+    """
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from analytics_data_platform_spark.session import ensure_session_defaults
+
+    ensure_session_defaults(spark)
+    src = f"{sf_dir}/documents.parquet"
+    staging = _tempfile.mkdtemp(prefix="adps-sketch-stage-")
+    ckpt = _tempfile.mkdtemp(prefix="adps-sketch-ckpt-")
+    state = _tempfile.mkdtemp(prefix="adps-sketch-state-")
+
+    def versions(below: int | None = None) -> list[str]:
+        out = sorted(
+            f"{state}/{d}" for d in _os.listdir(state) if d.startswith("state_v")
+        )
+        if below is not None:
+            out = [v for v in out if int(v.rsplit("state_v", 1)[1]) < below]
+        return out
+
+    def merge_batch(bdf: DataFrame, batch_id: int) -> None:
+        bg = (
+            bdf.select("source", F.split("text", " ").alias("t"))
+            .select("source", F.explode(_bigrams_col()).alias("bg"))
+            .where(F.col("bg").contains(" "))
+        )
+        regs = S.hll_registers(bg, F.col("bg"), "source")
+        prior = versions(below=int(batch_id))
+        if prior:
+            regs = (
+                spark.read.parquet(prior[-1])
+                .unionByName(regs)
+                .groupBy("source", "idx")
+                .agg(F.max("mj").alias("mj"))
+            )
+        regs.write.mode("overwrite").parquet(f"{state}/state_v{batch_id:05d}")
+
+    try:
+        t = pq.read_table(src)
+        even = pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 0)
+        schema = spark.read.parquet(src).schema
+        for tick, mask in enumerate((even, pc.invert(even))):
+            pq.write_table(t.filter(mask), f"{staging}/part-{tick:03d}.parquet")
+            q = (
+                spark.readStream.schema(schema)
+                .parquet(staging)
+                .writeStream.foreachBatch(merge_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        merged = spark.read.parquet(versions()[-1])
+        out = S.hll_estimate(merged, "source").select(
+            "source", "v_empty", "est_distinct"
+        )
+        rows = out.collect()  # bounded: |sources| rows
+        out_schema = out.schema
+    finally:
+        for d in (staging, ckpt, state):
+            _shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
+
+
+STREAM_SKETCH_SQL = (
+    "WITH base AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),\n"
+    "bg AS (\n"
+    f"  SELECT source, {_BIGRAM_SQL} AS bg FROM base\n"
+    "),\n"
+    "items AS (SELECT source, bg FROM bg WHERE bg IS NOT NULL),\n"
+    + S.hll_sql("bg", "source", "items").strip().lstrip(",")
+    + """
+SELECT source, v_empty, est_distinct FROM hll
+"""
+)
+
+register(
+    QuerySpec(
+        "streaming_sketch_merge_state",
+        streaming_sketch_merge_state,
+        STREAM_SKETCH_SQL,
+        doc="streaming HLL register-state merge across two foreachBatch ticks; associative register max makes the merged state provably equal the one-shot sketch",
+        cites="operators/sketches.py hll_registers/hll_estimate; SURVEY §2.10 incremental state; Flajolet et al. HLL mergeability",
+        tags=("sketch", "streaming", "scale"),
+    )
+)
