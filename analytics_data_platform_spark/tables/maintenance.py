@@ -119,6 +119,22 @@ def compact_band_index_table(
     return f"{index_table}: band index {before} -> {after} rows"
 
 
+def expire_incremental_state(state_dir: str, keep_last: int = 2) -> str:
+    """Nightly expiry of incremental-pipeline state versions
+    (pipelines/incremental.py::expire_state_versions) — the
+    expire_snapshots (M3) analog for the copy-on-write refresh state.
+    Versions are self-contained, so keep_last >= 2 preserves both a
+    rollback target and the latest batch's replay predecessor."""
+    from analytics_data_platform_spark.pipelines.incremental import (
+        expire_state_versions,
+    )
+
+    removed = expire_state_versions(state_dir, keep_last=keep_last)
+    if not removed:
+        return f"{state_dir}: state clean (<= {keep_last} versions)"
+    return f"{state_dir}: expired {len(removed)} state version(s)"
+
+
 def run_maintenance(
     spark: SparkSession,
     namespaces: list[str] | None = None,

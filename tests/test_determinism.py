@@ -80,6 +80,12 @@ HARDENED = [
     "cdc_apply_changes_state",
     "pq_adc_topk",
     "ivf_pq_adc_topk",
+    # round-7: incremental-state families — layout must not change the
+    # merged state (associative keeper/register merges, pinned-centroid
+    # assignment) nor the double-fold HLL estimate
+    "ivf_index_incremental_topk",
+    "streaming_sketch_merge_state",
+    "incremental_pipeline_refresh",
 ]
 
 _ADVERSARIAL = {

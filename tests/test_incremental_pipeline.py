@@ -129,6 +129,22 @@ def test_expire_state_versions_keeps_replay_predecessor(spark, tmp_path):
     assert manifest["raw"] == 4 and manifest["exact_dedup"] == 4
 
 
+def test_maintenance_wrapper_reports_expiry(spark, tmp_path):
+    from analytics_data_platform_spark.tables.maintenance import (
+        expire_incremental_state,
+    )
+
+    state = str(tmp_path / "state")
+    for tick in range(3):
+        batch = spark.createDataFrame(
+            [_doc(200 + tick, f"tick {tick} corpus {_BODY}")], _SCHEMA
+        )
+        refresh_corpus_state(spark, state, batch, tick)
+    msg = expire_incremental_state(state, keep_last=2)
+    assert "expired 1 state version(s)" in msg
+    assert "state clean" in expire_incremental_state(state, keep_last=2)
+
+
 def test_three_tick_refresh_equals_one_shot(spark, sf_dir, tmp_path):
     """Fold the documents table in THREE batches (doc_id % 3) and assert
     the final state equals the one-shot formulation on the full corpus:
