@@ -186,6 +186,62 @@ def refresh_corpus_state(
     live.unpersist()
 
 
+def takedown_corpus_state(
+    spark: SparkSession, state_dir: str, takedown: DataFrame, batch_id: int
+) -> None:
+    """Content-based TAKEDOWN tick (GDPR erasure / opt-out / license
+    removal): remove every live document whose normalized-text
+    FINGERPRINT matches a takedown request, then cascade into the band
+    index and pair state exactly like an eviction.
+
+    Takedowns are content-keyed, not id-keyed, because exact duplicates
+    of removed content must go too — a request names text the corpus may
+    hold under any doc_id (including ids deduped away and never stored).
+    Removing by fingerprint keeps the provable-collapse contract: the
+    keeper of a removed fingerprint disappears, a keeper of any other
+    fingerprint is untouched, so the state equals the one-shot pipeline
+    over (corpus minus all docs carrying a taken-down fingerprint). The
+    ingest tallies (``counts``) are historical arrival records and are
+    deliberately NOT rewritten.
+
+    Scale shape: one fingerprint anti-join over live + the two id-key
+    semi-joins of the eviction cascade; nothing is re-shingled.
+    """
+    prior = [
+        v
+        for v in _versions(state_dir)
+        if int(v.rsplit("state_v", 1)[1]) < int(batch_id)
+    ]
+    if not prior:
+        raise ValueError("takedown requires existing corpus state")
+    old_live = spark.read.parquet(f"{prior[-1]}/live")
+    old_index = spark.read.parquet(f"{prior[-1]}/band_index")
+    old_pairs = spark.read.parquet(f"{prior[-1]}/pairs")
+    old_counts = spark.read.parquet(f"{prior[-1]}/counts")
+
+    td_fps = takedown.select(dedup.fingerprint_col("text").alias("_fp")).distinct()
+    live = old_live.join(
+        td_fps,
+        dedup.fingerprint_col("text") == F.col("_fp"),
+        "left_anti",
+    )
+    band_index = dedup.compact_band_index(old_index, live.select("doc_id"))
+    live_ids = live.select("doc_id")
+    pairs = (
+        old_pairs.join(
+            live_ids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi"
+        )
+        .join(live_ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
+        .select("id_a", "id_b")
+    )
+
+    out = f"{state_dir}/state_v{batch_id:05d}"
+    live.write.mode("overwrite").parquet(f"{out}/live")
+    band_index.write.mode("overwrite").parquet(f"{out}/band_index")
+    pairs.write.mode("overwrite").parquet(f"{out}/pairs")
+    old_counts.write.mode("overwrite").parquet(f"{out}/counts")
+
+
 def expire_state_versions(state_dir: str, keep_last: int = 2) -> list[str]:
     """Expire old copy-on-write state versions (the M3 expire_snapshots
     analog for incremental-pipeline state): every version before the last

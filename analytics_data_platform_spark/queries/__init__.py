@@ -48,23 +48,23 @@ def register(spec: QuerySpec) -> QuerySpec:
 # window each round so the external gate ACCUMULATES coverage.
 # Round-7 rotation — COMPLETES the external-gating program: all 35 queries
 # never gated in any prior window (CORRECTNESS_r01-r06 cover 247 distinct),
-# plus this round's additions (incremental_pipeline_refresh,
-# ivf_index_incremental_topk, streaming_sketch_merge_state — new queries
+# plus this round's 4 additions (incremental_pipeline_refresh,
+# ivf_index_incremental_topk, streaming_sketch_merge_state,
+# corpus_takedown_refresh — new queries
 # enter the showcase the round they land, enforced by
-# tests/test_registry_gates.py), plus 12 backfill slots re-confirming the
+# tests/test_registry_gates.py), plus 11 backfill slots re-confirming the
 # most scale-critical previously-gated queries (pipeline, leakage split,
 # the streaming family, CDC, multimodal, IVF-PQ, semdedup — the anchors of
 # the 100 TB design, incl. the ones whose code moved this round).
 # Everything else keeps registration order and stays covered by
 # tests/test_oracle_parity.py, which sweeps the whole registry.
 
-# 12 previously-gated re-confirmation slots (pinned; the gate test asserts
+# 11 previously-gated re-confirmation slots (pinned; the gate test asserts
 # every previously-gated showcase entry is from this list, so an accidental
 # rotation shrinkage is loud)
 SHOWCASE_BACKFILL: tuple[str, ...] = (
     "training_pipeline_manifest",
     "leakage_safe_split",
-    "streaming_hourly_type_counts",
     "streaming_watermark_dedup_counts",
     "streaming_session_windows",
     "streaming_interval_join_stats",
@@ -81,6 +81,7 @@ DRIVER_SHOWCASE: tuple[str, ...] = (
     "incremental_pipeline_refresh",
     "ivf_index_incremental_topk",
     "streaming_sketch_merge_state",
+    "corpus_takedown_refresh",
     # the 3 queries registered after the r6 showcase was pinned
     "streaming_cdc_merge_state",
     "tokenizer_fertility_by_lang",

@@ -55,22 +55,30 @@ def _split_case(key: str) -> str:
     return f"CASE WHEN {h} < 90 THEN 'train' WHEN {h} < 95 THEN 'val' ELSE 'test' END"
 
 
-def _pipeline_sql() -> str:
-    from analytics_data_platform_spark.queries import REGISTRY
-
-    pair_sql = REGISTRY["near_dup_minhash"].oracle
-    # the pipeline runs LSH on the cleaned+deduped sub-corpus, not the raw
-    # table: retarget the (oracle-verified) pair SQL's one table reference
-    assert pair_sql.count("FROM documents") == 1, "near_dup_minhash oracle shape changed"
-    pair_sql = pair_sql.replace("FROM documents", "FROM dd")
-
-    clean_where = r"""len(t) >= 30 AND len(t) <= 100000
+_CLEAN_WHERE = r"""len(t) >= 30 AND len(t) <= 100000
     AND list_sum(list_transform(t, w -> len(w))) >= 3 * len(t)
     AND list_sum(list_transform(t, w -> len(w))) <= 10 * len(t)
     AND 10 * len(regexp_extract_all(text, '#|\.\.\.')) <= len(t)
     AND 5 * len(list_filter(t, w -> regexp_matches(w, '(?i)[a-z]'))) >= 4 * len(t)
     AND NOT contains(lower(text), 'lorem ipsum')
     AND NOT contains(text, '{')"""
+
+_FP_SQL = r"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"
+
+
+def _retargeted_pair_sql() -> str:
+    from analytics_data_platform_spark.queries import REGISTRY
+
+    pair_sql = REGISTRY["near_dup_minhash"].oracle
+    # the pipeline runs LSH on the cleaned+deduped sub-corpus, not the raw
+    # table: retarget the (oracle-verified) pair SQL's one table reference
+    assert pair_sql.count("FROM documents") == 1, "near_dup_minhash oracle shape changed"
+    return pair_sql.replace("FROM documents", "FROM dd")
+
+
+def _pipeline_sql() -> str:
+    pair_sql = _retargeted_pair_sql()
+    clean_where = _CLEAN_WHERE
 
     return rf"""
 WITH RECURSIVE
@@ -203,5 +211,112 @@ register(
         doc="streaming incremental corpus refresh (2 foreachBatch ticks: dedup-state merge, band-index compaction, incremental LSH); provably equals the one-shot pipeline SQL",
         cites="pipelines/incremental.py; operators/dedup.py incremental_minhash_candidates+compact_band_index; ref elt-common/src/elt_common/runner.py:67-107 incremental watermark machinery",
         tags=("training", "pipeline", "dedup", "streaming", "scale"),
+    )
+)
+
+
+def corpus_takedown_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-based TAKEDOWN over the incremental corpus state (GDPR
+    erasure / opt-out): two ingest ticks build the state, then a takedown
+    tick removes every live doc whose normalized-text fingerprint matches
+    a request set (docs with doc_id % 97 == 0 — content-keyed, so exact
+    duplicates of the removed text go too), cascading into the band index
+    and pair state like an eviction.
+
+    The oracle is the one-shot pipeline SQL over the REDUCED corpus
+    (keeper rule applied after excluding taken-down fingerprints): the
+    keeper of a removed fingerprint disappears and no other keeper moves,
+    so incremental-then-takedown provably equals one-shot-on-remainder.
+    Result stages are exact_dedup + the split counts; ingest tallies are
+    arrival history and are not rewritten by erasure (documented in
+    pipelines/incremental.py::takedown_corpus_state).
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pyspark.sql.functions as F
+
+    from analytics_data_platform_spark.pipelines.incremental import (
+        corpus_split_manifest,
+        refresh_corpus_state,
+        takedown_corpus_state,
+    )
+    from analytics_data_platform_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    state = _tempfile.mkdtemp(prefix="adps-takedown-state-")
+    try:
+        refresh_corpus_state(spark, state, docs.where(F.col("doc_id") % 2 == 0), 0)
+        refresh_corpus_state(spark, state, docs.where(F.col("doc_id") % 2 == 1), 1)
+        takedown_corpus_state(
+            spark, state, docs.where(F.col("doc_id") % 97 == 0), 2
+        )
+        rows = [
+            r
+            for r in corpus_split_manifest(spark, state)
+            if r[0] not in ("raw", "clean")
+        ]
+    finally:
+        _shutil.rmtree(state, ignore_errors=True)
+    return spark.createDataFrame(rows, "stage string, n_docs long")
+
+
+def _takedown_sql() -> str:
+    pair_sql = _retargeted_pair_sql()
+    return rf"""
+WITH RECURSIVE
+base AS (
+  SELECT doc_id, text, lang, source, n_chars, string_split(trim(text), ' ') AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+clean AS (
+  SELECT doc_id, text, lang, source, n_chars FROM base
+  WHERE {_CLEAN_WHERE}
+),
+tdfp AS (
+  SELECT DISTINCT {_FP_SQL} AS tfp FROM documents WHERE doc_id % 97 = 0
+),
+fp AS (
+  SELECT doc_id, {_FP_SQL} AS fp FROM clean
+),
+keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM fp
+  WHERE fp NOT IN (SELECT tfp FROM tdfp WHERE tfp IS NOT NULL)
+  GROUP BY fp
+),
+dd AS (SELECT c.* FROM clean c JOIN keep k ON c.doc_id = k.doc_id),
+pairs AS (SELECT id_a, id_b FROM ({pair_sql}) q),
+cedges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(a, b) AS (
+  SELECT src AS a, src AS b FROM cedges
+  UNION
+  SELECT r.a, e.dst AS b FROM reach r JOIN cedges e ON r.b = e.src
+),
+cc AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+assigned AS (
+  SELECT d.doc_id,
+         {_split_case("COALESCE(cc.cluster_id, d.doc_id)")} AS split
+  FROM dd d LEFT JOIN cc ON d.doc_id = cc.doc_id
+),
+stages AS (
+  SELECT 'exact_dedup' AS stage, COUNT(*) AS n_docs FROM dd
+  UNION ALL SELECT 'split:' || split, COUNT(*) FROM assigned GROUP BY split
+)
+SELECT stage, CAST(n_docs AS BIGINT) AS n_docs FROM stages ORDER BY stage
+"""
+
+
+register(
+    QuerySpec(
+        "corpus_takedown_refresh",
+        corpus_takedown_refresh,
+        _takedown_sql(),
+        doc="content-based takedown (GDPR erasure) over incremental corpus state: fingerprint-keyed removal cascades into index/pairs; provably equals the one-shot pipeline on the reduced corpus",
+        cites="pipelines/incremental.py::takedown_corpus_state; LLM-data governance: content opt-out/erasure",
+        tags=("training", "pipeline", "dedup", "governance", "scale"),
     )
 )

@@ -129,6 +129,51 @@ def test_expire_state_versions_keeps_replay_predecessor(spark, tmp_path):
     assert manifest["raw"] == 4 and manifest["exact_dedup"] == 4
 
 
+def test_takedown_removes_content_and_cascades(spark, tmp_path):
+    """Content-keyed takedown: every live doc whose FINGERPRINT matches
+    the request goes (exact duplicates of the removed text too), the band
+    index and pair state cascade, and unrelated docs are untouched."""
+    from analytics_data_platform_spark.pipelines.incremental import (
+        takedown_corpus_state,
+    )
+
+    state = str(tmp_path / "state")
+    bad = f"Remove This Content {_BODY}"
+    t0 = spark.createDataFrame(
+        [_doc(10, bad), _doc(11, f"innocent text {_BODY} zz")], _SCHEMA
+    )
+    refresh_corpus_state(spark, state, t0, 0)
+    # tick 1: doc 20 duplicates the bad content (case differs, same
+    # fingerprint) — deduped away, so only doc 10 is live for that fp
+    t1 = spark.createDataFrame(
+        [_doc(20, bad.lower()), _doc(21, f"more innocent {_BODY} qq")], _SCHEMA
+    )
+    refresh_corpus_state(spark, state, t1, 1)
+    live_before = {
+        r.doc_id for r in spark.read.parquet(f"{state}/state_v00001/live").collect()
+    }
+    assert live_before == {10, 11, 21}
+
+    # takedown names the content under ANOTHER id entirely (id 999):
+    # removal must be by fingerprint, not id
+    request = spark.createDataFrame([_doc(999, f"remove this content {_BODY}")], _SCHEMA)
+    takedown_corpus_state(spark, state, request, 2)
+    latest = f"{state}/state_v00002"
+    live = {r.doc_id for r in spark.read.parquet(f"{latest}/live").collect()}
+    assert live == {11, 21}, "fingerprint-keyed removal must take the keeper"
+    idx_ids = {r.doc_id for r in spark.read.parquet(f"{latest}/band_index").collect()}
+    assert 10 not in idx_ids
+    pair_ids = {
+        x
+        for r in spark.read.parquet(f"{latest}/pairs").collect()
+        for x in (r.id_a, r.id_b)
+    }
+    assert 10 not in pair_ids
+    # ingest tallies are history — untouched by erasure
+    counts = spark.read.parquet(f"{latest}/counts")
+    assert counts.count() == 2
+
+
 def test_maintenance_wrapper_reports_expiry(spark, tmp_path):
     from analytics_data_platform_spark.tables.maintenance import (
         expire_incremental_state,
