@@ -129,6 +129,38 @@ def test_expire_state_versions_keeps_replay_predecessor(spark, tmp_path):
     assert manifest["raw"] == 4 and manifest["exact_dedup"] == 4
 
 
+def test_merge_state_plans_are_scale_clean(spark, sf_dir):
+    """Audit the factored merge plan directly (merge_corpus_state is pure):
+    no cartesian product, no Python row-eval, no unbounded
+    single-partition exchange in any of the three state outputs."""
+    from analytics_data_platform_spark.pipelines.incremental import (
+        merge_corpus_state,
+    )
+    from analytics_data_platform_spark.plans.audit import audit
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    clean_cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    old = docs.where(F.col("doc_id") % 2 == 0).where(c4_core_pass("text")).select(
+        *clean_cols
+    )
+    old_live = dedup.dedup_exact(old)
+    old_index = dedup.minhash_band_rows(old_live)
+    old_pairs = old_live.select(
+        F.col("doc_id").alias("id_a"), F.col("doc_id").alias("id_b")
+    ).limit(0)
+    batch = docs.where(F.col("doc_id") % 2 == 1).where(c4_core_pass("text")).select(
+        *clean_cols
+    )
+    live, band_index, pairs = merge_corpus_state(old_live, old_index, old_pairs, batch)
+    for name, frame in (("live", live), ("band_index", band_index), ("pairs", pairs)):
+        rep = audit(frame)
+        assert "CartesianProduct" not in rep.simple, name
+        assert not rep.python_eval, name
+        assert not rep.unbounded_single_partition, (name, rep.unbounded_single_partition)
+
+
 def test_takedown_removes_content_and_cascades(spark, tmp_path):
     """Content-keyed takedown: every live doc whose FINGERPRINT matches
     the request goes (exact duplicates of the removed text too), the band

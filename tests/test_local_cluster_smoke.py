@@ -92,9 +92,13 @@ QUERIES = [
     "streaming_cdc_merge_state",
     "tokenizer_fertility_by_lang",
     "ccnet_perplexity_buckets",
-    # round-7: incremental corpus refresh — foreachBatch state merges,
-    # band-index compaction, and the CC finalize under a multi-JVM scheduler
+    # round-7: incremental-state families — foreachBatch state merges,
+    # band-index compaction, pinned-centroid appends, sketch merges, and
+    # the takedown cascade under a multi-JVM scheduler
     "incremental_pipeline_refresh",
+    "ivf_index_incremental_topk",
+    "streaming_sketch_merge_state",
+    "corpus_takedown_refresh",
 ]
 
 
