@@ -95,9 +95,14 @@ def merge_corpus_state(
     newly_live = live.join(old_live.select("doc_id"), "doc_id", "left_anti")
 
     # 2) band-index maintenance: expire evicted docs' rows (live semi-join),
-    #    shingle/hash ONLY the newly-live docs and append their rows
-    compacted = dedup.compact_band_index(old_index, live.select("doc_id"))
-    new_rows = dedup.minhash_band_rows(newly_live)
+    #    shingle/hash ONLY the newly-live docs and append their rows.
+    #    Both frames have TWO consumers (the index write and the candidate
+    #    join) — checkpoint so the expensive shingle+minhash of the new
+    #    docs runs once per tick, not twice
+    compacted = dedup.compact_band_index(
+        old_index, live.select("doc_id")
+    ).localCheckpoint(eager=False)
+    new_rows = dedup.minhash_band_rows(newly_live).localCheckpoint(eager=False)
     band_index = compacted.unionByName(new_rows)
 
     # 3) near-dup candidates touching new docs: bucket equi-join of the new

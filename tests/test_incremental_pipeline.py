@@ -272,3 +272,23 @@ def test_three_tick_refresh_equals_one_shot(spark, sf_dir, tmp_path):
     assert manifest["exact_dedup"] == one_shot_live.count()
     split_total = sum(v for k, v in manifest.items() if k.startswith("split:"))
     assert split_total == manifest["exact_dedup"]
+
+    # the POINT of the incremental path: no near-dup pair may straddle a
+    # split boundary, no matter how arrival ticks interleaved the corpus
+    from analytics_data_platform_spark.queries.scale_ops import leak_split_of
+
+    cc = dedup.cluster_duplicates_star(pairs, a_col="id_a", b_col="id_b")
+    assigned = (
+        live.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            leak_split_of(F.coalesce(F.col("cluster_id"), F.col("doc_id"))).alias(
+                "split"
+            ),
+        )
+    )
+    sa = assigned.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    sb = assigned.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    crossers = pairs.join(sa, "id_a").join(sb, "id_b").where(F.col("sa") != F.col("sb"))
+    assert crossers.isEmpty(), "a near-dup pair crossed a split boundary"
