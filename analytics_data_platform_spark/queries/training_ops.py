@@ -588,22 +588,33 @@ def _best_pair(pairs: DataFrame) -> DataFrame:
     """Argmax over the pair-count table: max by (cnt DESC, a ASC, b ASC).
 
     One `min_by` scalar aggregate over struct(-cnt, a, b) instead of a
-    global `row_number()` sort window: partial-aggregable map-side, no
-    WindowExec, one fewer exchange per merge round. The input is the
-    vocab-bounded aggregated pair table (never corpus-linear), so the
-    final single-partition reduce is over partial maxima only.
+    global `row_number()` sort window: no WindowExec and no global sort —
+    the single-partition sort exchange is traded for a partial+final
+    aggregate exchange whose final reduce sees only map-side partial
+    maxima (the measured ledger shows MORE exchanges overall, but each is
+    a scalar-aggregate exchange, never a data-ordering one). The input is
+    the vocab-bounded aggregated pair table (never corpus-linear).
+
+    An EMPTY pair table (degenerate corpus that cannot support another
+    merge) must yield ZERO rows — a bare scalar aggregate would emit one
+    all-null row and the merge loop would broadcast a null pair — hence
+    the isNotNull filter.
     """
-    return pairs.agg(
-        F.min_by(
-            F.struct("a", "b", "cnt"),
-            F.struct(
-                (-F.col("cnt")).alias("nc"),
-                F.col("a").alias("a"),
-                F.col("b").alias("b"),
-            ),
-        ).alias("m")
-    ).select(
-        F.col("m.a").alias("a"), F.col("m.b").alias("b"), F.col("m.cnt").alias("cnt")
+    return (
+        pairs.agg(
+            F.min_by(
+                F.struct("a", "b", "cnt"),
+                F.struct(
+                    (-F.col("cnt")).alias("nc"),
+                    F.col("a").alias("a"),
+                    F.col("b").alias("b"),
+                ),
+            ).alias("m")
+        )
+        .select(
+            F.col("m.a").alias("a"), F.col("m.b").alias("b"), F.col("m.cnt").alias("cnt")
+        )
+        .where(F.col("a").isNotNull())
     )
 
 

@@ -703,17 +703,20 @@ class SnapshotTable:
 
     def rollback(self, version: int) -> int:
         """Roll back = new snapshot referencing the old snapshot's files,
-        schema AND properties (Iceberg's rollback keeps history linear; a
-        raw pointer flip would orphan the intermediate snapshots'
-        lineage). Restoring properties with the files is what keeps
-        manifest-resident state — e.g. the ingest watermark — consistent
-        with the data after a restore."""
+        schema, properties AND merge-on-read delete files (Iceberg's
+        rollback keeps history linear; a raw pointer flip would orphan the
+        intermediate snapshots' lineage). Restoring properties with the
+        files is what keeps manifest-resident state — e.g. the ingest
+        watermark — consistent with the data after a restore; restoring
+        the DELETE list is what stops a rolled-back MOR delete from still
+        applying to the restored files (its ``applies_to`` names them)."""
         old = self.snapshot(version)
         return self._commit(
             old.files,
             f"rollback(v{version})",
             schema_json=self._schema_json(version),
             properties=self._manifest_field(version, "properties") or {},
+            delete_files=old.delete_files,
         )
 
     # -- maintenance (executable M1-M4) --------------------------------------

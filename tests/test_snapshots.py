@@ -127,6 +127,20 @@ def test_rollback_commits_new_snapshot(spark, tmp_path):
     assert {r.id for r in t.read(version=2).collect()} == {2}
 
 
+def test_rollback_restores_pre_delete_mor_state(spark, tmp_path):
+    """Rolling back past a merge-on-read delete must NOT keep the delete
+    applying: the delete file's applies_to names the restored data files,
+    so an inherited delete list would silently re-delete them."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.replace(_df(spark, [(1, "a"), (2, "b")]))
+    v_before = t.current_version()
+    t.delete_keys_mor(_df(spark, [(1, "a")]).select("id"), ["id"])
+    assert {r.id for r in t.read().collect()} == {2}
+    t.rollback(v_before)
+    assert {r.id for r in t.read().collect()} == {1, 2}
+    assert t.snapshot().delete_files == []
+
+
 def test_expire_snapshots_reclaims_unreferenced_files(spark, tmp_path):
     t = SnapshotTable(spark, str(tmp_path / "t"))
     t.replace(_df(spark, [(1, "a")]))

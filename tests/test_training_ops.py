@@ -105,6 +105,19 @@ def test_bpe_merges_are_learned_in_frequency_order(spark):
     assert rows[0].pair_count >= rows[1].pair_count
 
 
+def test_bpe_best_pair_on_empty_table_yields_zero_rows(spark):
+    """A degenerate corpus that cannot support another merge produces an
+    EMPTY pair table; the min_by scalar argmax must then yield zero rows
+    (a bare scalar aggregate would emit one all-null row and the merge
+    loop would broadcast a null pair, diverging from the oracle)."""
+    from analytics_data_platform_spark.queries.training_ops import _best_pair
+
+    empty = spark.createDataFrame([], "a string, b string, cnt long")
+    assert _best_pair(empty).collect() == []
+    one = spark.createDataFrame([("x", "y", 3)], "a string, b string, cnt long")
+    assert [tuple(r) for r in _best_pair(one).collect()] == [("x", "y", 3)]
+
+
 def test_bpe_encode_compresses_corpus(spark):
     from analytics_data_platform_spark.queries import all_queries
 
