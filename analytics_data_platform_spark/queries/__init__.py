@@ -46,80 +46,92 @@ def register(spec: QuerySpec) -> QuerySpec:
 # The verification driver records side-by-side oracle results for the FIRST
 # 50 registry entries only (observed cap in CORRECTNESS_r*.json). Rotate the
 # window each round so the external gate ACCUMULATES coverage.
-# Round-7 rotation — COMPLETES the external-gating program: all 35 queries
-# never gated in any prior window (CORRECTNESS_r01-r06 cover 247 distinct),
-# plus this round's 4 additions (incremental_pipeline_refresh,
-# ivf_index_incremental_topk, streaming_sketch_merge_state,
-# corpus_takedown_refresh — new queries
-# enter the showcase the round they land, enforced by
-# tests/test_registry_gates.py), plus 11 backfill slots re-confirming the
-# most scale-critical previously-gated queries (pipeline, leakage split,
-# the streaming family, CDC, multimodal, IVF-PQ, semdedup — the anchors of
-# the 100 TB design, incl. the ones whose code moved this round).
+# Round-8 rotation — "gated" now means PASSED, not merely appeared: a query
+# counts as externally verified only if some CORRECTNESS_r* window records
+# rows_match AND schema_match AND hash_match with no error (enforced by
+# tests/test_registry_gates.py::_previously_passed). Under that definition
+# exactly ONE query has never passed a driver window: event_runs_rle (it
+# appeared in r2 and failed on the since-fixed float-summation-order flake;
+# the decimal(18,2) fix has been green in every internal sweep since) — it
+# leads this window. The rest of the window is this round's additions (new
+# queries enter the showcase the round they land, structurally enforced)
+# plus pinned scale-critical re-confirmation backfill: the incremental-state
+# family, all streaming executions, CDC, the dedup/LSH/ANN/PQ anchors,
+# tokenizer/packing, sketches, multimodal, and the TPC-H headliners.
 # Everything else keeps registration order and stays covered by
 # tests/test_oracle_parity.py, which sweeps the whole registry.
 
-# 11 previously-gated re-confirmation slots (pinned; the gate test asserts
-# every previously-gated showcase entry is from this list, so an accidental
+# Previously-PASSED re-confirmation slots (pinned; the gate test asserts
+# every previously-passed showcase entry is from this list, so an accidental
 # rotation shrinkage is loud)
 SHOWCASE_BACKFILL: tuple[str, ...] = (
-    "training_pipeline_manifest",
-    "leakage_safe_split",
-    "streaming_watermark_dedup_counts",
-    "streaming_session_windows",
-    "streaming_interval_join_stats",
-    "streaming_stateful_running_totals",
-    "cdc_apply_changes_state",
-    "multimodal_binary_stats",
-    "multimodal_frame_sample",
-    "ivf_pq_adc_topk",
-    "semantic_dedup_clusters",
-)
-
-DRIVER_SHOWCASE: tuple[str, ...] = (
-    # round-7 additions: gated the round they land
+    # round-7 incremental-state family (code moves to snapshot-backed state
+    # this round — re-confirm externally)
     "incremental_pipeline_refresh",
     "ivf_index_incremental_topk",
     "streaming_sketch_merge_state",
     "corpus_takedown_refresh",
-    # the 3 queries registered after the r6 showcase was pinned
+    # all real streaming executions
+    "streaming_watermark_dedup_counts",
+    "streaming_session_windows",
+    "streaming_interval_join_stats",
+    "streaming_stateful_running_totals",
     "streaming_cdc_merge_state",
+    "streaming_hourly_type_counts",
+    # CDC
+    "cdc_apply_changes_state",
+    "cdc_snapshot_diff",
+    # pipeline + dedup anchors
+    "training_pipeline_manifest",
+    "leakage_safe_split",
+    "near_dup_minhash",
+    "dedup_canonical_corpus",
+    "incremental_minhash_dedup",
+    "semantic_dedup_clusters",
+    "simhash_near_dups",
+    "boilerplate_gram_mask",
+    # ANN / vector
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ivf_pq_adc_topk",
+    "ivf_pq_recall_at_10",
+    "pq_adc_topk",
+    "ann_recall_at_10",
+    # tokenizer / training ops
+    "bpe_train_merges",
+    "bpe_encode_stats",
     "tokenizer_fertility_by_lang",
+    "pack_sequences",
+    "packing_efficiency_sweep",
+    "dsir_importance_weights",
+    # corpus quality
+    "c4_gopher_rule_stats",
     "ccnet_perplexity_buckets",
-    # the 32 paste-ready never-gated residue (STATUS round-6 list)
-    "corr_matrix_lineitem",
-    "duplicate_invoice_screen",
-    "fuzzy_part_names",
-    "ols_daily_revenue_trend",
-    "ols_order_price",
-    "order_cadence_by_segment",
-    "order_count_dispersion",
-    "per_source_doc_sample",
-    "pretoken_stats",
-    "price_dispersion_by_part",
-    "quality_median_filter",
-    "repetition_quality",
-    "rest_source_customer_scan",
-    "return_rate_by_brand",
-    "rolling_7d_active_users",
-    "rolling_corr_revenue_orders",
-    "runs_test_daily_revenue",
-    "seasonal_naive_wape",
-    "single_source_risk",
-    "sla_fulfilment_percentiles",
-    "source_term_cosine",
-    "spell_suggest_vocab",
-    "stratified_quota_sample",
-    "train_order_shuffle",
-    "unigram_surprisal_score",
-    "unit_economics_cohort",
-    "user_running_balance",
-    "variant_event_stats",
-    "vocab_top_terms",
-    "weighted_median_order_value",
-    "weighted_sample_docs",
-    "yoy_revenue_growth",
-    # scale-critical re-confirmation backfill
+    "text_quality_by_source",
+    "heavy_hitters_tokens",
+    # sketches
+    "hll_distinct_bigrams",
+    "hll_union_sources",
+    "ddsketch_price_quantiles",
+    # multimodal
+    "multimodal_binary_stats",
+    "multimodal_frame_sample",
+    # TPC-H headliners + core bench anchors
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "asof_purchase_click",
+    "sessionize_events",
+    "dedup_exact_stats",
+)
+
+DRIVER_SHOWCASE: tuple[str, ...] = (
+    # the ONE query that has never PASSED a driver window (failed r2 on the
+    # since-fixed summation-order flake; externally re-confirmed this round)
+    "event_runs_rle",
+    # scale-critical re-confirmation backfill (previously passed)
     *SHOWCASE_BACKFILL,
 )
 

@@ -57,28 +57,40 @@ def test_registry_count_is_documented():
     )
 
 
-def _previously_gated() -> set[str]:
-    """Union of all driver correctness windows up to r06 (hardcoded range:
-    the rotation contract below is pinned against THESE rounds; when a new
-    window lands, the next round's rotation updates this list with it)."""
+def _previously_passed() -> set[str]:
+    """Queries that PASSED some driver correctness window up to r07 —
+    rows_match AND schema_match AND hash_match with no error. Mere
+    *appearance* in a window does not count (the r2 lesson: event_runs_rle
+    appeared and FAILED, yet the old union-of-keys definition counted it
+    as gated). Hardcoded round range: the rotation contract below is
+    pinned against THESE rounds; when a new window lands, the next round's
+    rotation extends this list with it."""
     root = Path(__file__).parent.parent
-    seen: set[str] = set()
-    for r in (1, 2, 3, 4, 5, 6):
+    passed: set[str] = set()
+    for r in (1, 2, 3, 4, 5, 6, 7):
         path = root / f"CORRECTNESS_r0{r}.json"
-        if path.exists():
-            seen |= set(json.loads(path.read_text()))
-    return seen
+        if not path.exists():
+            continue
+        for name, rec in json.loads(path.read_text()).items():
+            if (
+                rec.get("rows_match")
+                and rec.get("schema_match")
+                and rec.get("hash_match")
+                and not rec.get("err")
+            ):
+                passed.add(name)
+    return passed
 
 
-def test_driver_showcase_round7_rotation():
-    """Round-7 rotation contract — completes the external-gating program:
+def test_driver_showcase_round8_rotation():
+    """Round-8 rotation contract — external gating means PASSING:
 
-    1. every registry query NOT gated in any r01-r06 window must be in the
-       showcase (this is also the 'gated the round it lands' rule: a newly
-       registered query immediately becomes never-gated, so registering
-       one without adding it to the showcase fails HERE, structurally,
-       instead of being noticed a round later);
-    2. the only previously-gated queries allowed in the window are the 14
+    1. every registry query that has never PASSED an r01-r07 window must
+       be in the showcase (this is also the 'gated the round it lands'
+       rule: a newly registered query immediately becomes never-passed,
+       so registering one without adding it to the showcase fails HERE,
+       structurally, instead of being noticed a round later);
+    2. the only previously-passed queries allowed in the window are the
        pinned scale-critical re-confirmation slots (SHOWCASE_BACKFILL).
     """
     from analytics_data_platform_spark.queries import (
@@ -89,16 +101,16 @@ def test_driver_showcase_round7_rotation():
 
     assert len(DRIVER_SHOWCASE) == 50
     assert len(set(DRIVER_SHOWCASE)) == 50
-    gated = _previously_gated()
-    never = set(all_queries()) - gated
+    passed = _previously_passed()
+    never = set(all_queries()) - passed
     missing = sorted(never - set(DRIVER_SHOWCASE))
     assert not missing, (
-        f"queries never driver-gated (r01-r06) and not in the round-7 showcase: "
-        f"{missing} — every new registration must enter DRIVER_SHOWCASE the "
-        "round it lands"
+        f"queries never PASSED a driver window (r01-r07) and not in the round-8 "
+        f"showcase: {missing} — every new registration must enter DRIVER_SHOWCASE "
+        "the round it lands"
     )
-    stray = sorted((set(DRIVER_SHOWCASE) & gated) - set(SHOWCASE_BACKFILL))
+    stray = sorted((set(DRIVER_SHOWCASE) & passed) - set(SHOWCASE_BACKFILL))
     assert not stray, (
-        f"previously-gated showcase entries outside the pinned backfill list: {stray}"
+        f"previously-passed showcase entries outside the pinned backfill list: {stray}"
     )
-    assert set(SHOWCASE_BACKFILL) <= gated, "backfill entries must be previously gated"
+    assert set(SHOWCASE_BACKFILL) <= passed, "backfill entries must be previously PASSED"
