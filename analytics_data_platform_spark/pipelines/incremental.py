@@ -1,27 +1,47 @@
 """Incremental training-corpus refresh: new documents arrive in batches,
 and the corpus state (exact-dedup keepers, LSH band index, verified
-near-dup pairs) is MERGED per batch instead of recomputed — the
-production shape at 100 TB, where re-running the one-shot pipeline on
-every ingest tick would re-shingle the whole corpus.
+near-dup pairs, takedown tombstones) is MERGED per batch instead of
+recomputed — the production shape at 100 TB, where re-running the
+one-shot pipeline on every ingest tick would re-shingle the whole corpus.
 
 Reference analogue: the watermark/incremental machinery of
 `elt-common/src/elt_common/runner.py:67-107` (each tick processes only
 the delta and folds it into persisted state), applied to the dedup/split
-stages of pipelines/training_corpus.py.
+stages of pipelines/training_corpus.py; the commit protocol is the same
+transactional write+property commit the reference gets from pyiceberg
+(`elt-common/src/elt_common/iceberg/io.py:92-113`), supplied here by the
+repo's own snapshot layer.
 
-Persisted state per version (plain parquet; an Iceberg table at scale):
+Persisted state: FIVE snapshot tables (tables/snapshots.py — the same
+atomic-commit/time-travel/expiry mechanism every other warehouse table
+uses; no bespoke directory convention):
 
-- ``live``       — one row per kept document (min-id per fingerprint),
-- ``band_index`` — the LSH band rows of every live doc
-  (operators/dedup.py::minhash_band_rows, the bucket-keyed index that
-  :func:`~analytics_data_platform_spark.operators.dedup.incremental_minhash_candidates`
-  probes),
-- ``pairs``      — verified near-dup pairs among live docs,
-- ``counts``     — per-batch raw/clean tallies (manifest bookkeeping).
+    state_dir/live        one row per kept document (min-id per fingerprint)
+    state_dir/band_index  the LSH band rows of every live doc
+                          (operators/dedup.py::minhash_band_rows, the
+                          bucket-keyed index incremental_minhash_candidates
+                          probes)
+    state_dir/pairs       verified near-dup pairs among live docs
+    state_dir/counts      per-batch raw/clean tallies (arrival history)
+    state_dir/tombstones  fingerprints of taken-down content — a batch
+                          re-ingesting erased content is filtered at the
+                          door, so GDPR erasure survives later refreshes
+
+A STATE VERSION is a named ref ``state_v{batch_id}`` across the five
+tables. Commit protocol: each part is committed to its table first (a
+snapshot commit is atomic but the new snapshot is reachable only through
+the table's own history), then the refs are set in a fixed order with
+``counts`` LAST — the counts ref IS the commit marker. Readers and the
+predecessor rule recognize only versions whose counts ref exists, so a
+crash anywhere mid-commit leaves the previous version live and the torn
+attempt invisible (its unreferenced snapshots are garbage-collected by
+``expire_state_versions``); a ``foreachBatch`` retry of the same batch_id
+simply re-commits and re-points the refs (idempotent, pinned by test).
 
 Provable-collapse contract (what the oracle gate checks): after any
-sequence of refreshes, the state equals the ONE-SHOT pipeline run on the
-union of all batches —
+sequence of refreshes and takedowns, the state equals the ONE-SHOT
+pipeline run on (the union of all batches MINUS every document whose
+normalized-text fingerprint was ever taken down) —
 
 1. the exact-dedup keeper rule (min doc_id per fingerprint) is an
    associative/commutative min, so per-batch merging equals the global
@@ -38,16 +58,26 @@ union of all batches —
    live semi-join exactly as the one-shot never produces them;
 4. connected components + the salted component-hash split rule
    (queries/scale_ops.py::leak_split_of) are pure functions of (live,
-   pairs).
+   pairs);
+5. a taken-down fingerprint never re-enters: existing keepers are removed
+   at takedown time (with the eviction cascade) and later arrivals are
+   anti-joined against the tombstone set at ingest, so the order of
+   takedown vs re-ingest cannot matter.
+
+PRECONDITION (enforced): doc_ids are stable per content — a batch may
+re-deliver a (doc_id, text) pair verbatim (idempotent), but re-using a
+doc_id for DIFFERENT text would leave the band index holding the stale
+version's rows (the newly-live anti-join is id-keyed). The merge detects
+the resulting duplicate-id live rows and fails the tick loudly instead
+of committing silent corruption.
 
 Scale shape per tick: one fingerprint-key shuffle over state ∪ batch
-(map-side min partials), two id-key semi-joins for compaction, and
-shingling/hashing of ONLY the newly-live docs — never the corpus.
+(map-side min partials), two id-key semi-joins for compaction,
+shingling/hashing of ONLY the newly-live docs — never the corpus — and
+one tombstone anti-join over the batch.
 """
 
 from __future__ import annotations
-
-import os
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -55,19 +85,93 @@ from pyspark.sql import DataFrame, SparkSession
 from analytics_data_platform_spark.operators import dedup
 from analytics_data_platform_spark.queries.corpus_ops import c4_core_pass
 from analytics_data_platform_spark.queries.scale_ops import leak_split_of
+from analytics_data_platform_spark.tables.snapshots import SnapshotTable
 
 # the pipeline's near-dup verify threshold (pipelines/training_corpus.py)
 JACCARD_THRESHOLD = 0.5
 
 _DOC_COLS = ("doc_id", "text", "lang", "source", "n_chars")
 
+# ref order within a state-version commit: counts LAST = the commit marker
+# (readers recognize a version by its counts ref); expiry drops counts
+# FIRST so a half-expired version is invisible, never torn
+_REF_ORDER = ("live", "band_index", "pairs", "tombstones", "counts")
+_PARTS = _REF_ORDER
+# per-part stats columns: id/bucket bounds are what CoW/scan pruning can
+# use; text-heavy columns would bloat the manifests for nothing
+_STATS_COLS: dict[str, list[str] | None] = {
+    "live": ["doc_id"],
+    "band_index": ["doc_id"],
+    "pairs": ["id_a", "id_b"],
+    "counts": None,
+    "tombstones": [],
+}
 
-def _versions(state_dir: str) -> list[str]:
-    if not os.path.isdir(state_dir):
-        return []
+_TOMBSTONE_SCHEMA = "_fp string"
+
+
+class _InjectedCrash(RuntimeError):
+    """Raised by the test-only crash hook to simulate dying mid-commit."""
+
+
+def _ref(batch_id: int) -> str:
+    return f"state_v{int(batch_id):05d}"
+
+
+def _table(spark: SparkSession | None, state_dir: str, part: str) -> SnapshotTable:
+    return SnapshotTable(spark, f"{state_dir}/{part}", stats_cols=_STATS_COLS[part])
+
+
+def committed_versions(state_dir: str) -> list[int]:
+    """Batch ids of fully committed state versions — exactly the refs on
+    the ``counts`` table (written last, dropped first), so a torn commit
+    or half-finished expiry never surfaces here."""
+    refs = _table(None, state_dir, "counts").refs()
     return sorted(
-        f"{state_dir}/{d}" for d in os.listdir(state_dir) if d.startswith("state_v")
+        int(name[len("state_v"):]) for name in refs if name.startswith("state_v")
     )
+
+
+def read_state_part(
+    spark: SparkSession, state_dir: str, part: str, batch_id: int | None = None
+) -> DataFrame:
+    """Read one state part at a committed version (default: latest). An
+    empty part (e.g. no pairs yet) comes back as an empty frame with the
+    schema the commit recorded."""
+    if batch_id is None:
+        versions = committed_versions(state_dir)
+        if not versions:
+            raise FileNotFoundError(f"no committed corpus state under {state_dir}")
+        batch_id = versions[-1]
+    t = _table(spark, state_dir, part)
+    v = t.resolve_ref(_ref(batch_id))
+    if not t.snapshot(v).files:
+        return spark.createDataFrame([], t._read_schema(v))
+    return t.read(v)
+
+
+def _commit_state_version(
+    spark: SparkSession,
+    state_dir: str,
+    batch_id: int,
+    frames: dict[str, DataFrame],
+    _crash_after: str | None = None,
+) -> None:
+    """Commit one state version: snapshot-commit every part, then point
+    the ``state_v{batch_id}`` refs in ``_REF_ORDER`` (counts last — the
+    marker). ``_crash_after`` ('replace:<part>' / 'ref:<part>') is the
+    crash-injection hook for the torn-commit tests."""
+    tables = {p: _table(spark, state_dir, p) for p in _PARTS}
+    versions: dict[str, int] = {}
+    for part in _PARTS:
+        versions[part] = tables[part].replace(frames[part])
+        if _crash_after == f"replace:{part}":
+            raise _InjectedCrash(_crash_after)
+    ref = _ref(batch_id)
+    for part in _REF_ORDER:
+        tables[part].set_ref(ref, versions[part])
+        if _crash_after == f"ref:{part}":
+            raise _InjectedCrash(_crash_after)
 
 
 def merge_corpus_state(
@@ -127,27 +231,33 @@ def merge_corpus_state(
 
 
 def refresh_corpus_state(
-    spark: SparkSession, state_dir: str, batch: DataFrame, batch_id: int
+    spark: SparkSession,
+    state_dir: str,
+    batch: DataFrame,
+    batch_id: int,
+    _crash_after: str | None = None,
 ) -> None:
     """Fold one arriving document batch into the persisted corpus state.
 
     Runs as a ``foreachBatch`` body (streaming ingestion) or as a plain
-    batch call. Writes ``state_v{batch_id}`` under ``state_dir``; earlier
-    versions are left in place (copy-on-write — the catalog-free stand-in
-    for an Iceberg snapshot commit).
+    batch call. Commits state version ``state_v{batch_id}`` across the
+    five snapshot tables (see module docstring for the commit protocol);
+    earlier versions stay readable (copy-on-write time travel) until
+    :func:`expire_state_versions` reclaims them.
     """
-    # predecessor = latest version with a LOWER batch id — never this
-    # batch's own (possibly partial) output: a foreachBatch retry replays
-    # with the same batch_id after a crash, and merging against the failed
-    # attempt would double-count (idempotence test pins this)
-    prior = [
-        v
-        for v in _versions(state_dir)
-        if int(v.rsplit("state_v", 1)[1]) < int(batch_id)
-    ]
+    # predecessor = latest COMMITTED version with a LOWER batch id — never
+    # this batch's own (possibly partial) output: a foreachBatch retry
+    # replays with the same batch_id after a crash, and merging against the
+    # failed attempt would double-count (idempotence test pins this); a
+    # torn commit of an EARLIER batch is equally invisible because only
+    # counts-ref-marked versions are listed (torn-version test pins this)
+    prior = [v for v in committed_versions(state_dir) if v < int(batch_id)]
 
     nonempty = batch.where(F.length(F.trim("text")) > 0)
-    # ONE scan for both manifest tallies (raw + clean predicates ride it)
+    # ONE scan for both manifest tallies (raw + clean predicates ride it).
+    # Tallies are ARRIVAL history: counted before the tombstone filter —
+    # erasure suppresses content from the live set, not from the record
+    # that it arrived
     tallies = nonempty.agg(
         F.count(F.lit(1)).alias("n_raw"),
         F.coalesce(F.sum(c4_core_pass("text").cast("long")), F.lit(0)).alias(
@@ -157,10 +267,11 @@ def refresh_corpus_state(
     clean = nonempty.where(c4_core_pass("text")).select(*_DOC_COLS)
 
     if prior:
-        old_live = spark.read.parquet(f"{prior[-1]}/live")
-        old_index = spark.read.parquet(f"{prior[-1]}/band_index")
-        old_pairs = spark.read.parquet(f"{prior[-1]}/pairs")
-        old_counts = spark.read.parquet(f"{prior[-1]}/counts")
+        old_live = read_state_part(spark, state_dir, "live", prior[-1])
+        old_index = read_state_part(spark, state_dir, "band_index", prior[-1])
+        old_pairs = read_state_part(spark, state_dir, "pairs", prior[-1])
+        old_counts = read_state_part(spark, state_dir, "counts", prior[-1])
+        old_tombstones = read_state_part(spark, state_dir, "tombstones", prior[-1])
     else:
         # bootstrap: empty state with the computed frames' own schemas —
         # the unified path below then IS the full run on the first batch
@@ -170,10 +281,39 @@ def refresh_corpus_state(
             F.col("doc_id").alias("id_a"), F.col("doc_id").alias("id_b")
         ).limit(0)
         old_counts = None
+        old_tombstones = spark.createDataFrame([], _TOMBSTONE_SCHEMA)
+
+    # tombstone door: content whose fingerprint was ever taken down never
+    # re-enters the live set, whatever doc_id it arrives under
+    clean = clean.join(
+        old_tombstones,
+        dedup.fingerprint_col("text") == F.col("_fp"),
+        "left_anti",
+    )
 
     live, band_index, pairs = merge_corpus_state(old_live, old_index, old_pairs, clean)
     live = live.persist()  # reused by compaction/verify inside the lazy
     # plan AND by the write below; unpersisted after the state commit
+
+    # precondition guard (see module docstring): a doc_id re-used for
+    # DIFFERENT text lands in two fingerprint groups and both keepers carry
+    # the same id — the band index would keep the stale version's rows, so
+    # fail the tick loudly before anything commits. One aggregation over
+    # the persisted live frame.
+    reused = (
+        live.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if reused:
+        live.unpersist()
+        raise ValueError(
+            f"doc_id {reused[0].doc_id} arrived with different content than "
+            "the resident version — doc_ids must be stable per content "
+            "(re-delivering an identical (doc_id, text) row is fine)"
+        )
 
     batch_counts = spark.createDataFrame(
         [(int(batch_id), int(tallies.n_raw), int(tallies.n_clean))],
@@ -183,46 +323,59 @@ def refresh_corpus_state(
         old_counts.unionByName(batch_counts) if old_counts is not None else batch_counts
     )
 
-    out = f"{state_dir}/state_v{batch_id:05d}"
-    live.write.mode("overwrite").parquet(f"{out}/live")
-    band_index.write.mode("overwrite").parquet(f"{out}/band_index")
-    pairs.write.mode("overwrite").parquet(f"{out}/pairs")
-    counts.write.mode("overwrite").parquet(f"{out}/counts")
-    live.unpersist()
+    try:
+        _commit_state_version(
+            spark,
+            state_dir,
+            batch_id,
+            {
+                "live": live,
+                "band_index": band_index,
+                "pairs": pairs,
+                "counts": counts,
+                "tombstones": old_tombstones.select("_fp"),
+            },
+            _crash_after=_crash_after,
+        )
+    finally:
+        live.unpersist()
 
 
 def takedown_corpus_state(
-    spark: SparkSession, state_dir: str, takedown: DataFrame, batch_id: int
+    spark: SparkSession,
+    state_dir: str,
+    takedown: DataFrame,
+    batch_id: int,
+    _crash_after: str | None = None,
 ) -> None:
     """Content-based TAKEDOWN tick (GDPR erasure / opt-out / license
     removal): remove every live document whose normalized-text
-    FINGERPRINT matches a takedown request, then cascade into the band
-    index and pair state exactly like an eviction.
+    FINGERPRINT matches a takedown request, cascade into the band index
+    and pair state exactly like an eviction, and record the fingerprints
+    as TOMBSTONES so a later refresh re-ingesting the same content is
+    filtered at the door (erasure is durable, not
+    until-the-next-crawl-tick).
 
     Takedowns are content-keyed, not id-keyed, because exact duplicates
     of removed content must go too — a request names text the corpus may
     hold under any doc_id (including ids deduped away and never stored).
     Removing by fingerprint keeps the provable-collapse contract: the
-    keeper of a removed fingerprint disappears, a keeper of any other
-    fingerprint is untouched, so the state equals the one-shot pipeline
-    over (corpus minus all docs carrying a taken-down fingerprint). The
-    ingest tallies (``counts``) are historical arrival records and are
-    deliberately NOT rewritten.
+    state equals the one-shot pipeline over (all arrived docs minus every
+    doc carrying a tombstoned fingerprint). The ingest tallies
+    (``counts``) are historical arrival records and are deliberately NOT
+    rewritten.
 
     Scale shape: one fingerprint anti-join over live + the two id-key
     semi-joins of the eviction cascade; nothing is re-shingled.
     """
-    prior = [
-        v
-        for v in _versions(state_dir)
-        if int(v.rsplit("state_v", 1)[1]) < int(batch_id)
-    ]
+    prior = [v for v in committed_versions(state_dir) if v < int(batch_id)]
     if not prior:
         raise ValueError("takedown requires existing corpus state")
-    old_live = spark.read.parquet(f"{prior[-1]}/live")
-    old_index = spark.read.parquet(f"{prior[-1]}/band_index")
-    old_pairs = spark.read.parquet(f"{prior[-1]}/pairs")
-    old_counts = spark.read.parquet(f"{prior[-1]}/counts")
+    old_live = read_state_part(spark, state_dir, "live", prior[-1])
+    old_index = read_state_part(spark, state_dir, "band_index", prior[-1])
+    old_pairs = read_state_part(spark, state_dir, "pairs", prior[-1])
+    old_counts = read_state_part(spark, state_dir, "counts", prior[-1])
+    old_tombstones = read_state_part(spark, state_dir, "tombstones", prior[-1])
 
     td_fps = takedown.select(dedup.fingerprint_col("text").alias("_fp")).distinct()
     live = old_live.join(
@@ -239,41 +392,62 @@ def takedown_corpus_state(
         .join(live_ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
         .select("id_a", "id_b")
     )
+    tombstones = old_tombstones.select("_fp").unionByName(td_fps).distinct()
 
-    out = f"{state_dir}/state_v{batch_id:05d}"
-    live.write.mode("overwrite").parquet(f"{out}/live")
-    band_index.write.mode("overwrite").parquet(f"{out}/band_index")
-    pairs.write.mode("overwrite").parquet(f"{out}/pairs")
-    old_counts.write.mode("overwrite").parquet(f"{out}/counts")
+    _commit_state_version(
+        spark,
+        state_dir,
+        batch_id,
+        {
+            "live": live,
+            "band_index": band_index,
+            "pairs": pairs,
+            "counts": old_counts,
+            "tombstones": tombstones,
+        },
+        _crash_after=_crash_after,
+    )
 
 
-def expire_state_versions(state_dir: str, keep_last: int = 2) -> list[str]:
+def expire_state_versions(
+    state_dir: str, keep_last: int = 2, spark: SparkSession | None = None
+) -> list[str]:
     """Expire old copy-on-write state versions (the M3 expire_snapshots
-    analog for incremental-pipeline state): every version before the last
-    ``keep_last`` is removed. Versions are self-contained (each holds the
-    FULL live/band_index/pairs/counts state, not deltas), so expiry never
-    breaks a later read. keep_last >= 2 (the default) also keeps the
-    latest batch's predecessor, so a foreachBatch retry of the CURRENT
-    batch — the only batch the checkpoint can replay — still finds its
-    true prior state after expiry. Returns the removed version paths."""
-    import shutil
+    analog for incremental-pipeline state): every committed version before
+    the last ``keep_last`` is removed. Versions are self-contained (each
+    holds the FULL live/band_index/pairs/counts/tombstones state, not
+    deltas), so expiry never breaks a later read. keep_last >= 2 (the
+    default) also keeps the latest batch's predecessor, so a foreachBatch
+    retry of the CURRENT batch — the only batch the checkpoint can replay
+    — still finds its true prior state after expiry.
 
+    Mechanism: drop the version's refs (``counts`` FIRST, so a crash
+    mid-expiry leaves the version invisible, never torn), then run the
+    snapshot layer's own ``expire_snapshots`` per part table — which also
+    garbage-collects the unreferenced snapshots a torn commit left
+    behind. Returns the removed version names."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
-    doomed = _versions(state_dir)[:-keep_last]
-    for v in doomed:
-        shutil.rmtree(v, ignore_errors=True)
-    return doomed
+    ids = committed_versions(state_dir)
+    doomed = ids[:-keep_last]
+    for b in doomed:
+        ref = _ref(b)
+        for part in reversed(_REF_ORDER):  # counts first
+            _table(spark, state_dir, part).drop_ref(ref)
+    for part in _PARTS:
+        t = _table(spark, state_dir, part)
+        if t.versions():
+            t.expire_snapshots(keep_last=1)
+    return [_ref(b) for b in doomed]
 
 
 def corpus_split_manifest(spark: SparkSession, state_dir: str) -> list[tuple[str, int]]:
-    """Stage manifest of the CURRENT state: raw/clean tallies, live doc
-    count, and the leakage-safe split counts (near-dup components hash to
-    one split; the same rule as the one-shot pipeline)."""
-    latest = _versions(state_dir)[-1]
-    live = spark.read.parquet(f"{latest}/live")
-    pairs = spark.read.parquet(f"{latest}/pairs")
-    counts = spark.read.parquet(f"{latest}/counts")
+    """Stage manifest of the CURRENT committed state: raw/clean tallies,
+    live doc count, and the leakage-safe split counts (near-dup components
+    hash to one split; the same rule as the one-shot pipeline)."""
+    live = read_state_part(spark, state_dir, "live")
+    pairs = read_state_part(spark, state_dir, "pairs")
+    counts = read_state_part(spark, state_dir, "counts")
 
     cc = dedup.cluster_duplicates_star(pairs, a_col="id_a", b_col="id_b")
     assigned = (
