@@ -341,6 +341,37 @@ def refresh_corpus_state(
         live.unpersist()
 
 
+def takedown_state_plan(
+    old_live: DataFrame,
+    old_index: DataFrame,
+    old_pairs: DataFrame,
+    old_tombstones: DataFrame,
+    takedown: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The pure takedown plan: state × a takedown request set →
+    (live, band_index, pairs, tombstones). No I/O — the plan-audit sweep
+    and tests inspect these frames directly (the registry query
+    materializes them, which would otherwise hide the per-tick shuffles
+    from the shuffle ledger)."""
+    td_fps = takedown.select(dedup.fingerprint_col("text").alias("_fp")).distinct()
+    live = old_live.join(
+        td_fps,
+        dedup.fingerprint_col("text") == F.col("_fp"),
+        "left_anti",
+    )
+    band_index = dedup.compact_band_index(old_index, live.select("doc_id"))
+    live_ids = live.select("doc_id")
+    pairs = (
+        old_pairs.join(
+            live_ids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi"
+        )
+        .join(live_ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
+        .select("id_a", "id_b")
+    )
+    tombstones = old_tombstones.select("_fp").unionByName(td_fps).distinct()
+    return live, band_index, pairs, tombstones
+
+
 def takedown_corpus_state(
     spark: SparkSession,
     state_dir: str,
@@ -377,22 +408,9 @@ def takedown_corpus_state(
     old_counts = read_state_part(spark, state_dir, "counts", prior[-1])
     old_tombstones = read_state_part(spark, state_dir, "tombstones", prior[-1])
 
-    td_fps = takedown.select(dedup.fingerprint_col("text").alias("_fp")).distinct()
-    live = old_live.join(
-        td_fps,
-        dedup.fingerprint_col("text") == F.col("_fp"),
-        "left_anti",
+    live, band_index, pairs, tombstones = takedown_state_plan(
+        old_live, old_index, old_pairs, old_tombstones, takedown
     )
-    band_index = dedup.compact_band_index(old_index, live.select("doc_id"))
-    live_ids = live.select("doc_id")
-    pairs = (
-        old_pairs.join(
-            live_ids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi"
-        )
-        .join(live_ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
-        .select("id_a", "id_b")
-    )
-    tombstones = old_tombstones.select("_fp").unionByName(td_fps).distinct()
 
     _commit_state_version(
         spark,
@@ -439,6 +457,78 @@ def expire_state_versions(
         if t.versions():
             t.expire_snapshots(keep_last=1)
     return [_ref(b) for b in doomed]
+
+
+def representative_merge_plans(
+    spark: SparkSession, sf_dir: str, with_tombstones: bool = False
+) -> list[tuple[str, DataFrame]]:
+    """Un-materialized representative REFRESH-tick plans for the shuffle
+    ledger and plan-audit sweep: old state = the even-id half of the
+    documents table (cleaned + exact-deduped + its band rows), batch = the
+    odd half — the same construction tests/test_incremental_pipeline.py
+    audits. ``with_tombstones`` adds the ingest-door anti-join (the
+    tombstone-reingest query's tick shape)."""
+    from analytics_data_platform_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    old = (
+        docs.where(F.col("doc_id") % 2 == 0)
+        .where(c4_core_pass("text"))
+        .select(*_DOC_COLS)
+    )
+    old_live = dedup.dedup_exact(old)
+    old_index = dedup.minhash_band_rows(old_live)
+    old_pairs = old_live.select(
+        F.col("doc_id").alias("id_a"), F.col("doc_id").alias("id_b")
+    ).limit(0)
+    batch = (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .where(c4_core_pass("text"))
+        .select(*_DOC_COLS)
+    )
+    if with_tombstones:
+        tombstones = (
+            docs.where(F.col("doc_id") % 97 == 0)
+            .select(dedup.fingerprint_col("text").alias("_fp"))
+            .distinct()
+        )
+        batch = batch.join(
+            tombstones, dedup.fingerprint_col("text") == F.col("_fp"), "left_anti"
+        )
+    live, band_index, pairs = merge_corpus_state(old_live, old_index, old_pairs, batch)
+    return [("live", live), ("band_index", band_index), ("pairs", pairs)]
+
+
+def representative_takedown_plans(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[str, DataFrame]]:
+    """Un-materialized representative TAKEDOWN-tick plans: state = the
+    cleaned + exact-deduped documents table with its band rows, request =
+    the doc_id % 97 content set (the registry query's request rule)."""
+    from analytics_data_platform_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    clean = docs.where(c4_core_pass("text")).select(*_DOC_COLS)
+    old_live = dedup.dedup_exact(clean)
+    old_index = dedup.minhash_band_rows(old_live)
+    old_pairs = old_live.select(
+        F.col("doc_id").alias("id_a"), F.col("doc_id").alias("id_b")
+    ).limit(0)
+    old_tombstones = spark.createDataFrame([], _TOMBSTONE_SCHEMA)
+    takedown = docs.where(F.col("doc_id") % 97 == 0)
+    live, band_index, pairs, tombstones = takedown_state_plan(
+        old_live, old_index, old_pairs, old_tombstones, takedown
+    )
+    return [
+        ("live", live),
+        ("band_index", band_index),
+        ("pairs", pairs),
+        ("tombstones", tombstones),
+    ]
 
 
 def corpus_split_manifest(spark: SparkSession, state_dir: str) -> list[tuple[str, int]]:

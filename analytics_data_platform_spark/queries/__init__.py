@@ -31,6 +31,16 @@ class QuerySpec:
     cites: str = ""
     bench: bool = False
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # Multi-tick queries (tag "multi_tick") return MATERIALIZED literal
+    # frames — their final plan shows 0 exchanges, which would blind the
+    # shuffle-ledger regression net to the real per-tick work. For those,
+    # ``internal_plan(spark, sf_dir) -> [(name, DataFrame), ...]`` returns
+    # the un-materialized representative tick plans; the plan-audit sweep
+    # audits them (cartesian / python-eval / single-reducer) and records
+    # the ledger entry as "materialized:<total real shuffles>".
+    internal_plan: (
+        Callable[[SparkSession, str], list[tuple[str, DataFrame]]] | None
+    ) = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}

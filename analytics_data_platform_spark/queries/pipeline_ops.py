@@ -203,6 +203,14 @@ def incremental_pipeline_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "stage string, n_docs long")
 
 
+def _refresh_internal_plans(spark, sf_dir):
+    from analytics_data_platform_spark.pipelines.incremental import (
+        representative_merge_plans,
+    )
+
+    return representative_merge_plans(spark, sf_dir)
+
+
 register(
     QuerySpec(
         "incremental_pipeline_refresh",
@@ -210,7 +218,8 @@ register(
         _pipeline_sql(),
         doc="streaming incremental corpus refresh (2 foreachBatch ticks: dedup-state merge, band-index compaction, incremental LSH); provably equals the one-shot pipeline SQL",
         cites="pipelines/incremental.py; operators/dedup.py incremental_minhash_candidates+compact_band_index; ref elt-common/src/elt_common/runner.py:67-107 incremental watermark machinery",
-        tags=("training", "pipeline", "dedup", "streaming", "scale"),
+        tags=("training", "pipeline", "dedup", "streaming", "scale", "multi_tick"),
+        internal_plan=_refresh_internal_plans,
     )
 )
 
@@ -310,6 +319,14 @@ SELECT stage, CAST(n_docs AS BIGINT) AS n_docs FROM stages ORDER BY stage
 """
 
 
+def _takedown_internal_plans(spark, sf_dir):
+    from analytics_data_platform_spark.pipelines.incremental import (
+        representative_takedown_plans,
+    )
+
+    return representative_takedown_plans(spark, sf_dir)
+
+
 register(
     QuerySpec(
         "corpus_takedown_refresh",
@@ -317,6 +334,7 @@ register(
         _takedown_sql(),
         doc="content-based takedown (GDPR erasure) over incremental corpus state: fingerprint-keyed removal cascades into index/pairs; provably equals the one-shot pipeline on the reduced corpus",
         cites="pipelines/incremental.py::takedown_corpus_state; LLM-data governance: content opt-out/erasure",
-        tags=("training", "pipeline", "dedup", "governance", "scale"),
+        tags=("training", "pipeline", "dedup", "governance", "scale", "multi_tick"),
+        internal_plan=_takedown_internal_plans,
     )
 )

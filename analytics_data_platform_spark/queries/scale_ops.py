@@ -435,6 +435,25 @@ def ivf_index_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(res, schema)
 
 
+def _ivf_incremental_internal(spark, sf_dir):
+    """The per-tick plan the materialized result hides from the ledger:
+    pinned-centroid assignment of the NEW batch (broadcast literal fan-out
+    over the batch only — zero shuffles is the CORRECT count here; the
+    write is partition-aligned). The serving probe's dynamic-partition-
+    pruning plan is separately guarded by tests/test_ivf_incremental.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        e.where(F.col("vec_id") < _IVF_NLIST)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in rows]
+    cell = similarity.assign_centroid_col("embedding", cents).cast("int")
+    tick1 = e.where((F.col("vec_id") % 2 == 1) & (F.col("vec_id") >= _IVF_NLIST))
+    return [("assign_batch", tick1.withColumn("_cell", cell))]
+
+
 register(
     QuerySpec(
         "ivf_index_incremental_topk",
@@ -442,7 +461,8 @@ register(
         _ivf_sql(),
         doc="incremental IVF index maintenance: pinned-centroid batch assignment + partition-wise append; provably equals the one-shot build (oracle = ann_ivf_topk SQL)",
         cites="operators/similarity.py write_ivf_table/ivf_table_topk; ref elt-common/src/elt_common/runner.py:67-107 incremental append machinery",
-        tags=("vector", "approx", "incremental", "scale"),
+        tags=("vector", "approx", "incremental", "scale", "multi_tick"),
+        internal_plan=_ivf_incremental_internal,
     )
 )
 

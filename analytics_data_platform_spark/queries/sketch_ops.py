@@ -767,6 +767,32 @@ SELECT source, v_empty, est_distinct FROM hll
 """
 )
 
+def _sketch_merge_internal(spark, sf_dir):
+    """The per-tick plan the materialized result hides from the ledger:
+    batch registers (even half as prior state, odd half as the new batch)
+    merged via the bounded-key register-max shuffle, then the estimate
+    chain — one frame covering the whole tick plan."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def regs_of(df: DataFrame) -> DataFrame:
+        bg = (
+            df.select("source", F.split("text", " ").alias("t"))
+            .select("source", F.explode(_bigrams_col()).alias("bg"))
+            .where(F.col("bg").contains(" "))
+        )
+        return S.hll_registers(bg, F.col("bg"), "source")
+
+    prior = regs_of(docs.where(F.col("doc_id") % 2 == 0))
+    batch = regs_of(docs.where(F.col("doc_id") % 2 == 1))
+    merged = (
+        prior.unionByName(batch)
+        .groupBy("source", "idx")
+        .agg(F.max("mj").alias("mj"))
+    )
+    est = S.hll_estimate(merged, "source").select("source", "v_empty", "est_distinct")
+    return [("merge_and_estimate", est)]
+
+
 register(
     QuerySpec(
         "streaming_sketch_merge_state",
@@ -774,6 +800,7 @@ register(
         STREAM_SKETCH_SQL,
         doc="streaming HLL register-state merge across two foreachBatch ticks; associative register max makes the merged state provably equal the one-shot sketch",
         cites="operators/sketches.py hll_registers/hll_estimate; SURVEY §2.10 incremental state; Flajolet et al. HLL mergeability",
-        tags=("sketch", "streaming", "scale"),
+        tags=("sketch", "streaming", "scale", "multi_tick"),
+        internal_plan=_sketch_merge_internal,
     )
 )

@@ -84,31 +84,57 @@ def test_registry_sweep_no_cartesian_no_python_no_single_reducer(spark, sf_dir):
 
     ledger_path = Path(__file__).parent / "shuffle_ledger.json"
     regen = os.environ.get("SPARK_GRAFT_REGEN_LEDGER") == "1"
-    ledger: dict[str, int] = (
+    ledger: dict[str, int | str] = (
         json.loads(ledger_path.read_text()) if ledger_path.exists() and not regen else {}
     )
-    seen: dict[str, int] = {}
+    seen: dict[str, int | str] = {}
     offenders: list[str] = []
     stale_allow = set(SINGLE_PARTITION_ALLOWED)
     for name, spec in sorted(all_queries().items()):
-        r = audit(spec.fn(spark, sf_dir))
-        # ledger stores REAL shuffles (exchanges minus reuse): a lost
-        # ReusedExchange shows up as the regression it is, and a plan
-        # that gains reuse reads as the improvement it is
-        seen[name] = r.exchanges - r.reused_exchanges
-        if r.has_cartesian:
-            offenders.append(f"{name}: cartesian")
-        if r.python_eval and name not in PYTHON_ALLOWED:
-            offenders.append(f"{name}: python boundary")
-        if r.unbounded_single_partition:
-            if name in SINGLE_PARTITION_ALLOWED:
-                stale_allow.discard(name)
-            else:
-                offenders.append(
-                    f"{name}: single-reducer {r.unbounded_single_partition[0][:80]}"
-                )
+        if spec.internal_plan is not None:
+            # multi-tick query: the registered fn returns a MATERIALIZED
+            # literal frame (0 exchanges — a blind spot). Audit the
+            # un-materialized representative tick plans instead and record
+            # the sentinel form, so a regression INSIDE a tick changes the
+            # ledger like any other plan change.
+            total = 0
+            for part, frame in spec.internal_plan(spark, sf_dir):
+                r = audit(frame)
+                total += r.exchanges - r.reused_exchanges
+                if r.has_cartesian:
+                    offenders.append(f"{name}/{part}: cartesian")
+                if r.python_eval and name not in PYTHON_ALLOWED:
+                    offenders.append(f"{name}/{part}: python boundary")
+                if r.unbounded_single_partition:
+                    offenders.append(
+                        f"{name}/{part}: single-reducer "
+                        f"{r.unbounded_single_partition[0][:80]}"
+                    )
+            seen[name] = f"materialized:{total}"
+        else:
+            r = audit(spec.fn(spark, sf_dir))
+            # ledger stores REAL shuffles (exchanges minus reuse): a lost
+            # ReusedExchange shows up as the regression it is, and a plan
+            # that gains reuse reads as the improvement it is
+            seen[name] = r.exchanges - r.reused_exchanges
+            if r.has_cartesian:
+                offenders.append(f"{name}: cartesian")
+            if r.python_eval and name not in PYTHON_ALLOWED:
+                offenders.append(f"{name}: python boundary")
+            if r.unbounded_single_partition:
+                if name in SINGLE_PARTITION_ALLOWED:
+                    stale_allow.discard(name)
+                else:
+                    offenders.append(
+                        f"{name}: single-reducer {r.unbounded_single_partition[0][:80]}"
+                    )
         if not regen and ledger and name in ledger and seen[name] != ledger[name]:
-            kind = "REGRESSION" if seen[name] > ledger[name] else "improvement"
+            def _num(v):  # "materialized:<n>" or int -> n
+                return int(str(v).rsplit(":", 1)[-1])
+
+            kind = (
+                "REGRESSION" if _num(seen[name]) > _num(ledger[name]) else "change"
+            )
             offenders.append(
                 f"{name}: shuffle-ledger {kind} {ledger[name]} -> {seen[name]}"
                 " (regen tests/shuffle_ledger.json if intentional)"

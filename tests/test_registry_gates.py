@@ -57,6 +57,29 @@ def test_registry_count_is_documented():
     )
 
 
+def test_multi_tick_queries_have_internal_plans_and_sentinel_ledger():
+    """Multi-tick queries return materialized literal frames, whose final
+    plan shows 0 exchanges — a ledger blind spot. The gate: every query
+    tagged ``multi_tick`` must carry an ``internal_plan`` (the sweep
+    audits the representative tick plans), its ledger entry must be the
+    ``materialized:<n>`` sentinel (a bare 0 means the sweep audited the
+    empty literal plan and saw nothing), and vice versa — an internal
+    plan without the tag would silently skip the showcase/backfill
+    bookkeeping that keys off tags."""
+    ledger = json.loads(LEDGER.read_text())
+    for name, spec in all_queries().items():
+        tagged = "multi_tick" in spec.tags
+        assert tagged == (spec.internal_plan is not None), (
+            f"{name}: multi_tick tag and internal_plan must come together"
+        )
+        if tagged:
+            v = ledger.get(name)
+            assert isinstance(v, str) and v.startswith("materialized:"), (
+                f"{name}: multi-tick ledger entry must be the "
+                f"'materialized:<n>' sentinel, got {v!r} — regen the ledger"
+            )
+
+
 def _previously_passed() -> set[str]:
     """Queries that PASSED some driver correctness window up to r07 —
     rows_match AND schema_match AND hash_match with no error. Mere
