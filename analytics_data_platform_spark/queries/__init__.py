@@ -134,10 +134,11 @@ SHOWCASE_BACKFILL: tuple[str, ...] = (
     "q6_forecast_revenue",
     "asof_purchase_click",
     "sessionize_events",
-    "dedup_exact_stats",
 )
 
 DRIVER_SHOWCASE: tuple[str, ...] = (
+    # round-8 additions: gated the round they land
+    "corpus_tombstone_reingest",
     # the ONE query that has never PASSED a driver window (failed r2 on the
     # since-fixed summation-order flake; externally re-confirmed this round)
     "event_runs_rle",

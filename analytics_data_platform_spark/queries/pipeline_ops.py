@@ -327,6 +327,85 @@ def _takedown_internal_plans(spark, sf_dir):
     return representative_takedown_plans(spark, sf_dir)
 
 
+def corpus_tombstone_reingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOMBSTONE DURABILITY under re-ingest — the erasure property a
+    crawling pipeline actually needs: content taken down between two
+    crawl ticks must stay out when a later tick re-delivers it.
+
+    Three state ticks: (0) the even-id half of the corpus is ingested;
+    (1) a content-keyed takedown erases every fingerprint of the
+    doc_id % 97 == 0 documents (persisted as tombstones in the state);
+    (2) the odd-id half arrives TOGETHER with verbatim copies of the
+    erased texts under entirely fresh doc_ids (+10M) — the re-crawl. The
+    tombstone anti-join at the ingest door must drop both the copies and
+    the odd-id docs that duplicate erased content.
+
+    The oracle is the one-shot pipeline SQL over the corpus minus every
+    doc carrying a tombstoned fingerprint (the same statement
+    ``corpus_takedown_refresh`` is gated on): the fresh-id copies all
+    carry tombstoned fingerprints, so the one-shot on the remainder never
+    sees them — if even one re-ingested copy leaked into the live set,
+    exact_dedup/split counts hash-diverge. Result stages are exact_dedup
+    + splits; ingest tallies are arrival history (they do record the
+    re-crawl attempt) and are excluded as in the takedown query.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pyspark.sql.functions as F
+
+    from analytics_data_platform_spark.pipelines.incremental import (
+        corpus_split_manifest,
+        refresh_corpus_state,
+        takedown_corpus_state,
+    )
+    from analytics_data_platform_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    state = _tempfile.mkdtemp(prefix="adps-tombstone-state-")
+    try:
+        refresh_corpus_state(spark, state, docs.where(F.col("doc_id") % 2 == 0), 0)
+        takedown_corpus_state(spark, state, docs.where(F.col("doc_id") % 97 == 0), 1)
+        reingest = docs.where(F.col("doc_id") % 97 == 0).withColumn(
+            "doc_id", (F.col("doc_id") + F.lit(10_000_000)).cast("long")
+        )
+        refresh_corpus_state(
+            spark,
+            state,
+            docs.where(F.col("doc_id") % 2 == 1).unionByName(reingest),
+            2,
+        )
+        rows = [
+            r
+            for r in corpus_split_manifest(spark, state)
+            if r[0] not in ("raw", "clean")
+        ]
+    finally:
+        _shutil.rmtree(state, ignore_errors=True)
+    return spark.createDataFrame(rows, "stage string, n_docs long")
+
+
+def _tombstone_internal_plans(spark, sf_dir):
+    from analytics_data_platform_spark.pipelines.incremental import (
+        representative_merge_plans,
+    )
+
+    return representative_merge_plans(spark, sf_dir, with_tombstones=True)
+
+
+register(
+    QuerySpec(
+        "corpus_tombstone_reingest",
+        corpus_tombstone_reingest,
+        _takedown_sql(),
+        doc="GDPR-erasure durability: takedown tombstones filter a later re-crawl of the erased content at the ingest door; provably equals the one-shot pipeline on the reduced corpus",
+        cites="pipelines/incremental.py tombstones part + ingest anti-join; LLM-data governance: durable content opt-out",
+        tags=("training", "pipeline", "dedup", "governance", "scale", "multi_tick"),
+        internal_plan=_tombstone_internal_plans,
+    )
+)
+
+
 register(
     QuerySpec(
         "corpus_takedown_refresh",
