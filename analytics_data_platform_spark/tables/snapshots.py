@@ -239,8 +239,13 @@ class SnapshotTable:
 
     def _write_files(self, df: DataFrame) -> list[DataFile]:
         """Write ``df`` into a fresh immutable dir and enumerate the files
-        with stats. The stats pass is one per-file (map-side) aggregation
-        over just-written data — O(batch), not O(table)."""
+        with stats. Stats come from the parquet FOOTERS when every tracked
+        column's footer bounds are trustworthy-exact (numeric/date/boolean
+        — driver-side metadata reads, no second job); otherwise one
+        per-file (map-side) aggregation over just-written data — O(batch),
+        not O(table) either way. Strings always take the scan path: the
+        writer may truncate binary footer bounds, and the manifest
+        contract is exact min/max, not merely valid bounds."""
         d = os.path.join(self.root, "data", uuid.uuid4().hex)
         if self.cluster_by:
             parts = [self.cluster_files] if self.cluster_files else []
@@ -258,6 +263,14 @@ class SnapshotTable:
                 .drop(Z_COL)
             )
         df.write.mode("errorifexists").parquet(d)
+        fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        pre_cols = [n for n, t in fields.items() if t in _STATS_TYPES]
+        if self.stats_cols is not None:
+            pre_cols = [c for c in pre_cols if c in self.stats_cols]
+        if all(fields[c] != "string" for c in pre_cols):
+            out = self._footer_datafiles(d, pre_cols)
+            if out is not None:
+                return out
         written = self.spark.read.parquet(d)
         cols = self._statable_cols(written)
         aggs = [F.count(F.lit(1)).alias("__rows")]
@@ -288,6 +301,52 @@ class SnapshotTable:
                 for c in cols
             }
             out.append(DataFile(p, r["__rows"], os.path.getsize(p), stats))
+        return out
+
+    def _footer_datafiles(self, d: str, cols: list[str]) -> list[DataFile] | None:
+        """Enumerate just-written files with rows + per-column min/max/nulls
+        read from the parquet footers — metadata-only, no second scan job.
+        Returns ``None`` (caller falls back to the scan path) when any
+        footer lacks a usable bound for a requested column: a row group
+        with non-null values but no min/max (parquet writers omit bounds
+        for NaN-poisoned float chunks), a missing null count, or a column
+        the footer does not expose under its plain name. An all-null
+        column is NOT a fallback: min/max None with a full null count is
+        exactly what the scan path records."""
+        import pyarrow.parquet as pq
+
+        out: list[DataFile] = []
+        for name in sorted(os.listdir(d)):
+            if not name.endswith(".parquet"):
+                continue
+            p = os.path.join(d, name)
+            md = pq.ParquetFile(p).metadata
+            if md.num_rows == 0:
+                continue  # zero-row part file: reference nothing, GC later
+            col_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            stats: dict[str, dict] = {}
+            for c in cols:
+                i = col_idx.get(c)
+                if i is None:
+                    return None
+                mn = mx = None
+                nulls = 0
+                for rg in range(md.num_row_groups):
+                    group = md.row_group(rg)
+                    st = group.column(i).statistics
+                    if st is None or not st.has_null_count:
+                        return None
+                    nulls += st.null_count
+                    if group.num_rows == st.null_count:
+                        continue  # all-null row group: no bounds to merge
+                    if not st.has_min_max:
+                        return None
+                    if mn is None or st.min < mn:
+                        mn = st.min
+                    if mx is None or st.max > mx:
+                        mx = st.max
+                stats[c] = {"min": _jsonable(mn), "max": _jsonable(mx), "nulls": nulls}
+            out.append(DataFile(p, md.num_rows, os.path.getsize(p), stats))
         return out
 
     def _statable_cols(self, df: DataFrame) -> list[str]:

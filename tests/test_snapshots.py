@@ -506,3 +506,48 @@ def test_concurrent_appends_with_retry_all_land(spark, tmp_path):
     assert versions == list(range(1, len(versions) + 1))  # linear history
     t.remove_orphan_files(older_than_s=0.0)
     assert {r.id for r in t.read().collect()} == ids
+
+
+def test_footer_stats_match_scan_stats(spark, tmp_path):
+    """The footer fast path (no second scan job) must record byte-identical
+    manifest stats to the scan path for every footer-exact type, including
+    null mixes and an all-null column; a string stat column must force the
+    scan path (footer bounds for binary may be truncated)."""
+    import datetime as dt
+
+    rows = [
+        (1, 2.5, dt.date(2024, 1, 2), True, None, "aa"),
+        (4, None, dt.date(2023, 5, 1), False, None, "zz"),
+        (None, -1.25, dt.date(2024, 3, 9), None, None, None),
+    ]
+    schema = "i bigint, x double, d date, b boolean, allnull int, s string"
+    df = spark.createDataFrame(rows, schema).repartition(2)
+
+    numeric = SnapshotTable(
+        spark, str(tmp_path / "num"), stats_cols=["i", "x", "d", "b", "allnull"]
+    )
+    files = numeric._write_files(df)
+    footer = numeric._footer_datafiles(
+        os.path.dirname(files[0].path), ["i", "x", "d", "b", "allnull"]
+    )
+    assert footer is not None  # the fast path actually engaged
+
+    scan_stats = {}  # force the scan path by including the string column
+    stringy = SnapshotTable(spark, str(tmp_path / "str"))
+    sfiles = stringy._write_files(df)
+    # same frame, same partitioning -> same per-file row sets; compare the
+    # union-of-files aggregate view of both stats paths
+    def merged(fs, col):
+        mins = [f.stats[col]["min"] for f in fs if f.stats[col]["min"] is not None]
+        maxs = [f.stats[col]["max"] for f in fs if f.stats[col]["max"] is not None]
+        nulls = sum(f.stats[col]["nulls"] for f in fs)
+        return (min(mins) if mins else None, max(maxs) if maxs else None, nulls)
+
+    for col in ("i", "x", "d", "b", "allnull"):
+        assert merged(files, col) == merged(sfiles, col), col
+    assert all(f.rows == s.rows for f, s in zip(
+        sorted(files, key=lambda f: f.rows), sorted(sfiles, key=lambda f: f.rows)
+    ))
+    # string column: present in the scan table's stats, exact bounds
+    scol = [f.stats["s"] for f in sfiles]
+    assert min(s["min"] for s in scol if s["min"] is not None) == "aa"
