@@ -103,7 +103,8 @@ SHOWCASE_BACKFILL: tuple[str, ...] = (
     # ANN / vector
     "ann_cosine_topk",
     "ann_ivf_topk",
-    "ann_lsh_topk",
+    # (ann_lsh_topk rotated out for the round-8 additions: the LSH path is
+    # re-confirmed via near_dup_minhash + ann_recall_at_10)
     "ivf_pq_adc_topk",
     "ivf_pq_recall_at_10",
     "pq_adc_topk",
@@ -120,9 +121,9 @@ SHOWCASE_BACKFILL: tuple[str, ...] = (
     "ccnet_perplexity_buckets",
     "text_quality_by_source",
     "heavy_hitters_tokens",
-    # sketches
-    "hll_distinct_bigrams",
-    "hll_union_sources",
+    # sketches (hll_distinct_bigrams/hll_union_sources rotated out for the
+    # round-8 additions: streaming_sketch_merge_state re-confirms the HLL
+    # register path already)
     "ddsketch_price_quantiles",
     # multimodal
     "multimodal_binary_stats",
@@ -139,6 +140,9 @@ SHOWCASE_BACKFILL: tuple[str, ...] = (
 DRIVER_SHOWCASE: tuple[str, ...] = (
     # round-8 additions: gated the round they land
     "corpus_tombstone_reingest",
+    "substring_containment_dedup",
+    "temperature_mixture_allocation",
+    "source_token_js_divergence",
     # the ONE query that has never PASSED a driver window (failed r2 on the
     # since-fixed summation-order flake; externally re-confirmed this round)
     "event_runs_rle",

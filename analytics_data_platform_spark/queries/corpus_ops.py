@@ -995,3 +995,211 @@ register(
         tags=("text", "quality", "training", "corpus"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-CONTAINMENT dedup — the removal half of suffix-style dedup
+# (boilerplate_gram_mask masks repeated passages; this drops whole documents
+# that are verbatim contained in a longer document)
+# ---------------------------------------------------------------------------
+
+
+def substring_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source report of documents whose ENTIRE token sequence appears
+    verbatim inside another document (crawl snapshots re-publishing a page
+    inside a larger page, quote-wrapped reposts): such a doc is dropped in
+    favor of its longest container (ties on equal length = identical text;
+    min doc_id keeps). Containment is token-aligned — ``' '+A+' '`` a
+    substring of ``' '+B+' '`` — so partial-word matches never count.
+
+    Scale shape: the quadratic "A contained in B" scan is pruned to an
+    ANCHOR equi-join — if A ⊆ B then A's FIRST ``PASSAGE_N``-token gram
+    occurs in B's gram stream at the alignment point (the padded match
+    starts right after a token boundary), so joining each doc's anchor
+    hash against the corpus gram-occurrence index finds every containment
+    candidate (provably lossless; only docs with ≥ PASSAGE_N tokens are
+    in scope on BOTH engines). Cost is Σ_g anchors(g)·occurrences(g) —
+    the LSH-bucket-join family, never n² — and the expensive
+    ``contains()`` verify runs only on candidates. The oracle is the
+    independent brute-force all-pairs formulation.
+
+    Reference analogue: dedup policy knobs of the ingest contract
+    (elt-common/src/elt_common/extract.py) — this is the containment
+    policy the reference's exact-hash dedup cannot express.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "text", "n_chars", F.split("text", " ").alias("t"))
+    elig = toks.where(F.size("t") >= PASSAGE_N)
+    occ = (
+        elig.select(
+            F.col("doc_id").alias("b_id"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {PASSAGE_N}),"
+                    f" i -> md5(concat_ws(' ', slice(t, i + 1, {PASSAGE_N}))))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    anchors = elig.select(
+        F.col("doc_id").alias("a_id"),
+        F.expr(f"md5(concat_ws(' ', slice(t, 1, {PASSAGE_N})))").alias("g"),
+    )
+    cands = (
+        anchors.join(occ, "g")
+        .where(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    a_side = elig.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("text").alias("a_text"),
+        F.col("n_chars").alias("a_chars"),
+    )
+    b_side = elig.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("text").alias("b_text"),
+        F.col("n_chars").alias("b_chars"),
+    )
+    contained = (
+        cands.join(a_side, "a_id")
+        .join(b_side, "b_id")
+        .where(
+            F.expr("contains(concat(' ', b_text, ' '), concat(' ', a_text, ' '))")
+            & (
+                (F.col("b_chars") > F.col("a_chars"))
+                # equal length + containment = identical text: min id keeps
+                | ((F.col("b_chars") == F.col("a_chars")) & (F.col("b_id") < F.col("a_id")))
+            )
+        )
+        .select(F.col("a_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_contained", F.lit(1))
+    )
+    return (
+        d.join(contained, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.size(F.split("text", " ")) >= PASSAGE_N).cast("long")).alias(
+                "n_eligible"
+            ),
+            F.coalesce(F.sum("is_contained"), F.lit(0)).cast("long").alias(
+                "n_contained"
+            ),
+            F.sum(
+                F.when(F.col("is_contained").isNotNull(), F.col("n_chars")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("chars_saved"),
+        )
+    )
+
+
+CONTAINMENT_SQL = f"""
+WITH elig AS (
+  SELECT doc_id, text, n_chars
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {PASSAGE_N}
+),
+contained AS (
+  SELECT DISTINCT a.doc_id
+  FROM elig a JOIN elig b
+    ON a.doc_id <> b.doc_id
+   AND contains(' ' || b.text || ' ', ' ' || a.text || ' ')
+   AND (b.n_chars > a.n_chars OR (b.n_chars = a.n_chars AND b.doc_id < a.doc_id))
+)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN len(string_split(d.text, ' ')) >= {PASSAGE_N} THEN 1 ELSE 0 END) AS BIGINT) AS n_eligible,
+       CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contained,
+       CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_saved
+FROM documents d LEFT JOIN contained c ON d.doc_id = c.doc_id
+GROUP BY d.source
+"""
+
+register(
+    QuerySpec(
+        "substring_containment_dedup",
+        substring_containment_dedup,
+        CONTAINMENT_SQL,
+        doc="drop docs verbatim-contained in a longer doc (anchor-gram pruned, token-aligned)",
+        cites="training-data ops: substring dedup, removal policy (Lee et al. 2022); complements boilerplate_gram_mask",
+        tags=("text", "dedup"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Temperature-smoothed source mixing — the multilingual/domain sampling rule
+# ---------------------------------------------------------------------------
+
+MIX_BUDGET = 1_000_000  # tokens allocated across sources per epoch
+
+
+def temperature_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=0.5 temperature-smoothed sampling allocation across sources: each
+    source's sampling weight is ``isqrt(n_tokens)`` — the square-root
+    smoothing that upsamples small domains relative to proportional
+    sampling (the standard multilingual LM mixing rule) — and a fixed
+    token budget is allocated as ``floor(budget * w / Σw)``.
+
+    Exactness: the integer square root is computed identically on both
+    engines as a double ``sqrt`` corrected by ±1 integer steps (exact for
+    counts < 2^52 — double sqrt is correctly rounded, so the error is
+    below one integer). The allocation is integer floor division; the
+    only surfaced float is the share ratio (one terminal division of two
+    exact integers). One token-count aggregate feeds everything; the
+    20-row source table broadcasts against its scalar total.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("n_tokens")
+    )
+    isqrt = (
+        "CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT)"
+    )
+    w = (
+        f"CASE WHEN ({isqrt} + 1) * ({isqrt} + 1) <= n_tokens THEN {isqrt} + 1 "
+        f"WHEN {isqrt} * {isqrt} > n_tokens THEN {isqrt} - 1 ELSE {isqrt} END"
+    )
+    weighted = per_source.withColumn("w", F.expr(w))
+    total = weighted.agg(F.sum("w").alias("_wtot"))
+    return weighted.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_tokens",
+        "w",
+        (F.col("w").cast("double") / F.col("_wtot")).alias("share"),
+        F.expr(f"CAST({MIX_BUDGET} AS BIGINT) * w DIV _wtot").alias("tok_alloc"),
+    )
+
+
+_ISQRT = "CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT)"
+_W = (
+    f"CASE WHEN ({_ISQRT} + 1) * ({_ISQRT} + 1) <= n_tokens THEN {_ISQRT} + 1 "
+    f"WHEN {_ISQRT} * {_ISQRT} > n_tokens THEN {_ISQRT} - 1 ELSE {_ISQRT} END"
+)
+
+MIXTURE_SQL = f"""
+WITH per_source AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+weighted AS (SELECT source, n_tokens, {_W} AS w FROM per_source)
+SELECT source, n_tokens, w,
+       CAST(w AS DOUBLE) / (SELECT SUM(w) FROM weighted) AS share,
+       CAST({MIX_BUDGET} AS BIGINT) * w // (SELECT CAST(SUM(w) AS BIGINT) FROM weighted) AS tok_alloc
+FROM weighted
+"""
+
+register(
+    QuerySpec(
+        "temperature_mixture_allocation",
+        temperature_mixture_allocation,
+        MIXTURE_SQL,
+        doc="sqrt-temperature source sampling weights + exact integer token allocation",
+        cites="training-data ops: temperature-smoothed multilingual/domain mixing (alpha=0.5)",
+        tags=("training", "corpus"),
+    )
+)

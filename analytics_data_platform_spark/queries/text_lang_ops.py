@@ -573,3 +573,118 @@ register(
         tags=("text", "quality", "training"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Corpus cartography: per-source Jensen-Shannon divergence vs the rest of the
+# corpus — the distance that drives domain-mixing / source-pruning decisions
+# ---------------------------------------------------------------------------
+
+
+def source_token_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (micro-nats) between each source's token
+    unigram distribution P and the rest-of-corpus distribution Q — the
+    symmetric, bounded (≤ ln 2) divergence used to map how far each
+    domain sits from the corpus when choosing mixture weights or pruning
+    redundant sources.
+
+    Exactness contract (the keyness/DSIR fixed-point idiom): with integer
+    counts a=count(tok in s), b=count(tok outside s), A=Σa, B=Σb,
+    p/m = 2aB/(aB+bA) and q/m = 2bA/(aB+bA), so every ln() argument is a
+    ratio of products of exact integers. Each product is computed in
+    DOUBLE (correctly-rounded IEEE ops on identical operands — int64
+    products would overflow at corpus scale), each ln is quantized to
+    integer micro-nats BEFORE weighting, per-term weights are exact
+    integers, and the per-source sums accumulate in DECIMAL(38,0) /
+    HUGEINT (b·micro-nat overflows int64 at 100 TB — the JL sum_y2
+    pattern). The only surfaced floats are two terminal divisions of
+    exact sums. One token explode feeds everything; group totals ride
+    windows over the |vocab x source| aggregate, the corpus total
+    broadcasts as a scalar.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    tl = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("a"))
+    w_src = Window.partitionBy("source")
+    w_tok = Window.partitionBy("tok")
+    total = tl.agg(F.sum("a").alias("_tot"))
+    stats = (
+        tl.select(
+            "source", "tok", "a",
+            F.sum("a").over(w_src).alias("big_a"),
+            (F.sum("a").over(w_tok) - F.col("a")).alias("b"),
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn("big_b", F.col("_tot") - F.col("big_a"))
+    )
+    # micro-nat ln of a two-integer product, computed in double
+    ln2p = lambda x, y: f"CAST(round(ln(CAST({x} AS DOUBLE) * CAST({y} AS DOUBLE)) * {_KEY_SCALE}) AS BIGINT)"
+    mix = f"CAST(round(ln(CAST(a AS DOUBLE) * CAST(big_b AS DOUBLE) + CAST(b AS DOUBLE) * CAST(big_a AS DOUBLE)) * {_KEY_SCALE}) AS BIGINT)"
+    p_term = (
+        f"CASE WHEN a > 0 THEN CAST(a AS DECIMAL(19,0)) * CAST({ln2p('2 * a', 'big_b')} - {mix} AS DECIMAL(19,0)) "
+        "ELSE CAST(0 AS DECIMAL(38,0)) END"
+    )
+    q_term = (
+        f"CASE WHEN b > 0 THEN CAST(b AS DECIMAL(19,0)) * CAST({ln2p('2 * b', 'big_a')} - {mix} AS DECIMAL(19,0)) "
+        "ELSE CAST(0 AS DECIMAL(38,0)) END"
+    )
+    agg = stats.groupBy("source").agg(
+        F.max("big_a").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.expr(p_term)).alias("_ps"),
+        F.sum(F.expr(q_term)).alias("_qs"),
+        F.max("big_b").alias("_bb"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        (
+            (F.col("_ps").cast("double") / F.col("n_tokens")
+             + F.col("_qs").cast("double") / F.col("_bb")) / F.lit(2.0)
+        ).alias("jsd_micro"),
+    )
+
+
+_JS_LN = lambda x, y: f"CAST(round(ln(CAST({x} AS DOUBLE) * CAST({y} AS DOUBLE)) * {_KEY_SCALE}) AS BIGINT)"
+_JS_MIX = f"CAST(round(ln(CAST(a AS DOUBLE) * CAST(big_b AS DOUBLE) + CAST(b AS DOUBLE) * CAST(big_a AS DOUBLE)) * {_KEY_SCALE}) AS BIGINT)"
+
+JS_DIVERGENCE_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tl AS (
+  SELECT source, tok, COUNT(*) AS a FROM toks GROUP BY 1, 2
+),
+stats AS (
+  SELECT source, tok, a,
+         SUM(a) OVER (PARTITION BY source) AS big_a,
+         SUM(a) OVER (PARTITION BY tok) - a AS b,
+         SUM(a) OVER () - SUM(a) OVER (PARTITION BY source) AS big_b
+  FROM tl
+),
+terms AS (
+  SELECT source, a, big_a, b, big_b,
+         CASE WHEN a > 0 THEN CAST(a AS HUGEINT) * ({_JS_LN('2 * a', 'big_b')} - {_JS_MIX}) ELSE CAST(0 AS HUGEINT) END AS p_term,
+         CASE WHEN b > 0 THEN CAST(b AS HUGEINT) * ({_JS_LN('2 * b', 'big_a')} - {_JS_MIX}) ELSE CAST(0 AS HUGEINT) END AS q_term
+  FROM stats
+)
+SELECT source,
+       CAST(MAX(big_a) AS BIGINT) AS n_tokens,
+       COUNT(*) AS vocab,
+       (CAST(SUM(p_term) AS DOUBLE) / CAST(MAX(big_a) AS DOUBLE)
+        + CAST(SUM(q_term) AS DOUBLE) / CAST(MAX(big_b) AS DOUBLE)) / 2.0 AS jsd_micro
+FROM terms
+GROUP BY source
+"""
+
+register(
+    QuerySpec(
+        "source_token_js_divergence",
+        source_token_js_divergence,
+        JS_DIVERGENCE_SQL,
+        doc="per-source JSD vs rest-of-corpus token distribution (micro-nat fixed point)",
+        cites="training-data ops: domain mixing / corpus cartography; keyness fixed-point idiom",
+        tags=("text", "training", "corpus"),
+    )
+)

@@ -51,9 +51,13 @@ def main() -> None:
     # streaming, ANN, incremental refresh) under-represented by the r1
     # headline set — recorded per round so regressions in the heavy
     # families are visible without moving the 2x-envelope goalposts
-    # (`value` stays the original 12-query total). One run each: these are
-    # multi-stage executions with their own internal writes, where a min-of-2
-    # mostly measures page-cache warmth.
+    # (`value` stays the original 12-query total). min of 2 runs, same
+    # protocol as the headline set: a single cold run measures
+    # plan-compile/codegen jitter as much as execution (observed 2x+
+    # run-to-run spread on the same host), which would flap the
+    # HEAVY_BASELINE envelope gate. Each run rebuilds the query from fn()
+    # and re-executes its internal state ticks/writes in fresh temp dirs,
+    # so AQE stage reuse cannot fake the second run.
     heavy: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_HEAVY", "1") != "0":
         registry = all_queries()
@@ -63,11 +67,27 @@ def main() -> None:
             "streaming_interval_join_stats",
             "ivf_pq_adc_topk",
         ):
-            t0 = time.perf_counter()
-            registry[name].fn(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            heavy[name] = round(time.perf_counter() - t0, 3)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                registry[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            heavy[name] = round(best, 3)
+
+    # heavy-envelope check: each heavy query vs its best recorded time
+    # (HEAVY_BASELINE.json). Alerts ride the JSON every run; with
+    # SPARK_GRAFT_HEAVY_GATE=1 (preflight --full) they fail the run unless
+    # SPARK_GRAFT_HEAVY_JUSTIFY records why the regression is acceptable.
+    heavy_alerts: dict[str, float] = {}
+    baseline_path = Path(__file__).resolve().parent / "HEAVY_BASELINE.json"
+    if heavy and baseline_path.exists() and sf == 0.1:
+        hb = json.loads(baseline_path.read_text())
+        ratio_limit = float(hb.get("alert_ratio", 1.5))
+        for name, best_sec in hb.get("best", {}).items():
+            if name in heavy and heavy[name] > ratio_limit * float(best_sec):
+                heavy_alerts[name] = round(heavy[name] / float(best_sec), 2)
 
     print(
         json.dumps(
@@ -77,11 +97,24 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "heavy": heavy,
+                "heavy_alerts": heavy_alerts,
                 "sf": sf,
             }
         )
     )
     spark.stop()
+    if heavy_alerts and os.environ.get("SPARK_GRAFT_HEAVY_GATE") == "1":
+        justify = os.environ.get("SPARK_GRAFT_HEAVY_JUSTIFY")
+        if justify:
+            print(f"heavy envelope exceeded, justified: {justify}", file=sys.stderr)
+        else:
+            print(
+                "heavy envelope exceeded (>1.5x best recorded) for "
+                f"{sorted(heavy_alerts)} — fix the regression or set "
+                "SPARK_GRAFT_HEAVY_JUSTIFY with the reason",
+                file=sys.stderr,
+            )
+            raise SystemExit(3)
 
 
 if __name__ == "__main__":

@@ -96,7 +96,11 @@ def main() -> int:
             [py, "-m", "pytest", "tests/test_scale_smoke.py", "-q"],
             {"SPARK_GRAFT_SCALE_SMOKE": "1"},
         ),
-        ("bench", [py, "bench.py"], None),
+        # bench with the heavy-envelope gate armed: any heavy query slower
+        # than alert_ratio x its HEAVY_BASELINE.json best fails this stage
+        # unless SPARK_GRAFT_HEAVY_JUSTIFY (inherited from the caller's env)
+        # records why
+        ("bench", [py, "bench.py"], {"SPARK_GRAFT_HEAVY_GATE": "1"}),
     ]
     for label, args, env in stages:
         rc = _run(label, args, env)
