@@ -86,6 +86,14 @@ HARDENED = [
     "ivf_index_incremental_topk",
     "streaming_sketch_merge_state",
     "incremental_pipeline_refresh",
+    # round-8: tombstoned re-ingest (multi-tick state under erasure), the
+    # anchor-join containment prune (candidate discovery must be
+    # layout-free), and the two fixed-point mixing metrics (isqrt
+    # correction + micro-nat DECIMAL folds)
+    "corpus_tombstone_reingest",
+    "substring_containment_dedup",
+    "temperature_mixture_allocation",
+    "source_token_js_divergence",
 ]
 
 _ADVERSARIAL = {
