@@ -119,7 +119,8 @@ SHOWCASE_BACKFILL: tuple[str, ...] = (
     # corpus quality
     "c4_gopher_rule_stats",
     "ccnet_perplexity_buckets",
-    "text_quality_by_source",
+    # (text_quality_by_source rotated out for the round-8 additions: it is
+    # a low-risk flat query, gated in r1 and re-measured every bench run)
     "heavy_hitters_tokens",
     # sketches (hll_distinct_bigrams/hll_union_sources rotated out for the
     # round-8 additions: streaming_sketch_merge_state re-confirms the HLL
@@ -143,6 +144,7 @@ DRIVER_SHOWCASE: tuple[str, ...] = (
     "substring_containment_dedup",
     "temperature_mixture_allocation",
     "source_token_js_divergence",
+    "corpus_state_changelog",
     # the ONE query that has never PASSED a driver window (failed r2 on the
     # since-fixed summation-order flake; externally re-confirmed this round)
     "event_runs_rle",

@@ -417,3 +417,144 @@ register(
         internal_plan=_takedown_internal_plans,
     )
 )
+
+
+def corpus_state_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel CHANGELOG over the snapshot-backed incremental corpus
+    state: two ingest ticks commit state versions, then BOTH versions are
+    read back via snapshot time travel and diffed per (batch, source) —
+    docs appeared / evicted / retained. This is the audit surface an
+    Iceberg `CHANGES BETWEEN` read gives a warehouse table, applied to
+    the corpus live set, and it externally gates that version-pinned
+    reads of the copy-on-write state (pipelines/incremental.py commit
+    protocol) return exactly the historical live sets.
+
+    The oracle recomputes each tick's live set directly — the keeper
+    rule over the cleaned prefix of batches (tick k's live set equals
+    the one-shot exact-dedup of batches 0..k, the provable-collapse
+    property the refresh family is gated on) — and diffs them in SQL.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pyspark.sql.functions as F
+
+    from analytics_data_platform_spark.pipelines.incremental import (
+        read_state_part,
+        refresh_corpus_state,
+    )
+    from analytics_data_platform_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    state = _tempfile.mkdtemp(prefix="adps-changelog-state-")
+    try:
+        refresh_corpus_state(spark, state, docs.where(F.col("doc_id") % 2 == 0), 0)
+        refresh_corpus_state(spark, state, docs.where(F.col("doc_id") % 2 == 1), 1)
+        live0 = read_state_part(spark, state, "live", 0).select("doc_id", "source")
+        live1 = read_state_part(spark, state, "live", 1).select("doc_id", "source")
+        l0 = live0.select(
+            F.col("doc_id"), F.col("source").alias("_src0"), F.lit(1).alias("_in0")
+        )
+        l1 = live1.select(
+            F.col("doc_id"), F.col("source").alias("_src1"), F.lit(1).alias("_in1")
+        )
+        status1 = (
+            l0.join(l1, "doc_id", "full_outer")
+            .select(
+                F.coalesce("_src1", "_src0").alias("source"),
+                F.coalesce("_in0", F.lit(0)).alias("in0"),
+                F.coalesce("_in1", F.lit(0)).alias("in1"),
+            )
+            .groupBy("source")
+            .agg(
+                F.sum(((F.col("in1") == 1) & (F.col("in0") == 0)).cast("long")).alias(
+                    "n_appeared"
+                ),
+                F.sum(((F.col("in0") == 1) & (F.col("in1") == 0)).cast("long")).alias(
+                    "n_evicted"
+                ),
+                F.sum(((F.col("in0") == 1) & (F.col("in1") == 1)).cast("long")).alias(
+                    "n_retained"
+                ),
+            )
+            .withColumn("batch_id", F.lit(1).cast("long"))
+        )
+        tick0 = (
+            live0.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_appeared"))
+            .select(
+                "source",
+                "n_appeared",
+                F.lit(0).cast("long").alias("n_evicted"),
+                F.lit(0).cast("long").alias("n_retained"),
+                F.lit(0).cast("long").alias("batch_id"),
+            )
+        )
+        rows = [
+            (r["batch_id"], r["source"], r["n_appeared"], r["n_evicted"], r["n_retained"])
+            for r in tick0.unionByName(status1.select(tick0.columns)).collect()
+        ]
+    finally:
+        _shutil.rmtree(state, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "batch_id long, source string, n_appeared long, n_evicted long, n_retained long",
+    )
+
+
+CHANGELOG_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, source, string_split(trim(text), ' ') AS t, text
+  FROM documents WHERE length(trim(text)) > 0
+),
+clean AS (
+  SELECT doc_id, source, {_FP_SQL} AS fp FROM base
+  WHERE {_CLEAN_WHERE}
+),
+live0 AS (
+  SELECT MIN(doc_id) AS doc_id FROM clean WHERE doc_id % 2 = 0 GROUP BY fp
+),
+live1 AS (
+  SELECT MIN(doc_id) AS doc_id FROM clean GROUP BY fp
+),
+l0 AS (SELECT c.doc_id, c.source FROM live0 v JOIN clean c ON v.doc_id = c.doc_id),
+l1 AS (SELECT c.doc_id, c.source FROM live1 v JOIN clean c ON v.doc_id = c.doc_id),
+tick1 AS (
+  SELECT COALESCE(l1.source, l0.source) AS source,
+         CASE WHEN l0.doc_id IS NOT NULL THEN 1 ELSE 0 END AS in0,
+         CASE WHEN l1.doc_id IS NOT NULL THEN 1 ELSE 0 END AS in1
+  FROM l0 FULL OUTER JOIN l1 ON l0.doc_id = l1.doc_id
+)
+SELECT CAST(0 AS BIGINT) AS batch_id, source,
+       COUNT(*) AS n_appeared,
+       CAST(0 AS BIGINT) AS n_evicted,
+       CAST(0 AS BIGINT) AS n_retained
+FROM l0 GROUP BY source
+UNION ALL
+SELECT CAST(1 AS BIGINT) AS batch_id, source,
+       CAST(SUM(CASE WHEN in1 = 1 AND in0 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_appeared,
+       CAST(SUM(CASE WHEN in0 = 1 AND in1 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_evicted,
+       CAST(SUM(CASE WHEN in0 = 1 AND in1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained
+FROM tick1 GROUP BY source
+"""
+
+
+def _changelog_internal_plans(spark, sf_dir):
+    from analytics_data_platform_spark.pipelines.incremental import (
+        representative_merge_plans,
+    )
+
+    return representative_merge_plans(spark, sf_dir)
+
+
+register(
+    QuerySpec(
+        "corpus_state_changelog",
+        corpus_state_changelog,
+        CHANGELOG_SQL,
+        doc="per-tick appeared/evicted/retained diff of time-travelled corpus state versions",
+        cites="pipelines/incremental.py commit protocol; tables/snapshots.py time travel; Iceberg CHANGES-read analogue",
+        tags=("pipeline", "streaming", "governance", "multi_tick"),
+        internal_plan=_changelog_internal_plans,
+    )
+)

@@ -91,6 +91,7 @@ HARDENED = [
     # layout-free), and the two fixed-point mixing metrics (isqrt
     # correction + micro-nat DECIMAL folds)
     "corpus_tombstone_reingest",
+    "corpus_state_changelog",
     "substring_containment_dedup",
     "temperature_mixture_allocation",
     "source_token_js_divergence",
