@@ -99,6 +99,14 @@ QUERIES = [
     "ivf_index_incremental_topk",
     "streaming_sketch_merge_state",
     "corpus_takedown_refresh",
+    # round-8: snapshot-backed state (tombstone re-ingest, time-travel
+    # changelog) + the anchor-join containment prune and the fixed-point
+    # mixing metrics under a multi-JVM scheduler
+    "corpus_tombstone_reingest",
+    "corpus_state_changelog",
+    "substring_containment_dedup",
+    "temperature_mixture_allocation",
+    "source_token_js_divergence",
 ]
 
 

@@ -282,3 +282,35 @@ def test_multimodal_binary_stats_survives_8x(spark, smoke_dir):
     n, dt = _timed(spark, "multimodal_binary_stats", smoke_dir)
     assert n > 0
     print(f"multimodal_binary_stats 8x: {n} rows in {dt:.1f}s")
+
+
+def test_containment_dedup_survives_8x(spark, smoke_dir):
+    """Replica markers multiply every anchor gram's occurrence list 8x AND
+    its anchor list 8x — candidate growth is anchors(g) x occurrences(g)
+    per gram (64x), the worst legitimate growth the prune allows. Must
+    stay within budget; replica markers destroy cross-replica containment
+    so the verify keeps the result at zero drops (asserted: the prune's
+    candidates never invent a containment)."""
+    t0 = time.time()
+    res = {
+        r["source"]: r
+        for r in all_queries()["substring_containment_dedup"]
+        .fn(spark, smoke_dir)
+        .collect()
+    }
+    dt = time.time() - t0
+    assert dt < BUDGET_S, f"substring_containment_dedup took {dt:.0f}s at 8x"
+    assert sum(r["n_contained"] for r in res.values()) == 0
+    assert all(r["n_docs"] == r["n_eligible"] for r in res.values())
+
+
+def test_source_jsd_survives_8x(spark, smoke_dir):
+    """Per-doc marker tokens grow the vocab by ~n_docs at 8x — the
+    |vocab x source| window aggregate and the DECIMAL(38,0) folds must
+    survive; JSD stays within [0, ln 2] micro-nats."""
+    t0 = time.time()
+    rows = all_queries()["source_token_js_divergence"].fn(spark, smoke_dir).collect()
+    dt = time.time() - t0
+    assert dt < BUDGET_S, f"source_token_js_divergence took {dt:.0f}s at 8x"
+    assert rows and all(0.0 <= r["jsd_micro"] <= 693148.0 for r in rows)
+    print(f"source_token_js_divergence 8x: {len(rows)} sources in {dt:.1f}s")
