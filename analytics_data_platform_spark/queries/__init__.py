@@ -111,7 +111,8 @@ SHOWCASE_BACKFILL: tuple[str, ...] = (
     "ann_recall_at_10",
     # tokenizer / training ops
     "bpe_train_merges",
-    "bpe_encode_stats",
+    # (bpe_encode_stats rotated out for the round-8 additions: the encode
+    # loop is re-confirmed via bpe_train_merges + tokenizer_fertility_by_lang)
     "tokenizer_fertility_by_lang",
     "pack_sequences",
     "packing_efficiency_sweep",
@@ -145,6 +146,7 @@ DRIVER_SHOWCASE: tuple[str, ...] = (
     "temperature_mixture_allocation",
     "source_token_js_divergence",
     "corpus_state_changelog",
+    "inverted_index_conjunctive",
     # the ONE query that has never PASSED a driver window (failed r2 on the
     # since-fixed summation-order flake; externally re-confirmed this round)
     "event_runs_rle",

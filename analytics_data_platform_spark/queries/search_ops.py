@@ -402,3 +402,109 @@ register(
         tags=("search", "text"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Term-partitioned inverted index + partition-PRUNED conjunctive serving —
+# the index-backed retrieval shape (vs the full-scan BM25/phrase queries)
+# ---------------------------------------------------------------------------
+
+INDEX_BUCKETS = 64
+CONJ_TERMS = ("table", "hash", "merge")
+
+
+def _posting_rows(d: DataFrame) -> DataFrame:
+    """(bucket, term, doc_id, source) posting rows; bucket is the index's
+    partition key (murmur3 of the term — an implementation detail the
+    oracle never sees)."""
+    return d.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
+    ).withColumn("bucket", F.pmod(F.hash("term"), F.lit(INDEX_BUCKETS)))
+
+
+def _conjunctive_serve(postings: DataFrame) -> DataFrame:
+    """Conjunctive AND over posting rows: docs containing EVERY query term,
+    counted per source. ``postings`` is either the parquet-backed index
+    (bucket filter → partition pruning) or the in-memory posting plan
+    (ledger audit)."""
+    hits = (
+        postings.where(F.col("term").isin(*CONJ_TERMS))
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("term").alias("_nt"),
+            F.max("source").alias("source"),
+        )
+        .where(F.col("_nt") == len(CONJ_TERMS))
+    )
+    return hits.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def inverted_index_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a term-partitioned inverted index (posting lists written
+    ``partitionBy(bucket)``), then serve a conjunctive query by reading
+    ONLY the buckets of the query terms — static partition pruning keeps
+    the seek O(matching buckets), never a corpus scan. This is the
+    retrieval-serving shape the full-scan BM25/phrase queries cannot
+    offer at 100 TB: the index is built once (amortized over every
+    query), and each lookup touches ≤ |terms| of INDEX_BUCKETS partition
+    directories (plan-guarded in tests/test_plans_new_ops.py).
+
+    The oracle is the direct corpus predicate — token-membership AND over
+    every query term — so a bucket routing bug, a posting lost in the
+    build, or a pruned-away true hit all hash-diverge. The bounded
+    (≤ sources) result returns as a literal frame; the temp index is
+    removed before returning.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    idx_dir = _tempfile.mkdtemp(prefix="adps-invidx-")
+    try:
+        _posting_rows(d).write.mode("overwrite").partitionBy("bucket").parquet(idx_dir)
+        index = spark.read.parquet(idx_dir)
+        # the query's buckets, computed with the SAME hash the build used
+        want = [
+            r["bucket"]
+            for r in spark.createDataFrame(
+                [(t,) for t in CONJ_TERMS], "term string"
+            )
+            .select(F.pmod(F.hash("term"), F.lit(INDEX_BUCKETS)).alias("bucket"))
+            .collect()
+        ]
+        served = _conjunctive_serve(index.where(F.col("bucket").isin(*want)))
+        rows = [(r["source"], r["n_docs"]) for r in served.collect()]
+    finally:
+        _shutil.rmtree(idx_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, "source string, n_docs long")
+
+
+def _inverted_index_internal_plans(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return [("serve", _conjunctive_serve(_posting_rows(d)))]
+
+
+_CONJ_WHERE = " AND ".join(
+    f"list_contains(string_split(text, ' '), '{t}')" for t in CONJ_TERMS
+)
+
+INVERTED_INDEX_SQL = f"""
+SELECT source, COUNT(*) AS n_docs
+FROM documents
+WHERE {_CONJ_WHERE}
+GROUP BY source
+"""
+
+register(
+    QuerySpec(
+        "inverted_index_conjunctive",
+        inverted_index_conjunctive,
+        INVERTED_INDEX_SQL,
+        doc="term-partitioned inverted index; conjunctive lookup via partition pruning",
+        cites="retrieval serving over corpus shards; complements full-scan BM25 (this module)",
+        tags=("search", "scale", "multi_tick"),
+        internal_plan=_inverted_index_internal_plans,
+    )
+)

@@ -95,6 +95,7 @@ HARDENED = [
     "substring_containment_dedup",
     "temperature_mixture_allocation",
     "source_token_js_divergence",
+    "inverted_index_conjunctive",
 ]
 
 _ADVERSARIAL = {
