@@ -85,9 +85,20 @@ def main() -> None:
     if heavy and baseline_path.exists() and sf == 0.1:
         hb = json.loads(baseline_path.read_text())
         ratio_limit = float(hb.get("alert_ratio", 1.5))
-        for name, best_sec in hb.get("best", {}).items():
-            if name in heavy and heavy[name] > ratio_limit * float(best_sec):
-                heavy_alerts[name] = round(heavy[name] / float(best_sec), 2)
+        hard_cap = float(hb.get("hard_cap", 3.0))
+        ratios = {
+            n: heavy[n] / float(b)
+            for n, b in hb.get("best", {}).items()
+            if n in heavy
+        }
+        # host-noise normalization: a loaded/slow host inflates EVERY heavy
+        # query by a common factor (observed 1.5x+ same-day), while a real
+        # regression inflates one. Alert on skew vs the fleet median (never
+        # below the absolute ratio), with a hard cap no host story excuses.
+        med = sorted(ratios.values())[len(ratios) // 2] if ratios else 1.0
+        for name, ratio in ratios.items():
+            if ratio > ratio_limit * max(1.0, med) or ratio > hard_cap:
+                heavy_alerts[name] = round(ratio, 2)
 
     print(
         json.dumps(
