@@ -28,15 +28,24 @@ uses; no bespoke directory convention):
                           door, so GDPR erasure survives later refreshes
 
 A STATE VERSION is a named ref ``state_v{batch_id}`` across the five
-tables. Commit protocol: each part is committed to its table first (a
-snapshot commit is atomic but the new snapshot is reachable only through
-the table's own history), then the refs are set in a fixed order with
+tables. Commits are DELTAS, not rewrites: each non-bootstrap tick
+appends its new rows (O(batch)) and records evictions/takedowns as
+merge-on-read equality-delete files (O(keys) — Iceberg v2 semantics, no
+data file rewritten), so a tick's WRITE cost is O(delta) while versions
+still share unchanged files by reference. The bootstrap tick is a full
+replace (delta == full state). Refs are then set in a fixed order with
 ``counts`` LAST — the counts ref IS the commit marker. Readers and the
 predecessor rule recognize only versions whose counts ref exists, so a
 crash anywhere mid-commit leaves the previous version live and the torn
-attempt invisible (its unreferenced snapshots are garbage-collected by
-``expire_state_versions``); a ``foreachBatch`` retry of the same batch_id
-simply re-commits and re-points the refs (idempotent, pinned by test).
+attempt invisible (its snapshots are garbage-collected by
+``expire_state_versions``). Because delta commits advance each part
+table's own history, every tick REBASES first: if a part's current
+version differs from the predecessor's pinned ref (a crashed attempt),
+it is rolled back — restoring files AND the delete list — before this
+tick's delta applies; a ``foreachBatch`` retry of the same batch_id is
+therefore idempotent (pinned by test). Accumulated delete files are
+compacted by ``compact_state_deletes`` (maintenance), which re-points
+the latest ref at the materialized version.
 
 Provable-collapse contract (what the oracle gate checks): after any
 sequence of refreshes and takedowns, the state equals the ONE-SHOT
@@ -74,7 +83,12 @@ of committing silent corruption.
 Scale shape per tick: one fingerprint-key shuffle over state ∪ batch
 (map-side min partials), two id-key semi-joins for compaction,
 shingling/hashing of ONLY the newly-live docs — never the corpus — and
-one tombstone anti-join over the batch.
+one tombstone anti-join over the batch. The WRITE path is O(delta):
+appends of the new rows plus O(keys) equality-delete files for the
+eviction cascade; unchanged state files carry across versions by
+reference. (The merge SHUFFLE still reads state ∪ batch — the next rung
+when state ≫ batch is fingerprint-bucketed state so the batch shuffles
+into it; recorded in SCALE.md.)
 """
 
 from __future__ import annotations
@@ -150,40 +164,65 @@ def read_state_part(
     return t.read(v)
 
 
+# a per-part commit op: ("replace", full_frame) on the bootstrap tick
+# (delta == full state, and a full replace also resets any torn bootstrap
+# attempt), or ("delta", [(keys_df, key_cols), ...], append_df_or_None) —
+# merge-on-read equality deletes + an O(batch) append, so a tick's WRITE
+# cost is O(delta), never O(state)
+_StateOp = tuple
+
+
 def _commit_state_version(
     spark: SparkSession,
     state_dir: str,
     batch_id: int,
-    frames: dict[str, DataFrame],
+    ops: dict[str, _StateOp],
+    prior_batch: int | None,
     _crash_after: str | None = None,
 ) -> None:
-    """Commit one state version: snapshot-commit every part, then point
-    the ``state_v{batch_id}`` refs in ``_REF_ORDER`` (counts last — the
-    marker). ``_crash_after`` ('replace:<part>' / 'ref:<part>') is the
-    crash-injection hook for the torn-commit tests."""
+    """Commit one state version: apply every part's op, then point the
+    ``state_v{batch_id}`` refs in ``_REF_ORDER`` (counts last — the
+    marker). Delta ops REBASE first: a crashed earlier attempt leaves the
+    part table's current version ahead of the last committed ref, and
+    appending onto the torn attempt would double-count — roll back to the
+    predecessor's pinned version (restores files AND the merge-on-read
+    delete list) before applying this tick's delta. ``_crash_after``
+    ('replace:<part>' / 'ref:<part>') is the crash-injection hook for the
+    torn-commit tests."""
     tables = {p: _table(spark, state_dir, p) for p in _PARTS}
-    versions: dict[str, int] = {}
     for part in _PARTS:
-        versions[part] = tables[part].replace(frames[part])
+        t = tables[part]
+        op = ops[part]
+        if op[0] == "replace":
+            t.replace(op[1])
+        else:
+            _, deletes, append_df = op
+            if prior_batch is not None:
+                pinned = t.resolve_ref(_ref(prior_batch))
+                if t.current_version() != pinned:
+                    t.rollback(pinned)
+            for keys, key_cols in deletes:
+                t.delete_keys_mor(keys, key_cols)
+            if append_df is not None:
+                t.append(append_df)
         if _crash_after == f"replace:{part}":
             raise _InjectedCrash(_crash_after)
     ref = _ref(batch_id)
     for part in _REF_ORDER:
-        tables[part].set_ref(ref, versions[part])
+        tables[part].set_ref(ref, tables[part].current_version())
         if _crash_after == f"ref:{part}":
             raise _InjectedCrash(_crash_after)
 
 
-def merge_corpus_state(
+def _merge_parts(
     old_live: DataFrame,
     old_index: DataFrame,
     old_pairs: DataFrame,
     clean: DataFrame,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """The pure state-merge plan: (old_live, old_index, old_pairs) × a
-    CLEANED batch → (live, band_index, pairs). No I/O — callers persist
-    `live` (it is referenced by all three outputs) and write; tests audit
-    the plans directly."""
+) -> dict[str, DataFrame]:
+    """Shared construction for the merge plan AND its delta decomposition.
+    No I/O; every entry is a lazy frame over the inputs (callers persist
+    ``live`` — it is referenced by everything else)."""
     # 1) exact-dedup merge: min-id keeper per fingerprint over old ∪ new —
     #    associative, so the merged keeper set equals the one-shot's
     live = (
@@ -197,17 +236,21 @@ def merge_corpus_state(
         .select("m.*")
     )
     newly_live = live.join(old_live.select("doc_id"), "doc_id", "left_anti")
+    # docs evicted by a smaller-id fingerprint-duplicate in the batch —
+    # the DELETE half of the delta commit (and the cascade driver)
+    evicted = old_live.select("doc_id").join(
+        live.select("doc_id"), "doc_id", "left_anti"
+    )
 
     # 2) band-index maintenance: expire evicted docs' rows (live semi-join),
     #    shingle/hash ONLY the newly-live docs and append their rows.
-    #    Both frames have TWO consumers (the index write and the candidate
-    #    join) — checkpoint so the expensive shingle+minhash of the new
-    #    docs runs once per tick, not twice
+    #    Both frames have TWO consumers (the index write/audit and the
+    #    candidate join) — checkpoint so the expensive shingle+minhash of
+    #    the new docs runs once per tick, not twice
     compacted = dedup.compact_band_index(
         old_index, live.select("doc_id")
     ).localCheckpoint(eager=False)
     new_rows = dedup.minhash_band_rows(newly_live).localCheckpoint(eager=False)
-    band_index = compacted.unionByName(new_rows)
 
     # 3) near-dup candidates touching new docs: bucket equi-join of the new
     #    band rows against the compacted index (+ new×new), then the exact
@@ -225,9 +268,32 @@ def merge_corpus_state(
     retained = old_pairs.join(
         live_ids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi"
     ).join(live_ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
+    return {
+        "live": live,
+        "newly_live": newly_live,
+        "evicted": evicted,
+        "compacted": compacted,
+        "new_rows": new_rows,
+        "new_pairs": new_pairs,
+        "retained": retained,
+    }
+
+
+def merge_corpus_state(
+    old_live: DataFrame,
+    old_index: DataFrame,
+    old_pairs: DataFrame,
+    clean: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The pure state-merge plan: (old_live, old_index, old_pairs) × a
+    CLEANED batch → (live, band_index, pairs). No I/O — this is the
+    SEMANTIC spec the delta commit must equal; tests and the shuffle
+    ledger audit these plans directly."""
+    m = _merge_parts(old_live, old_index, old_pairs, clean)
+    band_index = m["compacted"].unionByName(m["new_rows"])
     # join-on-id_b reorders columns; normalize before the union/write
-    pairs = retained.select("id_a", "id_b").unionByName(new_pairs)
-    return live, band_index, pairs
+    pairs = m["retained"].select("id_a", "id_b").unionByName(m["new_pairs"])
+    return m["live"], band_index, pairs
 
 
 def refresh_corpus_state(
@@ -291,9 +357,11 @@ def refresh_corpus_state(
         "left_anti",
     )
 
-    live, band_index, pairs = merge_corpus_state(old_live, old_index, old_pairs, clean)
-    live = live.persist()  # reused by compaction/verify inside the lazy
-    # plan AND by the write below; unpersisted after the state commit
+    m = _merge_parts(old_live, old_index, old_pairs, clean)
+    live = m["live"].persist()  # the delta frames (newly_live, evicted,
+    # new_rows, new_pairs) all reference this plan subtree — Spark's
+    # cache matches by logical plan, so they reuse the one materialization;
+    # unpersisted after the state commit
 
     # precondition guard (see module docstring): a doc_id re-used for
     # DIFFERENT text lands in two fingerprint groups and both keepers carry
@@ -319,24 +387,56 @@ def refresh_corpus_state(
         [(int(batch_id), int(tallies.n_raw), int(tallies.n_clean))],
         "batch_id long, n_raw long, n_clean long",
     )
-    counts = (
-        old_counts.unionByName(batch_counts) if old_counts is not None else batch_counts
-    )
 
     try:
-        _commit_state_version(
-            spark,
-            state_dir,
-            batch_id,
-            {
-                "live": live,
-                "band_index": band_index,
-                "pairs": pairs,
-                "counts": counts,
-                "tombstones": old_tombstones.select("_fp"),
-            },
-            _crash_after=_crash_after,
-        )
+        if not prior:
+            # bootstrap: delta == full state; replace also resets any torn
+            # bootstrap attempt (there is no committed predecessor to
+            # rebase onto)
+            ops: dict[str, _StateOp] = {
+                "live": ("replace", live),
+                "band_index": ("replace", m["compacted"].unionByName(m["new_rows"])),
+                "pairs": (
+                    "replace",
+                    m["retained"].select("id_a", "id_b").unionByName(m["new_pairs"]),
+                ),
+                "counts": ("replace", batch_counts),
+                "tombstones": ("replace", old_tombstones.select("_fp")),
+            }
+            _commit_state_version(
+                spark, state_dir, batch_id, ops, None, _crash_after=_crash_after
+            )
+        else:
+            # delta commit: O(batch) appends + merge-on-read equality
+            # deletes for the (rare) eviction cascade — the state is never
+            # rewritten in full
+            evicted = m["evicted"].persist()
+            try:
+                ev: list[tuple[DataFrame, list[str]]] = []
+                ev_pairs: list[tuple[DataFrame, list[str]]] = []
+                if not evicted.isEmpty():
+                    ev = [(evicted, ["doc_id"])]
+                    ev_pairs = [
+                        (evicted.withColumnRenamed("doc_id", "id_a"), ["id_a"]),
+                        (evicted.withColumnRenamed("doc_id", "id_b"), ["id_b"]),
+                    ]
+                ops = {
+                    "live": ("delta", ev, m["newly_live"].select(*_DOC_COLS)),
+                    "band_index": ("delta", ev, m["new_rows"]),
+                    "pairs": ("delta", ev_pairs, m["new_pairs"]),
+                    "counts": ("delta", [], batch_counts),
+                    "tombstones": ("delta", [], None),
+                }
+                _commit_state_version(
+                    spark,
+                    state_dir,
+                    batch_id,
+                    ops,
+                    prior[-1],
+                    _crash_after=_crash_after,
+                )
+            finally:
+                evicted.unpersist()
     finally:
         live.unpersist()
 
@@ -396,35 +496,52 @@ def takedown_corpus_state(
     (``counts``) are historical arrival records and are deliberately NOT
     rewritten.
 
-    Scale shape: one fingerprint anti-join over live + the two id-key
-    semi-joins of the eviction cascade; nothing is re-shingled.
+    Scale shape: one fingerprint semi-join over live to find the removed
+    ids, then O(keys) merge-on-read equality-delete commits cascade the
+    removal into the index and pair state — nothing is re-shingled and NO
+    data file is rewritten (compaction happens in maintenance).
     """
     prior = [v for v in committed_versions(state_dir) if v < int(batch_id)]
     if not prior:
         raise ValueError("takedown requires existing corpus state")
     old_live = read_state_part(spark, state_dir, "live", prior[-1])
-    old_index = read_state_part(spark, state_dir, "band_index", prior[-1])
-    old_pairs = read_state_part(spark, state_dir, "pairs", prior[-1])
-    old_counts = read_state_part(spark, state_dir, "counts", prior[-1])
     old_tombstones = read_state_part(spark, state_dir, "tombstones", prior[-1])
 
-    live, band_index, pairs, tombstones = takedown_state_plan(
-        old_live, old_index, old_pairs, old_tombstones, takedown
+    # delta decomposition of takedown_state_plan (the pure spec): removal
+    # is the id set of live docs whose fingerprint matches a request —
+    # merge-on-read equality deletes cascade it into the index and pairs,
+    # and only the NEW fingerprints append to the tombstone set
+    td_fps = takedown.select(dedup.fingerprint_col("text").alias("_fp")).distinct()
+    removed = (
+        old_live.join(
+            td_fps, dedup.fingerprint_col("text") == F.col("_fp"), "left_semi"
+        )
+        .select("doc_id")
+        .persist()
     )
+    new_fps = td_fps.join(old_tombstones.select("_fp"), "_fp", "left_anti")
 
-    _commit_state_version(
-        spark,
-        state_dir,
-        batch_id,
-        {
-            "live": live,
-            "band_index": band_index,
-            "pairs": pairs,
-            "counts": old_counts,
-            "tombstones": tombstones,
-        },
-        _crash_after=_crash_after,
-    )
+    try:
+        rm: list[tuple[DataFrame, list[str]]] = []
+        rm_pairs: list[tuple[DataFrame, list[str]]] = []
+        if not removed.isEmpty():
+            rm = [(removed, ["doc_id"])]
+            rm_pairs = [
+                (removed.withColumnRenamed("doc_id", "id_a"), ["id_a"]),
+                (removed.withColumnRenamed("doc_id", "id_b"), ["id_b"]),
+            ]
+        ops: dict[str, _StateOp] = {
+            "live": ("delta", rm, None),
+            "band_index": ("delta", rm, None),
+            "pairs": ("delta", rm_pairs, None),
+            "counts": ("delta", [], None),
+            "tombstones": ("delta", [], new_fps),
+        }
+        _commit_state_version(
+            spark, state_dir, batch_id, ops, prior[-1], _crash_after=_crash_after
+        )
+    finally:
+        removed.unpersist()
 
 
 def expire_state_versions(
@@ -432,9 +549,11 @@ def expire_state_versions(
 ) -> list[str]:
     """Expire old copy-on-write state versions (the M3 expire_snapshots
     analog for incremental-pipeline state): every committed version before
-    the last ``keep_last`` is removed. Versions are self-contained (each
-    holds the FULL live/band_index/pairs/counts/tombstones state, not
-    deltas), so expiry never breaks a later read. keep_last >= 2 (the
+    the last ``keep_last`` is removed. Commits are deltas, so versions
+    SHARE unchanged files by reference; the snapshot layer's
+    reference-counting expiry only reclaims files no surviving version
+    needs, and named refs pin surviving versions against it — expiry
+    never breaks a later read. keep_last >= 2 (the
     default) also keeps the latest batch's predecessor, so a foreachBatch
     retry of the CURRENT batch — the only batch the checkpoint can replay
     — still finds its true prior state after expiry.
@@ -457,6 +576,34 @@ def expire_state_versions(
         if t.versions():
             t.expire_snapshots(keep_last=1)
     return [_ref(b) for b in doomed]
+
+
+def compact_state_deletes(spark: SparkSession, state_dir: str) -> list[str]:
+    """Materialize accumulated merge-on-read delete files (the read-side
+    anti-joins delta commits leave behind) into rewritten data — the
+    compaction step that keeps state reads O(data). Only runs on a part
+    whose current version IS the latest committed ref (a crashed tick's
+    torn head must be rebased by the next tick, not compacted), and
+    re-points the latest ref at the materialized version (same rows, so
+    the state version's meaning is unchanged — without the re-point, the
+    next tick's rebase would roll the compaction back). Returns the parts
+    compacted."""
+    ids = committed_versions(state_dir)
+    if not ids:
+        return []
+    ref = _ref(ids[-1])
+    done: list[str] = []
+    for part in _PARTS:
+        t = _table(spark, state_dir, part)
+        head = t.current_version()
+        if head is None or t.resolve_ref(ref) != head:
+            continue
+        if not t.snapshot(head).delete_files:
+            continue
+        new_head = t.apply_deletes()
+        t.set_ref(ref, new_head)
+        done.append(part)
+    return done
 
 
 def representative_merge_plans(

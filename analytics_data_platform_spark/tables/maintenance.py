@@ -119,20 +119,32 @@ def compact_band_index_table(
     return f"{index_table}: band index {before} -> {after} rows"
 
 
-def expire_incremental_state(state_dir: str, keep_last: int = 2) -> str:
+def expire_incremental_state(
+    state_dir: str, keep_last: int = 2, spark: SparkSession | None = None
+) -> str:
     """Nightly expiry of incremental-pipeline state versions
     (pipelines/incremental.py::expire_state_versions) — the
     expire_snapshots (M3) analog for the copy-on-write refresh state.
-    Versions are self-contained, so keep_last >= 2 preserves both a
-    rollback target and the latest batch's replay predecessor."""
+    Delta commits share files across versions (reference-counted expiry
+    keeps later reads safe); keep_last >= 2 preserves both a rollback
+    target and the latest batch's replay predecessor. With a session,
+    also compacts accumulated merge-on-read delete files (the
+    apply_deletes analog — keeps state reads O(data))."""
     from analytics_data_platform_spark.pipelines.incremental import (
+        compact_state_deletes,
         expire_state_versions,
     )
 
-    removed = expire_state_versions(state_dir, keep_last=keep_last)
-    if not removed:
+    removed = expire_state_versions(state_dir, keep_last=keep_last, spark=spark)
+    compacted = compact_state_deletes(spark, state_dir) if spark is not None else []
+    notes = []
+    if removed:
+        notes.append(f"expired {len(removed)} state version(s)")
+    if compacted:
+        notes.append(f"compacted deletes in {len(compacted)} part(s)")
+    if not notes:
         return f"{state_dir}: state clean (<= {keep_last} versions)"
-    return f"{state_dir}: expired {len(removed)} state version(s)"
+    return f"{state_dir}: " + ", ".join(notes)
 
 
 def run_maintenance(

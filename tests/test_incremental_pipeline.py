@@ -236,9 +236,9 @@ def test_maintenance_wrapper_reports_expiry(spark, tmp_path):
             [_doc(200 + tick, f"tick {tick} corpus {_BODY}")], _SCHEMA
         )
         refresh_corpus_state(spark, state, batch, tick)
-    msg = expire_incremental_state(state, keep_last=2)
+    msg = expire_incremental_state(state, keep_last=2, spark=spark)
     assert "expired 1 state version(s)" in msg
-    assert "state clean" in expire_incremental_state(state, keep_last=2)
+    assert "state clean" in expire_incremental_state(state, keep_last=2, spark=spark)
 
 
 def test_three_tick_refresh_equals_one_shot(spark, sf_dir, tmp_path):
@@ -388,3 +388,89 @@ def test_doc_id_reuse_with_different_text_fails_loudly(spark, tmp_path):
     with pytest.raises(ValueError, match="doc_id 10"):
         refresh_corpus_state(spark, state, t2, 2)
     assert committed_versions(state) == [0, 1]
+
+
+def test_commits_are_deltas_not_rewrites(spark, tmp_path):
+    """The O(delta) write contract: a non-bootstrap tick must carry the
+    predecessor's data files BY REFERENCE (append), record evictions as
+    merge-on-read equality-delete files (no data file rewritten), and
+    compaction must materialize the deletes and re-point the latest ref
+    so the next tick's rebase keeps it."""
+    from analytics_data_platform_spark.pipelines.incremental import (
+        _ref,
+        _table,
+        compact_state_deletes,
+    )
+
+    state = str(tmp_path / "state")
+    t0 = spark.createDataFrame(
+        [_doc(10, f"Hello World {_BODY}"), _doc(11, f"other corpus {_BODY} zz")],
+        _SCHEMA,
+    )
+    refresh_corpus_state(spark, state, t0, 0)
+    live_t = _table(spark, state, "live")
+    v0 = live_t.resolve_ref(_ref(0))
+    files_v0 = {f.path for f in live_t.snapshot(v0).files}
+
+    # tick 1 evicts doc 10 (smaller-id fp-duplicate) and appends doc 3
+    t1 = spark.createDataFrame(
+        [_doc(3, f"hello  world {_BODY}"), _doc(40, f"fresh arrival {_BODY} qq")],
+        _SCHEMA,
+    )
+    refresh_corpus_state(spark, state, t1, 1)
+    v1 = live_t.resolve_ref(_ref(1))
+    snap1 = live_t.snapshot(v1)
+    files_v1 = {f.path for f in snap1.files}
+    assert files_v0 <= files_v1, "tick-0 files must carry over by reference"
+    assert files_v1 > files_v0, "tick-1 must append new files, not rewrite"
+    assert snap1.delete_files, "the eviction must be a merge-on-read delete file"
+    # the MOR read hides the evicted keeper even though its file survives
+    assert {r.doc_id for r in read_state_part(spark, state, "live", 1).collect()} == {
+        3, 11, 40,
+    }
+
+    # compaction: materializes the delete, clears the list, re-points the ref
+    compacted = compact_state_deletes(spark, state)
+    assert "live" in compacted
+    v1c = live_t.resolve_ref(_ref(1))
+    assert not live_t.snapshot(v1c).delete_files
+    assert v1c == live_t.current_version(), "ref must follow the compacted head"
+    assert {r.doc_id for r in read_state_part(spark, state, "live", 1).collect()} == {
+        3, 11, 40,
+    }
+
+    # and the next tick rebases onto the compacted head, not around it
+    t2 = spark.createDataFrame([_doc(50, f"post compact {_BODY} pp")], _SCHEMA)
+    refresh_corpus_state(spark, state, t2, 2)
+    assert {r.doc_id for r in read_state_part(spark, state, "live", 2).collect()} == {
+        3, 11, 40, 50,
+    }
+
+
+def test_compaction_skips_torn_heads(spark, tmp_path):
+    """compact_state_deletes must refuse a part whose current version is a
+    crashed tick's torn head — compacting it (and re-pointing the ref)
+    would promote the torn attempt to committed state."""
+    import pytest
+
+    from analytics_data_platform_spark.pipelines.incremental import (
+        _InjectedCrash,
+        compact_state_deletes,
+    )
+
+    state = str(tmp_path / "state")
+    t0 = spark.createDataFrame(
+        [_doc(10, f"Hello World {_BODY}"), _doc(11, f"other corpus {_BODY} zz")],
+        _SCHEMA,
+    )
+    refresh_corpus_state(spark, state, t0, 0)
+    t1 = spark.createDataFrame([_doc(3, f"hello  world {_BODY}")], _SCHEMA)
+    with pytest.raises(_InjectedCrash):
+        refresh_corpus_state(spark, state, t1, 1, _crash_after="replace:pairs")
+    # live's head is now the torn tick-1 delta; compaction must not touch it
+    assert compact_state_deletes(spark, state) == []
+    # retry still lands cleanly after the (refused) compaction
+    refresh_corpus_state(spark, state, t1, 1)
+    assert {r.doc_id for r in read_state_part(spark, state, "live", 1).collect()} == {
+        3, 11,
+    }
