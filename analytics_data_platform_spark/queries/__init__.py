@@ -114,7 +114,8 @@ SHOWCASE_BACKFILL: tuple[str, ...] = (
     # (bpe_encode_stats rotated out for the round-8 additions: the encode
     # loop is re-confirmed via bpe_train_merges + tokenizer_fertility_by_lang)
     "tokenizer_fertility_by_lang",
-    "pack_sequences",
+    # (pack_sequences rotated out for the round-8 additions: the packing
+    # family is re-confirmed by packing_efficiency_sweep)
     "packing_efficiency_sweep",
     "dsir_importance_weights",
     # corpus quality
@@ -147,6 +148,7 @@ DRIVER_SHOWCASE: tuple[str, ...] = (
     "source_token_js_divergence",
     "corpus_state_changelog",
     "inverted_index_conjunctive",
+    "inverted_index_incremental",
     # the ONE query that has never PASSED a driver window (failed r2 on the
     # since-fixed summation-order flake; externally re-confirmed this round)
     "event_runs_rle",

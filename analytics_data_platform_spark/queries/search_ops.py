@@ -508,3 +508,100 @@ register(
         internal_plan=_inverted_index_internal_plans,
     )
 )
+
+
+INCR_TERMS = ("window", "sort", "spark")
+
+
+def inverted_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL inverted-index maintenance: the index is built on the
+    initial corpus half (even doc_ids), then a later ingest batch (odd
+    doc_ids) appends its posting rows PARTITION-WISE into the same bucket
+    layout — bucket is a per-row pure function of the term (murmur3), so
+    the appended index provably equals the one-shot build over the union
+    (the same argument as the pinned-centroid IVF append,
+    queries/scale_ops.py::ivf_index_incremental_topk). Ingest cost is
+    O(batch postings); the resident index is never rewritten, and serving
+    still prunes to the query terms' buckets.
+
+    The oracle is the one-shot semantics: the direct token-membership AND
+    over the FULL corpus — a batch posting routed to the wrong bucket, an
+    append clobbering resident partitions, or serving that misses
+    appended files all hash-diverge.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    idx_dir = _tempfile.mkdtemp(prefix="adps-invidx-incr-")
+    try:
+        base = d.where(F.col("doc_id") % 2 == 0)
+        batch = d.where(F.col("doc_id") % 2 == 1)
+        _posting_rows(base).write.mode("overwrite").partitionBy("bucket").parquet(
+            idx_dir
+        )
+        # partition-wise append: new files land inside the existing
+        # bucket=N directories; resident files are untouched
+        _posting_rows(batch).write.mode("append").partitionBy("bucket").parquet(
+            idx_dir
+        )
+        index = spark.read.parquet(idx_dir)
+        want = [
+            r["bucket"]
+            for r in spark.createDataFrame([(t,) for t in INCR_TERMS], "term string")
+            .select(F.pmod(F.hash("term"), F.lit(INDEX_BUCKETS)).alias("bucket"))
+            .collect()
+        ]
+        hits = (
+            index.where(F.col("bucket").isin(*want))
+            .where(F.col("term").isin(*INCR_TERMS))
+            .groupBy("doc_id")
+            .agg(
+                F.count_distinct("term").alias("_nt"),
+                F.max("source").alias("source"),
+            )
+            .where(F.col("_nt") == len(INCR_TERMS))
+        )
+        served = hits.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+        rows = [(r["source"], r["n_docs"]) for r in served.collect()]
+    finally:
+        _shutil.rmtree(idx_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, "source string, n_docs long")
+
+
+def _inverted_incr_internal_plans(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    batch = _posting_rows(d.where(F.col("doc_id") % 2 == 1))
+    full = _posting_rows(d)
+    return [
+        ("ingest", batch),
+        ("serve", full.where(F.col("term").isin(*INCR_TERMS))
+         .groupBy("doc_id")
+         .agg(F.count_distinct("term").alias("_nt"), F.max("source").alias("source"))
+         .where(F.col("_nt") == len(INCR_TERMS))
+         .groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))),
+    ]
+
+
+_INCR_WHERE = " AND ".join(
+    f"list_contains(string_split(text, ' '), '{t}')" for t in INCR_TERMS
+)
+
+INVERTED_INCR_SQL = f"""
+SELECT source, COUNT(*) AS n_docs
+FROM documents
+WHERE {_INCR_WHERE}
+GROUP BY source
+"""
+
+register(
+    QuerySpec(
+        "inverted_index_incremental",
+        inverted_index_incremental,
+        INVERTED_INCR_SQL,
+        doc="partition-wise posting append provably equals the one-shot index; pruned serving",
+        cites="incremental index maintenance, the IVF pinned-assignment argument applied to postings",
+        tags=("search", "scale", "multi_tick"),
+        internal_plan=_inverted_incr_internal_plans,
+    )
+)

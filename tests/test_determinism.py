@@ -96,6 +96,7 @@ HARDENED = [
     "temperature_mixture_allocation",
     "source_token_js_divergence",
     "inverted_index_conjunctive",
+    "inverted_index_incremental",
 ]
 
 _ADVERSARIAL = {

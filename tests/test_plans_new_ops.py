@@ -102,3 +102,42 @@ def test_inverted_index_serving_prunes_partitions(spark, tmp_path, sf_dir):
         .collect()
     }
     assert touched == {str(b) for b in set(want)}
+
+
+def test_incremental_index_append_equals_one_shot(spark, tmp_path, sf_dir):
+    """Partition-wise posting append must produce EXACTLY the one-shot
+    index contents (bucket is a pure function of the term), and the
+    resident files must survive the append untouched."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from analytics_data_platform_spark.queries.search_ops import _posting_rows
+    from analytics_data_platform_spark.sources.testdata import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "idx")
+    _posting_rows(d.where(F.col("doc_id") % 2 == 0)).write.partitionBy(
+        "bucket"
+    ).parquet(idx)
+    resident = {
+        os.path.join(r, f)
+        for r, _, fs in os.walk(idx)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    _posting_rows(d.where(F.col("doc_id") % 2 == 1)).write.mode(
+        "append"
+    ).partitionBy("bucket").parquet(idx)
+    after = {
+        os.path.join(r, f)
+        for r, _, fs in os.walk(idx)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert resident <= after, "append must not clobber resident index files"
+
+    appended = spark.read.parquet(idx).select("bucket", "term", "doc_id")
+    one_shot = _posting_rows(d).select("bucket", "term", "doc_id")
+    assert appended.exceptAll(one_shot).isEmpty()
+    assert one_shot.exceptAll(appended).isEmpty()
