@@ -107,6 +107,8 @@ QUERIES = [
     "substring_containment_dedup",
     "temperature_mixture_allocation",
     "source_token_js_divergence",
+    "inverted_index_conjunctive",
+    "inverted_index_incremental",
 ]
 
 
