@@ -128,9 +128,9 @@ SHOWCASE_BACKFILL: tuple[str, ...] = (
     # round-8 additions: streaming_sketch_merge_state re-confirms the HLL
     # register path already)
     "ddsketch_price_quantiles",
-    # multimodal
+    # multimodal (multimodal_frame_sample rotated out for the round-8
+    # additions: multimodal_binary_stats keeps the family's oracle slot)
     "multimodal_binary_stats",
-    "multimodal_frame_sample",
     # TPC-H headliners + core bench anchors
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -149,6 +149,7 @@ DRIVER_SHOWCASE: tuple[str, ...] = (
     "corpus_state_changelog",
     "inverted_index_conjunctive",
     "inverted_index_incremental",
+    "inverted_index_phrase",
     # the ONE query that has never PASSED a driver window (failed r2 on the
     # since-fixed summation-order flake; externally re-confirmed this round)
     "event_runs_rle",

@@ -605,3 +605,131 @@ register(
         internal_plan=_inverted_incr_internal_plans,
     )
 )
+
+
+PHRASE = ("sort", "merge")
+
+
+def _positional_posting_rows(d: DataFrame) -> DataFrame:
+    """(bucket, term, doc_id, pos) positional postings — the index layout
+    phrase/proximity serving needs (Lucene's positions list, flattened)."""
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.posexplode(F.split("text", " ")).alias("pos", "term"),
+        )
+        .withColumn("bucket", F.pmod(F.hash("term"), F.lit(INDEX_BUCKETS)))
+    )
+
+
+def inverted_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHRASE serving over a POSITIONAL inverted index: postings carry
+    token positions, and a two-term phrase query reads only the two
+    terms' bucket partitions, then adjacency-joins the posting lists —
+    ``p2.pos = p1.pos + 1`` on the same doc — to count exact phrase
+    occurrences. This is the positional-index shape (Lucene positions)
+    that neither the boolean index (`inverted_index_conjunctive`) nor the
+    full-scan phrase query (`phrase_search_adjacent`) provides at scale:
+    the corpus is never scanned at query time, and the join fans out only
+    over the two terms' posting lists.
+
+    Oracle = the direct corpus formulation: per doc, count positions i
+    with t[i]=first AND t[i+1]=second. A position dropped in the build,
+    an off-by-one in the adjacency join, or a lookup that misses a bucket
+    all hash-diverge on the occurrence counts.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    idx_dir = _tempfile.mkdtemp(prefix="adps-invidx-pos-")
+    try:
+        _positional_posting_rows(d).write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(idx_dir)
+        index = spark.read.parquet(idx_dir)
+        want = [
+            r["bucket"]
+            for r in spark.createDataFrame([(t,) for t in PHRASE], "term string")
+            .select(F.pmod(F.hash("term"), F.lit(INDEX_BUCKETS)).alias("bucket"))
+            .collect()
+        ]
+        pruned = index.where(F.col("bucket").isin(*want))
+        p1 = pruned.where(F.col("term") == PHRASE[0]).select(
+            "doc_id", "source", F.col("pos").alias("p1")
+        )
+        p2 = pruned.where(F.col("term") == PHRASE[1]).select(
+            "doc_id", F.col("pos").alias("p2")
+        )
+        occ = (
+            p1.join(p2, "doc_id")
+            .where(F.col("p2") == F.col("p1") + 1)
+            .groupBy("doc_id")
+            .agg(F.max("source").alias("source"), F.count(F.lit(1)).alias("n"))
+        )
+        served = occ.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("n_occurrences"),
+        )
+        rows = [(r["source"], r["n_docs"], r["n_occurrences"]) for r in served.collect()]
+    finally:
+        _shutil.rmtree(idx_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "source string, n_docs long, n_occurrences long"
+    )
+
+
+def _inverted_phrase_internal_plans(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    rows = _positional_posting_rows(d)
+    p1 = rows.where(F.col("term") == PHRASE[0]).select(
+        "doc_id", "source", F.col("pos").alias("p1")
+    )
+    p2 = rows.where(F.col("term") == PHRASE[1]).select(
+        "doc_id", F.col("pos").alias("p2")
+    )
+    occ = (
+        p1.join(p2, "doc_id")
+        .where(F.col("p2") == F.col("p1") + 1)
+        .groupBy("doc_id")
+        .agg(F.max("source").alias("source"), F.count(F.lit(1)).alias("n"))
+    )
+    return [
+        (
+            "serve",
+            occ.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_docs"), F.sum("n").alias("n_occurrences")
+            ),
+        )
+    ]
+
+
+INVERTED_PHRASE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+),
+occ AS (
+  SELECT doc_id, source,
+         len(list_filter(range(1, len(t)),
+             i -> t[i] = '{PHRASE[0]}' AND t[i + 1] = '{PHRASE[1]}')) AS n
+  FROM t
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS n_occurrences
+FROM occ WHERE n > 0
+GROUP BY source
+"""
+
+register(
+    QuerySpec(
+        "inverted_index_phrase",
+        inverted_index_phrase,
+        INVERTED_PHRASE_SQL,
+        doc="positional posting lists; exact-phrase serving via pruned adjacency join",
+        cites="Lucene-style positional index; complements inverted_index_conjunctive + phrase_search_adjacent",
+        tags=("search", "scale", "multi_tick"),
+        internal_plan=_inverted_phrase_internal_plans,
+    )
+)

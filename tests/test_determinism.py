@@ -97,6 +97,7 @@ HARDENED = [
     "source_token_js_divergence",
     "inverted_index_conjunctive",
     "inverted_index_incremental",
+    "inverted_index_phrase",
 ]
 
 _ADVERSARIAL = {

@@ -109,6 +109,7 @@ QUERIES = [
     "source_token_js_divergence",
     "inverted_index_conjunctive",
     "inverted_index_incremental",
+    "inverted_index_phrase",
 ]
 
 
