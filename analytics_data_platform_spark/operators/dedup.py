@@ -160,24 +160,37 @@ def exact_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    broadcast_candidates: bool = False,
 ) -> DataFrame:
     """Verify candidate pairs with exact shingle-set Jaccard.
 
     Shingles are computed ONLY for documents that appear in a candidate
     pair (semi-join first): at 100 TB candidates are a vanishing fraction
     of the corpus, so the expensive re-shingling touches almost nothing.
+
+    ``broadcast_candidates`` pins the semi-join to a broadcast of the
+    candidate-id set — the incremental-tick path, where candidates are
+    batch-bounded and the corpus side must stream map-side (no exchange)
+    instead of shuffling on the id key. Leave False when the candidate
+    set itself is corpus-scale (a full one-shot LSH run).
     """
     # one evaluation of the candidate subtree for the id set (explode,
     # not a 2-branch union that would run the LSH pipeline twice)
     cand_ids = candidates.select(
         F.explode(F.array("id_a", "id_b")).alias(id_col)
     ).distinct()
+    if broadcast_candidates:
+        cand_ids = F.broadcast(cand_ids)
     sh = spread(df.join(cand_ids, id_col, "left_semi").select(id_col, text_col)).select(
         F.col(id_col), shingle_tokens(text_col, k).alias("sh")
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    joined = candidates.join(a, "id_a").join(b, "id_b")
+    # the pair frame is keys-only — under broadcast_candidates pin it as
+    # the build side so the shingle frames stream (the remaining id_b
+    # exchange is candidate-bounded either way)
+    cand = F.broadcast(candidates) if broadcast_candidates else candidates
+    joined = cand.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return joined.select(
@@ -533,6 +546,50 @@ def minhash_signature_portable(
     )
 
 
+# Column-AST memo for the band-bucket expression: the portable MinHash
+# tree is ~32 affine folds × 16 bands of fluent Column objects — ~0.4-2 s
+# of py4j round trips PER CONSTRUCTION (driver-side, data-independent).
+# Unresolved Columns are immutable and reusable across DataFrames, so one
+# build per (params, SparkContext) serves every call in the session —
+# the incremental pipeline builds this 3-4× per tick otherwise.
+_BAND_COL_MEMO: dict[tuple, Column] = {}
+
+
+def _band_buckets_col(text_col: str, num_hashes: int, bands: int, seed: int) -> Column:
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    key = (id(sc), text_col, num_hashes, bands, seed)
+    col = _BAND_COL_MEMO.get(key)
+    if col is not None:
+        return col
+    r = num_hashes // bands
+    # let-bound signature → every band bucket references the once-evaluated
+    # array (see functions.expr.bind; unbound, projection collapse
+    # re-evaluates the whole md5 signature per band)
+    col = bind(
+        minhash_signature_portable(shingle_tokens(text_col), num_hashes, seed),
+        lambda sig: F.when(
+            sig.isNotNull(),
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        F.lit(str(bnd)),
+                        *[F.element_at(sig, bnd * r + j + 1) for j in range(r)],
+                    )
+                    for bnd in range(bands)
+                ]
+            ),
+        ),
+    )
+    # drop entries from a previous (stopped) SparkContext — stale JVM refs
+    for k in [k for k in _BAND_COL_MEMO if k[0] != id(sc)]:
+        del _BAND_COL_MEMO[k]
+    _BAND_COL_MEMO[key] = col
+    return col
+
+
 def minhash_band_rows(
     df: DataFrame,
     text_col: str = "text",
@@ -550,26 +607,7 @@ def minhash_band_rows(
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    r = num_hashes // bands
-    # let-bound signature → every band bucket references the once-evaluated
-    # array (see functions.expr.bind; unbound, projection collapse
-    # re-evaluates the whole md5 signature per band)
-    buckets = bind(
-        minhash_signature_portable(shingle_tokens(text_col), num_hashes, seed),
-        lambda sig: F.when(
-            sig.isNotNull(),
-            F.array(
-                *[
-                    F.concat_ws(
-                        ",",
-                        F.lit(str(bnd)),
-                        *[F.element_at(sig, bnd * r + j + 1) for j in range(r)],
-                    )
-                    for bnd in range(bands)
-                ]
-            ),
-        ),
-    )
+    buckets = _band_buckets_col(text_col, num_hashes, bands, seed)
     return spread(df.select(id_col, text_col)).select(
         id_col, F.explode(buckets).alias("bucket")
     )

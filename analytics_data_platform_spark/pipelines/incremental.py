@@ -16,7 +16,11 @@ Persisted state: FIVE snapshot tables (tables/snapshots.py — the same
 atomic-commit/time-travel/expiry mechanism every other warehouse table
 uses; no bespoke directory convention):
 
-    state_dir/live        one row per kept document (min-id per fingerprint)
+    state_dir/live        one row per kept document (min-id per
+                          fingerprint); the normalized-text fingerprint
+                          is STORED as the ``_fp`` column, so per-tick
+                          merges join on two slim key columns and never
+                          re-hash (or even read) the resident text
     state_dir/band_index  the LSH band rows of every live doc
                           (operators/dedup.py::minhash_band_rows, the
                           bucket-keyed index incremental_minhash_candidates
@@ -37,15 +41,19 @@ replace (delta == full state). Refs are then set in a fixed order with
 ``counts`` LAST — the counts ref IS the commit marker. Readers and the
 predecessor rule recognize only versions whose counts ref exists, so a
 crash anywhere mid-commit leaves the previous version live and the torn
-attempt invisible (its snapshots are garbage-collected by
-``expire_state_versions``). Because delta commits advance each part
-table's own history, every tick REBASES first: if a part's current
-version differs from the predecessor's pinned ref (a crashed attempt),
-it is rolled back — restoring files AND the delete list — before this
-tick's delta applies; a ``foreachBatch`` retry of the same batch_id is
-therefore idempotent (pinned by test). Accumulated delete files are
-compacted by ``compact_state_deletes`` (maintenance), which re-points
-the latest ref at the materialized version.
+attempt invisible. A torn attempt's snapshots — and, if the crash hit
+the ref-setting phase, its stray per-part ``state_v*`` refs — are
+garbage-collected by ``expire_state_versions`` (stray refs of a batch id
+that was never committed are dropped once a LATER batch has committed,
+because the stream can no longer retry the abandoned id). Because delta
+commits advance each part table's own history, every tick REBASES
+first: if a part's current version differs from the predecessor's
+pinned ref (a crashed attempt), it is rolled back — restoring files AND
+the delete list — before this tick's delta applies; a ``foreachBatch``
+retry of the same batch_id is therefore idempotent (pinned by test).
+Accumulated delete files are compacted by ``compact_state_deletes``
+(maintenance), which re-points the latest ref at the materialized
+version.
 
 Provable-collapse contract (what the oracle gate checks): after any
 sequence of refreshes and takedowns, the state equals the ONE-SHOT
@@ -57,14 +65,16 @@ normalized-text fingerprint was ever taken down) —
    collapse; a batch doc can EVICT a previously-kept doc (same
    fingerprint, smaller id) and the eviction cascades into 2–3;
 2. band rows are a deterministic function of a doc's text, so the
-   compact-then-append index always equals ``minhash_band_rows(live)``;
+   expire-evicted-then-append index always equals
+   ``minhash_band_rows(live)``;
 3. every one-shot pair touches only live docs, and every pair is either
    old×old (present in the retained pair state — both docs were live
    together in an earlier tick, same text ⇒ same buckets ⇒ same
    candidate ⇒ same verified jaccard) or touches a newly-live doc
    (emitted by the incremental bucket join of new band rows vs the
-   compacted index); pairs touching evicted docs are filtered by the
-   live semi-join exactly as the one-shot never produces them;
+   evicted-compacted index); pairs touching evicted docs are removed by
+   the eviction delete cascade exactly as the one-shot never produces
+   them;
 4. connected components + the salted component-hash split rule
    (queries/scale_ops.py::leak_split_of) are pure functions of (live,
    pairs);
@@ -80,15 +90,32 @@ version's rows (the newly-live anti-join is id-keyed). The merge detects
 the resulting duplicate-id live rows and fails the tick loudly instead
 of committing silent corruption.
 
-Scale shape per tick: one fingerprint-key shuffle over state ∪ batch
-(map-side min partials), two id-key semi-joins for compaction,
-shingling/hashing of ONLY the newly-live docs — never the corpus — and
-one tombstone anti-join over the batch. The WRITE path is O(delta):
-appends of the new rows plus O(keys) equality-delete files for the
-eviction cascade; unchanged state files carry across versions by
-reference. (The merge SHUFFLE still reads state ∪ batch — the next rung
-when state ≫ batch is fingerprint-bucketed state so the batch shuffles
-into it; recorded in SCALE.md.)
+Scale shape per tick — NOTHING state-sized ever shuffles or broadcasts
+(the round-8 gap, closed):
+
+- ONE O(batch) shuffle computes the batch's keeper-per-fingerprint;
+- the keeper merge is a BROADCAST join of the batch's (fp, id) keys
+  against a keys-only scan of ``live`` (stored ``_fp`` + ``doc_id`` —
+  two slim columns, no text, no network, no sort). Evictions,
+  newly-live survivors, and the stale-id guard all derive from that
+  bounded match set, each via broadcast of batch-sized key frames;
+- shingling/hashing touches ONLY the newly-live docs, and the candidate
+  probe broadcasts their band rows (bands × |batch| keys) against a
+  map-side scan of the band index; Jaccard verification semi-joins
+  texts under a broadcast candidate-id set;
+- the WRITE path is O(delta): appends of the new rows plus O(keys)
+  equality-delete files for the eviction cascade; unchanged state files
+  carry across versions by reference, and merge-on-read delete files
+  are applied with broadcast anti-joins at read time.
+
+Per-tick state-side cost is therefore a columnar SCAN of the key
+columns (embarrassingly parallel, no exchange), not a shuffle — the
+difference between O(state) network and O(state) local column IO every
+tick. The broadcast payloads are batch-sized key frames (a micro-batch
+is bounded by the stream trigger, by definition of an ingest tick); the
+bootstrap tick — where "the batch" IS the corpus — takes the unhinted
+path, so Catalyst plans the ordinary shuffle joins that are correct at
+that size.
 """
 
 from __future__ import annotations
@@ -105,6 +132,9 @@ from analytics_data_platform_spark.tables.snapshots import SnapshotTable
 JACCARD_THRESHOLD = 0.5
 
 _DOC_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+# live-part storage columns: the doc plus its STORED fingerprint (the
+# merge key — scanning it beats re-hashing 100 TB of text every tick)
+_LIVE_COLS = (*_DOC_COLS, "_fp")
 
 # ref order within a state-version commit: counts LAST = the commit marker
 # (readers recognize a version by its counts ref); expiry drops counts
@@ -164,6 +194,191 @@ def read_state_part(
     return t.read(v)
 
 
+def _with_fp(live: DataFrame) -> DataFrame:
+    """Live rows with their fingerprint column — read from storage for
+    state committed by this module, recomputed only as a fallback for
+    frames constructed without it (representative plans, old states)."""
+    if "_fp" in live.columns:
+        return live
+    return live.withColumn("_fp", dedup.fingerprint_col("text"))
+
+
+def batch_keepers(clean: DataFrame) -> DataFrame:
+    """The batch's own keeper per fingerprint (min doc_id) — ONE O(batch)
+    shuffle; carries the stored ``_fp`` column the live part persists."""
+    fp = clean if "_fp" in clean.columns else _with_fp(clean)
+    return (
+        fp.groupBy("_fp")
+        .agg(
+            F.min_by(
+                F.struct(*[F.col(c) for c in _DOC_COLS]), F.col("doc_id")
+            ).alias("m")
+        )
+        .select("m.*", "_fp")
+    )
+
+
+def delta_merge_parts(
+    old_live: DataFrame,
+    old_index: DataFrame,
+    clean: DataFrame,
+    hint_broadcast: bool = True,
+    checkpoint: bool = False,
+) -> dict[str, DataFrame]:
+    """The per-tick DELTA decomposition of the keeper merge — the frames a
+    non-bootstrap tick actually executes and commits. Every entry is a
+    lazy frame over the inputs (the refresh path persists the bounded
+    ones so each stage computes once; ``checkpoint=True`` instead EAGERLY
+    checkpoints each stage, so plan audits see every stage's own
+    incremental work exactly once — the shape the shuffle ledger records).
+
+    With ``hint_broadcast`` (the micro-batch path) no plan here contains
+    a state-side exchange: the resident ``live``/``band_index`` tables
+    are scanned map-side and every join against them broadcasts a
+    batch-derived key frame (tests/test_incremental_pipeline.py pins the
+    no-SortMergeJoin/keys-only-scan shape). The bootstrap tick — where
+    the batch IS the corpus and broadcasting it would be wrong — passes
+    ``hint_broadcast=False`` and lets Catalyst plan ordinary shuffles.
+    """
+    hint = F.broadcast if hint_broadcast else (lambda df: df)
+    ck = (lambda df: df.localCheckpoint()) if checkpoint else (lambda df: df)
+    keepers = batch_keepers(clean)
+    keepers_m = ck(keepers)  # _m = the materialized handle downstream
+    # stages build on (the refresh path persists each returned
+    # frame, so either way every stage computes exactly once)
+    resident = _with_fp(old_live).select("doc_id", "_fp")
+    # the only rows the merge must arbitrate: batch fingerprints that
+    # already have a resident keeper. Keys-only both sides; the batch
+    # side broadcasts, the state side streams (scan, no exchange).
+    matches = resident.join(
+        hint(keepers_m.select("_fp", F.col("doc_id").alias("_new_id"))), "_fp"
+    )
+    matches_m = ck(matches)
+    # resident keeper loses to a smaller-id batch duplicate → evicted
+    evicted = matches_m.where(F.col("_new_id") < F.col("doc_id")).select("doc_id")
+    evicted_m = ck(evicted)
+    # batch keeper loses (or ties: idempotent re-delivery) → not new
+    lost_fps = matches_m.where(F.col("_new_id") >= F.col("doc_id")).select("_fp")
+    newly_live = keepers_m.join(hint(lost_fps), "_fp", "left_anti")
+    newly_m = ck(newly_live)
+
+    # band-index maintenance: the evicted docs' rows are removed by the
+    # delete cascade; candidates probe the index AS IF compacted (the
+    # broadcast anti-join below — evicted is batch-bounded), and only the
+    # newly-live docs are shingled/hashed
+    # new_rows and cands each have TWO consumers (index append + candidate
+    # probe; candidate-id set + pair join) — LAZY local checkpoints make
+    # each compute once per tick. (Persist-based plan-matched sharing was
+    # measured 1.5× slower end-to-end here; the checkpoint's eager
+    # physical planning is the cheaper trade.)
+    new_rows = dedup.minhash_band_rows(newly_m.select(*_DOC_COLS))
+    new_rows_m = ck(new_rows) if checkpoint else new_rows.localCheckpoint(
+        eager=False
+    )
+    compacted = old_index.join(hint(evicted_m), "doc_id", "left_anti")
+    cands = dedup.incremental_minhash_candidates(compacted, hint(new_rows_m))
+    cands_m = ck(cands) if checkpoint else cands.localCheckpoint(eager=False)
+    texts = old_live.select(*_DOC_COLS).unionByName(newly_m.select(*_DOC_COLS))
+    new_pairs = (
+        dedup.exact_jaccard_pairs(
+            texts, cands_m, broadcast_candidates=hint_broadcast
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("id_a", "id_b")
+    )
+    return {
+        "batch_keepers": keepers,
+        "matches": matches,
+        "evicted": evicted,
+        "newly_live": newly_live,
+        # execution consumers get the shared checkpointed handles; the
+        # audit-staging mode exposes the raw stage plans
+        "new_rows": new_rows if checkpoint else new_rows_m,
+        "cands": cands if checkpoint else cands_m,
+        "new_pairs": new_pairs,
+    }
+
+
+def _merge_parts(
+    old_live: DataFrame,
+    old_index: DataFrame,
+    old_pairs: DataFrame,
+    clean: DataFrame,
+) -> dict[str, DataFrame]:
+    """The FULL-STATE construction — the semantic spec the delta
+    decomposition must equal (used by :func:`merge_corpus_state`, whose
+    outputs tests compare against the executed delta path). No I/O."""
+    # 1) exact-dedup merge: min-id keeper per fingerprint over old ∪ new —
+    #    associative, so the merged keeper set equals the one-shot's
+    live = (
+        old_live.select(*_DOC_COLS).unionByName(clean.select(*_DOC_COLS))
+        .groupBy(dedup.fingerprint_col("text").alias("_fp"))
+        .agg(
+            F.min_by(
+                F.struct(*[F.col(c) for c in _DOC_COLS]), F.col("doc_id")
+            ).alias("m")
+        )
+        .select("m.*")
+    )
+    newly_live = live.join(old_live.select("doc_id"), "doc_id", "left_anti")
+    evicted = old_live.select("doc_id").join(
+        live.select("doc_id"), "doc_id", "left_anti"
+    )
+
+    # 2) band-index maintenance: expire evicted docs' rows (live semi-join),
+    #    shingle/hash ONLY the newly-live docs and append their rows.
+    #    Both frames have TWO consumers (the index output and the
+    #    candidate join) — checkpoint so the expensive shingle+minhash of
+    #    the new docs runs once, not twice
+    compacted = dedup.compact_band_index(
+        old_index, live.select("doc_id")
+    ).localCheckpoint(eager=False)
+    new_rows = dedup.minhash_band_rows(newly_live).localCheckpoint(eager=False)
+
+    # 3) near-dup candidates touching new docs: bucket equi-join of the new
+    #    band rows against the compacted index (+ new×new), then the exact
+    #    Jaccard verify over only the candidate docs' shingles
+    cands = dedup.incremental_minhash_candidates(compacted, new_rows)
+    new_pairs = (
+        dedup.exact_jaccard_pairs(live, cands)
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("id_a", "id_b")
+    )
+
+    # 4) retained pairs: both endpoints still live (pairs of evicted docs
+    #    die with them, exactly as the one-shot never emits them)
+    live_ids = live.select("doc_id")
+    retained = old_pairs.join(
+        live_ids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi"
+    ).join(live_ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
+    return {
+        "live": live,
+        "newly_live": newly_live,
+        "evicted": evicted,
+        "compacted": compacted,
+        "new_rows": new_rows,
+        "new_pairs": new_pairs,
+        "retained": retained,
+    }
+
+
+def merge_corpus_state(
+    old_live: DataFrame,
+    old_index: DataFrame,
+    old_pairs: DataFrame,
+    clean: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The pure full-state merge plan: (old_live, old_index, old_pairs) × a
+    CLEANED batch → (live, band_index, pairs). No I/O — this is the
+    SEMANTIC spec the executed delta commit must equal; tests audit these
+    plans and compare their results against the delta path."""
+    m = _merge_parts(old_live, old_index, old_pairs, clean)
+    band_index = m["compacted"].unionByName(m["new_rows"])
+    # join-on-id_b reorders columns; normalize before the union/write
+    pairs = m["retained"].select("id_a", "id_b").unionByName(m["new_pairs"])
+    return m["live"], band_index, pairs
+
+
 # a per-part commit op: ("replace", full_frame) on the bootstrap tick
 # (delta == full state, and a full replace also resets any torn bootstrap
 # attempt), or ("delta", [(keys_df, key_cols), ...], append_df_or_None) —
@@ -214,88 +429,6 @@ def _commit_state_version(
             raise _InjectedCrash(_crash_after)
 
 
-def _merge_parts(
-    old_live: DataFrame,
-    old_index: DataFrame,
-    old_pairs: DataFrame,
-    clean: DataFrame,
-) -> dict[str, DataFrame]:
-    """Shared construction for the merge plan AND its delta decomposition.
-    No I/O; every entry is a lazy frame over the inputs (callers persist
-    ``live`` — it is referenced by everything else)."""
-    # 1) exact-dedup merge: min-id keeper per fingerprint over old ∪ new —
-    #    associative, so the merged keeper set equals the one-shot's
-    live = (
-        old_live.unionByName(clean)
-        .groupBy(dedup.fingerprint_col("text").alias("_fp"))
-        .agg(
-            F.min_by(
-                F.struct(*[F.col(c) for c in _DOC_COLS]), F.col("doc_id")
-            ).alias("m")
-        )
-        .select("m.*")
-    )
-    newly_live = live.join(old_live.select("doc_id"), "doc_id", "left_anti")
-    # docs evicted by a smaller-id fingerprint-duplicate in the batch —
-    # the DELETE half of the delta commit (and the cascade driver)
-    evicted = old_live.select("doc_id").join(
-        live.select("doc_id"), "doc_id", "left_anti"
-    )
-
-    # 2) band-index maintenance: expire evicted docs' rows (live semi-join),
-    #    shingle/hash ONLY the newly-live docs and append their rows.
-    #    Both frames have TWO consumers (the index write/audit and the
-    #    candidate join) — checkpoint so the expensive shingle+minhash of
-    #    the new docs runs once per tick, not twice
-    compacted = dedup.compact_band_index(
-        old_index, live.select("doc_id")
-    ).localCheckpoint(eager=False)
-    new_rows = dedup.minhash_band_rows(newly_live).localCheckpoint(eager=False)
-
-    # 3) near-dup candidates touching new docs: bucket equi-join of the new
-    #    band rows against the compacted index (+ new×new), then the exact
-    #    Jaccard verify over only the candidate docs' shingles
-    cands = dedup.incremental_minhash_candidates(compacted, new_rows)
-    new_pairs = (
-        dedup.exact_jaccard_pairs(live, cands)
-        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("id_a", "id_b")
-    )
-
-    # 4) retained pairs: both endpoints still live (pairs of evicted docs
-    #    die with them, exactly as the one-shot never emits them)
-    live_ids = live.select("doc_id")
-    retained = old_pairs.join(
-        live_ids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi"
-    ).join(live_ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
-    return {
-        "live": live,
-        "newly_live": newly_live,
-        "evicted": evicted,
-        "compacted": compacted,
-        "new_rows": new_rows,
-        "new_pairs": new_pairs,
-        "retained": retained,
-    }
-
-
-def merge_corpus_state(
-    old_live: DataFrame,
-    old_index: DataFrame,
-    old_pairs: DataFrame,
-    clean: DataFrame,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """The pure state-merge plan: (old_live, old_index, old_pairs) × a
-    CLEANED batch → (live, band_index, pairs). No I/O — this is the
-    SEMANTIC spec the delta commit must equal; tests and the shuffle
-    ledger audit these plans directly."""
-    m = _merge_parts(old_live, old_index, old_pairs, clean)
-    band_index = m["compacted"].unionByName(m["new_rows"])
-    # join-on-id_b reorders columns; normalize before the union/write
-    pairs = m["retained"].select("id_a", "id_b").unionByName(m["new_pairs"])
-    return m["live"], band_index, pairs
-
-
 def refresh_corpus_state(
     spark: SparkSession,
     state_dir: str,
@@ -307,9 +440,10 @@ def refresh_corpus_state(
 
     Runs as a ``foreachBatch`` body (streaming ingestion) or as a plain
     batch call. Commits state version ``state_v{batch_id}`` across the
-    five snapshot tables (see module docstring for the commit protocol);
-    earlier versions stay readable (copy-on-write time travel) until
-    :func:`expire_state_versions` reclaims them.
+    five snapshot tables (see module docstring for the commit protocol
+    and the per-tick scale shape); earlier versions stay readable
+    (copy-on-write time travel) until :func:`expire_state_versions`
+    reclaims them.
     """
     # predecessor = latest COMMITTED version with a LOWER batch id — never
     # this batch's own (possibly partial) output: a foreachBatch retry
@@ -319,69 +453,54 @@ def refresh_corpus_state(
     # counts-ref-marked versions are listed (torn-version test pins this)
     prior = [v for v in committed_versions(state_dir) if v < int(batch_id)]
 
-    nonempty = batch.where(F.length(F.trim("text")) > 0)
-    # ONE scan for both manifest tallies (raw + clean predicates ride it).
-    # Tallies are ARRIVAL history: counted before the tombstone filter —
-    # erasure suppresses content from the live set, not from the record
-    # that it arrived
-    tallies = nonempty.agg(
+    # ONE materialized pass annotates the batch with the two expensive
+    # per-row expressions (the C4 rule conjunction and the md5
+    # fingerprint) — tallies, the tombstone door, and the keeper shuffle
+    # all read the cache instead of re-running regex+hash scans over the
+    # batch text. Tallies are ARRIVAL history: counted before the
+    # tombstone filter — erasure suppresses content from the live set,
+    # not from the record that it arrived
+    annotated = (
+        batch.where(F.length(F.trim("text")) > 0)
+        .select(*_DOC_COLS)
+        .withColumn("_ok", c4_core_pass("text"))
+        .withColumn("_fp", dedup.fingerprint_col("text"))
+        .persist()
+    )
+    tallies = annotated.agg(
         F.count(F.lit(1)).alias("n_raw"),
-        F.coalesce(F.sum(c4_core_pass("text").cast("long")), F.lit(0)).alias(
-            "n_clean"
-        ),
+        F.coalesce(F.sum(F.col("_ok").cast("long")), F.lit(0)).alias("n_clean"),
     ).collect()[0]
-    clean = nonempty.where(c4_core_pass("text")).select(*_DOC_COLS)
+    clean = annotated.where(F.col("_ok")).drop("_ok")
 
     if prior:
         old_live = read_state_part(spark, state_dir, "live", prior[-1])
         old_index = read_state_part(spark, state_dir, "band_index", prior[-1])
-        old_pairs = read_state_part(spark, state_dir, "pairs", prior[-1])
-        old_counts = read_state_part(spark, state_dir, "counts", prior[-1])
         old_tombstones = read_state_part(spark, state_dir, "tombstones", prior[-1])
     else:
-        # bootstrap: empty state with the computed frames' own schemas —
-        # the unified path below then IS the full run on the first batch
+        # bootstrap: empty state with the stored schemas — the unified
+        # delta construction below then IS the full run on the first batch
         old_live = clean.limit(0)
-        old_index = dedup.minhash_band_rows(clean.limit(0))
-        old_pairs = clean.select(
-            F.col("doc_id").alias("id_a"), F.col("doc_id").alias("id_b")
-        ).limit(0)
-        old_counts = None
+        old_index = dedup.minhash_band_rows(clean.select(*_DOC_COLS).limit(0))
         old_tombstones = spark.createDataFrame([], _TOMBSTONE_SCHEMA)
 
     # tombstone door: content whose fingerprint was ever taken down never
-    # re-enters the live set, whatever doc_id it arrives under
-    clean = clean.join(
-        old_tombstones,
-        dedup.fingerprint_col("text") == F.col("_fp"),
-        "left_anti",
-    )
+    # re-enters the live set, whatever doc_id it arrives under (the batch
+    # fingerprint is computed once and reused by the keeper merge)
+    clean = clean.join(old_tombstones, "_fp", "left_anti")
 
-    m = _merge_parts(old_live, old_index, old_pairs, clean)
-    live = m["live"].persist()  # the delta frames (newly_live, evicted,
-    # new_rows, new_pairs) all reference this plan subtree — Spark's
-    # cache matches by logical plan, so they reuse the one materialization;
-    # unpersisted after the state commit
-
-    # precondition guard (see module docstring): a doc_id re-used for
-    # DIFFERENT text lands in two fingerprint groups and both keepers carry
-    # the same id — the band index would keep the stale version's rows, so
-    # fail the tick loudly before anything commits. One aggregation over
-    # the persisted live frame.
-    reused = (
-        live.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") > 1)
-        .limit(1)
-        .collect()
-    )
-    if reused:
-        live.unpersist()
-        raise ValueError(
-            f"doc_id {reused[0].doc_id} arrived with different content than "
-            "the resident version — doc_ids must be stable per content "
-            "(re-delivering an identical (doc_id, text) row is fine)"
-        )
+    # bootstrap broadcasts nothing (the "batch" is the whole corpus there);
+    # micro-batch ticks broadcast batch-derived keys only — see module
+    # docstring for the per-tick scale shape
+    m = delta_merge_parts(old_live, old_index, clean, hint_broadcast=bool(prior))
+    keepers = m["batch_keepers"].persist()
+    matches = m["matches"].persist()
+    evicted = m["evicted"].persist()
+    newly = m["newly_live"].persist()
+    # already lazily checkpointed inside delta_merge_parts — shared with
+    # the candidate probe, so shingle+minhash and the index probe each
+    # run once per tick
+    new_rows = m["new_rows"]
 
     batch_counts = spark.createDataFrame(
         [(int(batch_id), int(tallies.n_raw), int(tallies.n_clean))],
@@ -389,17 +508,42 @@ def refresh_corpus_state(
     )
 
     try:
+        # precondition guard (see module docstring): a doc_id re-used for
+        # DIFFERENT text would land a newly-live row whose id collides
+        # with a surviving resident row (or with another keeper inside the
+        # batch) — the band index would keep the stale version's rows, so
+        # fail the tick loudly before anything commits. Batch-side checks
+        # plus one keys-only broadcast probe of the resident live set.
+        reused = (
+            keepers.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if not reused and prior:
+            reused = (
+                old_live.select("doc_id")
+                .join(F.broadcast(newly.select("doc_id")), "doc_id", "left_semi")
+                .join(F.broadcast(evicted), "doc_id", "left_anti")
+                .limit(1)
+                .collect()
+            )
+        if reused:
+            raise ValueError(
+                f"doc_id {reused[0].doc_id} arrived with different content than "
+                "the resident version — doc_ids must be stable per content "
+                "(re-delivering an identical (doc_id, text) row is fine)"
+            )
+
         if not prior:
             # bootstrap: delta == full state; replace also resets any torn
             # bootstrap attempt (there is no committed predecessor to
             # rebase onto)
             ops: dict[str, _StateOp] = {
-                "live": ("replace", live),
-                "band_index": ("replace", m["compacted"].unionByName(m["new_rows"])),
-                "pairs": (
-                    "replace",
-                    m["retained"].select("id_a", "id_b").unionByName(m["new_pairs"]),
-                ),
+                "live": ("replace", newly.select(*_LIVE_COLS)),
+                "band_index": ("replace", new_rows),
+                "pairs": ("replace", m["new_pairs"]),
                 "counts": ("replace", batch_counts),
                 "tombstones": ("replace", old_tombstones.select("_fp")),
             }
@@ -410,35 +554,32 @@ def refresh_corpus_state(
             # delta commit: O(batch) appends + merge-on-read equality
             # deletes for the (rare) eviction cascade — the state is never
             # rewritten in full
-            evicted = m["evicted"].persist()
-            try:
-                ev: list[tuple[DataFrame, list[str]]] = []
-                ev_pairs: list[tuple[DataFrame, list[str]]] = []
-                if not evicted.isEmpty():
-                    ev = [(evicted, ["doc_id"])]
-                    ev_pairs = [
-                        (evicted.withColumnRenamed("doc_id", "id_a"), ["id_a"]),
-                        (evicted.withColumnRenamed("doc_id", "id_b"), ["id_b"]),
-                    ]
-                ops = {
-                    "live": ("delta", ev, m["newly_live"].select(*_DOC_COLS)),
-                    "band_index": ("delta", ev, m["new_rows"]),
-                    "pairs": ("delta", ev_pairs, m["new_pairs"]),
-                    "counts": ("delta", [], batch_counts),
-                    "tombstones": ("delta", [], None),
-                }
-                _commit_state_version(
-                    spark,
-                    state_dir,
-                    batch_id,
-                    ops,
-                    prior[-1],
-                    _crash_after=_crash_after,
-                )
-            finally:
-                evicted.unpersist()
+            ev: list[tuple[DataFrame, list[str]]] = []
+            ev_pairs: list[tuple[DataFrame, list[str]]] = []
+            if not evicted.isEmpty():
+                ev = [(evicted, ["doc_id"])]
+                ev_pairs = [
+                    (evicted.withColumnRenamed("doc_id", "id_a"), ["id_a"]),
+                    (evicted.withColumnRenamed("doc_id", "id_b"), ["id_b"]),
+                ]
+            ops = {
+                "live": ("delta", ev, newly.select(*_LIVE_COLS)),
+                "band_index": ("delta", ev, new_rows),
+                "pairs": ("delta", ev_pairs, m["new_pairs"]),
+                "counts": ("delta", [], batch_counts),
+                "tombstones": ("delta", [], None),
+            }
+            _commit_state_version(
+                spark,
+                state_dir,
+                batch_id,
+                ops,
+                prior[-1],
+                _crash_after=_crash_after,
+            )
     finally:
-        live.unpersist()
+        for cached in (annotated, keepers, matches, evicted, newly):
+            cached.unpersist()
 
 
 def takedown_state_plan(
@@ -449,15 +590,12 @@ def takedown_state_plan(
     takedown: DataFrame,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """The pure takedown plan: state × a takedown request set →
-    (live, band_index, pairs, tombstones). No I/O — the plan-audit sweep
-    and tests inspect these frames directly (the registry query
-    materializes them, which would otherwise hide the per-tick shuffles
-    from the shuffle ledger)."""
+    (live, band_index, pairs, tombstones). No I/O — the SEMANTIC spec of
+    :func:`takedown_corpus_state`'s delta decomposition; tests compare
+    the executed state against it."""
     td_fps = takedown.select(dedup.fingerprint_col("text").alias("_fp")).distinct()
-    live = old_live.join(
-        td_fps,
-        dedup.fingerprint_col("text") == F.col("_fp"),
-        "left_anti",
+    live = _with_fp(old_live).join(td_fps, "_fp", "left_anti").select(
+        *[c for c in old_live.columns]
     )
     band_index = dedup.compact_band_index(old_index, live.select("doc_id"))
     live_ids = live.select("doc_id")
@@ -470,6 +608,28 @@ def takedown_state_plan(
     )
     tombstones = old_tombstones.select("_fp").unionByName(td_fps).distinct()
     return live, band_index, pairs, tombstones
+
+
+def takedown_delta_parts(
+    old_live: DataFrame,
+    old_tombstones: DataFrame,
+    takedown: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """The executed takedown-tick delta: (removed resident doc ids, new
+    tombstone fingerprints). The request set broadcasts against a
+    keys-only scan of ``live`` (stored ``_fp``) — no state-side exchange,
+    no text read, no re-hash of resident content. The request-dedup
+    anti-join shuffles only the TOMBSTONE part (fingerprints of erased
+    content — O(tombstones) ≪ O(corpus), and takedown ticks are rare)."""
+    td_fps = takedown.select(dedup.fingerprint_col("text").alias("_fp")).distinct()
+    removed = (
+        _with_fp(old_live)
+        .select("doc_id", "_fp")
+        .join(F.broadcast(td_fps), "_fp", "left_semi")
+        .select("doc_id")
+    )
+    new_fps = td_fps.join(old_tombstones.select("_fp"), "_fp", "left_anti")
+    return removed, new_fps
 
 
 def takedown_corpus_state(
@@ -496,10 +656,12 @@ def takedown_corpus_state(
     (``counts``) are historical arrival records and are deliberately NOT
     rewritten.
 
-    Scale shape: one fingerprint semi-join over live to find the removed
-    ids, then O(keys) merge-on-read equality-delete commits cascade the
-    removal into the index and pair state — nothing is re-shingled and NO
-    data file is rewritten (compaction happens in maintenance).
+    Scale shape: the request fingerprints BROADCAST against a keys-only
+    scan of live (stored ``_fp`` — nothing is re-hashed or even read
+    beyond two slim columns), then O(keys) merge-on-read equality-delete
+    commits cascade the removal into the index and pair state — nothing
+    is re-shingled and NO data file is rewritten (compaction happens in
+    maintenance).
     """
     prior = [v for v in committed_versions(state_dir) if v < int(batch_id)]
     if not prior:
@@ -507,19 +669,8 @@ def takedown_corpus_state(
     old_live = read_state_part(spark, state_dir, "live", prior[-1])
     old_tombstones = read_state_part(spark, state_dir, "tombstones", prior[-1])
 
-    # delta decomposition of takedown_state_plan (the pure spec): removal
-    # is the id set of live docs whose fingerprint matches a request —
-    # merge-on-read equality deletes cascade it into the index and pairs,
-    # and only the NEW fingerprints append to the tombstone set
-    td_fps = takedown.select(dedup.fingerprint_col("text").alias("_fp")).distinct()
-    removed = (
-        old_live.join(
-            td_fps, dedup.fingerprint_col("text") == F.col("_fp"), "left_semi"
-        )
-        .select("doc_id")
-        .persist()
-    )
-    new_fps = td_fps.join(old_tombstones.select("_fp"), "_fp", "left_anti")
+    removed, new_fps = takedown_delta_parts(old_live, old_tombstones, takedown)
+    removed = removed.persist()
 
     try:
         rm: list[tuple[DataFrame, list[str]]] = []
@@ -559,10 +710,15 @@ def expire_state_versions(
     — still finds its true prior state after expiry.
 
     Mechanism: drop the version's refs (``counts`` FIRST, so a crash
-    mid-expiry leaves the version invisible, never torn), then run the
-    snapshot layer's own ``expire_snapshots`` per part table — which also
-    garbage-collects the unreferenced snapshots a torn commit left
-    behind. Returns the removed version names."""
+    mid-expiry leaves the version invisible, never torn), then drop STRAY
+    refs — ``state_v{b}`` refs on non-counts parts where ``b`` was never
+    committed and a LATER batch has committed (a ref-phase crash leaves
+    them; the stream can no longer retry an abandoned batch id, so
+    without this they would pin the torn snapshots forever) — then run
+    the snapshot layer's own ``expire_snapshots`` per part table, which
+    garbage-collects the now-unreferenced torn snapshots. Returns the
+    removed ref names (committed expiries first, then strays).
+    """
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     ids = committed_versions(state_dir)
@@ -571,11 +727,28 @@ def expire_state_versions(
         ref = _ref(b)
         for part in reversed(_REF_ORDER):  # counts first
             _table(spark, state_dir, part).drop_ref(ref)
+    removed = [_ref(b) for b in doomed]
+    committed = set(ids) - set(doomed)
+    latest = max(committed) if committed else None
+    strays: set[str] = set()
+    if latest is not None:
+        for part in _PARTS:
+            t = _table(spark, state_dir, part)
+            for name in list(t.refs()):
+                if not name.startswith("state_v"):
+                    continue
+                try:
+                    b = int(name[len("state_v"):])
+                except ValueError:
+                    continue
+                if b not in committed and b < latest:
+                    t.drop_ref(name)
+                    strays.add(name)
     for part in _PARTS:
         t = _table(spark, state_dir, part)
         if t.versions():
             t.expire_snapshots(keep_last=1)
-    return [_ref(b) for b in doomed]
+    return removed + sorted(strays)
 
 
 def compact_state_deletes(spark: SparkSession, state_dir: str) -> list[str]:
@@ -610,11 +783,14 @@ def representative_merge_plans(
     spark: SparkSession, sf_dir: str, with_tombstones: bool = False
 ) -> list[tuple[str, DataFrame]]:
     """Un-materialized representative REFRESH-tick plans for the shuffle
-    ledger and plan-audit sweep: old state = the even-id half of the
-    documents table (cleaned + exact-deduped + its band rows), batch = the
-    odd half — the same construction tests/test_incremental_pipeline.py
-    audits. ``with_tombstones`` adds the ingest-door anti-join (the
-    tombstone-reingest query's tick shape)."""
+    ledger and plan-audit sweep — the DELTA frames a non-bootstrap tick
+    executes (newly_live / evicted / new band rows / new pairs), built
+    against an eagerly materialized old state (checkpointed, so the
+    audited plans start at the state leaves exactly as a real tick's
+    parquet reads do — the state-BUILD shuffles are not per-tick costs
+    and must not pollute the tick's ledger entry). ``with_tombstones``
+    adds the ingest-door anti-join (the tombstone-reingest query's tick
+    shape)."""
     from analytics_data_platform_spark.sources.testdata import load_table
 
     docs = load_table(spark, sf_dir, "documents").where(
@@ -625,15 +801,17 @@ def representative_merge_plans(
         .where(c4_core_pass("text"))
         .select(*_DOC_COLS)
     )
-    old_live = dedup.dedup_exact(old)
-    old_index = dedup.minhash_band_rows(old_live)
-    old_pairs = old_live.select(
-        F.col("doc_id").alias("id_a"), F.col("doc_id").alias("id_b")
-    ).limit(0)
+    old_live = (
+        dedup.dedup_exact(old)
+        .withColumn("_fp", dedup.fingerprint_col("text"))
+        .localCheckpoint()
+    )
+    old_index = dedup.minhash_band_rows(old_live.select(*_DOC_COLS)).localCheckpoint()
     batch = (
         docs.where(F.col("doc_id") % 2 == 1)
         .where(c4_core_pass("text"))
         .select(*_DOC_COLS)
+        .withColumn("_fp", dedup.fingerprint_col("text"))
     )
     if with_tombstones:
         tombstones = (
@@ -641,41 +819,45 @@ def representative_merge_plans(
             .select(dedup.fingerprint_col("text").alias("_fp"))
             .distinct()
         )
-        batch = batch.join(
-            tombstones, dedup.fingerprint_col("text") == F.col("_fp"), "left_anti"
-        )
-    live, band_index, pairs = merge_corpus_state(old_live, old_index, old_pairs, batch)
-    return [("live", live), ("band_index", band_index), ("pairs", pairs)]
+        batch = batch.join(tombstones, "_fp", "left_anti")
+    # checkpoint=True stages the tick the way execution materializes it
+    # (each returned plan shows ONLY its own incremental work — the sum is
+    # the tick's real shuffle count, with shared subtrees counted once)
+    m = delta_merge_parts(old_live, old_index, batch, checkpoint=True)
+    return [
+        ("batch_keepers", m["batch_keepers"]),
+        ("keeper_matches", m["matches"]),
+        ("newly_live", m["newly_live"]),
+        ("evicted", m["evicted"]),
+        ("new_band_rows", m["new_rows"]),
+        ("candidates", m["cands"]),
+        ("new_pairs", m["new_pairs"]),
+    ]
 
 
 def representative_takedown_plans(
     spark: SparkSession, sf_dir: str
 ) -> list[tuple[str, DataFrame]]:
-    """Un-materialized representative TAKEDOWN-tick plans: state = the
-    cleaned + exact-deduped documents table with its band rows, request =
-    the doc_id % 97 content set (the registry query's request rule)."""
+    """Un-materialized representative TAKEDOWN-tick plans — the executed
+    delta (removed ids + new tombstone fps) against a checkpointed state,
+    plus the spec's tombstone union: state = the cleaned + exact-deduped
+    documents table, request = the doc_id % 97 content set (the registry
+    query's request rule)."""
     from analytics_data_platform_spark.sources.testdata import load_table
 
     docs = load_table(spark, sf_dir, "documents").where(
         F.length(F.trim("text")) > 0
     )
     clean = docs.where(c4_core_pass("text")).select(*_DOC_COLS)
-    old_live = dedup.dedup_exact(clean)
-    old_index = dedup.minhash_band_rows(old_live)
-    old_pairs = old_live.select(
-        F.col("doc_id").alias("id_a"), F.col("doc_id").alias("id_b")
-    ).limit(0)
+    old_live = (
+        dedup.dedup_exact(clean)
+        .withColumn("_fp", dedup.fingerprint_col("text"))
+        .localCheckpoint()
+    )
     old_tombstones = spark.createDataFrame([], _TOMBSTONE_SCHEMA)
     takedown = docs.where(F.col("doc_id") % 97 == 0)
-    live, band_index, pairs, tombstones = takedown_state_plan(
-        old_live, old_index, old_pairs, old_tombstones, takedown
-    )
-    return [
-        ("live", live),
-        ("band_index", band_index),
-        ("pairs", pairs),
-        ("tombstones", tombstones),
-    ]
+    removed, new_fps = takedown_delta_parts(old_live, old_tombstones, takedown)
+    return [("removed", removed), ("new_tombstones", new_fps)]
 
 
 def corpus_split_manifest(spark: SparkSession, state_dir: str) -> list[tuple[str, int]]:

@@ -176,7 +176,12 @@ def _plan_nodes(simple: str) -> list[tuple[int, str]]:
 
 
 _BOUNDED_BELOW = re.compile(
-    r"TakeOrderedAndProject|CollectLimit|GlobalLimit|LocalLimit"
+    # WindowGroupLimit: Spark's rank/row_number top-N pushdown — at most N
+    # rows per group survive below it. Spark 4.1 usually rewrites the
+    # single-group case to TakeOrderedAndProject, but a frame-spec change
+    # or future planner can emit WindowGroupLimit → Exchange
+    # SinglePartition, which is bounded and must not false-fail the sweep.
+    r"TakeOrderedAndProject|CollectLimit|GlobalLimit|LocalLimit|WindowGroupLimit"
 )
 _PARTIAL_TOTAL_AGG = re.compile(
     # HashAggregate prints "keys=[]", SortAggregate prints "key=[]";

@@ -733,3 +733,212 @@ register(
         internal_plan=_inverted_phrase_internal_plans,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# RANKED retrieval served FROM the inverted index: BM25 over tf/dl-scored
+# posting lists + a one-row corpus-stats sidecar — closing the gap where
+# boolean/phrase queries were index-served but ranked search still
+# full-scanned the corpus
+# ---------------------------------------------------------------------------
+
+
+def _scored_posting_rows(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(postings, stats): postings carry everything per-(doc, term) BM25
+    needs — tf and the doc length dl (denormalized onto each row, the
+    Lucene norms analog) — bucketed by the term hash; stats is the ONE-ROW
+    corpus sidecar (n_docs, avgdl) written next to the index at build
+    time, so serving never touches the corpus."""
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    postings = tf.join(dl, "doc_id").withColumn(
+        "bucket", F.pmod(F.hash("term"), F.lit(INDEX_BUCKETS))
+    )
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    return postings, stats
+
+
+def _bm25_index_serve(
+    postings: DataFrame, stats: DataFrame, q: DataFrame
+) -> DataFrame:
+    """Top-k BM25 from pruned posting lists: df for the query terms is
+    counted from THEIR posting lists (all of a term's postings live in its
+    bucket, so the pruned read sees every one), n_docs/avgdl come from the
+    broadcast stats sidecar, and the per-(q, doc) sum + two-phase top-k
+    never touch a non-matching document. Identical scoring expression to
+    the full-scan ``_bm25_scores`` — the oracle is the same BM25 SQL."""
+    terms = q.select("term").distinct()
+    pruned = postings.join(F.broadcast(terms), "term", "left_semi")
+    dfq = pruned.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    w = idf * (
+        (F.col("tf") * F.lit(K1 + 1.0))
+        / (F.col("tf") + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        pruned.join(F.broadcast(q), "term")
+        .join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("q_id", "doc_id", w.alias("w"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.round(F.sum("w"), 4).alias("score"))
+    )
+    return topk_per_query(scored, TOPK, "q_id", "doc_id", "score").select(
+        "q_id", "doc_id", "score", "rank"
+    )
+
+
+def inverted_index_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the SCORED inverted index (tf/dl postings partitioned by term
+    bucket + the one-row stats sidecar), then serve the three fixed BM25
+    keyword queries reading ONLY the query terms' bucket partitions —
+    ranked retrieval without a corpus scan, the serving shape
+    ``bm25_search`` cannot offer at 100 TB (the index build is one
+    corpus pass, amortized over every query; each lookup is O(posting
+    lists of the query terms)). Plan-guarded in tests/test_plans_new_ops.py:
+    the serve scan carries a bucket PartitionFilter and touches exactly
+    the query buckets.
+
+    The oracle is the full-scan BM25 SQL (the same statement
+    ``bm25_search`` is gated on): a tf/dl lost in the build, a df counted
+    from a clipped posting list, a stale stats sidecar, or a pruned-away
+    true hit all hash-diverge on the ranked cut.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    idx_dir = _tempfile.mkdtemp(prefix="adps-invidx-bm25-")
+    stats_dir = _tempfile.mkdtemp(prefix="adps-invidx-bm25-stats-")
+    try:
+        postings, stats = _scored_posting_rows(d)
+        postings.write.mode("overwrite").partitionBy("bucket").parquet(idx_dir)
+        stats.coalesce(1).write.mode("overwrite").parquet(stats_dir)
+        index = spark.read.parquet(idx_dir)
+        all_terms = sorted({t for ts in QUERY_TERMS.values() for t in ts})
+        want = [
+            r["bucket"]
+            for r in spark.createDataFrame([(t,) for t in all_terms], "term string")
+            .select(F.pmod(F.hash("term"), F.lit(INDEX_BUCKETS)).alias("bucket"))
+            .collect()
+        ]
+        q = spark.createDataFrame(
+            [(qid, t) for qid, ts in QUERY_TERMS.items() for t in ts],
+            "q_id int, term string",
+        )
+        served = _bm25_index_serve(
+            index.where(F.col("bucket").isin(*want)),
+            spark.read.parquet(stats_dir),
+            q,
+        )
+        schema = served.schema
+        rows = [tuple(r) for r in served.collect()]
+    finally:
+        for d_ in (idx_dir, stats_dir):
+            _shutil.rmtree(d_, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+def _bm25_index_internal_plans(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    postings, stats = _scored_posting_rows(d)
+    q = spark.createDataFrame(
+        [(qid, t) for qid, ts in QUERY_TERMS.items() for t in ts],
+        "q_id int, term string",
+    )
+    return [("serve", _bm25_index_serve(postings, stats, q))]
+
+
+register(
+    QuerySpec(
+        "inverted_index_bm25_topk",
+        inverted_index_bm25_topk,
+        BM25_SQL,
+        doc="BM25 top-k served from tf/dl-scored posting lists + stats sidecar; reads only the query terms' buckets",
+        cites="Lucene postings+norms serving shape; oracle shared with bm25_search (full-scan formulation)",
+        tags=("search", "scale", "topk", "multi_tick"),
+        internal_plan=_bm25_index_internal_plans,
+    )
+)
+
+
+def inverted_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list COMPACTION under the oracle gate: the index is built
+    over three partition-wise ingest ticks (one small file per bucket per
+    tick — the small-file debt incremental appends accumulate), then
+    ``tables/maintenance.py::compact_posting_buckets`` rewrites every
+    oversized bucket to a single file (two atomic renames per bucket,
+    crash windows healed by recover_posting_compaction), and the
+    conjunctive query is served from the COMPACTED index. The oracle is
+    the direct corpus predicate — a posting lost or duplicated in the
+    rewrite, a bucket dropped mid-swap, or a stale retired directory
+    leaking back in all hash-diverge. The maintenance analog of the state
+    layer's ``compact_state_deletes``, applied to the index family."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from analytics_data_platform_spark.tables.maintenance import (
+        compact_posting_buckets,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    idx_dir = _tempfile.mkdtemp(prefix="adps-invidx-compact-")
+    try:
+        _posting_rows(d.where(F.col("doc_id") % 3 == 0)).write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(idx_dir)
+        for tick in (1, 2):
+            _posting_rows(d.where(F.col("doc_id") % 3 == tick)).write.mode(
+                "append"
+            ).partitionBy("bucket").parquet(idx_dir)
+        compacted = compact_posting_buckets(spark, idx_dir)
+        assert compacted, "three ticks must leave oversized buckets"
+        # compaction left exactly one file per rewritten bucket
+        for name in _os.listdir(idx_dir):
+            if name.startswith("bucket="):
+                n = len(
+                    [
+                        f
+                        for f in _os.listdir(_os.path.join(idx_dir, name))
+                        if f.endswith(".parquet")
+                    ]
+                )
+                assert n == 1, f"{name}: {n} files after compaction"
+        index = spark.read.parquet(idx_dir)
+        want = [
+            r["bucket"]
+            for r in spark.createDataFrame([(t,) for t in CONJ_TERMS], "term string")
+            .select(F.pmod(F.hash("term"), F.lit(INDEX_BUCKETS)).alias("bucket"))
+            .collect()
+        ]
+        served = _conjunctive_serve(index.where(F.col("bucket").isin(*want)))
+        rows = [(r["source"], r["n_docs"]) for r in served.collect()]
+    finally:
+        _shutil.rmtree(idx_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, "source string, n_docs long")
+
+
+def _inverted_compacted_internal_plans(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return [
+        ("ingest", _posting_rows(d.where(F.col("doc_id") % 3 == 1))),
+        ("serve", _conjunctive_serve(_posting_rows(d))),
+    ]
+
+
+register(
+    QuerySpec(
+        "inverted_index_compacted",
+        inverted_index_compacted,
+        INVERTED_INDEX_SQL,
+        doc="per-bucket posting compaction preserves serving exactly; conjunctive lookup from the compacted index",
+        cites="tables/maintenance.py::compact_posting_buckets; the M1 rewrite_data_files analog for the index family",
+        tags=("search", "scale", "multi_tick"),
+        internal_plan=_inverted_compacted_internal_plans,
+    )
+)

@@ -601,6 +601,16 @@ def source_token_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact sums. One token explode feeds everything; group totals ride
     windows over the |vocab x source| aggregate, the corpus total
     broadcasts as a scalar.
+
+    ABSENT-token completeness (round-9 fix): the per-(source, tok) rows
+    cover only tokens the source CONTAINS, so the q-side sum would miss
+    KL(Q||M) contributions of rest-of-corpus tokens absent from the
+    source — for those p=0, q/m = 2, and each contributes exactly
+    q·ln 2; summed, (B − Σ_observed b)/B · ln 2. Both engines add that
+    closed-form correction (as the exact integer
+    (B − Σ_observed b) · 693147 micro-nats), so two disjoint-vocabulary
+    sources now report the true JSD = ln 2, not half of it — the regime
+    where a divergence metric steering mixing/pruning matters most.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
@@ -634,17 +644,25 @@ def source_token_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr(p_term)).alias("_ps"),
         F.sum(F.expr(q_term)).alias("_qs"),
         F.max("big_b").alias("_bb"),
+        F.sum(F.col("b").cast("decimal(38,0)")).alias("_ob"),
     )
+    # closed-form q-side mass of tokens ABSENT from the source (p=0 ⇒
+    # q·ln 2 each): exact integers, identical in the DuckDB mirror
+    q_total = F.col("_qs") + (
+        F.col("_bb").cast("decimal(38,0)") - F.col("_ob")
+    ) * F.lit(_LN2_MICRO)
     return agg.select(
         "source",
         "n_tokens",
         "vocab",
         (
             (F.col("_ps").cast("double") / F.col("n_tokens")
-             + F.col("_qs").cast("double") / F.col("_bb")) / F.lit(2.0)
+             + q_total.cast("double") / F.col("_bb")) / F.lit(2.0)
         ).alias("jsd_micro"),
     )
 
+
+_LN2_MICRO = 693147  # round(ln 2 · _KEY_SCALE): the per-token absent-term contribution
 
 _JS_LN = lambda x, y: f"CAST(round(ln(CAST({x} AS DOUBLE) * CAST({y} AS DOUBLE)) * {_KEY_SCALE}) AS BIGINT)"
 _JS_MIX = f"CAST(round(ln(CAST(a AS DOUBLE) * CAST(big_b AS DOUBLE) + CAST(b AS DOUBLE) * CAST(big_a AS DOUBLE)) * {_KEY_SCALE}) AS BIGINT)"
@@ -673,7 +691,9 @@ SELECT source,
        CAST(MAX(big_a) AS BIGINT) AS n_tokens,
        COUNT(*) AS vocab,
        (CAST(SUM(p_term) AS DOUBLE) / CAST(MAX(big_a) AS DOUBLE)
-        + CAST(SUM(q_term) AS DOUBLE) / CAST(MAX(big_b) AS DOUBLE)) / 2.0 AS jsd_micro
+        + CAST(SUM(q_term)
+               + (CAST(MAX(big_b) AS HUGEINT) - SUM(CAST(b AS HUGEINT))) * {_LN2_MICRO}
+               AS DOUBLE) / CAST(MAX(big_b) AS DOUBLE)) / 2.0 AS jsd_micro
 FROM terms
 GROUP BY source
 """

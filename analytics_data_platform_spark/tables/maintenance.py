@@ -199,3 +199,85 @@ def analyze_table(
             desc = spark.sql(f"DESCRIBE EXTENDED {table} `{c}`").collect()
             out[c] = "; ".join(f"{r['info_name']}={r['info_value']}" for r in desc)
     return out
+
+
+def recover_posting_compaction(idx_dir: str) -> list[str]:
+    """Crash recovery for :func:`compact_posting_buckets`: a torn
+    compaction leaves either ``_old.bucket=N`` alone (died between
+    retiring the resident dir and installing the staged one → rename it
+    back) or both ``_old.bucket=N`` and ``bucket=N`` (died before the
+    cleanup → the install completed; drop the retired copy). Underscore
+    prefixes keep retired dirs invisible to Spark's partition discovery
+    throughout. Returns the actions taken."""
+    import os
+    import shutil
+
+    actions: list[str] = []
+    for name in sorted(os.listdir(idx_dir)):
+        if name.startswith("_stage."):  # staged-but-never-installed rewrite
+            shutil.rmtree(os.path.join(idx_dir, name))
+            actions.append(f"dropped stale stage {name}")
+            continue
+        if not name.startswith("_old.bucket="):
+            continue
+        live = os.path.join(idx_dir, name[len("_old."):])
+        old = os.path.join(idx_dir, name)
+        if os.path.exists(live):
+            shutil.rmtree(old)
+            actions.append(f"dropped retired {name}")
+        else:
+            os.rename(old, live)
+            actions.append(f"restored {name}")
+    return actions
+
+
+def compact_posting_buckets(
+    spark: SparkSession,
+    idx_dir: str,
+    min_files: int = 2,
+    target_files: int = 1,
+) -> list[str]:
+    """Per-bucket small-file compaction for a term-partitioned posting
+    index (queries/search_ops.py): partition-wise incremental appends
+    accumulate one file per ingest tick inside every ``bucket=N``
+    directory — exactly the small-file debt merge-on-read deletes
+    accumulate on the state tables (``compact_state_deletes``), applied
+    to the index family. Each oversized bucket is rewritten to
+    ``target_files`` and swapped in with two atomic renames
+    (stage → retire resident as ``_old.bucket=N`` → install → drop);
+    :func:`recover_posting_compaction` (run first) heals any torn swap,
+    and serving hashes are pinned unchanged across compaction by
+    tests/test_posting_compaction.py. Single-writer maintenance-window
+    semantics, like the reference's nightly Iceberg maintenance loop
+    (elt-common/src/elt_common/iceberg/maintenance/__init__.py:28-62).
+    Returns a per-bucket report of compactions performed."""
+    import os
+    import shutil
+    import tempfile
+
+    recover_posting_compaction(idx_dir)
+    done: list[str] = []
+    for name in sorted(os.listdir(idx_dir)):
+        if not name.startswith("bucket="):
+            continue
+        bucket_dir = os.path.join(idx_dir, name)
+        files = [f for f in os.listdir(bucket_dir) if f.endswith(".parquet")]
+        if len(files) < max(min_files, target_files + 1):
+            continue
+        # underscore prefix keeps the stage invisible to partition
+        # discovery even if this process dies mid-write
+        staged = tempfile.mkdtemp(prefix="_stage.", dir=idx_dir)
+        # reading the bucket dir directly yields the non-partition columns
+        # only — the same schema resident files carry
+        spark.read.parquet(bucket_dir).coalesce(target_files).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        for extra in os.listdir(staged):  # _SUCCESS etc. stay out of the index
+            if not extra.endswith(".parquet"):
+                os.remove(os.path.join(staged, extra))
+        old = os.path.join(idx_dir, f"_old.{name}")
+        os.rename(bucket_dir, old)
+        os.rename(staged, bucket_dir)
+        shutil.rmtree(old)
+        done.append(f"{name}: {len(files)} -> {target_files} file(s)")
+    return done

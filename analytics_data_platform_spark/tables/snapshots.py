@@ -492,7 +492,10 @@ class SnapshotTable:
         for entry in applicable:
             paths = [entry["path"], *entry.get("extra_paths", [])]
             keys = self.spark.read.parquet(*paths)
-            df = df.join(keys, entry["key_cols"], "left_anti")
+            # delete files are O(deleted keys) by construction — broadcast
+            # them so the data side streams map-side instead of shuffling
+            # the whole table to apply a trickle of deletes
+            df = df.join(F.broadcast(keys), entry["key_cols"], "left_anti")
         return df
 
     def update_where(self, set_exprs: dict[str, str], predicate_sql: str,

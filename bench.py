@@ -24,6 +24,40 @@ from analytics_data_platform_spark.queries import all_queries
 from analytics_data_platform_spark.session import get_spark
 
 
+def heavy_envelope_alerts(heavy: dict[str, float], hb: dict) -> dict[str, float]:
+    """Heavy-envelope check: each heavy query vs its best recorded time.
+
+    Three alert classes (importable so tests can inject regressions):
+    - per-query SKEW: ratio > alert_ratio x the fleet MEDIAN ratio (host
+      slowness inflates every query by a common factor; a real regression
+      skews one) — never below the absolute alert_ratio;
+    - hard cap: ratio > hard_cap, no host story excuses it;
+    - FLEET-level: geometric mean of all ratios > alert_ratio (reported
+      as ``__fleet__``) — a correlated real regression (session conf,
+      snapshot layer) slows every query uniformly and would otherwise be
+      absorbed by the median normalization above. Host load trips this
+      too; that is what SPARK_GRAFT_HEAVY_JUSTIFY exists to record.
+    """
+    import math
+
+    alerts: dict[str, float] = {}
+    ratio_limit = float(hb.get("alert_ratio", 1.5))
+    hard_cap = float(hb.get("hard_cap", 3.0))
+    ratios = {
+        n: heavy[n] / float(b) for n, b in hb.get("best", {}).items() if n in heavy
+    }
+    if not ratios:
+        return alerts
+    med = sorted(ratios.values())[len(ratios) // 2]
+    for name, ratio in ratios.items():
+        if ratio > ratio_limit * max(1.0, med) or ratio > hard_cap:
+            alerts[name] = round(ratio, 2)
+    gmean = math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios))
+    if gmean > ratio_limit:
+        alerts["__fleet__"] = round(gmean, 2)
+    return alerts
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
@@ -83,22 +117,9 @@ def main() -> None:
     heavy_alerts: dict[str, float] = {}
     baseline_path = Path(__file__).resolve().parent / "HEAVY_BASELINE.json"
     if heavy and baseline_path.exists() and sf == 0.1:
-        hb = json.loads(baseline_path.read_text())
-        ratio_limit = float(hb.get("alert_ratio", 1.5))
-        hard_cap = float(hb.get("hard_cap", 3.0))
-        ratios = {
-            n: heavy[n] / float(b)
-            for n, b in hb.get("best", {}).items()
-            if n in heavy
-        }
-        # host-noise normalization: a loaded/slow host inflates EVERY heavy
-        # query by a common factor (observed 1.5x+ same-day), while a real
-        # regression inflates one. Alert on skew vs the fleet median (never
-        # below the absolute ratio), with a hard cap no host story excuses.
-        med = sorted(ratios.values())[len(ratios) // 2] if ratios else 1.0
-        for name, ratio in ratios.items():
-            if ratio > ratio_limit * max(1.0, med) or ratio > hard_cap:
-                heavy_alerts[name] = round(ratio, 2)
+        heavy_alerts = heavy_envelope_alerts(
+            heavy, json.loads(baseline_path.read_text())
+        )
 
     print(
         json.dumps(

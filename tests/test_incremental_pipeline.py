@@ -7,6 +7,8 @@ set, its band-index rows must be compacted away, and its pairs dropped).
 
 from __future__ import annotations
 
+import re
+
 import pyspark.sql.functions as F
 
 from analytics_data_platform_spark.operators import dedup
@@ -474,3 +476,142 @@ def test_compaction_skips_torn_heads(spark, tmp_path):
     assert {r.doc_id for r in read_state_part(spark, state, "live", 1).collect()} == {
         3, 11,
     }
+
+
+def test_delta_tick_has_no_state_side_exchange(spark, tmp_path):
+    """THE round-9 scale contract: a non-bootstrap tick never shuffles (or
+    broadcasts) anything state-sized. Pinned directly on the executed
+    delta plans over a REAL parquet-backed state (with pending
+    merge-on-read deletes, so the read-side anti-join shape is audited
+    too):
+
+    - every join in every delta frame is a BroadcastHashJoin (no
+      SortMergeJoin / ShuffledHashJoin anywhere — the state side always
+      streams map-side);
+    - the keeper-merge plans scan the live part's KEY COLUMNS only
+      (stored ``_fp`` + ``doc_id``): resident text is never read, never
+      re-hashed;
+    - the candidate/verify plan reads at most (doc_id, text) from live
+      and (doc_id, bucket) from the band index."""
+    from analytics_data_platform_spark.pipelines.incremental import (
+        delta_merge_parts,
+    )
+    from analytics_data_platform_spark.plans.audit import audit
+
+    state = str(tmp_path / "state")
+    t0 = spark.createDataFrame(
+        [_doc(10, f"Hello World {_BODY}"), _doc(11, f"other corpus {_BODY} zz")],
+        _SCHEMA,
+    )
+    refresh_corpus_state(spark, state, t0, 0)
+    # tick 1 evicts doc 10 -> the live part carries a MOR delete file,
+    # so the audited read path includes the delete anti-join
+    t1 = spark.createDataFrame([_doc(3, f"hello  world {_BODY}")], _SCHEMA)
+    refresh_corpus_state(spark, state, t1, 1)
+
+    old_live = read_state_part(spark, state, "live", 1)
+    old_index = read_state_part(spark, state, "band_index", 1)
+    batch = spark.createDataFrame(
+        [_doc(40, f"fresh arrival {_BODY} qq"), _doc(2, f"hello world {_BODY}")],
+        _SCHEMA,
+    )
+    m = delta_merge_parts(old_live, old_index, batch)
+
+    key_cols = {"doc_id", "_fp"}
+    for name in ("newly_live", "evicted"):
+        rep = audit(m[name])
+        assert not rep.join_strategies.get("SortMergeJoin"), (name, rep.simple)
+        assert not rep.join_strategies.get("ShuffledHashJoin"), (name, rep.simple)
+        assert not rep.has_cartesian, name
+        for s in rep.scans:
+            if "/live/" in s.location or s.location.rstrip("/").endswith("/live"):
+                assert set(s.read_columns) <= key_cols, (
+                    f"{name}: live scan reads {s.read_columns} — the keeper "
+                    "merge must touch key columns only"
+                )
+    rep = audit(m["new_pairs"])
+    # the verify tail joins candidate-bounded shingle frames on id_a/id_b
+    # (harmless exchanges); the invariant is that NO merge/shuffled-hash
+    # join ever keys on a state column — state scans feed broadcast
+    # streams only
+    state_keyed = [
+        l
+        for l in rep.simple.splitlines()
+        if ("SortMergeJoin" in l or "ShuffledHashJoin" in l)
+        and re.search(r"\b(doc_id|_fp|bucket)#", l)
+    ]
+    assert not state_keyed, state_keyed
+    assert rep.join_strategies.get("BroadcastHashJoin", 0) >= 2
+    for s in rep.scans:
+        if "/live/" in s.location or s.location.rstrip("/").endswith("/live"):
+            assert set(s.read_columns) <= key_cols | {"text"}, s.read_columns
+        if "/band_index/" in s.location or s.location.rstrip("/").endswith(
+            "/band_index"
+        ):
+            assert set(s.read_columns) <= {"doc_id", "bucket"}, s.read_columns
+
+    # and the executed takedown delta: request fps broadcast against a
+    # keys-only live scan
+    from analytics_data_platform_spark.pipelines.incremental import (
+        takedown_delta_parts,
+    )
+
+    tombstones = read_state_part(spark, state, "tombstones", 1)
+    request = spark.createDataFrame([_doc(999, f"hello world {_BODY}")], _SCHEMA)
+    removed, new_fps = takedown_delta_parts(old_live, tombstones, request)
+    rep = audit(removed)
+    assert not rep.join_strategies.get("SortMergeJoin"), rep.simple
+    assert not rep.join_strategies.get("ShuffledHashJoin"), rep.simple
+    for s in rep.scans:
+        if "/live/" in s.location or s.location.rstrip("/").endswith("/live"):
+            assert set(s.read_columns) <= key_cols, s.read_columns
+    # new_tombstones dedups the request against the TOMBSTONE part only —
+    # an O(tombstones) fingerprint join (documented in
+    # takedown_delta_parts), never against live/band_index
+    rep = audit(new_fps)
+    for s in rep.scans:
+        assert "/live/" not in s.location and "/band_index/" not in s.location, (
+            s.location
+        )
+
+
+def test_expiry_gcs_stray_refs_of_abandoned_batches(spark, tmp_path):
+    """Round-8 advisor finding: a crash DURING the ref-setting phase leaves
+    stray state_v{b} refs on the already-pointed parts; if batch b is
+    never retried (a plain-batch caller moves on), those refs would pin
+    the torn snapshots forever — expire_state_versions must drop refs of
+    batch ids that were never committed once a LATER batch has committed
+    (the stream can no longer replay an abandoned id)."""
+    import pytest
+
+    from analytics_data_platform_spark.pipelines.incremental import (
+        _InjectedCrash,
+        _table,
+    )
+
+    state = str(tmp_path / "state")
+    t0 = spark.createDataFrame([_doc(10, f"Hello World {_BODY}")], _SCHEMA)
+    refresh_corpus_state(spark, state, t0, 0)
+    # batch 1 dies after pointing live/band_index/pairs refs but BEFORE
+    # the counts commit marker, and is never retried
+    t1 = spark.createDataFrame([_doc(3, f"hello  world {_BODY}")], _SCHEMA)
+    with pytest.raises(_InjectedCrash):
+        refresh_corpus_state(spark, state, t1, 1, _crash_after="ref:pairs")
+    assert "state_v00001" in _table(spark, state, "live").refs()
+
+    # the pipeline moves on: batch 2 commits (rebasing around the torn head)
+    t2 = spark.createDataFrame([_doc(40, f"fresh follow-up {_BODY} qq")], _SCHEMA)
+    refresh_corpus_state(spark, state, t2, 2)
+    assert committed_versions(state) == [0, 2]
+
+    removed = expire_state_versions(state, keep_last=2)
+    assert "state_v00001" in removed, "stray refs of the abandoned batch must drop"
+    for part in ("live", "band_index", "pairs", "counts", "tombstones"):
+        t = _table(spark, state, part)
+        assert "state_v00001" not in t.refs(), part
+        # nothing unpinned survives: every remaining snapshot is ref'd or live
+        pinned = set(t.refs().values()) | {t.current_version()}
+        assert set(t.versions()) <= pinned, part
+    # committed versions and their reads are untouched
+    live = {r.doc_id for r in read_state_part(spark, state, "live", 2).collect()}
+    assert live == {10, 40}

@@ -141,3 +141,66 @@ def test_incremental_index_append_equals_one_shot(spark, tmp_path, sf_dir):
     one_shot = _posting_rows(d).select("bucket", "term", "doc_id")
     assert appended.exceptAll(one_shot).isEmpty()
     assert one_shot.exceptAll(appended).isEmpty()
+
+
+def test_bm25_index_serving_prunes_partitions(spark, tmp_path, sf_dir):
+    """Ranked retrieval from the scored index must read only the query
+    terms' bucket directories (PartitionFilters on bucket; the touched
+    file set is exactly the query buckets), and its ranked cut must equal
+    the full-scan bm25_search result."""
+    import pyspark.sql.functions as F
+
+    from analytics_data_platform_spark.queries import all_queries
+    from analytics_data_platform_spark.queries.search_ops import (
+        INDEX_BUCKETS,
+        QUERY_TERMS,
+        _bm25_index_serve,
+        _scored_posting_rows,
+    )
+    from analytics_data_platform_spark.sources.testdata import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "idx")
+    stats_dir = str(tmp_path / "stats")
+    postings, stats = _scored_posting_rows(d)
+    postings.write.partitionBy("bucket").parquet(idx)
+    stats.coalesce(1).write.parquet(stats_dir)
+
+    index = spark.read.parquet(idx)
+    all_terms = sorted({t for ts in QUERY_TERMS.values() for t in ts})
+    want = [
+        r["bucket"]
+        for r in spark.createDataFrame([(t,) for t in all_terms], "term string")
+        .select(F.pmod(F.hash("term"), F.lit(INDEX_BUCKETS)).alias("bucket"))
+        .collect()
+    ]
+    q = spark.createDataFrame(
+        [(qid, t) for qid, ts in QUERY_TERMS.items() for t in ts],
+        "q_id int, term string",
+    )
+    served = _bm25_index_serve(
+        index.where(F.col("bucket").isin(*want)), spark.read.parquet(stats_dir), q
+    )
+    got = {(r.q_id, r.doc_id): (r.score, r.rank) for r in served.collect()}
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "bucket" in plan.split("PartitionFilters: [", 1)[1][:120]
+    import os
+
+    n_dirs = len([n for n in os.listdir(idx) if n.startswith("bucket=")])
+    assert len(set(want)) < n_dirs, "pruning has something to prune"
+    touched = {
+        r["f"].split("bucket=")[1].split("/")[0]
+        for r in index.where(F.col("bucket").isin(*want))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert touched == {str(b) for b in set(want)}
+
+    full = {
+        (r.q_id, r.doc_id): (r.score, r.rank)
+        for r in all_queries()["bm25_search"].fn(spark, sf_dir).collect()
+    }
+    assert got == full, "index-served BM25 must equal the full-scan ranked cut"
