@@ -223,14 +223,16 @@ def delta_merge_parts(
     old_index: DataFrame,
     clean: DataFrame,
     hint_broadcast: bool = True,
-    checkpoint: bool = False,
+    stage: str = "execute",
 ) -> dict[str, DataFrame]:
     """The per-tick DELTA decomposition of the keeper merge — the frames a
-    non-bootstrap tick actually executes and commits. Every entry is a
-    lazy frame over the inputs (the refresh path persists the bounded
-    ones so each stage computes once; ``checkpoint=True`` instead EAGERLY
-    checkpoints each stage, so plan audits see every stage's own
-    incremental work exactly once — the shape the shuffle ledger records).
+    non-bootstrap tick actually executes and commits. ``stage`` picks the
+    materialization marks: "execute" (the refresh path) persist-marks
+    each bounded stage so it computes once; "audit" EAGERLY checkpoints
+    each stage, so plan audits see every stage's own incremental work
+    exactly once (the shape the shuffle ledger records); "plan" marks
+    nothing — the raw end-to-end trees, for tests that assert on the
+    full plan shape (scan columns, join strategies).
 
     With ``hint_broadcast`` (the micro-batch path) no plan here contains
     a state-side exchange: the resident ``live``/``band_index`` tables
@@ -241,7 +243,20 @@ def delta_merge_parts(
     ``hint_broadcast=False`` and lets Catalyst plan ordinary shuffles.
     """
     hint = F.broadcast if hint_broadcast else (lambda df: df)
-    ck = (lambda df: df.localCheckpoint()) if checkpoint else (lambda df: df)
+    # staged handles: eager checkpoints under plan-audit staging; PERSIST
+    # marks in execution mode (persist returns self, so the returned raw
+    # frames ARE the marked ones and the caller's unpersist releases
+    # them). Marking before the downstream lazy checkpoints are declared
+    # matters: localCheckpoint physically PLANS its tree at declaration,
+    # and with the upstream stages already cache-registered that plan is
+    # a handful of InMemoryRelation stubs instead of the full
+    # expression forest (~2-3 s of driver time per tick on these trees).
+    if stage == "audit":
+        ck = lambda df: df.localCheckpoint()
+    elif stage == "plan":
+        ck = lambda df: df
+    else:
+        ck = lambda df: df.persist()
     keepers = batch_keepers(clean)
     keepers_m = ck(keepers)  # _m = the materialized handle downstream
     # stages build on (the refresh path persists each returned
@@ -272,12 +287,16 @@ def delta_merge_parts(
     # measured 1.5× slower end-to-end here; the checkpoint's eager
     # physical planning is the cheaper trade.)
     new_rows = dedup.minhash_band_rows(newly_m.select(*_DOC_COLS))
-    new_rows_m = ck(new_rows) if checkpoint else new_rows.localCheckpoint(
-        eager=False
-    )
+    if stage == "execute":
+        new_rows_m = new_rows.localCheckpoint(eager=False)
+    else:
+        new_rows_m = ck(new_rows)
     compacted = old_index.join(hint(evicted_m), "doc_id", "left_anti")
     cands = dedup.incremental_minhash_candidates(compacted, hint(new_rows_m))
-    cands_m = ck(cands) if checkpoint else cands.localCheckpoint(eager=False)
+    if stage == "execute":
+        cands_m = cands.localCheckpoint(eager=False)
+    else:
+        cands_m = ck(cands)
     texts = old_live.select(*_DOC_COLS).unionByName(newly_m.select(*_DOC_COLS))
     new_pairs = (
         dedup.exact_jaccard_pairs(
@@ -292,9 +311,9 @@ def delta_merge_parts(
         "evicted": evicted,
         "newly_live": newly_live,
         # execution consumers get the shared checkpointed handles; the
-        # audit-staging mode exposes the raw stage plans
-        "new_rows": new_rows if checkpoint else new_rows_m,
-        "cands": cands if checkpoint else cands_m,
+        # audit/plan modes expose the raw stage plans
+        "new_rows": new_rows_m if stage == "execute" else new_rows,
+        "cands": cands_m if stage == "execute" else cands,
         "new_pairs": new_pairs,
     }
 
@@ -493,13 +512,13 @@ def refresh_corpus_state(
     # micro-batch ticks broadcast batch-derived keys only — see module
     # docstring for the per-tick scale shape
     m = delta_merge_parts(old_live, old_index, clean, hint_broadcast=bool(prior))
-    keepers = m["batch_keepers"].persist()
-    matches = m["matches"].persist()
-    evicted = m["evicted"].persist()
-    newly = m["newly_live"].persist()
-    # already lazily checkpointed inside delta_merge_parts — shared with
-    # the candidate probe, so shingle+minhash and the index probe each
-    # run once per tick
+    # delta_merge_parts already persist-marked the staged frames (and
+    # lazily checkpointed new_rows/cands, shared with the candidate
+    # probe) — these are the same objects, held for the finally-unpersist
+    keepers = m["batch_keepers"]
+    matches = m["matches"]
+    evicted = m["evicted"]
+    newly = m["newly_live"]
     new_rows = m["new_rows"]
 
     batch_counts = spark.createDataFrame(
@@ -823,7 +842,7 @@ def representative_merge_plans(
     # checkpoint=True stages the tick the way execution materializes it
     # (each returned plan shows ONLY its own incremental work — the sum is
     # the tick's real shuffle count, with shared subtrees counted once)
-    m = delta_merge_parts(old_live, old_index, batch, checkpoint=True)
+    m = delta_merge_parts(old_live, old_index, batch, stage="audit")
     return [
         ("batch_keepers", m["batch_keepers"]),
         ("keeper_matches", m["matches"]),

@@ -942,3 +942,95 @@ register(
         internal_plan=_inverted_compacted_internal_plans,
     )
 )
+
+
+def inverted_index_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL ranked retrieval: the scored index ingests a second
+    corpus half with a partition-wise posting append, and the one-row
+    stats sidecar is updated in O(1) FROM THE BATCH ALONE —
+    n_docs' = n_docs + n_batch, total_dl' = total_dl + batch_dl, so
+    avgdl' = total_dl'/n_docs' without touching the resident corpus or
+    index. Term df needs no maintenance at all: it is counted at serve
+    time from the query terms' posting lists, which the bucket-pure
+    append keeps complete. BM25 therefore stays EXACTLY the one-shot
+    ranking under O(batch) ingest — the oracle is the full-scan BM25 SQL
+    over the full corpus, so a stale sidecar (old avgdl/n_docs), a
+    clobbered resident partition, or a batch posting routed to the wrong
+    bucket all hash-diverge on the ranked cut.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    idx_dir = _tempfile.mkdtemp(prefix="adps-invidx-bm25i-")
+    try:
+        base, batch = d.where(F.col("doc_id") % 2 == 0), d.where(F.col("doc_id") % 2 == 1)
+        postings, _ = _scored_posting_rows(base)
+        postings.write.mode("overwrite").partitionBy("bucket").parquet(idx_dir)
+        # sidecar totals kept as exact integers so the O(1) update is
+        # associative (avgdl is derived at serve time)
+        s0 = postings.groupBy().agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.sum("tf").alias("total_dl"),
+        ).collect()[0]
+
+        batch_postings, _ = _scored_posting_rows(batch)
+        batch_postings.write.mode("append").partitionBy("bucket").parquet(idx_dir)
+        s1 = batch_postings.groupBy().agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.sum("tf").alias("total_dl"),
+        ).collect()[0]
+        n_docs = int(s0["n_docs"]) + int(s1["n_docs"])
+        avgdl = (int(s0["total_dl"]) + int(s1["total_dl"])) / n_docs
+        stats = spark.createDataFrame([(n_docs, avgdl)], "n_docs long, avgdl double")
+
+        index = spark.read.parquet(idx_dir)
+        all_terms = sorted({t for ts in QUERY_TERMS.values() for t in ts})
+        want = [
+            r["bucket"]
+            for r in spark.createDataFrame([(t,) for t in all_terms], "term string")
+            .select(F.pmod(F.hash("term"), F.lit(INDEX_BUCKETS)).alias("bucket"))
+            .collect()
+        ]
+        q = spark.createDataFrame(
+            [(qid, t) for qid, ts in QUERY_TERMS.items() for t in ts],
+            "q_id int, term string",
+        )
+        served = _bm25_index_serve(
+            index.where(F.col("bucket").isin(*want)), F.broadcast(stats), q
+        )
+        schema = served.schema
+        rows = [tuple(r) for r in served.collect()]
+    finally:
+        _shutil.rmtree(idx_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+def _bm25_incr_internal_plans(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    batch_postings, batch_stats = _scored_posting_rows(
+        d.where(F.col("doc_id") % 2 == 1)
+    )
+    postings, stats = _scored_posting_rows(d)
+    q = spark.createDataFrame(
+        [(qid, t) for qid, ts in QUERY_TERMS.items() for t in ts],
+        "q_id int, term string",
+    )
+    return [
+        ("ingest", batch_postings),
+        ("ingest_stats", batch_stats),
+        ("serve", _bm25_index_serve(postings, stats, q)),
+    ]
+
+
+register(
+    QuerySpec(
+        "inverted_index_bm25_incremental",
+        inverted_index_bm25_incremental,
+        BM25_SQL,
+        doc="partition-wise scored-posting append + O(1) stats-sidecar update; ranked serving provably equals the one-shot BM25",
+        cites="Lucene segment-merge stats maintenance analog; oracle shared with bm25_search",
+        tags=("search", "scale", "topk", "multi_tick"),
+        internal_plan=_bm25_incr_internal_plans,
+    )
+)

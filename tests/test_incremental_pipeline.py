@@ -515,7 +515,7 @@ def test_delta_tick_has_no_state_side_exchange(spark, tmp_path):
         [_doc(40, f"fresh arrival {_BODY} qq"), _doc(2, f"hello world {_BODY}")],
         _SCHEMA,
     )
-    m = delta_merge_parts(old_live, old_index, batch)
+    m = delta_merge_parts(old_live, old_index, batch, stage="plan")
 
     key_cols = {"doc_id", "_fp"}
     for name in ("newly_live", "evicted"):

@@ -110,6 +110,13 @@ QUERIES = [
     "inverted_index_conjunctive",
     "inverted_index_incremental",
     "inverted_index_phrase",
+    # round-9: the scored-index BM25 serving pair and posting compaction
+    # (incremental_pipeline_refresh above now exercises the
+    # broadcast-delta merge — cross-JVM broadcasts of the batch key
+    # frames are exactly what local[n] can't)
+    "inverted_index_bm25_topk",
+    "inverted_index_bm25_incremental",
+    "inverted_index_compacted",
 ]
 
 
