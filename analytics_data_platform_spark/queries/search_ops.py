@@ -760,7 +760,7 @@ def _scored_posting_rows(d: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def _bm25_index_serve(
-    postings: DataFrame, stats: DataFrame, q: DataFrame
+    postings: DataFrame, stats: DataFrame, q: DataFrame, k: int = TOPK
 ) -> DataFrame:
     """Top-k BM25 from pruned posting lists: df for the query terms is
     counted from THEIR posting lists (all of a term's postings live in its
@@ -787,7 +787,7 @@ def _bm25_index_serve(
         .groupBy("q_id", "doc_id")
         .agg(F.round(F.sum("w"), 4).alias("score"))
     )
-    return topk_per_query(scored, TOPK, "q_id", "doc_id", "score").select(
+    return topk_per_query(scored, k, "q_id", "doc_id", "score").select(
         "q_id", "doc_id", "score", "rank"
     )
 

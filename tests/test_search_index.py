@@ -1,0 +1,117 @@
+"""SearchIndex (operators/search_index.py): the persistent serving API
+over the oracle-gated index building blocks. Every serving method must
+equal the corresponding full-scan formulation, survive the
+build→append→compact lifecycle bit-for-bit, and prune its reads to the
+query terms' bucket partitions."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from analytics_data_platform_spark.operators.search_index import SearchIndex
+from analytics_data_platform_spark.queries import all_queries
+from analytics_data_platform_spark.queries.search_ops import (
+    CONJ_TERMS,
+    PHRASE,
+    QUERY_TERMS,
+)
+from analytics_data_platform_spark.sources.testdata import load_table
+
+
+def _full_scan_conjunctive(d, terms):
+    toks = F.split("text", " ")
+    cond = None
+    for t in terms:
+        c = F.array_contains(toks, t)
+        cond = c if cond is None else cond & c
+    return {(r.doc_id, r.source) for r in d.where(cond).select("doc_id", "source").collect()}
+
+
+def test_boolean_lifecycle_equals_full_scan(spark, tmp_path, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    idx = SearchIndex(spark, str(tmp_path / "b"), mode="boolean")
+    idx.build(d.where(F.col("doc_id") % 3 == 0))
+    for tick in (1, 2):
+        idx.append(d.where(F.col("doc_id") % 3 == tick))
+    expected = _full_scan_conjunctive(d, list(CONJ_TERMS))
+    got = {(r.doc_id, r.source) for r in idx.lookup_all(list(CONJ_TERMS)).collect()}
+    assert got == expected
+
+    compacted = idx.compact()
+    assert compacted, "two appends must leave oversized buckets"
+    got2 = {(r.doc_id, r.source) for r in idx.lookup_all(list(CONJ_TERMS)).collect()}
+    assert got2 == expected, "compaction changed serving results"
+
+
+def test_scored_append_keeps_bm25_equal_to_one_shot(spark, tmp_path, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    incr = SearchIndex(spark, str(tmp_path / "i"), mode="scored")
+    incr.build(d.where(F.col("doc_id") % 2 == 0))
+    incr.append(d.where(F.col("doc_id") % 2 == 1))
+    one_shot = SearchIndex(spark, str(tmp_path / "o"), mode="scored").build(d)
+
+    assert incr.stats()["n_docs"] == one_shot.stats()["n_docs"]
+    assert incr.stats()["total_dl"] == one_shot.stats()["total_dl"]
+
+    got = {tuple(r) for r in incr.bm25(QUERY_TERMS).collect()}
+    want = {tuple(r) for r in one_shot.bm25(QUERY_TERMS).collect()}
+    assert got == want, "append drifted the ranked cut from the one-shot build"
+    # and both equal the oracle-gated full-scan query
+    full = {tuple(r) for r in all_queries()["bm25_search"].fn(spark, sf_dir).collect()}
+    assert got == full
+
+
+def test_positional_phrase_equals_full_scan(spark, tmp_path, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    idx = SearchIndex(spark, str(tmp_path / "p"), mode="positional")
+    idx.build(d.where(F.col("doc_id") % 2 == 0)).append(d.where(F.col("doc_id") % 2 == 1))
+    got = {
+        (r.doc_id, r.source, r.n_occurrences)
+        for r in idx.phrase(*PHRASE).collect()
+    }
+    toks = F.split("text", " ")
+    n = F.expr(
+        f"size(filter(zip_with(slice(split(text,' '),1,greatest(size(split(text,' '))-1,0)),"
+        f" slice(split(text,' '),2,greatest(size(split(text,' '))-1,0)),"
+        f" (a,b) -> a = '{PHRASE[0]}' AND b = '{PHRASE[1]}'), x -> x))"
+    )
+    expected = {
+        (r.doc_id, r.source, r.n)
+        for r in d.select("doc_id", "source", n.alias("n")).where(F.col("n") > 0).collect()
+    }
+    assert got == expected
+
+
+def test_serving_prunes_to_query_buckets_and_mode_is_pinned(spark, tmp_path, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    root = str(tmp_path / "s")
+    idx = SearchIndex(spark, root, mode="boolean").build(d)
+    served = idx.lookup_all(list(CONJ_TERMS))
+    served.collect()
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "bucket" in plan.split("PartitionFilters: [", 1)[1][:120]
+    touched = {
+        r["f"].split("bucket=")[1].split("/")[0]
+        for r in idx._pruned(list(CONJ_TERMS))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert touched == {str(b) for b in idx._bucket_of(list(CONJ_TERMS))}
+    n_dirs = len(
+        [x for x in os.listdir(os.path.join(root, "postings")) if x.startswith("bucket=")]
+    )
+    assert len(touched) < n_dirs, "pruning has something to prune"
+
+    # reopening with a different layout must refuse, not silently mis-route
+    with pytest.raises(ValueError, match="was built as"):
+        SearchIndex(spark, root, mode="scored")
+    with pytest.raises(ValueError, match="was built as"):
+        SearchIndex(spark, root, mode="boolean", buckets=8)
+    # wrong-mode serving is loud
+    with pytest.raises(ValueError, match="positional"):
+        SearchIndex(spark, root, mode="boolean").phrase("a", "b")
