@@ -200,7 +200,7 @@ class SearchIndex:
             )
         terms = sorted(set(terms))
         return (
-            self._pruned(terms)
+            self._served(self._pruned(terms))
             .where(F.col("term").isin(*terms))
             .groupBy("doc_id")
             .agg(
@@ -216,7 +216,7 @@ class SearchIndex:
         (``p2.pos = p1.pos + 1``): (doc_id, source, n_occurrences)."""
         if self.mode != "positional":
             raise ValueError("phrase() needs mode='positional'")
-        pruned = self._pruned([first, second])
+        pruned = self._served(self._pruned([first, second]))
         p1 = pruned.where(F.col("term") == first).select(
             "doc_id", "source", F.col("pos").alias("p1")
         )
@@ -251,4 +251,138 @@ class SearchIndex:
             [(qid, t) for qid, ts in queries.items() for t in ts],
             "q_id int, term string",
         )
-        return _bm25_index_serve(self._pruned(terms), stats, q, k=k)
+        return _bm25_index_serve(self._served(self._pruned(terms)), stats, q, k=k)
+
+    # -- erasure (merge-on-read deletes, the snapshot layer's equality-
+    #    delete shape applied to posting lists: a doc's postings live in
+    #    MANY buckets — one per distinct term — so removal is recorded as
+    #    an O(deleted) id sidecar anti-joined at serve, and materialized
+    #    by apply_deletes() in maintenance) -------------------------------
+
+    @property
+    def _deletes_dir(self) -> str:
+        return os.path.join(self.root, "_deletes")
+
+    def _delete_ids(self) -> DataFrame | None:
+        d = self._deletes_dir
+        if not os.path.isdir(d) or not any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(d)
+            for f in files
+        ):
+            return None
+        # each delete call writes its own subdirectory — recursive lookup
+        # flattens them (no partition inference over non-k=v dirs)
+        return self.spark.read.option("recursiveFileLookup", "true").parquet(d)
+
+    def _served(self, pruned: DataFrame) -> DataFrame:
+        dels = self._delete_ids()
+        if dels is None:
+            return pruned
+        return pruned.join(F.broadcast(dels), "doc_id", "left_anti")
+
+    def delete_docs(self, doc_ids) -> int:
+        """Erase documents from serving (GDPR takedown / corpus eviction):
+        records the ids as a merge-on-read delete file — O(deleted) write,
+        no posting rewritten — and, for the scored mode, decrements the
+        corpus stats by the deleted docs' EXACT contribution (one keys-only
+        index scan finds their (doc_id, dl) rows), so BM25 keeps equality
+        with a one-shot build over the surviving corpus. Idempotent:
+        already-deleted or absent ids contribute nothing. Returns the
+        number of newly deleted (present) docs."""
+        import uuid
+
+        if not isinstance(doc_ids, DataFrame):
+            doc_ids = self.spark.createDataFrame(
+                [(int(i),) for i in doc_ids], "doc_id long"
+            )
+        ids = doc_ids.select("doc_id").distinct()
+        prior = self._delete_ids()
+        if prior is not None:
+            ids = ids.join(F.broadcast(prior), "doc_id", "left_anti")
+        meta = self.stats()
+        postings = self.spark.read.parquet(self.postings_dir)
+        if self.mode == "scored":
+            hit = (
+                postings.select("doc_id", "dl")
+                .join(F.broadcast(ids), "doc_id", "left_semi")
+                .distinct()
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.coalesce(F.sum("dl"), F.lit(0)).alias("dl"),
+                )
+                .collect()[0]
+            )
+            n_present, dl_present = int(hit["n"]), int(hit["dl"])
+        else:
+            present = postings.select("doc_id").join(
+                F.broadcast(ids), "doc_id", "left_semi"
+            )
+            n_present = present.distinct().count()
+            dl_present = 0
+        if n_present == 0:
+            return 0
+        # semi-join BEFORE distinct: the index streams map-side against the
+        # broadcast id set; distinct runs over <= |ids| survivors
+        live_ids = (
+            postings.select("doc_id")
+            .join(F.broadcast(ids), "doc_id", "left_semi")
+            .distinct()
+        )
+        os.makedirs(self._deletes_dir, exist_ok=True)
+        live_ids.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self._deletes_dir, uuid.uuid4().hex)
+        )
+        # nested dirs: read the sidecar recursively
+        if self.mode == "scored":
+            meta["n_docs"] = int(meta["n_docs"]) - n_present
+            meta["total_dl"] = int(meta["total_dl"]) - dl_present
+        meta["deletes"] = int(meta.get("deletes", 0)) + n_present
+        self._write_meta(meta)
+        return n_present
+
+    def apply_deletes(self) -> bool:
+        """Materialize pending deletes into rewritten posting lists (the
+        maintenance-window compaction that keeps serve-time anti-join
+        state bounded — tables/snapshots.py::apply_deletes analog). The
+        surviving postings are staged in full, then swapped in with two
+        atomic renames; a torn swap heals on the next call (underscore
+        prefixes keep staged/retired dirs out of any read). Returns True
+        if a rewrite happened."""
+        import shutil
+
+        self._recover_swap()
+        dels = self._delete_ids()
+        if dels is None:
+            return False
+        staged = os.path.join(self.root, "_stage.postings")
+        if os.path.isdir(staged):
+            shutil.rmtree(staged)
+        (
+            self.spark.read.parquet(self.postings_dir)
+            .join(F.broadcast(dels), "doc_id", "left_anti")
+            .write.partitionBy("bucket")
+            .parquet(staged)
+        )
+        old = os.path.join(self.root, "_old.postings")
+        os.rename(self.postings_dir, old)
+        os.rename(staged, self.postings_dir)
+        shutil.rmtree(old)
+        shutil.rmtree(self._deletes_dir)
+        meta = self.stats()
+        meta["deletes"] = 0
+        self._write_meta(meta)
+        return True
+
+    def _recover_swap(self) -> None:
+        import shutil
+
+        old = os.path.join(self.root, "_old.postings")
+        staged = os.path.join(self.root, "_stage.postings")
+        if os.path.isdir(old):
+            if os.path.isdir(self.postings_dir):
+                shutil.rmtree(old)  # install completed; drop retired copy
+            else:
+                os.rename(old, self.postings_dir)  # died before install
+        if os.path.isdir(staged):
+            shutil.rmtree(staged)  # staged-but-never-installed rewrite

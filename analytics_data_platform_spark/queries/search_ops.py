@@ -1034,3 +1034,70 @@ register(
         internal_plan=_bm25_incr_internal_plans,
     )
 )
+
+
+def inverted_index_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERASURE over the serving index (operators/search_index.py): a
+    scored index is built over the full corpus, the doc_id % 97 == 0
+    documents are taken down via merge-on-read delete files (O(deleted)
+    writes — no posting rewritten), and ranked serving must then equal a
+    one-shot build over the SURVIVING corpus — including the global
+    statistics: the sidecar decrements by the erased docs' exact
+    (n_docs, Σdl) contribution, so idf and avgdl shift exactly as if the
+    docs had never been indexed, not merely filtered from results. After
+    ``apply_deletes`` materializes the rewrite (atomic swap), the same
+    cut must come back from the physically-clean index.
+
+    The oracle is the full-scan BM25 SQL over ``documents WHERE
+    doc_id % 97 <> 0`` — a survivor-only recomputation in a different
+    engine, so a stale sidecar, a delete that only filters results (df or
+    avgdl still counting erased docs), or a torn apply-swap all
+    hash-diverge on the ranked cut.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from analytics_data_platform_spark.operators.search_index import SearchIndex
+
+    d = load_table(spark, sf_dir, "documents")
+    root = _tempfile.mkdtemp(prefix="adps-invidx-erase-")
+    try:
+        idx = SearchIndex(spark, root, mode="scored").build(d)
+        idx.delete_docs(d.where(F.col("doc_id") % 97 == 0).select("doc_id"))
+        served = idx.bm25(QUERY_TERMS)
+        schema = served.schema
+        rows = sorted(tuple(r) for r in served.collect())
+        idx.apply_deletes()
+        after = sorted(tuple(r) for r in idx.bm25(QUERY_TERMS).collect())
+        assert after == rows, "apply_deletes changed the served ranking"
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+def _erasure_internal_plans(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    postings, stats = _scored_posting_rows(d.where(F.col("doc_id") % 97 != 0))
+    q = spark.createDataFrame(
+        [(qid, t) for qid, ts in QUERY_TERMS.items() for t in ts],
+        "q_id int, term string",
+    )
+    return [("serve", _bm25_index_serve(postings, stats, q))]
+
+
+assert BM25_SQL.count("FROM documents") == 1, "BM25 oracle shape changed"
+ERASURE_BM25_SQL = BM25_SQL.replace(
+    "FROM documents", "FROM documents WHERE doc_id % 97 <> 0"
+)
+
+register(
+    QuerySpec(
+        "inverted_index_erasure",
+        inverted_index_erasure,
+        ERASURE_BM25_SQL,
+        doc="merge-on-read index deletes + exact stats decrement: ranked serving equals a one-shot build over the survivors, before and after apply_deletes",
+        cites="operators/search_index.py::delete_docs/apply_deletes; the snapshot layer's equality-delete shape applied to posting lists; GDPR takedown for the serving tier",
+        tags=("search", "scale", "topk", "governance", "multi_tick"),
+        internal_plan=_erasure_internal_plans,
+    )
+)

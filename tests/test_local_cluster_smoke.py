@@ -117,6 +117,7 @@ QUERIES = [
     "inverted_index_bm25_topk",
     "inverted_index_bm25_incremental",
     "inverted_index_compacted",
+    "inverted_index_erasure",
 ]
 
 

@@ -115,3 +115,63 @@ def test_serving_prunes_to_query_buckets_and_mode_is_pinned(spark, tmp_path, sf_
     # wrong-mode serving is loud
     with pytest.raises(ValueError, match="positional"):
         SearchIndex(spark, root, mode="boolean").phrase("a", "b")
+
+
+def test_delete_docs_erases_from_all_serving_paths(spark, tmp_path, sf_dir):
+    """Merge-on-read index deletes: erased docs vanish from conjunctive,
+    phrase AND ranked serving; for the scored mode the corpus stats are
+    decremented exactly, so BM25 equals a one-shot build over the
+    SURVIVING corpus (idf/avgdl included — not just a filtered result)."""
+    d = load_table(spark, sf_dir, "documents")
+    victims = [r.doc_id for r in d.where(F.col("doc_id") % 7 == 0).select("doc_id").collect()]
+
+    idx = SearchIndex(spark, str(tmp_path / "s"), mode="scored").build(d)
+    n = idx.delete_docs(victims)
+    assert n == len(victims)
+    # idempotent: deleting again (or absent ids) is a no-op
+    assert idx.delete_docs(victims + [10**12]) == 0
+
+    survivors = SearchIndex(spark, str(tmp_path / "ref"), mode="scored").build(
+        d.where(F.col("doc_id") % 7 != 0)
+    )
+    assert idx.stats()["n_docs"] == survivors.stats()["n_docs"]
+    assert idx.stats()["total_dl"] == survivors.stats()["total_dl"]
+    got = {tuple(r) for r in idx.bm25(QUERY_TERMS).collect()}
+    want = {tuple(r) for r in survivors.bm25(QUERY_TERMS).collect()}
+    assert got == want, "deleted docs must not influence the ranked cut"
+
+    # boolean path: erased docs leave conjunctive results too
+    b = SearchIndex(spark, str(tmp_path / "b"), mode="boolean").build(d)
+    before = {r.doc_id for r in b.lookup_all(list(CONJ_TERMS)).collect()}
+    b.delete_docs(victims)
+    after = {r.doc_id for r in b.lookup_all(list(CONJ_TERMS)).collect()}
+    assert after == {i for i in before if i % 7 != 0}
+
+    # materializing the deletes changes nothing served and clears the
+    # sidecar; a second apply is a no-op
+    assert idx.apply_deletes() is True
+    assert idx._delete_ids() is None
+    assert {tuple(r) for r in idx.bm25(QUERY_TERMS).collect()} == want
+    assert idx.apply_deletes() is False
+
+
+def test_apply_deletes_torn_swap_recovers(spark, tmp_path, sf_dir):
+    import os as _os
+    import shutil as _shutil
+
+    d = load_table(spark, sf_dir, "documents")
+    idx = SearchIndex(spark, str(tmp_path / "t"), mode="boolean").build(d)
+    want = {r.doc_id for r in idx.lookup_all(list(CONJ_TERMS)).collect()}
+
+    # crash window: postings retired, staged copy never installed
+    _os.rename(idx.postings_dir, _os.path.join(idx.root, "_old.postings"))
+    idx._recover_swap()
+    assert {r.doc_id for r in idx.lookup_all(list(CONJ_TERMS)).collect()} == want
+
+    # crash window: install completed, retired copy not yet dropped
+    _shutil.copytree(idx.postings_dir, _os.path.join(idx.root, "_old.postings"))
+    _os.makedirs(_os.path.join(idx.root, "_stage.postings"))
+    idx._recover_swap()
+    assert not _os.path.exists(_os.path.join(idx.root, "_old.postings"))
+    assert not _os.path.exists(_os.path.join(idx.root, "_stage.postings"))
+    assert {r.doc_id for r in idx.lookup_all(list(CONJ_TERMS)).collect()} == want
