@@ -45,8 +45,6 @@ from pyspark.sql import DataFrame, SparkSession
 
 from analytics_data_platform_spark.queries.search_ops import (
     INDEX_BUCKETS,
-    K1,
-    B,
     _bm25_index_serve,
     _posting_rows,
     _positional_posting_rows,
@@ -235,7 +233,7 @@ class SearchIndex:
 
     def bm25(self, queries: dict[int, list[str]], k: int = 10) -> DataFrame:
         """Ranked top-k per query (q_id, doc_id, score, rank) — BM25 with
-        Robertson idf (k1={K1}, b={B}), df counted from the query terms'
+        Robertson idf (search_ops K1/B constants), df counted from the query terms'
         own (bucket-complete) posting lists, n_docs/avgdl from the
         sidecar. Identical scoring to the full-scan formulation the
         oracle gate verifies."""
