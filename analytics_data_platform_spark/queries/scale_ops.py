@@ -1047,3 +1047,92 @@ register(
         tags=("training", "dedup", "sampling", "scale"),
     )
 )
+
+
+def vector_index_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERASURE over the persistent IVF index (operators/vector_index.py):
+    the cell-partitioned index is built with the deterministic pinned
+    quantizer (first NLIST vectors — the oracle-reproducible rule
+    ``ann_ivf_topk`` uses), the vec_id % 5 == 3 vectors are taken down as
+    a merge-on-read id sidecar (O(deleted) write — no cell file
+    rewritten), and nprobe-pruned serving must equal the in-memory IVF
+    formulation over the SURVIVING corpus under the same centroids —
+    before AND after ``apply_deletes`` materializes the rewrite behind
+    its atomic directory swap.
+
+    The oracle is the ann_ivf_topk SQL with the assignment restricted to
+    survivors (queries and the pinned quantizer still come from the full
+    table — erasing an indexed vector must not move anyone's cell or the
+    probe order): a delete that lingers in some probed cell, a sidecar
+    anti-join lost by the swap, or an apply that drops a survivor all
+    hash-diverge on the ranked cut.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from analytics_data_platform_spark.operators.vector_index import VectorIndex
+
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        e.where(F.col("vec_id") < _IVF_NLIST).orderBy("vec_id").select("embedding").collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in rows]
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    root = _tempfile.mkdtemp(prefix="adps-vecidx-erase-")
+    try:
+        vx = VectorIndex(spark, root, nlist=_IVF_NLIST, nprobe=_IVF_NPROBE)
+        vx.build(e, centroids=cents)
+        vx.delete_vecs(e.where(F.col("vec_id") % 5 == 3).select("vec_id"))
+        served = vx.topk(q, k=10).select("q_id", "vec_id", "cos_sim", "rank")
+        schema = served.schema
+        out = sorted(tuple(r) for r in served.collect())
+        vx.apply_deletes()
+        after = sorted(
+            tuple(r)
+            for r in vx.topk(q, k=10).select("q_id", "vec_id", "cos_sim", "rank").collect()
+        )
+        assert after == out, "apply_deletes changed the served ranking"
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(out, schema)
+
+
+def _vector_erasure_internal_plans(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        e.where(F.col("vec_id") < _IVF_NLIST).orderBy("vec_id").select("embedding").collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in rows]
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    survivors = e.where(F.col("vec_id") % 5 != 3)
+    return [
+        (
+            "serve",
+            similarity.ivf_topk(
+                survivors, q, cents, k=10, nprobe=_IVF_NPROBE, score_round=4
+            ).select("q_id", "vec_id", "cos_sim", "rank"),
+        )
+    ]
+
+
+def _vector_erasure_sql() -> str:
+    sql = _ivf_sql()
+    assert sql.count("WHERE rn = 1") == 1, "ann_ivf_topk oracle shape changed"
+    return sql.replace("WHERE rn = 1", "WHERE rn = 1 AND vec_id % 5 <> 3")
+
+
+register(
+    QuerySpec(
+        "vector_index_erasure",
+        vector_index_erasure,
+        _vector_erasure_sql(),
+        doc="merge-on-read erasure over the cell-partitioned IVF index: pruned serving equals the in-memory IVF over survivors, before and after apply_deletes",
+        cites="operators/vector_index.py; GDPR takedown for the ANN serving tier; quantizer stays pinned across erasure",
+        tags=("vector", "approx", "scale", "governance", "multi_tick"),
+        internal_plan=_vector_erasure_internal_plans,
+    )
+)

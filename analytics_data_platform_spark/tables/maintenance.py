@@ -201,7 +201,7 @@ def analyze_table(
     return out
 
 
-def recover_posting_compaction(idx_dir: str) -> list[str]:
+def recover_posting_compaction(idx_dir: str, prefix: str = "bucket=") -> list[str]:
     """Crash recovery for :func:`compact_posting_buckets`: a torn
     compaction leaves either ``_old.bucket=N`` alone (died between
     retiring the resident dir and installing the staged one → rename it
@@ -218,7 +218,7 @@ def recover_posting_compaction(idx_dir: str) -> list[str]:
             shutil.rmtree(os.path.join(idx_dir, name))
             actions.append(f"dropped stale stage {name}")
             continue
-        if not name.startswith("_old.bucket="):
+        if not name.startswith(f"_old.{prefix}"):
             continue
         live = os.path.join(idx_dir, name[len("_old."):])
         old = os.path.join(idx_dir, name)
@@ -236,6 +236,7 @@ def compact_posting_buckets(
     idx_dir: str,
     min_files: int = 2,
     target_files: int = 1,
+    prefix: str = "bucket=",
 ) -> list[str]:
     """Per-bucket small-file compaction for a term-partitioned posting
     index (queries/search_ops.py): partition-wise incremental appends
@@ -250,15 +251,17 @@ def compact_posting_buckets(
     tests/test_posting_compaction.py. Single-writer maintenance-window
     semantics, like the reference's nightly Iceberg maintenance loop
     (elt-common/src/elt_common/iceberg/maintenance/__init__.py:28-62).
-    Returns a per-bucket report of compactions performed."""
+    ``prefix`` selects the partition-directory family ("bucket=" for the
+    term index, "_cell=" for the IVF vector index). Returns a per-bucket
+    report of compactions performed."""
     import os
     import shutil
     import tempfile
 
-    recover_posting_compaction(idx_dir)
+    recover_posting_compaction(idx_dir, prefix=prefix)
     done: list[str] = []
     for name in sorted(os.listdir(idx_dir)):
-        if not name.startswith("bucket="):
+        if not name.startswith(prefix):
             continue
         bucket_dir = os.path.join(idx_dir, name)
         files = [f for f in os.listdir(bucket_dir) if f.endswith(".parquet")]

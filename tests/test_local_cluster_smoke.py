@@ -118,6 +118,7 @@ QUERIES = [
     "inverted_index_bm25_incremental",
     "inverted_index_compacted",
     "inverted_index_erasure",
+    "vector_index_erasure",
 ]
 
 

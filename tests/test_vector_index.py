@@ -1,0 +1,123 @@
+"""VectorIndex (operators/vector_index.py): the persistent IVF serving
+API. Contract: under PINNED centroids, build→append→delete→compact must
+serve exactly what the in-memory ivf_topk computes over the equivalent
+corpus with the same centroids — and probes must engage dynamic
+partition pruning on the cell directories."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from analytics_data_platform_spark.operators import similarity
+from analytics_data_platform_spark.operators.vector_index import VectorIndex
+from analytics_data_platform_spark.sources.testdata import load_table
+
+NPROBE = 4
+
+
+def _queries(e):
+    return e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+
+
+def _expected(corpus, queries, centroids):
+    return {
+        tuple(r)
+        for r in similarity.ivf_topk(
+            corpus, queries, centroids, k=10, nprobe=NPROBE, score_round=4
+        )
+        .select("q_id", "vec_id", "cos_sim", "rank")
+        .collect()
+    }
+
+
+def _cell_files(cells: str) -> dict[str, int]:
+    return {
+        n: len([f for f in os.listdir(os.path.join(cells, n)) if f.endswith(".parquet")])
+        for n in os.listdir(cells)
+        if n.startswith("_cell=")
+    }
+
+
+def test_build_append_equals_pinned_one_shot(spark, tmp_path, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    vx = VectorIndex(spark, str(tmp_path / "v"), nlist=8, nprobe=NPROBE)
+    vx.build(e.where(F.col("vec_id") % 2 == 0))
+    vx.append(e.where(F.col("vec_id") % 2 == 1))
+
+    got = {
+        tuple(r)
+        for r in vx.topk(_queries(e)).select("q_id", "vec_id", "cos_sim", "rank").collect()
+    }
+    assert got == _expected(e, _queries(e), vx.centroids), (
+        "appended index must equal the one-shot formulation under pinned centroids"
+    )
+
+    # reopening resolves the pinned quantizer from the sidecar
+    reopened = VectorIndex(spark, str(tmp_path / "v"))
+    assert reopened.centroids == vx.centroids
+    assert reopened.stats()["appends"] == 1
+
+
+def test_probe_plan_uses_dynamic_partition_pruning(spark, tmp_path, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    vx = VectorIndex(spark, str(tmp_path / "v"), nlist=8, nprobe=2).build(e)
+    served = vx.topk(_queries(e), nprobe=2)
+    served.collect()
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan, (
+        "probe join must prune unprobed cell directories at runtime"
+    )
+
+
+def test_delete_then_apply_preserves_survivor_semantics(spark, tmp_path, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    vx = VectorIndex(spark, str(tmp_path / "v"), nlist=8, nprobe=NPROBE).build(e)
+    victims = [r.vec_id for r in e.where(F.col("vec_id") % 5 == 3).select("vec_id").collect()]
+    n = vx.delete_vecs(victims)
+    assert n == len(victims)
+    assert vx.delete_vecs(victims + [10**12]) == 0  # idempotent
+
+    survivors = e.where(F.col("vec_id") % 5 != 3)
+    want = _expected(survivors, _queries(e), vx.centroids)
+    got = {
+        tuple(r)
+        for r in vx.topk(_queries(e)).select("q_id", "vec_id", "cos_sim", "rank").collect()
+    }
+    assert got == want
+
+    assert vx.apply_deletes() is True
+    assert vx._delete_ids() is None
+    got2 = {
+        tuple(r)
+        for r in vx.topk(_queries(e)).select("q_id", "vec_id", "cos_sim", "rank").collect()
+    }
+    assert got2 == want
+    assert vx.apply_deletes() is False
+
+
+def test_cell_compaction_preserves_serving(spark, tmp_path, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    vx = VectorIndex(spark, str(tmp_path / "v"), nlist=8, nprobe=NPROBE)
+    vx.build(e.where(F.col("vec_id") % 3 == 0))
+    for tick in (1, 2):
+        vx.append(e.where(F.col("vec_id") % 3 == tick))
+    before_files = _cell_files(vx.cells_dir)
+    assert max(before_files.values()) >= 3
+    want = {
+        tuple(r)
+        for r in vx.topk(_queries(e)).select("q_id", "vec_id", "cos_sim", "rank").collect()
+    }
+    done = vx.compact()
+    assert done
+    after_files = _cell_files(vx.cells_dir)
+    assert set(after_files) == set(before_files)
+    assert all(n == 1 for b, n in after_files.items() if before_files[b] >= 2)
+    got = {
+        tuple(r)
+        for r in vx.topk(_queries(e)).select("q_id", "vec_id", "cos_sim", "rank").collect()
+    }
+    assert got == want
