@@ -175,3 +175,40 @@ def test_apply_deletes_torn_swap_recovers(spark, tmp_path, sf_dir):
     assert not _os.path.exists(_os.path.join(idx.root, "_old.postings"))
     assert not _os.path.exists(_os.path.join(idx.root, "_stage.postings"))
     assert {r.doc_id for r in idx.lookup_all(list(CONJ_TERMS)).collect()} == want
+
+
+def test_streaming_foreachbatch_ingest_equals_one_shot(spark, tmp_path, sf_dir):
+    """The deployment shape: a Structured Streaming source drains into the
+    index via foreachBatch(idx.append) — after the stream, serving must
+    equal a one-shot build over everything that arrived (bucket purity +
+    associative stats make per-batch appends order-independent)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = f"{sf_dir}/documents.parquet"
+    staging = str(tmp_path / "staging")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(staging)
+    idx = SearchIndex(spark, str(tmp_path / "idx"), mode="scored")
+    # bootstrap on the first half, stream the second half in as a batch
+    t = pq.read_table(src)
+    even = pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 0)
+    d = load_table(spark, sf_dir, "documents")
+    idx.build(d.where(F.col("doc_id") % 2 == 0))
+    pq.write_table(t.filter(pc.invert(even)), f"{staging}/part-000.parquet")
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(staging)
+    q = (
+        stream.writeStream.foreachBatch(lambda bdf, bid: idx.append(bdf))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    one_shot = SearchIndex(spark, str(tmp_path / "one"), mode="scored").build(d)
+    assert idx.stats()["n_docs"] == one_shot.stats()["n_docs"]
+    assert idx.stats()["total_dl"] == one_shot.stats()["total_dl"]
+    got = {tuple(r) for r in idx.bm25(QUERY_TERMS).collect()}
+    want = {tuple(r) for r in one_shot.bm25(QUERY_TERMS).collect()}
+    assert got == want
