@@ -111,7 +111,17 @@ Scale shape per tick — NOTHING state-sized ever shuffles or broadcasts
 Per-tick state-side cost is therefore a columnar SCAN of the key
 columns (embarrassingly parallel, no exchange), not a shuffle — the
 difference between O(state) network and O(state) local column IO every
-tick. The broadcast payloads are batch-sized key frames (a micro-batch
+tick. And for SMALL ticks even that scan is pruned: live files are
+written range-clustered on the fingerprint bucket ``_fpb`` (an explicit
+``repartitionByRange`` so the manifest min/max stats are tight bucket
+ranges), the batch's bucket set is collected (bounded by
+N_STATE_BUCKETS), and ``SnapshotTable.scan_in`` reads only the files
+those buckets can touch — a takedown request or trickle batch reads
+O(batch) buckets of a 100 TB state. Pruning is correct unconditionally
+because ``_fpb`` is a pure function of ``_fp`` (a resident keeper and
+any later duplicate share a bucket); unclustered files (e.g. right
+after a compaction rewrite) degrade to a full key scan, never a wrong
+one. The broadcast payloads are batch-sized key frames (a micro-batch
 is bounded by the stream trigger, by definition of an ingest tick); the
 bootstrap tick — where "the batch" IS the corpus — takes the unhinted
 path, so Catalyst plans the ordinary shuffle joins that are correct at
@@ -132,9 +142,21 @@ from analytics_data_platform_spark.tables.snapshots import SnapshotTable
 JACCARD_THRESHOLD = 0.5
 
 _DOC_COLS = ("doc_id", "text", "lang", "source", "n_chars")
-# live-part storage columns: the doc plus its STORED fingerprint (the
-# merge key — scanning it beats re-hashing 100 TB of text every tick)
-_LIVE_COLS = (*_DOC_COLS, "_fp")
+# live-part storage columns: the doc, its STORED fingerprint (the merge
+# key — scanning it beats re-hashing 100 TB of text every tick), and the
+# fingerprint's CLUSTER BUCKET — live files are written range-partitioned
+# on _fpb, so their manifest min/max stats are tight bucket ranges and a
+# SMALL tick's keeper merge reads only the files its fingerprints can
+# touch (SnapshotTable.scan_in — partition-style pruning without needing
+# partitioned writes in the snapshot layer)
+N_STATE_BUCKETS = 64
+# files per clustered live write: EXPLICIT so AQE cannot coalesce the
+# range shuffle into one all-bucket file (which would defeat the manifest
+# pruning); each file then covers ~N_STATE_BUCKETS/8 buckets. Production
+# tunes this toward one file per bucket as state grows — the maintenance
+# compactor and zorder rewrite keep file counts bounded either way.
+_CLUSTER_FILES = 8
+_LIVE_COLS = (*_DOC_COLS, "_fp", "_fpb")
 
 # ref order within a state-version commit: counts LAST = the commit marker
 # (readers recognize a version by its counts ref); expiry drops counts
@@ -144,7 +166,7 @@ _PARTS = _REF_ORDER
 # per-part stats columns: id/bucket bounds are what CoW/scan pruning can
 # use; text-heavy columns would bloat the manifests for nothing
 _STATS_COLS: dict[str, list[str] | None] = {
-    "live": ["doc_id"],
+    "live": ["doc_id", "_fpb"],
     "band_index": ["doc_id"],
     "pairs": ["id_a", "id_b"],
     "counts": None,
@@ -203,9 +225,16 @@ def _with_fp(live: DataFrame) -> DataFrame:
     return live.withColumn("_fp", dedup.fingerprint_col("text"))
 
 
+def _fpb_col(fp_col: str = "_fp"):
+    """The fingerprint's cluster bucket — a pure function of ``_fp``, so a
+    resident keeper and any later duplicate land in the same bucket."""
+    return F.pmod(F.xxhash64(F.col(fp_col)), F.lit(N_STATE_BUCKETS)).cast("int")
+
+
 def batch_keepers(clean: DataFrame) -> DataFrame:
     """The batch's own keeper per fingerprint (min doc_id) — ONE O(batch)
-    shuffle; carries the stored ``_fp`` column the live part persists."""
+    shuffle; carries the stored ``_fp`` merge key and its ``_fpb``
+    cluster bucket, exactly as the live part persists them."""
     fp = clean if "_fp" in clean.columns else _with_fp(clean)
     return (
         fp.groupBy("_fp")
@@ -215,6 +244,7 @@ def batch_keepers(clean: DataFrame) -> DataFrame:
             ).alias("m")
         )
         .select("m.*", "_fp")
+        .withColumn("_fpb", _fpb_col())
     )
 
 
@@ -224,6 +254,8 @@ def delta_merge_parts(
     clean: DataFrame,
     hint_broadcast: bool = True,
     stage: str = "execute",
+    resident_keys: DataFrame | None = None,
+    keepers: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """The per-tick DELTA decomposition of the keeper merge — the frames a
     non-bootstrap tick actually executes and commits. ``stage`` picks the
@@ -257,11 +289,22 @@ def delta_merge_parts(
         ck = lambda df: df
     else:
         ck = lambda df: df.persist()
-    keepers = batch_keepers(clean)
+    # callers that already materialized the batch keepers (to collect the
+    # bucket set for the pruned resident read) pass them in — one keeper
+    # shuffle per tick either way
+    keepers = batch_keepers(clean) if keepers is None else keepers
     keepers_m = ck(keepers)  # _m = the materialized handle downstream
     # stages build on (the refresh path persists each returned
-    # frame, so either way every stage computes exactly once)
-    resident = _with_fp(old_live).select("doc_id", "_fp")
+    # frame, so either way every stage computes exactly once).
+    # ``resident_keys`` (when the caller pruned the live read to the
+    # batch's fingerprint buckets — SnapshotTable.scan_in) replaces the
+    # full keys-only scan; correctness is unconditional because _fpb is a
+    # pure function of _fp, so every possible match lives in a read bucket
+    resident = (
+        resident_keys
+        if resident_keys is not None
+        else _with_fp(old_live).select("doc_id", "_fp")
+    )
     # the only rows the merge must arbitrate: batch fingerprints that
     # already have a resident keeper. Keys-only both sides; the batch
     # side broadcasts, the state side streams (scan, no exchange).
@@ -510,8 +553,32 @@ def refresh_corpus_state(
 
     # bootstrap broadcasts nothing (the "batch" is the whole corpus there);
     # micro-batch ticks broadcast batch-derived keys only — see module
-    # docstring for the per-tick scale shape
-    m = delta_merge_parts(old_live, old_index, clean, hint_broadcast=bool(prior))
+    # docstring for the per-tick scale shape. When the batch touches only
+    # SOME fingerprint buckets, the keeper merge reads a manifest-pruned
+    # subset of the live files instead of the full key columns (the
+    # bucket set is bounded by N_STATE_BUCKETS, so the collect is O(64))
+    resident_keys = None
+    bk = batch_keepers(clean).persist() if prior else None
+    if prior:
+        buckets = [r["_fpb"] for r in bk.select("_fpb").distinct().collect()]
+        live_t = _table(spark, state_dir, "live")
+        v_live = live_t.resolve_ref(_ref(prior[-1]))
+        if (
+            0 < len(buckets) < N_STATE_BUCKETS
+            and "_fpb" in old_live.columns
+            and live_t.snapshot(v_live).files
+        ):
+            resident_keys = live_t.scan_in("_fpb", buckets, v_live).select(
+                "doc_id", "_fp"
+            )
+    m = delta_merge_parts(
+        old_live,
+        old_index,
+        clean,
+        hint_broadcast=bool(prior),
+        resident_keys=resident_keys,
+        keepers=bk,
+    )
     # delta_merge_parts already persist-marked the staged frames (and
     # lazily checkpointed new_rows/cands, shared with the candidate
     # probe) — these are the same objects, held for the finally-unpersist
@@ -560,7 +627,10 @@ def refresh_corpus_state(
             # bootstrap attempt (there is no committed predecessor to
             # rebase onto)
             ops: dict[str, _StateOp] = {
-                "live": ("replace", newly.select(*_LIVE_COLS)),
+                "live": (
+                    "replace",
+                    newly.select(*_LIVE_COLS).repartitionByRange(_CLUSTER_FILES, "_fpb", "_fp"),
+                ),
                 "band_index": ("replace", new_rows),
                 "pairs": ("replace", m["new_pairs"]),
                 "counts": ("replace", batch_counts),
@@ -582,7 +652,11 @@ def refresh_corpus_state(
                     (evicted.withColumnRenamed("doc_id", "id_b"), ["id_b"]),
                 ]
             ops = {
-                "live": ("delta", ev, newly.select(*_LIVE_COLS)),
+                "live": (
+                    "delta",
+                    ev,
+                    newly.select(*_LIVE_COLS).repartitionByRange(_CLUSTER_FILES, "_fpb", "_fp"),
+                ),
                 "band_index": ("delta", ev, new_rows),
                 "pairs": ("delta", ev_pairs, m["new_pairs"]),
                 "counts": ("delta", [], batch_counts),
@@ -633,18 +707,25 @@ def takedown_delta_parts(
     old_live: DataFrame,
     old_tombstones: DataFrame,
     takedown: DataFrame,
+    resident_keys: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The executed takedown-tick delta: (removed resident doc ids, new
     tombstone fingerprints). The request set broadcasts against a
     keys-only scan of ``live`` (stored ``_fp``) — no state-side exchange,
-    no text read, no re-hash of resident content. The request-dedup
-    anti-join shuffles only the TOMBSTONE part (fingerprints of erased
-    content — O(tombstones) ≪ O(corpus), and takedown ticks are rare)."""
+    no text read, no re-hash of resident content; with ``resident_keys``
+    (the caller's bucket-pruned scan — takedown requests are small, so
+    this is the pruning's best case) only the files the request
+    fingerprints can touch are read at all. The request-dedup anti-join
+    shuffles only the TOMBSTONE part (fingerprints of erased content —
+    O(tombstones) ≪ O(corpus), and takedown ticks are rare)."""
     td_fps = takedown.select(dedup.fingerprint_col("text").alias("_fp")).distinct()
+    resident = (
+        resident_keys
+        if resident_keys is not None
+        else _with_fp(old_live).select("doc_id", "_fp")
+    )
     removed = (
-        _with_fp(old_live)
-        .select("doc_id", "_fp")
-        .join(F.broadcast(td_fps), "_fp", "left_semi")
+        resident.join(F.broadcast(td_fps), "_fp", "left_semi")
         .select("doc_id")
     )
     new_fps = td_fps.join(old_tombstones.select("_fp"), "_fp", "left_anti")
@@ -688,7 +769,29 @@ def takedown_corpus_state(
     old_live = read_state_part(spark, state_dir, "live", prior[-1])
     old_tombstones = read_state_part(spark, state_dir, "tombstones", prior[-1])
 
-    removed, new_fps = takedown_delta_parts(old_live, old_tombstones, takedown)
+    # a takedown request is small by nature — the bucket-pruned live read
+    # is this path's common case (bounded collect: <= N_STATE_BUCKETS ints)
+    resident_keys = None
+    if "_fpb" in old_live.columns:
+        buckets = [
+            r["b"]
+            for r in takedown.select(
+                dedup.fingerprint_col("text").alias("_fp")
+            )
+            .distinct()
+            .select(_fpb_col().alias("b"))
+            .distinct()
+            .collect()
+        ]
+        live_t = _table(spark, state_dir, "live")
+        v_live = live_t.resolve_ref(_ref(prior[-1]))
+        if 0 < len(buckets) < N_STATE_BUCKETS and live_t.snapshot(v_live).files:
+            resident_keys = live_t.scan_in("_fpb", buckets, v_live).select(
+                "doc_id", "_fp"
+            )
+    removed, new_fps = takedown_delta_parts(
+        old_live, old_tombstones, takedown, resident_keys=resident_keys
+    )
     removed = removed.persist()
 
     try:

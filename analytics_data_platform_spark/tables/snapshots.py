@@ -612,23 +612,32 @@ class SnapshotTable:
         s = self.snapshot(version)
         if not s.files:
             raise FileNotFoundError(f"snapshot v{s.version} of {self.root} is empty")
+        return self._mor_grouped_read(s, [f.path for f in s.files], version)
+
+    def _mor_grouped_read(
+        self, s: Snapshot, paths: list[str], version: int | None
+    ) -> DataFrame:
+        """Read the given subset of a snapshot's data files with its
+        merge-on-read deletes applied: group files by WHICH delete files
+        apply (sequence semantics — a delete touches only files present
+        at its commit), anti-join each group, union the groups back."""
         reader = self.spark.read
         schema = self._read_schema(version)
         if schema is not None:
             reader = reader.schema(schema)
         if not s.delete_files:
-            return reader.parquet(*[f.path for f in s.files])
-        # merge-on-read: group data files by WHICH delete files apply
-        # (sequence semantics — a delete touches only files present at its
-        # commit), anti-join each group, union the groups back
+            return reader.parquet(*paths)
+        wanted = set(paths)
         applies = [set(e["applies_to"]) for e in s.delete_files]
         groups: dict[tuple[int, ...], list[str]] = {}
         for f in s.files:
+            if f.path not in wanted:
+                continue
             key = tuple(i for i, a in enumerate(applies) if f.path in a)
             groups.setdefault(key, []).append(f.path)
         parts = []
-        for key, paths in sorted(groups.items()):
-            df = reader.parquet(*paths)
+        for key, grp in sorted(groups.items()):
+            df = reader.parquet(*grp)
             parts.append(
                 self._apply_delete_files(df, [s.delete_files[i] for i in key])
             )
@@ -636,6 +645,39 @@ class SnapshotTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def files_in(
+        self, col: str, values, version: int | None = None
+    ) -> list[str]:
+        """Manifest-stat file pruning for a VALUE-SET predicate: the paths
+        of files whose [min, max] for ``col`` can contain at least one of
+        ``values`` (files with no stats for the column are kept — pruning
+        must never drop a possible match)."""
+        s = self.snapshot(version)
+        vals = sorted(set(values))
+        return [
+            f.path
+            for f in s.files
+            if any(f.may_contain(col, v, v) for v in vals)
+        ]
+
+    def scan_in(self, col: str, values, version: int | None = None) -> DataFrame:
+        """Value-set pruned scan — partition-style pruning over a CLUSTERED
+        column (files written range-partitioned on ``col`` carry tight
+        min/max stats, so a small value set touches few files; unclustered
+        files degrade to a full read, never to a wrong one). Merge-on-read
+        deletes apply to the pruned subset; the row filter
+        ``col IN values`` is applied on top (stats prune files, not rows)."""
+        vals = sorted(set(values))
+        if not vals:
+            return self.read(version).where(F.lit(False))
+        paths = self.files_in(col, vals, version)
+        if not paths:
+            return self.read(version).where(F.lit(False))
+        s = self.snapshot(version)
+        return self._mor_grouped_read(s, paths, version).where(
+            F.col(col).isin(*vals)
+        )
 
     def scan(self, col: str, lo, hi, version: int | None = None) -> DataFrame:
         """Manifest-pruned range scan: only files whose [min, max] for

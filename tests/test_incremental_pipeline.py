@@ -615,3 +615,106 @@ def test_expiry_gcs_stray_refs_of_abandoned_batches(spark, tmp_path):
     # committed versions and their reads are untouched
     live = {r.doc_id for r in read_state_part(spark, state, "live", 2).collect()}
     assert live == {10, 40}
+
+
+def test_small_tick_prunes_live_files_by_bucket(spark, tmp_path, sf_dir):
+    """The round-9 'next rung', landed: live files are written
+    range-clustered on the fingerprint bucket (_fpb) with manifest
+    min/max stats, so a SMALL tick's keeper merge reads only the files
+    its fingerprints can touch (SnapshotTable.scan_in) — O(batch)
+    buckets instead of the full key columns. Takedown requests get the
+    same pruning. Correctness is unconditional (_fpb is a pure function
+    of _fp); this test pins that the pruning actually PRUNES on a
+    many-file state and that merge results are unchanged."""
+    from analytics_data_platform_spark.pipelines.incremental import (
+        N_STATE_BUCKETS,
+        _fpb_col,
+        _ref,
+        _table,
+    )
+    from analytics_data_platform_spark.sources.testdata import load_table
+
+    state = str(tmp_path / "state")
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    # several ticks -> several clustered file sets in the live part
+    for tick in range(3):
+        refresh_corpus_state(
+            spark, state, docs.where(F.col("doc_id") % 3 == tick), tick
+        )
+    live_t = _table(spark, state, "live")
+    v = live_t.resolve_ref(_ref(2))
+    all_files = [f.path for f in live_t.snapshot(v).files if f.rows > 0]
+    assert len(all_files) >= 3, "three clustered ticks must leave several files"
+
+    # a one-document tick touches ONE bucket -> the manifest prunes
+    text = f"tiny late arrival {_BODY} xq"
+    one = spark.createDataFrame(
+        # n_chars is long in the sf tables (unlike the synthetic _SCHEMA)
+        [(10_000_001, text, "en", "unit", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    fp_bucket = (
+        one.select(dedup.fingerprint_col("text").alias("_fp"))
+        .select(_fpb_col().alias("b"))
+        .collect()[0]["b"]
+    )
+    pruned = [p for p in live_t.files_in("_fpb", [fp_bucket], v) ]
+    pruned = [p for p in pruned if p in set(all_files)]
+    assert len(pruned) < len(all_files), (
+        f"bucket {fp_bucket}: pruning must skip files "
+        f"({len(pruned)} of {len(all_files)} kept)"
+    )
+    # scan_in returns exactly the bucket's resident keys
+    got = {
+        (r["doc_id"], r["_fp"])
+        for r in live_t.scan_in("_fpb", [fp_bucket], v)
+        .select("doc_id", "_fp")
+        .collect()
+    }
+    want = {
+        (r["doc_id"], r["_fp"])
+        for r in read_state_part(spark, state, "live", 2)
+        .where(F.col("_fpb") == fp_bucket)
+        .select("doc_id", "_fp")
+        .collect()
+    }
+    assert got == want
+
+    # and the tick itself lands correctly through the pruned path
+    refresh_corpus_state(spark, state, one, 3)
+    live = {r.doc_id for r in read_state_part(spark, state, "live", 3).collect()}
+    assert 10_000_001 in live
+    assert len([b for b in range(N_STATE_BUCKETS)]) == N_STATE_BUCKETS
+
+
+def test_scan_in_applies_mor_deletes_on_pruned_subset(spark, tmp_path):
+    """scan_in must honor merge-on-read delete files on the pruned file
+    subset — a pruned read that resurrects deleted keepers would corrupt
+    the merge."""
+    from analytics_data_platform_spark.pipelines.incremental import _ref, _table
+
+    state = str(tmp_path / "state")
+    t0 = spark.createDataFrame(
+        [_doc(10, f"Hello World {_BODY}"), _doc(11, f"other corpus {_BODY} zz")],
+        _SCHEMA,
+    )
+    refresh_corpus_state(spark, state, t0, 0)
+    # tick 1 evicts doc 10 via MOR delete; its file survives
+    t1 = spark.createDataFrame([_doc(3, f"hello  world {_BODY}")], _SCHEMA)
+    refresh_corpus_state(spark, state, t1, 1)
+    live_t = _table(spark, state, "live")
+    v = live_t.resolve_ref(_ref(1))
+    assert live_t.snapshot(v).delete_files, "precondition: pending MOR delete"
+    all_buckets = {
+        r["_fpb"]
+        for r in read_state_part(spark, state, "live", 1).select("_fpb").collect()
+    }
+    got = {
+        r["doc_id"]
+        for r in live_t.scan_in("_fpb", sorted(all_buckets), v)
+        .select("doc_id")
+        .collect()
+    }
+    assert got == {3, 11}, "pruned read must not resurrect the evicted keeper"
