@@ -185,7 +185,18 @@ def _ref(batch_id: int) -> str:
 
 
 def _table(spark: SparkSession | None, state_dir: str, part: str) -> SnapshotTable:
-    return SnapshotTable(spark, f"{state_dir}/{part}", stats_cols=_STATS_COLS[part])
+    # the live part is range-CLUSTERED on the fingerprint bucket at every
+    # write (appends, bootstrap replaces, AND delete-compaction rewrites —
+    # the snapshot layer clusters every batch it writes), which is what
+    # makes the small-tick scan_in pruning hold across the whole lifecycle
+    cluster = ["_fpb", "_fp"] if part == "live" else None
+    return SnapshotTable(
+        spark,
+        f"{state_dir}/{part}",
+        stats_cols=_STATS_COLS[part],
+        cluster_by=cluster,
+        cluster_files=_CLUSTER_FILES if cluster else None,
+    )
 
 
 def committed_versions(state_dir: str) -> list[int]:
@@ -627,10 +638,7 @@ def refresh_corpus_state(
             # bootstrap attempt (there is no committed predecessor to
             # rebase onto)
             ops: dict[str, _StateOp] = {
-                "live": (
-                    "replace",
-                    newly.select(*_LIVE_COLS).repartitionByRange(_CLUSTER_FILES, "_fpb", "_fp"),
-                ),
+                "live": ("replace", newly.select(*_LIVE_COLS)),
                 "band_index": ("replace", new_rows),
                 "pairs": ("replace", m["new_pairs"]),
                 "counts": ("replace", batch_counts),
@@ -652,11 +660,7 @@ def refresh_corpus_state(
                     (evicted.withColumnRenamed("doc_id", "id_b"), ["id_b"]),
                 ]
             ops = {
-                "live": (
-                    "delta",
-                    ev,
-                    newly.select(*_LIVE_COLS).repartitionByRange(_CLUSTER_FILES, "_fpb", "_fp"),
-                ),
+                "live": ("delta", ev, newly.select(*_LIVE_COLS)),
                 "band_index": ("delta", ev, new_rows),
                 "pairs": ("delta", ev_pairs, m["new_pairs"]),
                 "counts": ("delta", [], batch_counts),
@@ -895,7 +899,8 @@ def compact_state_deletes(spark: SparkSession, state_dir: str) -> list[str]:
             continue
         if not t.snapshot(head).delete_files:
             continue
-        new_head = t.apply_deletes()
+        new_head = t.apply_deletes()  # live keeps its _fpb clustering
+        # through the rewrite (table-level cluster_by)
         t.set_ref(ref, new_head)
         done.append(part)
     return done

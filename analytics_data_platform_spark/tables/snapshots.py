@@ -481,7 +481,10 @@ class SnapshotTable:
     def apply_deletes(self) -> int:
         """Materialize pending equality deletes (the read-side anti-joins)
         into rewritten data files and clear the delete list — the
-        compaction step that keeps merge-on-read read costs bounded."""
+        compaction step that keeps merge-on-read read costs bounded. A
+        table built with ``cluster_by``/``zorder_by`` keeps its layout
+        through the rewrite (``_write_files`` clusters every batch), so
+        stats-pruned reads survive compaction."""
         s = self.snapshot()
         if not s.delete_files:
             return s.version

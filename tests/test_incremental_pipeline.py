@@ -718,3 +718,61 @@ def test_scan_in_applies_mor_deletes_on_pruned_subset(spark, tmp_path):
         .collect()
     }
     assert got == {3, 11}, "pruned read must not resurrect the evicted keeper"
+
+
+def test_delete_compaction_preserves_bucket_clustering(spark, tmp_path, sf_dir):
+    """compact_state_deletes must not degrade the live part's small-tick
+    pruning: the apply_deletes rewrite re-clusters on _fpb, so files_in
+    still prunes after compaction (the residual gap SCALE.md documented,
+    closed)."""
+    from analytics_data_platform_spark.pipelines.incremental import (
+        _ref,
+        _table,
+        compact_state_deletes,
+    )
+    from analytics_data_platform_spark.sources.testdata import load_table
+
+    state = str(tmp_path / "state")
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    refresh_corpus_state(spark, state, docs.where(F.col("doc_id") % 2 == 0), 0)
+    # a GUARANTEED eviction: re-deliver some resident keeper's exact text
+    # under a smaller doc_id (0 beats everything) -> MOR delete on live
+    keeper_text = (
+        read_state_part(spark, state, "live", 0)
+        .orderBy(F.col("doc_id").desc())
+        .limit(1)
+        .collect()[0]
+        .text
+    )
+    evictor = spark.createDataFrame(
+        [(0, keeper_text, "en", "unit", len(keeper_text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    refresh_corpus_state(spark, state, evictor, 1)
+    live_t = _table(spark, state, "live")
+    before = {
+        (r["doc_id"], r["_fp"])
+        for r in read_state_part(spark, state, "live", 1).select("doc_id", "_fp").collect()
+    }
+
+    compacted = compact_state_deletes(spark, state)
+    assert "live" in compacted, "the forced eviction must leave a MOR delete"
+    v = live_t.resolve_ref(_ref(1))
+    files = [f for f in live_t.snapshot(v).files if f.rows > 0]
+    assert len(files) > 1, "clustered compaction must write several files"
+    # every non-empty file covers a strict bucket subrange -> pruning works
+    spans = [
+        (f.stats["_fpb"]["min"], f.stats["_fpb"]["max"])
+        for f in files
+        if "_fpb" in f.stats
+    ]
+    assert spans and any(hi - lo < 63 for lo, hi in spans), spans
+    one_bucket = spans[0][0]
+    assert len(live_t.files_in("_fpb", [one_bucket], v)) < len(files)
+    after = {
+        (r["doc_id"], r["_fp"])
+        for r in read_state_part(spark, state, "live", 1).select("doc_id", "_fp").collect()
+    }
+    assert after == before, "compaction changed the live rows"
