@@ -130,12 +130,21 @@ class SearchIndex:
             )
         return postings, {}
 
+    @property
+    def docmeta_dir(self) -> str:
+        return os.path.join(self.root, "docmeta")
+
     def build(self, docs: DataFrame) -> "SearchIndex":
-        """One-shot index build (overwrites any prior contents)."""
+        """One-shot index build (overwrites any prior contents). Alongside
+        the postings, a doc-metadata sidecar (every non-text column, one
+        row per doc) is written for filtered serving — the Lucene
+        stored-fields/filter-bitset analog, scanned with predicate
+        pushdown at serve time instead of re-reading the corpus."""
         postings, totals = self._rows(docs)
         postings.write.mode("overwrite").partitionBy("bucket").parquet(
             self.postings_dir
         )
+        docs.drop("text").write.mode("overwrite").parquet(self.docmeta_dir)
         self._write_meta(
             {"mode": self.mode, "buckets": self.buckets, "appends": 0, **totals}
         )
@@ -153,10 +162,69 @@ class SearchIndex:
         postings.write.mode("append").partitionBy("bucket").parquet(
             self.postings_dir
         )
+        docs.drop("text").write.mode("append").parquet(self.docmeta_dir)
         meta["appends"] = int(meta.get("appends", 0)) + 1
         for k, v in totals.items():
             meta[k] = int(meta.get(k, 0)) + v
         self._write_meta(meta)
+        return self
+
+    def merge_from(self, other: "SearchIndex") -> "SearchIndex":
+        """Fold an independently built index into this one — the Lucene
+        SEGMENT-MERGE analog: pure partition-wise file adoption, zero
+        compute, zero shuffle. Sound because the bucket is a per-row pure
+        function of the term under the same (mode, buckets) layout: term
+        T's postings live in ``bucket=hash(T)%buckets`` in BOTH indexes,
+        so adopting ``other``'s files preserves bucket purity and
+        serve-time df counting stays complete over the union. Corpus
+        stats sum associatively (doc_ids must be disjoint — append()'s
+        stable-id precondition); pending merge-on-read delete sidecars
+        migrate with the postings (delete ids are doc-scoped, so on
+        disjoint corpora the union of sidecars is exact).
+
+        Cost is O(number of files moved) rename syscalls + an O(1) stats
+        update — neither index's postings are ever read. At 100 TB this
+        is how a per-crawl segment built by an independent job folds into
+        the serving tier; even a partition-wise re-append would re-read
+        and re-shuffle the posting rows. ``other`` is consumed (its
+        metadata is removed so a stale handle cannot serve)."""
+        import shutil
+        import uuid
+
+        if other.mode != self.mode or other.buckets != self.buckets:
+            raise ValueError(
+                f"layout mismatch: ({self.mode}, {self.buckets}) vs "
+                f"({other.mode}, {other.buckets})"
+            )
+        self._recover_swap()
+        other._recover_swap()
+        meta, ometa = self.stats(), other.stats()
+        tag = uuid.uuid4().hex[:12]
+
+        def _adopt(src: str, dst: str) -> None:
+            if not os.path.isdir(src):
+                return
+            for dirpath, _dirs, files in os.walk(src):
+                rel = os.path.relpath(dirpath, src)
+                for f in files:
+                    if not f.endswith(".parquet"):
+                        continue  # _SUCCESS/.crc markers stay behind
+                    tgt_dir = os.path.join(dst, rel) if rel != "." else dst
+                    os.makedirs(tgt_dir, exist_ok=True)
+                    shutil.move(
+                        os.path.join(dirpath, f),
+                        os.path.join(tgt_dir, f"m{tag}-{f}"),
+                    )
+
+        _adopt(other.postings_dir, self.postings_dir)
+        _adopt(other.docmeta_dir, self.docmeta_dir)
+        _adopt(other._deletes_dir, os.path.join(self._deletes_dir, f"m{tag}"))
+        for k in ("n_docs", "total_dl", "deletes"):
+            if k in meta or k in ometa:
+                meta[k] = int(meta.get(k, 0)) + int(ometa.get(k, 0))
+        meta["appends"] = int(meta.get("appends", 0)) + int(ometa.get("appends", 0)) + 1
+        self._write_meta(meta)
+        os.remove(other._meta_path)  # consume the source segment
         return self
 
     def compact(self, min_files: int = 2) -> list[str]:
@@ -231,12 +299,23 @@ class SearchIndex:
             )
         )
 
-    def bm25(self, queries: dict[int, list[str]], k: int = 10) -> DataFrame:
+    def bm25(
+        self, queries: dict[int, list[str]], k: int = 10, where: str | None = None
+    ) -> DataFrame:
         """Ranked top-k per query (q_id, doc_id, score, rank) — BM25 with
         Robertson idf (search_ops K1/B constants), df counted from the query terms'
         own (bucket-complete) posting lists, n_docs/avgdl from the
         sidecar. Identical scoring to the full-scan formulation the
-        oracle gate verifies."""
+        oracle gate verifies.
+
+        ``where`` is a SQL predicate over the doc-metadata sidecar
+        columns (e.g. ``"lang = 'en'"``) — filtered search with Lucene
+        semantics: the candidate set narrows, the corpus statistics
+        (idf/avgdl) stay index-global. The filter is a predicate-pushdown
+        scan of the docmeta sidecar, never a corpus read. Erased docs
+        (pending merge-on-read deletes) are anti-joined out BEFORE the
+        candidate semi-join, so a stale docmeta row for a deleted doc is
+        harmless."""
         if self.mode != "scored":
             raise ValueError("bm25() needs mode='scored'")
         meta = self.stats()
@@ -249,7 +328,16 @@ class SearchIndex:
             [(qid, t) for qid, ts in queries.items() for t in ts],
             "q_id int, term string",
         )
-        return _bm25_index_serve(self._served(self._pruned(terms)), stats, q, k=k)
+        candidates = None
+        if where is not None:
+            candidates = (
+                self.spark.read.parquet(self.docmeta_dir)
+                .where(where)
+                .select("doc_id")
+            )
+        return _bm25_index_serve(
+            self._served(self._pruned(terms)), stats, q, k=k, candidates=candidates
+        )
 
     # -- erasure (merge-on-read deletes, the snapshot layer's equality-
     #    delete shape applied to posting lists: a doc's postings live in

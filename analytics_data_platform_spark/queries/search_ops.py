@@ -760,17 +760,36 @@ def _scored_posting_rows(d: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def _bm25_index_serve(
-    postings: DataFrame, stats: DataFrame, q: DataFrame, k: int = TOPK
+    postings: DataFrame,
+    stats: DataFrame,
+    q: DataFrame,
+    k: int = TOPK,
+    candidates: DataFrame | None = None,
+    exclude_q_doc: bool = False,
 ) -> DataFrame:
     """Top-k BM25 from pruned posting lists: df for the query terms is
     counted from THEIR posting lists (all of a term's postings live in its
     bucket, so the pruned read sees every one), n_docs/avgdl come from the
     broadcast stats sidecar, and the per-(q, doc) sum + two-phase top-k
     never touch a non-matching document. Identical scoring expression to
-    the full-scan ``_bm25_scores`` — the oracle is the same BM25 SQL."""
+    the full-scan ``_bm25_scores`` — the oracle is the same BM25 SQL.
+
+    ``candidates`` (doc_id frame) restricts the RANKED docs without
+    touching the statistics — Lucene filtered-search semantics: idf and
+    avgdl stay index-global (df is counted from the UNfiltered posting
+    lists), only the candidate set narrows. ``exclude_q_doc`` drops the
+    query document itself from its own ranking (document-as-query /
+    more-like-this retrieval)."""
     terms = q.select("term").distinct()
     pruned = postings.join(F.broadcast(terms), "term", "left_semi")
     dfq = pruned.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    matched = pruned
+    if candidates is not None:
+        # semi-join the tf rows, NOT the df count above — the filter gates
+        # candidates, never the corpus statistics
+        matched = matched.join(
+            candidates.select("doc_id").distinct(), "doc_id", "left_semi"
+        )
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
@@ -780,13 +799,15 @@ def _bm25_index_serve(
         / (F.col("tf") + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl")))
     )
     scored = (
-        pruned.join(F.broadcast(q), "term")
+        matched.join(F.broadcast(q), "term")
         .join(F.broadcast(dfq), "term")
         .crossJoin(F.broadcast(stats))
         .select("q_id", "doc_id", w.alias("w"))
         .groupBy("q_id", "doc_id")
         .agg(F.round(F.sum("w"), 4).alias("score"))
     )
+    if exclude_q_doc:
+        scored = scored.where(F.col("doc_id") != F.col("q_id"))
     return topk_per_query(scored, k, "q_id", "doc_id", "score").select(
         "q_id", "doc_id", "score", "rank"
     )

@@ -1,0 +1,509 @@
+"""Serving-tier composites over the persistent index structures.
+
+Round-9 capstones: the index family (queries/search_ops.py, the
+SearchIndex/VectorIndex operators) gave each retrieval primitive a
+pruned, no-corpus-scan serving path; this module exercises the
+OPERATIONS a deployed serving tier performs on those indexes —
+
+- ``inverted_index_segment_merge`` — fold an independently built index
+  segment into the serving index by pure file adoption (the Lucene
+  segment-merge analog; zero compute, zero shuffle), with the incoming
+  segment's pending merge-on-read takedowns surviving the merge;
+- ``inverted_index_filtered_bm25`` — metadata-filtered ranked retrieval
+  (Lucene filter-bitset semantics: the candidate set narrows, idf/avgdl
+  stay index-global) served from the doc-metadata sidecar with
+  predicate pushdown, never a corpus read;
+- ``index_hybrid_rrf_topk`` — reciprocal-rank fusion where BOTH legs are
+  index-served: BM25 from term-bucket-pruned scored posting lists and
+  cosine from a cell-partitioned IVF probe with dynamic partition
+  pruning. The full-scan ``hybrid_rrf_search`` formulation is the
+  semantics anchor; this is the shape that survives 100 TB, where
+  neither leg can afford a corpus scan per query batch.
+
+Every query follows the registry's temp-dir index pattern (build a real
+on-disk index, serve pruned, return the bounded cut as a literal frame)
+and is externally oracle-gated; the per-stage plans are exposed via
+``internal_plan`` for the shuffle-ledger audit, and the file-level
+pruning of both index layouts is plan-guarded in
+tests/test_plans_new_ops.py.
+
+Reference parity note: the reference exposes retrieval only as full-scan
+SQL over its dbt marts — these operators are the deployment-shaped
+additions SURVEY.md §2's "training-data pipeline" extension calls for.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from analytics_data_platform_spark.operators import similarity
+from analytics_data_platform_spark.operators.search_index import SearchIndex
+from analytics_data_platform_spark.operators.similarity import topk_per_query
+from analytics_data_platform_spark.queries import QuerySpec, register
+from analytics_data_platform_spark.queries.scale_ops import (
+    _IVF_NLIST,
+    _IVF_NPROBE,
+    _cos_sql,
+    _DirIvfIndex,
+)
+from analytics_data_platform_spark.queries.search_ops import (
+    BM25_SQL,
+    INDEX_BUCKETS,
+    LIST_K,
+    N_QUERY_DOCS,
+    QUERY_TERMS,
+    RRF_K,
+    TOPK,
+    _bm25_index_serve,
+    _bm25_scored_sql,
+    _Q_VALUES,
+    _scored_posting_rows,
+)
+from analytics_data_platform_spark.sources.testdata import load_table
+
+
+def _query_frame(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(qid, t) for qid, ts in QUERY_TERMS.items() for t in ts],
+        "q_id int, term string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# inverted_index_segment_merge — Lucene segment-merge by file adoption
+# ---------------------------------------------------------------------------
+
+def _merge_seg_pred():
+    """The incoming segment's pending takedowns: odd doc_ids ≡ 0 (mod 21).
+    A function, not a module constant — Column construction needs an
+    active SparkContext, which import time doesn't have."""
+    return (F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 21 == 0)
+
+
+def inverted_index_segment_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEGMENT MERGE on the serving index: two scored indexes are built
+    INDEPENDENTLY over disjoint corpus halves (even/odd doc_ids — e.g.
+    two crawls indexed by separate jobs), the incoming segment takes a
+    merge-on-read takedown (pending, unmaterialized), and
+    ``SearchIndex.merge_from`` folds it into the resident index by pure
+    partition-wise file adoption — zero compute, zero shuffle, O(files)
+    renames plus an O(1) associative stats sum. Ranked serving from the
+    merged index must equal a one-shot build over the union MINUS the
+    taken-down docs — including global statistics (the migrated delete
+    sidecar's exact (n_docs, Σdl) decrement) — and must be unchanged
+    after ``apply_deletes`` materializes the takedown.
+
+    The oracle is the full-scan BM25 SQL over the surviving union in a
+    different engine: a posting file dropped or duplicated in adoption,
+    a stats sidecar summed wrong, a delete sidecar lost in the merge, or
+    a torn apply-swap all hash-diverge on the ranked cut.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    root_a = tempfile.mkdtemp(prefix="adps-segmerge-a-")
+    root_b = tempfile.mkdtemp(prefix="adps-segmerge-b-")
+    try:
+        a = SearchIndex(spark, root_a, mode="scored").build(
+            d.where(F.col("doc_id") % 2 == 0)
+        )
+        b = SearchIndex(spark, root_b, mode="scored").build(
+            d.where(F.col("doc_id") % 2 == 1)
+        )
+        b.delete_docs(d.where(_merge_seg_pred()).select("doc_id"))
+        a.merge_from(b)
+        served = a.bm25(QUERY_TERMS)
+        schema = served.schema
+        rows = sorted(tuple(r) for r in served.collect())
+        a.apply_deletes()
+        after = sorted(tuple(r) for r in a.bm25(QUERY_TERMS).collect())
+        assert after == rows, "apply_deletes changed the merged ranking"
+    finally:
+        shutil.rmtree(root_a, ignore_errors=True)
+        shutil.rmtree(root_b, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+def _segment_merge_internal_plans(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    postings, stats = _scored_posting_rows(d.where(~_merge_seg_pred()))
+    return [("serve", _bm25_index_serve(postings, stats, _query_frame(spark)))]
+
+
+assert BM25_SQL.count("FROM documents") == 1, "BM25 oracle shape changed"
+SEGMENT_MERGE_SQL = BM25_SQL.replace(
+    "FROM documents",
+    "FROM documents WHERE NOT (doc_id % 2 = 1 AND doc_id % 21 = 0)",
+)
+
+register(
+    QuerySpec(
+        "inverted_index_segment_merge",
+        inverted_index_segment_merge,
+        SEGMENT_MERGE_SQL,
+        doc="fold an independently built index segment into the serving index by partition-wise file adoption (zero compute); pending takedowns migrate; serving equals a one-shot build over the surviving union",
+        cites="operators/search_index.py::merge_from; Lucene segment-merge analog; oracle shared with bm25_search",
+        tags=("search", "scale", "topk", "multi_tick"),
+        internal_plan=_segment_merge_internal_plans,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# inverted_index_filtered_bm25 — metadata-filtered ranked retrieval
+# ---------------------------------------------------------------------------
+
+_FILTER_LANG = "en"
+
+
+def inverted_index_filtered_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ranked retrieval from the serving index: BM25 top-k with
+    the candidate set restricted to ``lang = 'en'`` documents — Lucene
+    filter-bitset semantics, so the corpus statistics (idf from posting-
+    list df, avgdl from the sidecar) stay INDEX-GLOBAL and only the
+    ranked docs narrow. The filter resolves against the index's
+    doc-metadata sidecar with predicate pushdown (plan-guarded:
+    PushedFilters on lang) and semi-joins the already-pruned posting
+    rows — the corpus text is never read, and the filter scan is
+    O(docmeta), not O(postings).
+
+    The oracle computes the same semantics full-scan: global BM25 scores
+    joined to the documents table's lang column BEFORE the rank cut. A
+    filter applied to the statistics (idf drift), a candidate leak, or a
+    post-cut filter (top-k then filter — the classic filtered-search
+    bug, which under-fills the page) all hash-diverge.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="adps-fltidx-")
+    try:
+        idx = SearchIndex(spark, root, mode="scored").build(d)
+        served = idx.bm25(QUERY_TERMS, where=f"lang = '{_FILTER_LANG}'")
+        schema = served.schema
+        rows = sorted(tuple(r) for r in served.collect())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+def _filtered_internal_plans(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    postings, stats = _scored_posting_rows(d)
+    cand = d.where(F.col("lang") == _FILTER_LANG).select("doc_id")
+    return [
+        (
+            "serve",
+            _bm25_index_serve(
+                postings, stats, _query_frame(spark), candidates=cand
+            ),
+        )
+    ]
+
+
+FILTERED_BM25_SQL = (
+    _bm25_scored_sql(f"q(q_id, term) AS (VALUES {_Q_VALUES})")
+    + f"""
+SELECT q_id, doc_id, score, rank FROM (
+  SELECT s.q_id, s.doc_id, s.score,
+         ROW_NUMBER() OVER (PARTITION BY s.q_id ORDER BY s.score DESC, s.doc_id) AS rank
+  FROM scored s JOIN documents m ON s.doc_id = m.doc_id
+  WHERE m.lang = '{_FILTER_LANG}'
+) WHERE rank <= {TOPK}
+"""
+)
+
+register(
+    QuerySpec(
+        "inverted_index_filtered_bm25",
+        inverted_index_filtered_bm25,
+        FILTERED_BM25_SQL,
+        doc="metadata-filtered BM25 top-k from the serving index: candidates narrow via the docmeta sidecar (predicate pushdown), idf/avgdl stay index-global",
+        cites="operators/search_index.py::bm25(where=); Lucene filtered-search (filter bitset) semantics",
+        tags=("search", "scale", "topk", "multi_tick"),
+        internal_plan=_filtered_internal_plans,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# index_hybrid_rrf_topk — RRF fusion, both legs index-served
+# ---------------------------------------------------------------------------
+
+
+# Lucene MoreLikeThis term selection: the lexical leg queries with each
+# query doc's MLT_TERMS most DISTINCTIVE terms (tf·idf-ranked), not its
+# whole vocabulary — that is both what MoreLikeThis actually does and
+# what keeps the bucket-pruned serve real (a document's full token set
+# saturates every occupied bucket; its top-6 distinctive terms touch a
+# strict subset, plan-guarded in tests/test_serving_ops.py).
+MLT_TERMS = 6
+
+
+def _mlt_query_terms(d: DataFrame) -> DataFrame:
+    """(q_id, term): top-MLT_TERMS terms per query doc by tf·ln(N/df),
+    rounded before ranking with a term tie-break (oracle-stable)."""
+    from pyspark.sql import Window
+
+    from analytics_data_platform_spark.queries.search_ops import _term_stats
+
+    tf, _dl, dfreq, stats = _term_stats(d)
+    scored = (
+        tf.where(F.col("doc_id") < N_QUERY_DOCS)
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("doc_id").cast("int").alias("q_id"),
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4
+            ).alias("mlt"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("mlt"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= MLT_TERMS)
+        .select("q_id", "term")
+    )
+
+
+def _hybrid_legs(
+    spark: SparkSession,
+    d: DataFrame,
+    e: DataFrame,
+    postings: DataFrame,
+    stats: DataFrame,
+    ivf_io,
+    cents: list[list[float]],
+    q_terms: DataFrame,
+) -> DataFrame:
+    """The fused plan, parameterized by where each leg's index rows come
+    from (on-disk pruned reads in the registry query; in-memory frames in
+    the internal-plan audit). Mirrors hybrid_rrf_search's semantics with
+    the lexical terms narrowed to the MoreLikeThis selection and the
+    semantic leg swapped to the IVF probe (nprobe cells, pinned
+    natural-init centroids — the ann_ivf_topk contract, so the oracle
+    reproduces assignment exactly)."""
+    bm_top = _bm25_index_serve(
+        postings, stats, q_terms, k=LIST_K, exclude_q_doc=True
+    ).select("q_id", "doc_id", F.col("rank").alias("b_rank"))
+
+    qv = e.where(F.col("vec_id") < N_QUERY_DOCS).select(
+        F.col("vec_id").cast("int").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    if ivf_io is not None:
+        sem = similarity.ivf_table_topk(
+            ivf_io, "ivf", qv, cents, k=LIST_K, nprobe=_IVF_NPROBE, score_round=4
+        )
+    else:
+        sem = similarity.ivf_topk(
+            e, qv, cents, k=LIST_K, nprobe=_IVF_NPROBE, score_round=4
+        )
+    sem_top = sem.select(
+        "q_id", F.col("vec_id").alias("doc_id"), F.col("rank").alias("c_rank")
+    )
+
+    fused = bm_top.join(sem_top, ["q_id", "doc_id"], "full_outer").select(
+        "q_id",
+        "doc_id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("b_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("c_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return topk_per_query(fused, TOPK, "q_id", "doc_id", "rrf").select(
+        "q_id", "doc_id", "rrf", "rank"
+    )
+
+
+def index_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid more-like-this retrieval with BOTH legs served from
+    persistent index structures — no corpus scan on either side:
+
+    - lexical: BM25 over the SCORED inverted index (tf/dl posting lists
+      partitioned by term bucket + the one-row stats sidecar), reading
+      only the query docs' terms' buckets;
+    - semantic: cosine over the cell-partitioned IVF index (pinned
+      natural-init centroids, the ann_ivf_topk contract), probing
+      nprobe cells per query with dynamic partition pruning;
+    - fusion: reciprocal-rank RRF = Σ 1/(60 + rank) over the two top-50
+      lists, exactly hybrid_rrf_search's rule.
+
+    This is the serving shape of the full-scan ``hybrid_rrf_search`` at
+    100 TB: each query batch costs O(query-term posting lists) +
+    O(nprobe/nlist of the vectors) instead of two corpus passes. The
+    lexical terms are the MoreLikeThis selection — each query doc's
+    MLT_TERMS most distinctive terms by tf·idf (collected to compute
+    bucket ids: ≤ 3×MLT_TERMS rows, the same bounded collect every
+    index-serving query documents).
+
+    The oracle recomputes both legs in DuckDB — the identical tf·idf
+    term selection, global BM25 over those terms, IVF assignment/probe
+    replayed exactly (deterministic centroids) — and fuses with the same
+    rounded RRF; a bucket-pruned-away posting, a drifted term selection,
+    a stale cell assignment, or fusion on unrounded ranks all
+    hash-diverge on the fused cut.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    idx_dir = tempfile.mkdtemp(prefix="adps-hybidx-lex-")
+    stats_dir = tempfile.mkdtemp(prefix="adps-hybidx-stats-")
+    ivf_dir = tempfile.mkdtemp(prefix="adps-hybidx-ivf-")
+    try:
+        postings, stats = _scored_posting_rows(d)
+        postings.write.mode("overwrite").partitionBy("bucket").parquet(idx_dir)
+        stats.coalesce(1).write.mode("overwrite").parquet(stats_dir)
+
+        q_terms = _mlt_query_terms(d).localCheckpoint()
+        terms = [r["term"] for r in q_terms.select("term").distinct().collect()]
+        want = sorted(
+            {
+                r["b"]
+                for r in spark.createDataFrame(
+                    [(t,) for t in sorted(set(terms))], "term string"
+                )
+                .select(F.pmod(F.hash("term"), F.lit(INDEX_BUCKETS)).alias("b"))
+                .collect()
+            }
+        )
+        lex_index = spark.read.parquet(idx_dir).where(F.col("bucket").isin(*want))
+
+        rows_c = (
+            e.where(F.col("vec_id") < _IVF_NLIST)
+            .orderBy("vec_id")
+            .select("embedding")
+            .collect()
+        )
+        cents = [[float(x) for x in r["embedding"]] for r in rows_c]
+        cell = similarity.assign_centroid_col("embedding", cents).cast("int")
+        e.withColumn("_cell", cell).write.partitionBy("_cell").mode(
+            "overwrite"
+        ).parquet(ivf_dir)
+
+        out = _hybrid_legs(
+            spark,
+            d,
+            e,
+            lex_index,
+            spark.read.parquet(stats_dir),
+            _DirIvfIndex(spark, ivf_dir),
+            cents,
+            q_terms,
+        )
+        schema = out.schema
+        rows = [tuple(r) for r in out.collect()]  # bounded: 3 queries × 10
+    finally:
+        for p in (idx_dir, stats_dir, ivf_dir):
+            shutil.rmtree(p, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+def _hybrid_internal_plans(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    postings, stats = _scored_posting_rows(d)
+    rows_c = (
+        e.where(F.col("vec_id") < _IVF_NLIST)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in rows_c]
+    return [
+        (
+            "fuse",
+            _hybrid_legs(
+                spark, d, e, postings, stats, None, cents, _mlt_query_terms(d)
+            ),
+        )
+    ]
+
+
+def _hybrid_index_sql() -> str:
+    """Both oracle legs composed: the MoreLikeThis tf·idf term selection
+    + BM25 CTE chain (LIST_K cut, self excluded) and the deterministic
+    IVF assignment/probe replay (ann_ivf_topk's contract, LIST_K cut),
+    fused with rounded RRF."""
+    dist = (
+        "list_sum(list_transform(list_zip(e.embedding, c.cemb), "
+        "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+        " * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+    )
+    return (
+        _bm25_scored_sql(
+            f"""q AS (
+  SELECT q_id, term FROM (
+    SELECT CAST(tf.doc_id AS INTEGER) AS q_id, tf.term,
+           ROW_NUMBER() OVER (
+             PARTITION BY tf.doc_id
+             ORDER BY ROUND(tf.tf * LN(CAST(stats.n_docs AS DOUBLE) / dfreq.df), 4) DESC,
+                      tf.term
+           ) AS rn
+    FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN stats
+    WHERE tf.doc_id < {N_QUERY_DOCS}
+  ) WHERE rn <= {MLT_TERMS}
+)"""
+        )
+        + f"""
+, bm25_top AS (
+  SELECT q_id, doc_id, rank AS b_rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+    FROM scored WHERE doc_id <> q_id
+  ) WHERE rank <= {LIST_K}
+),
+c AS (SELECT vec_id AS cell, embedding AS cemb FROM embeddings WHERE vec_id < {_IVF_NLIST}),
+dmat AS (
+  SELECT e.vec_id, e.embedding, c.cell, {dist} AS dist
+  FROM embeddings e CROSS JOIN c
+),
+assign AS (
+  SELECT vec_id, embedding, cell
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn FROM dmat)
+  WHERE rn = 1
+),
+qc AS (
+  SELECT CAST(vec_id AS INTEGER) AS q_id, embedding AS q_emb, cell AS qcell
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+        FROM dmat WHERE vec_id < {N_QUERY_DOCS})
+  WHERE rn <= {_IVF_NPROBE}
+),
+sem AS (
+  SELECT qc.q_id, a.vec_id AS doc_id, ROUND({_cos_sql('qc.q_emb', 'a.embedding')}, 4) AS cos_sim
+  FROM assign a JOIN qc ON a.cell = qc.qcell AND a.vec_id <> qc.q_id
+),
+sem_top AS (
+  SELECT q_id, doc_id, rank AS c_rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, doc_id) AS rank
+    FROM sem
+  ) WHERE rank <= {LIST_K}
+),
+fused AS (
+  SELECT COALESCE(b.q_id, s.q_id) AS q_id,
+         COALESCE(b.doc_id, s.doc_id) AS doc_id,
+         ROUND(COALESCE(1.0 / ({RRF_K} + b_rank), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + c_rank), 0.0), 6) AS rrf
+  FROM bm25_top b FULL OUTER JOIN sem_top s
+    ON b.q_id = s.q_id AND b.doc_id = s.doc_id
+)
+SELECT q_id, doc_id, rrf, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rank
+  FROM fused
+) WHERE rank <= {TOPK}
+"""
+    )
+
+
+register(
+    QuerySpec(
+        "index_hybrid_rrf_topk",
+        index_hybrid_rrf_topk,
+        _hybrid_index_sql(),
+        doc="RRF hybrid retrieval with BOTH legs index-served: bucket-pruned BM25 postings + cell-pruned IVF probe; the 100 TB serving shape of hybrid_rrf_search",
+        cites="composes inverted_index_bm25_topk + ivf_index_incremental_topk serving paths; RRF rule shared with hybrid_rrf_search",
+        tags=("search", "vector", "scale", "topk", "multi_tick"),
+        internal_plan=_hybrid_internal_plans,
+    )
+)

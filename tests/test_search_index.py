@@ -212,3 +212,97 @@ def test_streaming_foreachbatch_ingest_equals_one_shot(spark, tmp_path, sf_dir):
     got = {tuple(r) for r in idx.bm25(QUERY_TERMS).collect()}
     want = {tuple(r) for r in one_shot.bm25(QUERY_TERMS).collect()}
     assert got == want
+
+
+def test_merge_from_equals_one_shot_and_consumes_source(spark, tmp_path, sf_dir):
+    """Segment merge by file adoption: two independently built scored
+    indexes over disjoint halves fold into one that serves exactly like a
+    one-shot build over the union (stats summed associatively, df counted
+    complete across adopted files); the source segment is consumed, and a
+    layout mismatch refuses loudly."""
+    d = load_table(spark, sf_dir, "documents")
+    a = SearchIndex(spark, str(tmp_path / "a"), mode="scored").build(
+        d.where(F.col("doc_id") % 2 == 0)
+    )
+    b = SearchIndex(spark, str(tmp_path / "b"), mode="scored").build(
+        d.where(F.col("doc_id") % 2 == 1)
+    )
+    a.merge_from(b)
+    one = SearchIndex(spark, str(tmp_path / "one"), mode="scored").build(d)
+    assert a.stats()["n_docs"] == one.stats()["n_docs"]
+    assert a.stats()["total_dl"] == one.stats()["total_dl"]
+    got = {tuple(r) for r in a.bm25(QUERY_TERMS).collect()}
+    want = {tuple(r) for r in one.bm25(QUERY_TERMS).collect()}
+    assert got == want
+
+    with pytest.raises(FileNotFoundError):
+        b.stats()  # consumed — a stale handle cannot serve
+    c = SearchIndex(spark, str(tmp_path / "c"), mode="boolean").build(d)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        a.merge_from(c)
+
+
+def test_merge_from_migrates_pending_deletes(spark, tmp_path, sf_dir):
+    """A pending merge-on-read takedown on the INCOMING segment survives
+    the merge: served results equal a one-shot build over the surviving
+    union (global stats included), before and after apply_deletes."""
+    d = load_table(spark, sf_dir, "documents")
+    victims = (F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 21 == 0)
+    a = SearchIndex(spark, str(tmp_path / "a"), mode="scored").build(
+        d.where(F.col("doc_id") % 2 == 0)
+    )
+    b = SearchIndex(spark, str(tmp_path / "b"), mode="scored").build(
+        d.where(F.col("doc_id") % 2 == 1)
+    )
+    n = b.delete_docs(d.where(victims).select("doc_id"))
+    assert n > 0, "fixture must take down at least one doc"
+    a.merge_from(b)
+    survivors = SearchIndex(spark, str(tmp_path / "s"), mode="scored").build(
+        d.where(~victims)
+    )
+    assert a.stats()["n_docs"] == survivors.stats()["n_docs"]
+    assert a.stats()["total_dl"] == survivors.stats()["total_dl"]
+    want = {tuple(r) for r in survivors.bm25(QUERY_TERMS).collect()}
+    assert {tuple(r) for r in a.bm25(QUERY_TERMS).collect()} == want
+    assert a.apply_deletes()
+    assert {tuple(r) for r in a.bm25(QUERY_TERMS).collect()} == want
+
+
+def test_filtered_bm25_narrows_candidates_not_stats(spark, tmp_path, sf_dir):
+    """bm25(where=...) is Lucene filtered search: the candidate set
+    narrows via the docmeta sidecar (predicate pushdown — no corpus
+    read), while idf/avgdl stay INDEX-GLOBAL — a filtered hit's score is
+    bit-identical to its unfiltered score, and the ranks are a dense
+    re-ranking of the filtered candidates."""
+    from analytics_data_platform_spark.queries.search_ops import _bm25_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    idx = SearchIndex(spark, str(tmp_path / "f"), mode="scored").build(d)
+    served = idx.bm25(QUERY_TERMS, where="lang = 'en'")
+    got = {(r.q_id, r.doc_id): (r.score, r.rank) for r in served.collect()}
+
+    # expected: GLOBAL scores, candidates narrowed, re-ranked
+    from pyspark.sql import Window
+
+    q = spark.createDataFrame(
+        [(qid, t) for qid, ts in QUERY_TERMS.items() for t in ts],
+        "q_id int, term string",
+    )
+    en = d.where(F.col("lang") == "en").select("doc_id")
+    scored = _bm25_scores(spark, d, q).join(en, "doc_id", "left_semi")
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    expected = {
+        (r.q_id, r.doc_id): (r.score, r.rank)
+        for r in scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .collect()
+    }
+    assert got == expected
+
+    # the filter is pushed into the docmeta scan, not evaluated post-read
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "EqualTo(lang,en)" in plan
+
+    # every scored mode build carries the sidecar; a non-scored serve
+    # path doesn't grow one silently
+    assert os.path.isdir(idx.docmeta_dir)

@@ -1,0 +1,118 @@
+"""Serving-tier composites (queries/serving_ops.py): plan guards for the
+index-served hybrid (BOTH legs pruned) and the append-then-filter
+lifecycle of the docmeta sidecar."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from analytics_data_platform_spark.operators import similarity
+from analytics_data_platform_spark.operators.search_index import SearchIndex
+from analytics_data_platform_spark.plans.audit import audit
+from analytics_data_platform_spark.queries.scale_ops import (
+    _IVF_NLIST,
+    _DirIvfIndex,
+)
+from analytics_data_platform_spark.queries.search_ops import (
+    INDEX_BUCKETS,
+    QUERY_TERMS,
+    _scored_posting_rows,
+)
+from analytics_data_platform_spark.queries.serving_ops import (
+    _hybrid_legs,
+    _mlt_query_terms,
+)
+from analytics_data_platform_spark.sources.testdata import load_table
+
+
+def test_hybrid_serves_both_legs_pruned(spark, tmp_path, sf_dir):
+    """The fused plan must carry BOTH index layouts' pruning: a static
+    bucket PartitionFilter on the lexical posting scan (the query docs'
+    term buckets, a strict subset of the index) and dynamic partition
+    pruning on the IVF _cell scan — neither leg may fall back to a full
+    index read."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+
+    idx = str(tmp_path / "lex")
+    stats_dir = str(tmp_path / "stats")
+    ivf_dir = str(tmp_path / "ivf")
+    postings, stats = _scored_posting_rows(d)
+    postings.write.partitionBy("bucket").parquet(idx)
+    stats.coalesce(1).write.parquet(stats_dir)
+
+    q_terms = _mlt_query_terms(d).localCheckpoint()
+    terms = [r["term"] for r in q_terms.select("term").distinct().collect()]
+    want = sorted(
+        {
+            r["b"]
+            for r in spark.createDataFrame(
+                [(t,) for t in sorted(set(terms))], "term string"
+            )
+            .select(F.pmod(F.hash("term"), F.lit(INDEX_BUCKETS)).alias("b"))
+            .collect()
+        }
+    )
+    import os
+
+    n_dirs = len([x for x in os.listdir(idx) if x.startswith("bucket=")])
+    assert len(want) < n_dirs, "fixture must leave something to prune"
+    lex_index = spark.read.parquet(idx).where(F.col("bucket").isin(*want))
+
+    rows_c = (
+        e.where(F.col("vec_id") < _IVF_NLIST)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in rows_c]
+    cell = similarity.assign_centroid_col("embedding", cents).cast("int")
+    e.withColumn("_cell", cell).write.partitionBy("_cell").parquet(ivf_dir)
+
+    out = _hybrid_legs(
+        spark,
+        d,
+        e,
+        lex_index,
+        spark.read.parquet(stats_dir),
+        _DirIvfIndex(spark, ivf_dir),
+        cents,
+        q_terms,
+    )
+    rows = out.collect()  # finalize AQE before asserting on the plan
+    assert rows and all(r.rank <= 10 for r in rows)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    lex_scans = [
+        seg[:200] for seg in plan.split("PartitionFilters: [")[1:] if "bucket" in seg[:120]
+    ]
+    assert lex_scans, "lexical posting scan lost its bucket PartitionFilter"
+    rep = audit(out)
+    pruned = any(
+        "dynamicpruning" in " ".join(s.partition_filters).lower() for s in rep.scans
+    ) or "dynamicpruning" in rep.formatted.lower()
+    assert pruned, "IVF probe join must dynamic-partition-prune the cell dirs"
+
+    touched = {
+        r["f"].split("bucket=")[1].split("/")[0]
+        for r in lex_index.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert touched == {str(b) for b in want}
+
+
+def test_filtered_bm25_sees_appended_docmeta(spark, tmp_path, sf_dir):
+    """The docmeta sidecar follows the append lifecycle: docs ingested
+    after the build are filterable, and the filtered cut over the
+    incrementally built index equals the one-shot build's."""
+    d = load_table(spark, sf_dir, "documents")
+    incr = SearchIndex(spark, str(tmp_path / "i"), mode="scored")
+    incr.build(d.where(F.col("doc_id") % 2 == 0))
+    incr.append(d.where(F.col("doc_id") % 2 == 1))
+    one = SearchIndex(spark, str(tmp_path / "o"), mode="scored").build(d)
+    got = {tuple(r) for r in incr.bm25(QUERY_TERMS, where="lang = 'en'").collect()}
+    want = {tuple(r) for r in one.bm25(QUERY_TERMS, where="lang = 'en'").collect()}
+    assert got == want
+    # at least one appended (odd) doc must be rankable, or the fixture
+    # proves nothing about the appended sidecar
+    assert any(r[1] % 2 == 1 for r in got)
