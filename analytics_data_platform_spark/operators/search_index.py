@@ -54,6 +54,29 @@ from analytics_data_platform_spark.queries.search_ops import (
 _MODES = ("boolean", "positional", "scored")
 
 
+def adopt_parquet_tree(src: str, dst: str, tag: str) -> None:
+    """Move every ``.parquet`` under ``src`` into the mirrored location
+    under ``dst``, name-mangled with ``tag`` so adopted files can never
+    collide with resident ones. The segment-merge primitive shared by
+    SearchIndex (bucket=N postings) and VectorIndex (_cell=N lists):
+    pure rename syscalls — nothing is read or shuffled. ``_SUCCESS``/
+    checksum markers stay behind (the caller removes the husk)."""
+    import shutil
+
+    if not os.path.isdir(src):
+        return
+    for dirpath, _dirs, files in os.walk(src):
+        rel = os.path.relpath(dirpath, src)
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            tgt_dir = os.path.join(dst, rel) if rel != "." else dst
+            os.makedirs(tgt_dir, exist_ok=True)
+            shutil.move(
+                os.path.join(dirpath, f), os.path.join(tgt_dir, f"m{tag}-{f}")
+            )
+
+
 class SearchIndex:
     def __init__(
         self,
@@ -188,7 +211,6 @@ class SearchIndex:
         the serving tier; even a partition-wise re-append would re-read
         and re-shuffle the posting rows. ``other`` is consumed (its
         metadata is removed so a stale handle cannot serve)."""
-        import shutil
         import uuid
 
         if other.mode != self.mode or other.buckets != self.buckets:
@@ -201,24 +223,11 @@ class SearchIndex:
         meta, ometa = self.stats(), other.stats()
         tag = uuid.uuid4().hex[:12]
 
-        def _adopt(src: str, dst: str) -> None:
-            if not os.path.isdir(src):
-                return
-            for dirpath, _dirs, files in os.walk(src):
-                rel = os.path.relpath(dirpath, src)
-                for f in files:
-                    if not f.endswith(".parquet"):
-                        continue  # _SUCCESS/.crc markers stay behind
-                    tgt_dir = os.path.join(dst, rel) if rel != "." else dst
-                    os.makedirs(tgt_dir, exist_ok=True)
-                    shutil.move(
-                        os.path.join(dirpath, f),
-                        os.path.join(tgt_dir, f"m{tag}-{f}"),
-                    )
-
-        _adopt(other.postings_dir, self.postings_dir)
-        _adopt(other.docmeta_dir, self.docmeta_dir)
-        _adopt(other._deletes_dir, os.path.join(self._deletes_dir, f"m{tag}"))
+        adopt_parquet_tree(other.postings_dir, self.postings_dir, tag)
+        adopt_parquet_tree(other.docmeta_dir, self.docmeta_dir, tag)
+        adopt_parquet_tree(
+            other._deletes_dir, os.path.join(self._deletes_dir, f"m{tag}"), tag
+        )
         for k in ("n_docs", "total_dl", "deletes"):
             if k in meta or k in ometa:
                 meta[k] = int(meta.get(k, 0)) + int(ometa.get(k, 0))

@@ -164,6 +164,48 @@ class VectorIndex:
             self.spark, self.cells_dir, min_files=min_files, prefix=_CELL_PREFIX
         )
 
+    def merge_from(self, other: "VectorIndex") -> "VectorIndex":
+        """Segment merge for the ANN tier: adopt another index's cell
+        files partition-wise — pure renames, zero compute, zero shuffle
+        (operators/search_index.py::adopt_parquet_tree, the same
+        primitive the inverted index merges with). Sound ONLY under the
+        SAME pinned quantizer: cell assignment is a per-row pure function
+        of (vector, centroids), so identical centroids mean identical
+        layout and probe order — the quantizers are compared EXACTLY and
+        a drifted segment refuses loudly (a silent merge would park
+        vectors in cells the probe never visits, which no oracle on the
+        merged index could detect cheaply). Pending erasure sidecars
+        migrate with the cells (ids are corpus-scoped; the disjoint-id
+        precondition makes the sidecar union exact). ``other`` is
+        consumed — its metadata is removed so a stale handle cannot
+        serve."""
+        import uuid
+
+        from analytics_data_platform_spark.operators.search_index import (
+            adopt_parquet_tree,
+        )
+
+        meta, ometa = self.stats(), other.stats()
+        if meta["centroids"] != ometa["centroids"]:
+            raise ValueError(
+                "quantizer mismatch: segments must share the same pinned "
+                "centroids (retrain = new build, not a merge)"
+            )
+        if (meta["id_col"], meta["vec_col"]) != (ometa["id_col"], ometa["vec_col"]):
+            raise ValueError("column-layout mismatch between segments")
+        self._recover_swap()
+        other._recover_swap()
+        tag = uuid.uuid4().hex[:12]
+        adopt_parquet_tree(other.cells_dir, self.cells_dir, tag)
+        adopt_parquet_tree(
+            other._deletes_dir, os.path.join(self._deletes_dir, f"m{tag}"), tag
+        )
+        meta["appends"] = int(meta.get("appends", 0)) + int(ometa.get("appends", 0)) + 1
+        meta["deletes"] = int(meta.get("deletes", 0)) + int(ometa.get("deletes", 0))
+        self._write_meta(meta)
+        os.remove(other._meta_path)
+        return self
+
     # -- erasure (same merge-on-read shape as SearchIndex) -----------------
 
     @property
@@ -254,12 +296,18 @@ class VectorIndex:
     # -- serving ------------------------------------------------------------
 
     class _Io:
-        def __init__(self, outer: "VectorIndex"):
+        def __init__(self, outer: "VectorIndex", where: str | None = None):
             self._outer = outer
+            self._where = where
 
         def read(self, table: str) -> DataFrame:  # noqa: ARG002 — io protocol
             o = self._outer
             df = o.spark.read.parquet(o.cells_dir)
+            if self._where is not None:
+                # metadata filter on the stored columns — a plain scan
+                # predicate, so simple filters (=, IN) push into the
+                # parquet read of the PROBED cells only
+                df = df.where(self._where)
             dels = o._delete_ids()
             if dels is not None:
                 df = df.join(F.broadcast(dels), o.id_col, "left_anti")
@@ -271,15 +319,23 @@ class VectorIndex:
         k: int = 10,
         nprobe: int | None = None,
         score_round: int | None = 4,
+        where: str | None = None,
     ) -> DataFrame:
         """(q_id, vec_id, cos_sim, rank): nprobe-pruned cosine top-k. The
         probe set (queries × nprobe cells) broadcasts; joining on the
         ``_cell`` partition column engages dynamic partition pruning, so
         the scan reads only the probed cell directories (plan-guarded in
-        tests/test_vector_index.py)."""
+        tests/test_vector_index.py).
+
+        ``where`` is a SQL predicate over the stored metadata columns
+        (e.g. ``"label IN (1, 4, 7)"``) — FILTERED vector search: the
+        candidate set narrows BEFORE ranking (never a post-cut filter,
+        which under-fills the page), the quantizer and probe order stay
+        pinned, and a pushable predicate reaches the parquet scan of the
+        probed cells (PushedFilters, plan-guarded)."""
         self.stats()
         return similarity.ivf_table_topk(
-            VectorIndex._Io(self),
+            VectorIndex._Io(self, where),
             "vector_index",
             queries,
             self.centroids,

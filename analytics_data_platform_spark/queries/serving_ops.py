@@ -18,7 +18,14 @@ OPERATIONS a deployed serving tier performs on those indexes —
   cosine from a cell-partitioned IVF probe with dynamic partition
   pruning. The full-scan ``hybrid_rrf_search`` formulation is the
   semantics anchor; this is the shape that survives 100 TB, where
-  neither leg can afford a corpus scan per query batch.
+  neither leg can afford a corpus scan per query batch;
+- ``vector_index_segment_merge`` — the ANN-side segment merge: cell-wise
+  file adoption is sound ONLY under a shared pinned quantizer (cell =
+  pure function of vector × centroids), enforced by exact comparison;
+  pending erasures migrate;
+- ``vector_index_filtered_topk`` — metadata-filtered ANN with
+  pre-filtering semantics: the predicate narrows candidates BEFORE the
+  rank cut and pushes into the probed cells' parquet scan.
 
 Every query follows the registry's temp-dir index pattern (build a real
 on-disk index, serve pruned, return the bounded cut as a literal frame)
@@ -49,6 +56,7 @@ from analytics_data_platform_spark.queries.scale_ops import (
     _IVF_NPROBE,
     _cos_sql,
     _DirIvfIndex,
+    _ivf_sql,
 )
 from analytics_data_platform_spark.queries.search_ops import (
     BM25_SQL,
@@ -505,5 +513,227 @@ register(
         cites="composes inverted_index_bm25_topk + ivf_index_incremental_topk serving paths; RRF rule shared with hybrid_rrf_search",
         tags=("search", "vector", "scale", "topk", "multi_tick"),
         internal_plan=_hybrid_internal_plans,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# vector_index_segment_merge — ANN segment merge under a pinned quantizer
+# ---------------------------------------------------------------------------
+
+
+def _pinned_centroids(e: DataFrame) -> list[list[float]]:
+    rows = (
+        e.where(F.col("vec_id") < _IVF_NLIST)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    return [[float(x) for x in r["embedding"]] for r in rows]
+
+
+def _ann_queries(e: DataFrame) -> DataFrame:
+    return e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+
+
+def vector_index_segment_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEGMENT MERGE on the ANN serving index: two cell-partitioned IVF
+    indexes are built INDEPENDENTLY over disjoint halves (even/odd
+    vec_ids) under the SAME pinned quantizer (the deterministic
+    first-NLIST centroids the ann_ivf_topk contract fixes), the incoming
+    segment takes a merge-on-read erasure (pending, unmaterialized), and
+    ``VectorIndex.merge_from`` folds it in by pure partition-wise file
+    adoption — cell assignment is a per-row pure function of (vector,
+    centroids), so identical centroids mean the adopted files land in
+    exactly the cells the probe will visit. nprobe-pruned serving must
+    equal the in-memory IVF over the surviving union, before and after
+    ``apply_deletes``.
+
+    The oracle is the ann_ivf_topk SQL with the assignment restricted to
+    survivors (queries and the quantizer still come from the full
+    table): a cell file dropped or duplicated in adoption, an erasure
+    sidecar lost in the merge, or a probe that misses adopted files all
+    hash-diverge on the ranked cut.
+    """
+    from analytics_data_platform_spark.operators.vector_index import VectorIndex
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _pinned_centroids(e)
+    q = _ann_queries(e)
+    root_a = tempfile.mkdtemp(prefix="adps-vecmerge-a-")
+    root_b = tempfile.mkdtemp(prefix="adps-vecmerge-b-")
+    try:
+        a = VectorIndex(spark, root_a, nlist=_IVF_NLIST, nprobe=_IVF_NPROBE).build(
+            e.where(F.col("vec_id") % 2 == 0), centroids=cents
+        )
+        b = VectorIndex(spark, root_b, nlist=_IVF_NLIST, nprobe=_IVF_NPROBE).build(
+            e.where(F.col("vec_id") % 2 == 1), centroids=cents
+        )
+        b.delete_vecs(
+            e.where((F.col("vec_id") % 2 == 1) & (F.col("vec_id") % 5 == 3)).select(
+                "vec_id"
+            )
+        )
+        a.merge_from(b)
+        served = a.topk(q, k=10).select("q_id", "vec_id", "cos_sim", "rank")
+        schema = served.schema
+        rows = sorted(tuple(r) for r in served.collect())
+        a.apply_deletes()
+        after = sorted(
+            tuple(r)
+            for r in a.topk(q, k=10)
+            .select("q_id", "vec_id", "cos_sim", "rank")
+            .collect()
+        )
+        assert after == rows, "apply_deletes changed the merged ranking"
+    finally:
+        shutil.rmtree(root_a, ignore_errors=True)
+        shutil.rmtree(root_b, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+def _vector_merge_internal_plans(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _pinned_centroids(e)
+    survivors = e.where(~((F.col("vec_id") % 2 == 1) & (F.col("vec_id") % 5 == 3)))
+    return [
+        (
+            "serve",
+            similarity.ivf_topk(
+                survivors, _ann_queries(e), cents, k=10, nprobe=_IVF_NPROBE,
+                score_round=4,
+            ).select("q_id", "vec_id", "cos_sim", "rank"),
+        )
+    ]
+
+
+def _vector_merge_sql() -> str:
+    sql = _ivf_sql()
+    assert sql.count("WHERE rn = 1") == 1, "ann_ivf_topk oracle shape changed"
+    return sql.replace(
+        "WHERE rn = 1", "WHERE rn = 1 AND NOT (vec_id % 2 = 1 AND vec_id % 5 = 3)"
+    )
+
+
+register(
+    QuerySpec(
+        "vector_index_segment_merge",
+        vector_index_segment_merge,
+        _vector_merge_sql(),
+        doc="fold an independently built IVF segment into the ANN serving index by cell-wise file adoption under a pinned shared quantizer; pending erasures migrate",
+        cites="operators/vector_index.py::merge_from; Faiss merge_into / Lucene segment-merge analog; oracle = ann_ivf_topk SQL over survivors",
+        tags=("vector", "approx", "scale", "topk", "multi_tick"),
+        internal_plan=_vector_merge_internal_plans,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# vector_index_filtered_topk — metadata-filtered ANN (filtered vector search)
+# ---------------------------------------------------------------------------
+
+_ANN_FILTER_LABELS = (1, 4, 7)
+
+
+def vector_index_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search from the serving index: nprobe-pruned
+    cosine top-k with candidates restricted to ``label IN (1, 4, 7)`` —
+    the metadata-filtered ANN every vector store serves (pre-filtering:
+    the predicate narrows candidates BEFORE ranking, so the page fills
+    with k true matches; a post-cut filter would under-fill). The
+    quantizer and probe order stay pinned — a filter must not move
+    anyone's cell — and the pushable IN predicate reaches the parquet
+    scan of the PROBED cells only (PushedFilters + dynamic partition
+    pruning together, plan-guarded in tests/test_vector_index.py).
+
+    The oracle replays the deterministic IVF assignment with the label
+    carried through and the same candidate restriction: a filter applied
+    after the cut, a dropped true match in a probed cell, or an
+    assignment drifted by the filter all hash-diverge.
+    """
+    from analytics_data_platform_spark.operators.vector_index import VectorIndex
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _pinned_centroids(e)
+    q = _ann_queries(e)
+    root = tempfile.mkdtemp(prefix="adps-vecflt-")
+    try:
+        vx = VectorIndex(spark, root, nlist=_IVF_NLIST, nprobe=_IVF_NPROBE).build(
+            e, centroids=cents
+        )
+        served = vx.topk(
+            q, k=10, where=f"label IN {_ANN_FILTER_LABELS}"
+        ).select("q_id", "vec_id", "cos_sim", "rank")
+        schema = served.schema
+        rows = sorted(tuple(r) for r in served.collect())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+def _vector_filtered_internal_plans(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _pinned_centroids(e)
+    # cell assignment is a per-row pure function, so filtering the corpus
+    # first leaves every survivor's cell unchanged — the in-memory
+    # formulation of the same semantics
+    cand = e.where(F.col("label").isin(*_ANN_FILTER_LABELS))
+    return [
+        (
+            "serve",
+            similarity.ivf_topk(
+                cand, _ann_queries(e), cents, k=10, nprobe=_IVF_NPROBE, score_round=4
+            ).select("q_id", "vec_id", "cos_sim", "rank"),
+        )
+    ]
+
+
+def _vector_filtered_sql() -> str:
+    dist = (
+        "list_sum(list_transform(list_zip(e.embedding, c.cemb), "
+        "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+        " * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+    )
+    labels = ", ".join(str(x) for x in _ANN_FILTER_LABELS)
+    return f"""
+WITH c AS (SELECT vec_id AS cell, embedding AS cemb FROM embeddings WHERE vec_id < {_IVF_NLIST}),
+dmat AS (
+  SELECT e.vec_id, e.embedding, e.label, c.cell, {dist} AS dist
+  FROM embeddings e CROSS JOIN c
+),
+assign AS (
+  SELECT vec_id, embedding, label, cell
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn FROM dmat)
+  WHERE rn = 1
+),
+qc AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, cell AS qcell
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+        FROM dmat WHERE vec_id < 5)
+  WHERE rn <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT qc.q_id, a.vec_id, ROUND({_cos_sql('qc.q_emb', 'a.embedding')}, 4) AS cos_sim
+  FROM assign a JOIN qc ON a.cell = qc.qcell AND a.vec_id <> qc.q_id
+  WHERE a.label IN ({labels})
+)
+SELECT q_id, vec_id, cos_sim, rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 10
+"""
+
+
+register(
+    QuerySpec(
+        "vector_index_filtered_topk",
+        vector_index_filtered_topk,
+        _vector_filtered_sql(),
+        doc="metadata-filtered ANN from the IVF serving index: pre-filter candidates (pushed into the probed cells' scan), quantizer and probe order pinned",
+        cites="operators/vector_index.py::topk(where=); filtered vector search (pre-filtering) semantics; oracle replays the deterministic assignment with label carried",
+        tags=("vector", "approx", "scale", "topk", "multi_tick"),
+        internal_plan=_vector_filtered_internal_plans,
     )
 )

@@ -121,3 +121,96 @@ def test_cell_compaction_preserves_serving(spark, tmp_path, sf_dir):
         for r in vx.topk(_queries(e)).select("q_id", "vec_id", "cos_sim", "rank").collect()
     }
     assert got == want
+
+
+def test_merge_from_equals_one_shot_under_shared_quantizer(spark, tmp_path, sf_dir):
+    """ANN segment merge: two independently built indexes under the SAME
+    pinned quantizer fold by file adoption and serve exactly like a
+    one-shot build; a drifted quantizer refuses; the source is consumed."""
+    import pytest
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = VectorIndex(spark, str(tmp_path / "q"), nlist=8, nprobe=NPROBE).build(e)
+    cents = base.centroids
+    a = VectorIndex(spark, str(tmp_path / "a"), nlist=8, nprobe=NPROBE).build(
+        e.where(F.col("vec_id") % 2 == 0), centroids=cents
+    )
+    b = VectorIndex(spark, str(tmp_path / "b"), nlist=8, nprobe=NPROBE).build(
+        e.where(F.col("vec_id") % 2 == 1), centroids=cents
+    )
+    a.merge_from(b)
+    got = {
+        tuple(r)
+        for r in a.topk(_queries(e)).select("q_id", "vec_id", "cos_sim", "rank").collect()
+    }
+    assert got == _expected(e, _queries(e), cents)
+
+    with pytest.raises(FileNotFoundError):
+        b.stats()  # consumed
+
+    drifted = [[c + 0.25 for c in cent] for cent in cents]
+    c_idx = VectorIndex(spark, str(tmp_path / "c"), nlist=8, nprobe=NPROBE).build(
+        e.where(F.col("vec_id") % 3 == 0), centroids=drifted
+    )
+    with pytest.raises(ValueError, match="quantizer mismatch"):
+        a.merge_from(c_idx)
+
+
+def test_merge_from_migrates_pending_erasures(spark, tmp_path, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    base = VectorIndex(spark, str(tmp_path / "q"), nlist=8, nprobe=NPROBE).build(e)
+    cents = base.centroids
+    victims = (F.col("vec_id") % 2 == 1) & (F.col("vec_id") % 5 == 3)
+    a = VectorIndex(spark, str(tmp_path / "a"), nlist=8, nprobe=NPROBE).build(
+        e.where(F.col("vec_id") % 2 == 0), centroids=cents
+    )
+    b = VectorIndex(spark, str(tmp_path / "b"), nlist=8, nprobe=NPROBE).build(
+        e.where(F.col("vec_id") % 2 == 1), centroids=cents
+    )
+    assert b.delete_vecs(e.where(victims).select("vec_id")) > 0
+    a.merge_from(b)
+    want = _expected(e.where(~victims), _queries(e), cents)
+    got = {
+        tuple(r)
+        for r in a.topk(_queries(e)).select("q_id", "vec_id", "cos_sim", "rank").collect()
+    }
+    assert got == want
+    assert a.apply_deletes()
+    after = {
+        tuple(r)
+        for r in a.topk(_queries(e)).select("q_id", "vec_id", "cos_sim", "rank").collect()
+    }
+    assert after == want
+
+
+def test_filtered_topk_prefilters_and_pushes_predicate(spark, tmp_path, sf_dir):
+    """Filtered ANN: the metadata predicate narrows candidates BEFORE the
+    rank cut (page fills with k true matches), the quantizer stays
+    pinned, and the pushable IN predicate reaches the probed cells'
+    parquet scan (PushedFilters) alongside dynamic partition pruning."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vx = VectorIndex(spark, str(tmp_path / "v"), nlist=8, nprobe=NPROBE).build(e)
+    served = vx.topk(_queries(e), where="label IN (1, 4, 7)")
+    rows = served.select("q_id", "vec_id", "cos_sim", "rank").collect()
+    got = {tuple(r) for r in rows}
+    # pre-filter semantics: equals the in-memory IVF over the filtered
+    # corpus (assignment is per-row pure, so survivors' cells are fixed)
+    want = _expected(
+        e.where(F.col("label").isin(1, 4, 7)), _queries(e), vx.centroids
+    )
+    assert got == want
+    labels = {
+        r.label
+        for r in e.join(
+            spark.createDataFrame(
+                [(r.vec_id,) for r in rows], "vec_id long"
+            ),
+            "vec_id",
+            "left_semi",
+        ).collect()
+    }
+    assert labels <= {1, 4, 7}
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan
+    assert "In(label, [1,4,7])" in plan, "label filter must push into the scan"
