@@ -169,7 +169,13 @@ class SearchIndex:
         )
         docs.drop("text").write.mode("overwrite").parquet(self.docmeta_dir)
         self._write_meta(
-            {"mode": self.mode, "buckets": self.buckets, "appends": 0, **totals}
+            {
+                "mode": self.mode,
+                "buckets": self.buckets,
+                "appends": 0,
+                "docmeta": True,
+                **totals,
+            }
         )
         return self
 
@@ -185,7 +191,12 @@ class SearchIndex:
         postings.write.mode("append").partitionBy("bucket").parquet(
             self.postings_dir
         )
-        docs.drop("text").write.mode("append").parquet(self.docmeta_dir)
+        if meta.get("docmeta"):
+            # indexes built before the sidecar existed must not grow a
+            # PARTIAL docmeta (appended docs only) — filtered serving over
+            # one would silently drop every resident doc; such an index
+            # keeps serving unfiltered and bm25(where=) refuses below
+            docs.drop("text").write.mode("append").parquet(self.docmeta_dir)
         meta["appends"] = int(meta.get("appends", 0)) + 1
         for k, v in totals.items():
             meta[k] = int(meta.get(k, 0)) + v
@@ -231,6 +242,9 @@ class SearchIndex:
         for k in ("n_docs", "total_dl", "deletes"):
             if k in meta or k in ometa:
                 meta[k] = int(meta.get(k, 0)) + int(ometa.get(k, 0))
+        # a pre-sidecar segment contributes no docmeta rows — the merged
+        # sidecar would be partial, so filtered serving must refuse
+        meta["docmeta"] = bool(meta.get("docmeta")) and bool(ometa.get("docmeta"))
         meta["appends"] = int(meta.get("appends", 0)) + int(ometa.get("appends", 0)) + 1
         self._write_meta(meta)
         os.remove(other._meta_path)  # consume the source segment
@@ -339,6 +353,12 @@ class SearchIndex:
         )
         candidates = None
         if where is not None:
+            if not meta.get("docmeta"):
+                raise ValueError(
+                    "index predates the doc-metadata sidecar — rebuild to "
+                    "enable filtered serving (a partial sidecar would "
+                    "silently drop resident docs)"
+                )
             candidates = (
                 self.spark.read.parquet(self.docmeta_dir)
                 .where(where)

@@ -119,6 +119,15 @@ QUERIES = [
     "inverted_index_compacted",
     "inverted_index_erasure",
     "vector_index_erasure",
+    # round-9 continuation: the serving-tier composites — segment merge
+    # (driver-side file adoption must serve correctly to separate
+    # executor JVMs), filtered retrieval (pushdown across processes),
+    # and the index-served hybrid (both prunings under a real scheduler)
+    "inverted_index_segment_merge",
+    "inverted_index_filtered_bm25",
+    "index_hybrid_rrf_topk",
+    "vector_index_segment_merge",
+    "vector_index_filtered_topk",
 ]
 
 

@@ -306,3 +306,41 @@ def test_filtered_bm25_narrows_candidates_not_stats(spark, tmp_path, sf_dir):
     # every scored mode build carries the sidecar; a non-scored serve
     # path doesn't grow one silently
     assert os.path.isdir(idx.docmeta_dir)
+
+
+def test_pre_sidecar_index_refuses_filtered_serving(spark, tmp_path, sf_dir):
+    """An index persisted before the docmeta sidecar existed must not
+    grow a PARTIAL sidecar on append (filtered serving over one would
+    silently drop every resident doc) — appends skip the sidecar and
+    bm25(where=) refuses loudly; unfiltered serving is unaffected."""
+    import json
+    import shutil
+
+    d = load_table(spark, sf_dir, "documents")
+    root = str(tmp_path / "legacy")
+    idx = SearchIndex(spark, root, mode="scored").build(
+        d.where(F.col("doc_id") % 2 == 0)
+    )
+    # simulate a pre-sidecar index: drop the sidecar and its meta flag
+    shutil.rmtree(idx.docmeta_dir)
+    meta = idx.stats()
+    del meta["docmeta"]
+    idx._write_meta(meta)
+
+    idx.append(d.where(F.col("doc_id") % 2 == 1))
+    assert not os.path.isdir(idx.docmeta_dir), "append must not grow a partial sidecar"
+    with pytest.raises(ValueError, match="predates the doc-metadata sidecar"):
+        idx.bm25(QUERY_TERMS, where="lang = 'en'")
+    one = SearchIndex(spark, str(tmp_path / "one"), mode="scored").build(d)
+    assert {tuple(r) for r in idx.bm25(QUERY_TERMS).collect()} == {
+        tuple(r) for r in one.bm25(QUERY_TERMS).collect()
+    }
+    # merging a pre-sidecar segment poisons the merged sidecar: refuse too
+    fresh = SearchIndex(spark, str(tmp_path / "fresh"), mode="scored").build(
+        d.where(F.col("doc_id") % 3 == 0)
+    )
+    meta2 = json.loads(open(fresh._meta_path).read())
+    assert meta2["docmeta"] is True
+    fresh.merge_from(idx)
+    with pytest.raises(ValueError, match="predates the doc-metadata sidecar"):
+        fresh.bm25(QUERY_TERMS, where="lang = 'en'")

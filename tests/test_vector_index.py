@@ -214,3 +214,47 @@ def test_filtered_topk_prefilters_and_pushes_predicate(spark, tmp_path, sf_dir):
     plan = served._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in plan
     assert "In(label, [1,4,7])" in plan, "label filter must push into the scan"
+
+
+def test_streaming_foreachbatch_ingest_equals_one_shot(spark, tmp_path, sf_dir):
+    """Structured-Streaming ingest into the ANN serving tier: embedding
+    batches arriving through foreachBatch append into the persistent
+    index under the PINNED quantizer, and serving equals a one-shot
+    build — the production pattern (train offline, assign online) driven
+    by a real stream with a checkpoint."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = f"{sf_dir}/embeddings.parquet"
+    staging = str(tmp_path / "staging")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(staging)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = VectorIndex(spark, str(tmp_path / "q"), nlist=8, nprobe=NPROBE).build(e)
+    cents = base.centroids
+    vx = VectorIndex(spark, str(tmp_path / "v"), nlist=8, nprobe=NPROBE).build(
+        e.where(F.col("vec_id") % 2 == 0), centroids=cents
+    )
+
+    t = pq.read_table(src)
+    odd = pc.equal(pc.bit_wise_and(t.column("vec_id"), 1), 1)
+    pq.write_table(t.filter(odd), f"{staging}/part-000.parquet")
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(staging)
+    q = (
+        stream.writeStream.foreachBatch(lambda bdf, bid: vx.append(bdf))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert vx.stats()["appends"] == 1
+    got = {
+        tuple(r)
+        for r in vx.topk(_queries(e)).select("q_id", "vec_id", "cos_sim", "rank").collect()
+    }
+    assert got == _expected(e, _queries(e), cents)
