@@ -314,3 +314,47 @@ def test_source_jsd_survives_8x(spark, smoke_dir):
     assert dt < BUDGET_S, f"source_token_js_divergence took {dt:.0f}s at 8x"
     assert rows and all(0.0 <= r["jsd_micro"] <= 693148.0 for r in rows)
     print(f"source_token_js_divergence 8x: {len(rows)} sources in {dt:.1f}s")
+
+
+@pytest.fixture(scope="module")
+def smoke_dir_hybrid(smoke_dir, smoke_dir_vec):
+    """Combined view for queries that read both tables (symlinks — the
+    replicated corpora are written once by the other fixtures)."""
+    d = f"{SMOKE_DIR}-hybrid"
+    os.makedirs(d, exist_ok=True)
+    for name, src in (
+        ("documents.parquet", f"{smoke_dir}/documents.parquet"),
+        ("embeddings.parquet", f"{smoke_dir_vec}/embeddings.parquet"),
+    ):
+        link = os.path.join(d, name)
+        if not os.path.islink(link):
+            os.symlink(src, link)
+    return d
+
+
+def test_index_hybrid_rrf_survives_8x(spark, smoke_dir_hybrid):
+    """The index-served hybrid at 8x: two index builds are the only
+    corpus-sized passes; the MLT selection, bucket-pruned BM25 leg,
+    DPP-pruned IVF leg, and fusion must stay output-invariant (3 queries
+    x top-10) inside the budget."""
+    n, dt = _timed(spark, "index_hybrid_rrf_topk", smoke_dir_hybrid)
+    assert n == 30
+    print(f"index_hybrid_rrf_topk 8x: {n} rows in {dt:.1f}s")
+
+
+def test_segment_merge_serves_8x(spark, smoke_dir):
+    """Segment merge at 8x: two half-corpus index builds + O(files)
+    adoption + a pruned serve — the merge itself must add no
+    corpus-sized work on top of the builds."""
+    n, dt = _timed(spark, "inverted_index_segment_merge", smoke_dir)
+    assert n == 30
+    print(f"inverted_index_segment_merge 8x: {n} rows in {dt:.1f}s")
+
+
+def test_filtered_ann_survives_8x(spark, smoke_dir_vec):
+    """Filtered ANN at 8x (16k vectors): the label pre-filter rides the
+    probed cells' scan — cost stays ~nprobe/nlist of the corpus and the
+    page still fills with k true matches per query."""
+    n, dt = _timed(spark, "vector_index_filtered_topk", smoke_dir_vec)
+    assert n == 50
+    print(f"vector_index_filtered_topk 8x: {n} rows in {dt:.1f}s")
