@@ -127,6 +127,22 @@ class SearchIndex:
             raise FileNotFoundError(f"no index at {self.root} — call build()")
         return meta
 
+    def _check_no_pending_merge(self) -> dict:
+        """Mutations must not run over a torn merge: the folded stats
+        already count postings that may not all be adopted yet, so e.g. a
+        delete's exact decrement (computed from a keys-only scan of the
+        PARTIAL index) would silently diverge and never self-heal.
+        Serving stays available (transiently stale, like any MOR read);
+        mutations refuse until merge_from is re-called to finish."""
+        meta = self.stats()
+        pending = meta.get("pending_merge")
+        if pending is not None:
+            raise ValueError(
+                f"a torn merge from {pending['src']} is pending — re-call "
+                "merge_from with that segment before mutating the index"
+            )
+        return meta
+
     # -- build / ingest ---------------------------------------------------
 
     def _rows(self, docs: DataFrame) -> tuple[DataFrame, dict]:
@@ -186,7 +202,7 @@ class SearchIndex:
         corpus stats update associatively from the BATCH alone (doc_ids
         must be disjoint from the resident corpus — the same stable-id
         precondition the incremental pipeline enforces)."""
-        meta = self.stats()
+        meta = self._check_no_pending_merge()
         postings, totals = self._rows(docs)
         postings.write.mode("append").partitionBy("bucket").parquet(
             self.postings_dir
@@ -221,7 +237,17 @@ class SearchIndex:
         is how a per-crawl segment built by an independent job folds into
         the serving tier; even a partition-wise re-append would re-read
         and re-shuffle the posting rows. ``other`` is consumed (its
-        metadata is removed so a stale handle cannot serve)."""
+        metadata is removed so a stale handle cannot serve).
+
+        CRASH SAFETY (the snapshot layer's marker-first discipline): the
+        stats fold + a ``pending_merge`` marker commit atomically BEFORE
+        any file moves, adoption is idempotent (a moved file is gone from
+        the source, so re-adoption moves only leftovers), and the
+        finalize step clears the marker + consumes the source. A crash in
+        any window self-heals by RE-CALLING merge_from with the same
+        segment (the marker pins the source root and the already-folded
+        totals, so nothing double-counts); merging a DIFFERENT segment
+        while one is torn refuses loudly."""
         import uuid
 
         if other.mode != self.mode or other.buckets != self.buckets:
@@ -231,23 +257,50 @@ class SearchIndex:
             )
         self._recover_swap()
         other._recover_swap()
-        meta, ometa = self.stats(), other.stats()
-        tag = uuid.uuid4().hex[:12]
+        meta = self.stats()
+        pending = meta.get("pending_merge")
+        if pending is not None and pending["src"] != os.path.abspath(other.root):
+            raise ValueError(
+                f"a torn merge from {pending['src']} is pending — re-call "
+                "merge_from with that segment to finish it first"
+            )
+        if pending is None:
+            ometa = other.stats()
+            tag = uuid.uuid4().hex[:12]
+            # phase 1 (atomic): fold the totals and pin the intent — if we
+            # die mid-adoption, the recorded fold is already correct and a
+            # retry must not re-add it
+            for k in ("n_docs", "total_dl", "deletes"):
+                if k in meta or k in ometa:
+                    meta[k] = int(meta.get(k, 0)) + int(ometa.get(k, 0))
+            # a pre-sidecar segment contributes no docmeta rows — the
+            # merged sidecar would be partial, so filtered serving refuses
+            meta["docmeta"] = bool(meta.get("docmeta")) and bool(
+                ometa.get("docmeta")
+            )
+            meta["appends"] = (
+                int(meta.get("appends", 0)) + int(ometa.get("appends", 0)) + 1
+            )
+            meta["pending_merge"] = {"src": os.path.abspath(other.root), "tag": tag}
+            self._write_meta(meta)
+        else:
+            tag = pending["tag"]  # resume: totals already folded
 
+        # phase 2 (idempotent): file adoption — moved files are gone from
+        # the source, so a retry moves only what the crash left behind
         adopt_parquet_tree(other.postings_dir, self.postings_dir, tag)
         adopt_parquet_tree(other.docmeta_dir, self.docmeta_dir, tag)
         adopt_parquet_tree(
             other._deletes_dir, os.path.join(self._deletes_dir, f"m{tag}"), tag
         )
-        for k in ("n_docs", "total_dl", "deletes"):
-            if k in meta or k in ometa:
-                meta[k] = int(meta.get(k, 0)) + int(ometa.get(k, 0))
-        # a pre-sidecar segment contributes no docmeta rows — the merged
-        # sidecar would be partial, so filtered serving must refuse
-        meta["docmeta"] = bool(meta.get("docmeta")) and bool(ometa.get("docmeta"))
-        meta["appends"] = int(meta.get("appends", 0)) + int(ometa.get("appends", 0)) + 1
+
+        # phase 3: consume the source, then clear the marker LAST — a
+        # crash here re-runs an empty adoption and re-clears
+        if os.path.exists(other._meta_path):
+            os.remove(other._meta_path)
+        meta = self.stats()
+        meta.pop("pending_merge", None)
         self._write_meta(meta)
-        os.remove(other._meta_path)  # consume the source segment
         return self
 
     def compact(self, min_files: int = 2) -> list[str]:
@@ -415,7 +468,7 @@ class SearchIndex:
         prior = self._delete_ids()
         if prior is not None:
             ids = ids.join(F.broadcast(prior), "doc_id", "left_anti")
-        meta = self.stats()
+        meta = self._check_no_pending_merge()
         postings = self.spark.read.parquet(self.postings_dir)
         if self.mode == "scored":
             hit = (
@@ -466,6 +519,7 @@ class SearchIndex:
         if a rewrite happened."""
         import shutil
 
+        self._check_no_pending_merge()
         self._recover_swap()
         dels = self._delete_ids()
         if dels is None:

@@ -142,7 +142,7 @@ class VectorIndex:
         """Assign the batch against the PINNED centroids (per-row pure
         function — no retraining, no touch of the resident corpus) and
         append partition-wise into the existing cell directories."""
-        meta = self.stats()
+        meta = self._check_no_pending_merge()
         (
             vectors.withColumn("_cell", self._cell_col().cast("int"))
             .write.mode("append")
@@ -178,33 +178,75 @@ class VectorIndex:
         migrate with the cells (ids are corpus-scoped; the disjoint-id
         precondition makes the sidecar union exact). ``other`` is
         consumed — its metadata is removed so a stale handle cannot
-        serve."""
+        serve.
+
+        CRASH SAFETY mirrors SearchIndex.merge_from: counters fold with a
+        ``pending_merge`` marker atomically BEFORE any file moves,
+        adoption is idempotent, finalize clears the marker; any crash
+        self-heals by re-calling merge_from with the same segment, and
+        mutations refuse while a merge is torn."""
         import uuid
 
         from analytics_data_platform_spark.operators.search_index import (
             adopt_parquet_tree,
         )
 
-        meta, ometa = self.stats(), other.stats()
-        if meta["centroids"] != ometa["centroids"]:
+        meta = self.stats()
+        pending = meta.get("pending_merge")
+        if pending is not None and pending["src"] != os.path.abspath(other.root):
             raise ValueError(
-                "quantizer mismatch: segments must share the same pinned "
-                "centroids (retrain = new build, not a merge)"
+                f"a torn merge from {pending['src']} is pending — re-call "
+                "merge_from with that segment to finish it first"
             )
-        if (meta["id_col"], meta["vec_col"]) != (ometa["id_col"], ometa["vec_col"]):
-            raise ValueError("column-layout mismatch between segments")
         self._recover_swap()
         other._recover_swap()
-        tag = uuid.uuid4().hex[:12]
+        if pending is None:
+            ometa = other.stats()
+            if meta["centroids"] != ometa["centroids"]:
+                raise ValueError(
+                    "quantizer mismatch: segments must share the same pinned "
+                    "centroids (retrain = new build, not a merge)"
+                )
+            if (meta["id_col"], meta["vec_col"]) != (
+                ometa["id_col"],
+                ometa["vec_col"],
+            ):
+                raise ValueError("column-layout mismatch between segments")
+            tag = uuid.uuid4().hex[:12]
+            meta["appends"] = (
+                int(meta.get("appends", 0)) + int(ometa.get("appends", 0)) + 1
+            )
+            meta["deletes"] = int(meta.get("deletes", 0)) + int(
+                ometa.get("deletes", 0)
+            )
+            meta["pending_merge"] = {"src": os.path.abspath(other.root), "tag": tag}
+            self._write_meta(meta)
+        else:
+            tag = pending["tag"]  # resume: counters already folded
         adopt_parquet_tree(other.cells_dir, self.cells_dir, tag)
         adopt_parquet_tree(
             other._deletes_dir, os.path.join(self._deletes_dir, f"m{tag}"), tag
         )
-        meta["appends"] = int(meta.get("appends", 0)) + int(ometa.get("appends", 0)) + 1
-        meta["deletes"] = int(meta.get("deletes", 0)) + int(ometa.get("deletes", 0))
+        if os.path.exists(other._meta_path):
+            os.remove(other._meta_path)
+        meta = self.stats()
+        meta.pop("pending_merge", None)
         self._write_meta(meta)
-        os.remove(other._meta_path)
         return self
+
+    def _check_no_pending_merge(self) -> dict:
+        """Mutations refuse over a torn merge (a delete's presence scan
+        over a partially adopted index would under-count and never
+        self-heal); serving stays available. Re-call merge_from with the
+        pinned segment to finish."""
+        meta = self.stats()
+        pending = meta.get("pending_merge")
+        if pending is not None:
+            raise ValueError(
+                f"a torn merge from {pending['src']} is pending — re-call "
+                "merge_from with that segment before mutating the index"
+            )
+        return meta
 
     # -- erasure (same merge-on-read shape as SearchIndex) -----------------
 
@@ -234,7 +276,7 @@ class VectorIndex:
         prior = self._delete_ids()
         if prior is not None:
             ids = ids.join(F.broadcast(prior), self.id_col, "left_anti")
-        meta = self.stats()
+        meta = self._check_no_pending_merge()
         present = (
             self.spark.read.parquet(self.cells_dir)
             .select(self.id_col)
@@ -257,6 +299,7 @@ class VectorIndex:
         directory swap; a torn swap heals on the next call)."""
         import shutil
 
+        self._check_no_pending_merge()
         self._recover_swap()
         dels = self._delete_ids()
         if dels is None:

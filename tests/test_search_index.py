@@ -344,3 +344,85 @@ def test_pre_sidecar_index_refuses_filtered_serving(spark, tmp_path, sf_dir):
     fresh.merge_from(idx)
     with pytest.raises(ValueError, match="predates the doc-metadata sidecar"):
         fresh.bm25(QUERY_TERMS, where="lang = 'en'")
+
+
+def test_merge_crash_windows_self_heal(spark, tmp_path, sf_dir, monkeypatch):
+    """Crash-injection at every merge boundary: (1) mid-adoption — the
+    marker has already folded the stats, so the retry adopts only the
+    leftovers and nothing double-counts; (2) between source-consume and
+    marker-clear — the retry is a no-op finalize. Mutations refuse while
+    the merge is torn; a different segment refuses too."""
+    from analytics_data_platform_spark.operators import search_index as SI
+
+    d = load_table(spark, sf_dir, "documents")
+    a = SearchIndex(spark, str(tmp_path / "a"), mode="scored").build(
+        d.where(F.col("doc_id") % 2 == 0)
+    )
+    b = SearchIndex(spark, str(tmp_path / "b"), mode="scored").build(
+        d.where(F.col("doc_id") % 2 == 1)
+    )
+
+    # (1) die after the FIRST adopted tree (postings moved, docmeta and
+    # deletes not), i.e. mid-adoption
+    real_adopt = SI.adopt_parquet_tree
+    calls = {"n": 0}
+
+    def dying_adopt(src, dst, tag):
+        real_adopt(src, dst, tag)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash mid-adoption")
+
+    monkeypatch.setattr(SI, "adopt_parquet_tree", dying_adopt)
+    with pytest.raises(RuntimeError, match="injected"):
+        a.merge_from(b)
+    monkeypatch.setattr(SI, "adopt_parquet_tree", real_adopt)
+
+    assert "pending_merge" in a.stats()
+    with pytest.raises(ValueError, match="torn merge"):
+        a.append(d.where(F.col("doc_id") % 2 == 1))
+    with pytest.raises(ValueError, match="torn merge"):
+        a.delete_docs([2])
+    with pytest.raises(ValueError, match="torn merge"):
+        a.apply_deletes()
+    c = SearchIndex(spark, str(tmp_path / "c"), mode="scored").build(
+        d.where(F.col("doc_id") % 3 == 0)
+    )
+    with pytest.raises(ValueError, match="pending"):
+        a.merge_from(c)
+
+    # retry with the SAME segment finishes the merge
+    a.merge_from(b)
+    assert "pending_merge" not in a.stats()
+    one = SearchIndex(spark, str(tmp_path / "one"), mode="scored").build(d)
+    assert a.stats()["n_docs"] == one.stats()["n_docs"]
+    assert a.stats()["total_dl"] == one.stats()["total_dl"]
+    got = {tuple(r) for r in a.bm25(QUERY_TERMS).collect()}
+    assert got == {tuple(r) for r in one.bm25(QUERY_TERMS).collect()}
+
+    # (2) die between source-consume and marker-clear
+    a2 = SearchIndex(spark, str(tmp_path / "a2"), mode="scored").build(
+        d.where(F.col("doc_id") % 2 == 0)
+    )
+    b2 = SearchIndex(spark, str(tmp_path / "b2"), mode="scored").build(
+        d.where(F.col("doc_id") % 2 == 1)
+    )
+    import os as _os
+
+    real_remove = _os.remove
+
+    def dying_remove(path):
+        real_remove(path)
+        if path.endswith("_meta.json") and "b2" in path:
+            raise RuntimeError("injected crash post-consume")
+
+    monkeypatch.setattr(SI.os, "remove", dying_remove)
+    with pytest.raises(RuntimeError, match="post-consume"):
+        a2.merge_from(b2)
+    monkeypatch.setattr(SI.os, "remove", real_remove)
+    assert "pending_merge" in a2.stats()
+    a2.merge_from(b2)  # no-op finalize: adoption empty, fold not repeated
+    assert a2.stats()["n_docs"] == one.stats()["n_docs"]
+    assert a2.stats()["total_dl"] == one.stats()["total_dl"]
+    got2 = {tuple(r) for r in a2.bm25(QUERY_TERMS).collect()}
+    assert got2 == got

@@ -258,3 +258,52 @@ def test_streaming_foreachbatch_ingest_equals_one_shot(spark, tmp_path, sf_dir):
         for r in vx.topk(_queries(e)).select("q_id", "vec_id", "cos_sim", "rank").collect()
     }
     assert got == _expected(e, _queries(e), cents)
+
+
+def test_merge_crash_self_heals_without_double_count(spark, tmp_path, sf_dir, monkeypatch):
+    """Crash-injection on the ANN merge: a mid-adoption crash leaves the
+    pending_merge marker (counters already folded once); mutations refuse;
+    re-calling merge_from with the same segment finishes, serves equal to
+    one-shot, and counters are not double-folded."""
+    import pytest
+
+    from analytics_data_platform_spark.operators import search_index as SI
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = VectorIndex(spark, str(tmp_path / "q"), nlist=8, nprobe=NPROBE).build(e)
+    cents = base.centroids
+    a = VectorIndex(spark, str(tmp_path / "a"), nlist=8, nprobe=NPROBE).build(
+        e.where(F.col("vec_id") % 2 == 0), centroids=cents
+    )
+    b = VectorIndex(spark, str(tmp_path / "b"), nlist=8, nprobe=NPROBE).build(
+        e.where(F.col("vec_id") % 2 == 1), centroids=cents
+    )
+
+    real_adopt = SI.adopt_parquet_tree
+
+    def dying_adopt(src, dst, tag):
+        real_adopt(src, dst, tag)
+        raise RuntimeError("injected crash mid-adoption")
+
+    # vector_index resolves adopt_parquet_tree lazily from search_index,
+    # so patching the source module intercepts it
+    monkeypatch.setattr(SI, "adopt_parquet_tree", dying_adopt)
+    with pytest.raises(RuntimeError, match="injected"):
+        a.merge_from(b)
+    monkeypatch.setattr(SI, "adopt_parquet_tree", real_adopt)
+
+    assert "pending_merge" in a.stats()
+    appends_after_fold = a.stats()["appends"]
+    with pytest.raises(ValueError, match="torn merge"):
+        a.append(e.where(F.col("vec_id") % 2 == 1))
+    with pytest.raises(ValueError, match="torn merge"):
+        a.delete_vecs([2])
+
+    a.merge_from(b)
+    assert "pending_merge" not in a.stats()
+    assert a.stats()["appends"] == appends_after_fold, "counters double-folded"
+    got = {
+        tuple(r)
+        for r in a.topk(_queries(e)).select("q_id", "vec_id", "cos_sim", "rank").collect()
+    }
+    assert got == _expected(e, _queries(e), cents)
