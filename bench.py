@@ -58,6 +58,48 @@ def heavy_envelope_alerts(heavy: dict[str, float], hb: dict) -> dict[str, float]
     return alerts
 
 
+def host_calibration(spark) -> dict[str, float]:
+    """Fixed, data-independent reference jobs so a recorded artifact can
+    be read against the host it ran on (observed: identical code, 1.8-2.8×
+    heavy-query spread between boots — co-tenant noise + JIT lottery).
+    Two probes, min of 2 each:
+    - cpu_sec: one-partition codegen'd arithmetic fold (single-core speed
+      + scheduler latency, no shuffle, no disk);
+    - shuffle_sec: small fixed hash aggregation (exchange + task-launch
+      overhead path).
+    Calibration values SCALE the interpretation of the other numbers;
+    they are deliberately not used to rescale them (raw seconds stay
+    honest)."""
+    calib: dict[str, float] = {}
+    for key, job in (
+        (
+            "cpu_sec",
+            lambda: spark.range(0, 20_000_000, 1, 1)
+            .selectExpr("sum(id * 2654435761 % 1000003) AS s")
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        ),
+        (
+            "shuffle_sec",
+            lambda: spark.range(0, 2_000_000, 1, 8)
+            .selectExpr("id % 97 AS k", "id AS v")
+            .groupBy("k")
+            .sum("v")
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        ),
+    ):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            job()
+            best = min(best, time.perf_counter() - t0)
+        calib[key] = round(best, 3)
+    return calib
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
@@ -130,6 +172,7 @@ def main() -> None:
                 "queries": timings,
                 "heavy": heavy,
                 "heavy_alerts": heavy_alerts,
+                "calib": host_calibration(spark),
                 "sf": sf,
             }
         )
