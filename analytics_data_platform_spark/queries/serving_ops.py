@@ -25,7 +25,11 @@ OPERATIONS a deployed serving tier performs on those indexes —
   pending erasures migrate;
 - ``vector_index_filtered_topk`` — metadata-filtered ANN with
   pre-filtering semantics: the predicate narrows candidates BEFORE the
-  rank cut and pushes into the probed cells' parquet scan.
+  rank cut and pushes into the probed cells' parquet scan;
+- ``serving_index_corpus_sync`` — the loop closed: the index maintained
+  from the governed corpus state's per-tick changelog (ingest → dedup →
+  GDPR takedown → serve), ranked serving equal to one-shot BM25 over
+  the final live corpus.
 
 Every query follows the registry's temp-dir index pattern (build a real
 on-disk index, serve pruned, return the bounded cut as a literal frame)
@@ -735,5 +739,140 @@ register(
         cites="operators/vector_index.py::topk(where=); filtered vector search (pre-filtering) semantics; oracle replays the deterministic assignment with label carried",
         tags=("vector", "approx", "scale", "topk", "multi_tick"),
         internal_plan=_vector_filtered_internal_plans,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# serving_index_corpus_sync — the serving index maintained FROM the governed
+# corpus state's changelog (ingest → dedup → evict → serve, end to end)
+# ---------------------------------------------------------------------------
+
+
+def serving_index_corpus_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS→INDEX SYNC: the search index is maintained from the
+    snapshot-backed corpus state's per-tick CHANGELOG — never rebuilt,
+    never diffed against the corpus. Three ticks drive the governed
+    state (``pipelines/incremental.py``): two ingest batches (clean →
+    exact-dedup keeper merge) and a content-keyed GDPR takedown (docs
+    whose normalized fingerprint matches the request set — guaranteed to
+    EVICT live keepers, so the erase leg is never vacuous). After each
+    tick the version-pinned snapshot diff (appeared / evicted doc_ids)
+    is applied to the index: appeared docs append O(batch); evicted
+    keepers become merge-on-read deletes with the exact stats decrement.
+    Ranked serving must then equal a one-shot BM25 over the FINAL live
+    corpus — including idf/avgdl, so an index that missed an eviction
+    (stale idf), double-indexed a retained doc, or filtered results
+    without shifting the statistics hash-diverges.
+
+    This closes the loop the serving and pipeline families built
+    separately: ingest → dedup/govern → erase → SERVE, with every stage
+    already oracle-gated on its own and the composition gated here.
+    At scale each tick's index maintenance is O(changelog), and the
+    changelog itself is a version-pinned snapshot read (no corpus diff).
+    """
+    from analytics_data_platform_spark.pipelines.incremental import (
+        read_state_part,
+        refresh_corpus_state,
+        takedown_corpus_state,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    state = tempfile.mkdtemp(prefix="adps-sync-state-")
+    root = tempfile.mkdtemp(prefix="adps-sync-idx-")
+    try:
+        refresh_corpus_state(spark, state, docs.where(F.col("doc_id") % 2 == 0), 0)
+        prev = read_state_part(spark, state, "live", 0)
+        idx = SearchIndex(spark, root, mode="scored").build(prev)
+
+        refresh_corpus_state(spark, state, docs.where(F.col("doc_id") % 2 == 1), 1)
+        takedown_corpus_state(spark, state, docs.where(F.col("doc_id") % 97 == 0), 2)
+        n_evicted = 0
+        for tick in (1, 2):
+            cur = read_state_part(spark, state, "live", tick)
+            prev_ids = prev.select("doc_id")
+            appeared = cur.join(prev_ids, "doc_id", "left_anti")
+            evicted = prev_ids.join(cur.select("doc_id"), "doc_id", "left_anti")
+            idx.append(appeared)
+            n_evicted += idx.delete_docs(evicted)
+            prev = cur
+        assert n_evicted > 0, "takedown tick must evict live keepers"
+
+        served = idx.bm25(QUERY_TERMS)
+        schema = served.schema
+        rows = sorted(tuple(r) for r in served.collect())
+        idx.apply_deletes()
+        after = sorted(tuple(r) for r in idx.bm25(QUERY_TERMS).collect())
+        assert after == rows, "apply_deletes changed the synced ranking"
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+def _sync_internal_plans(spark, sf_dir):
+    """The serve plan over the one-shot live set; the state machinery's
+    own tick plans are audited under the refresh/changelog entries."""
+    from analytics_data_platform_spark.operators import dedup
+    from analytics_data_platform_spark.queries.corpus_ops import c4_core_pass
+    from analytics_data_platform_spark.queries.search_ops import _bm25_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    cleaned = d.where(F.length(F.trim("text")) > 0).where(c4_core_pass("text"))
+    tdfp = (
+        d.where(F.col("doc_id") % 97 == 0)
+        .select(dedup.fingerprint_col("text").alias("_fp"))
+        .distinct()
+    )
+    fp = cleaned.select("doc_id", dedup.fingerprint_col("text").alias("_fp"))
+    keep = (
+        fp.join(F.broadcast(tdfp), "_fp", "left_anti")
+        .groupBy("_fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    live = cleaned.join(keep, "doc_id", "left_semi")
+    scored = _bm25_scores(spark, live, _query_frame(spark))
+    return [("serve", topk_per_query(scored, TOPK, "q_id", "doc_id", "score"))]
+
+
+def _sync_sql() -> str:
+    from analytics_data_platform_spark.queries.pipeline_ops import (
+        _CLEAN_WHERE,
+        _FP_SQL,
+    )
+
+    s = BM25_SQL
+    assert s.count("FROM documents") == 1, "BM25 oracle shape changed"
+    s = s.replace("FROM documents", "FROM dd")
+    dd_chain = f"""basex AS (
+  SELECT doc_id, text, string_split(trim(text), ' ') AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+cleanx AS (
+  SELECT doc_id, text, {_FP_SQL} AS fp FROM basex WHERE {_CLEAN_WHERE}
+),
+tdfpx AS (
+  SELECT DISTINCT {_FP_SQL} AS tfp FROM documents WHERE doc_id % 97 = 0
+),
+keepx AS (
+  SELECT MIN(doc_id) AS doc_id FROM cleanx
+  WHERE fp NOT IN (SELECT tfp FROM tdfpx WHERE tfp IS NOT NULL)
+  GROUP BY fp
+),
+dd AS (SELECT c.doc_id, c.text FROM cleanx c JOIN keepx k ON c.doc_id = k.doc_id)"""
+    assert s.count("WITH toks AS (") == 1, "BM25 oracle shape changed"
+    return s.replace("WITH toks AS (", f"WITH {dd_chain},\ntoks AS (", 1)
+
+
+register(
+    QuerySpec(
+        "serving_index_corpus_sync",
+        serving_index_corpus_sync,
+        _sync_sql(),
+        doc="search index maintained from the corpus state's per-tick changelog (append appeared, erase evicted); ranked serving equals one-shot BM25 over the final live corpus",
+        cites="composes pipelines/incremental.py state versions with operators/search_index.py; the ingest→govern→serve loop end to end",
+        tags=("search", "pipeline", "scale", "topk", "multi_tick"),
+        internal_plan=_sync_internal_plans,
     )
 )
