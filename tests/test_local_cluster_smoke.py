@@ -128,6 +128,9 @@ QUERIES = [
     "index_hybrid_rrf_topk",
     "vector_index_segment_merge",
     "vector_index_filtered_topk",
+    # the ingest→govern→serve loop: snapshot-state ticks + index
+    # maintenance + takedown cascade, end to end across executor JVMs
+    "serving_index_corpus_sync",
 ]
 
 

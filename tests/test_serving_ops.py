@@ -116,3 +116,66 @@ def test_filtered_bm25_sees_appended_docmeta(spark, tmp_path, sf_dir):
     # at least one appended (odd) doc must be rankable, or the fixture
     # proves nothing about the appended sidecar
     assert any(r[1] % 2 == 1 for r in got)
+
+
+def test_streaming_corpus_to_index_sync(spark, tmp_path, sf_dir):
+    """The sync loop driven by a REAL stream: each foreachBatch tick
+    folds the batch into the governed corpus state AND applies the
+    version diff to the serving index in the same body — the deployment
+    shape of serving_index_corpus_sync. Final ranked serving equals a
+    one-shot index built over the final live set."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from analytics_data_platform_spark.pipelines.incremental import (
+        read_state_part,
+        refresh_corpus_state,
+    )
+
+    src = f"{sf_dir}/documents.parquet"
+    staging = str(tmp_path / "staging")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    os.makedirs(staging)
+    idx = SearchIndex(spark, str(tmp_path / "idx"), mode="scored")
+
+    def tick(bdf, bid):
+        refresh_corpus_state(spark, state, bdf, bid)
+        cur = read_state_part(spark, state, "live", bid)
+        if bid == 0:
+            idx.build(cur)
+            return
+        prev = read_state_part(spark, state, "live", bid - 1)
+        idx.append(cur.join(prev.select("doc_id"), "doc_id", "left_anti"))
+        idx.delete_docs(
+            prev.select("doc_id").join(cur.select("doc_id"), "doc_id", "left_anti")
+        )
+
+    t = pq.read_table(src)
+    even = pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 0)
+
+    def drain():
+        stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(
+            staging
+        )
+        q = (
+            stream.writeStream.foreachBatch(tick)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    pq.write_table(t.filter(even), f"{staging}/part-000.parquet")
+    drain()
+    pq.write_table(t.filter(pc.invert(even)), f"{staging}/part-001.parquet")
+    drain()
+
+    final_live = read_state_part(spark, state, "live", 1)
+    one = SearchIndex(spark, str(tmp_path / "one"), mode="scored").build(final_live)
+    assert idx.stats()["n_docs"] == one.stats()["n_docs"]
+    assert idx.stats()["total_dl"] == one.stats()["total_dl"]
+    got = {tuple(r) for r in idx.bm25(QUERY_TERMS).collect()}
+    assert got == {tuple(r) for r in one.bm25(QUERY_TERMS).collect()}
