@@ -250,6 +250,10 @@ class SearchIndex:
         while one is torn refuses loudly."""
         import uuid
 
+        if os.path.abspath(other.root) == os.path.abspath(self.root):
+            # adopting from ourselves would move files into the tree being
+            # walked — refuse before any state changes
+            raise ValueError("cannot merge an index into itself")
         if other.mode != self.mode or other.buckets != self.buckets:
             raise ValueError(
                 f"layout mismatch: ({self.mode}, {self.buckets}) vs "
@@ -294,10 +298,16 @@ class SearchIndex:
             other._deletes_dir, os.path.join(self._deletes_dir, f"m{tag}"), tag
         )
 
-        # phase 3: consume the source, then clear the marker LAST — a
-        # crash here re-runs an empty adoption and re-clears
+        # phase 3: consume the source (remove its metadata FIRST so a
+        # crash mid-husk-cleanup still leaves it unservable, then the
+        # empty husk — adopted data files are already gone), then clear
+        # the marker LAST — a crash here re-runs an empty adoption and
+        # re-clears
         if os.path.exists(other._meta_path):
             os.remove(other._meta_path)
+        import shutil
+
+        shutil.rmtree(other.root, ignore_errors=True)
         meta = self.stats()
         meta.pop("pending_merge", None)
         self._write_meta(meta)

@@ -191,6 +191,8 @@ class VectorIndex:
             adopt_parquet_tree,
         )
 
+        if os.path.abspath(other.root) == os.path.abspath(self.root):
+            raise ValueError("cannot merge an index into itself")
         meta = self.stats()
         pending = meta.get("pending_merge")
         if pending is not None and pending["src"] != os.path.abspath(other.root):
@@ -229,6 +231,9 @@ class VectorIndex:
         )
         if os.path.exists(other._meta_path):
             os.remove(other._meta_path)
+        import shutil
+
+        shutil.rmtree(other.root, ignore_errors=True)
         meta = self.stats()
         meta.pop("pending_merge", None)
         self._write_meta(meta)

@@ -240,6 +240,9 @@ def test_merge_from_equals_one_shot_and_consumes_source(spark, tmp_path, sf_dir)
     c = SearchIndex(spark, str(tmp_path / "c"), mode="boolean").build(d)
     with pytest.raises(ValueError, match="layout mismatch"):
         a.merge_from(c)
+    with pytest.raises(ValueError, match="into itself"):
+        a.merge_from(a)
+    assert not os.path.isdir(str(tmp_path / "b")), "consumed segment husk remains"
 
 
 def test_merge_from_migrates_pending_deletes(spark, tmp_path, sf_dir):
