@@ -315,15 +315,37 @@ class SearchIndex:
 
     def compact(self, min_files: int = 2) -> list[str]:
         """Rewrite buckets that accumulated small append files (atomic
-        per-bucket swaps; torn swaps heal on the next call). Serving
-        results are unchanged — tables/maintenance.py::compact_posting_buckets."""
+        per-bucket swaps; torn swaps heal on the next call), and compact
+        the flat docmeta sidecar the same way (one file per append tick
+        otherwise — the filter scan's small-file debt). Serving results
+        are unchanged — tables/maintenance.py::compact_posting_buckets."""
+        import shutil
+
         from analytics_data_platform_spark.tables.maintenance import (
             compact_posting_buckets,
         )
 
-        return compact_posting_buckets(
+        done = compact_posting_buckets(
             self.spark, self.postings_dir, min_files=min_files
         )
+        self._recover_dir_swap(self.docmeta_dir, "docmeta")
+        if os.path.isdir(self.docmeta_dir):
+            n_files = sum(
+                1 for f in os.listdir(self.docmeta_dir) if f.endswith(".parquet")
+            )
+            if n_files >= max(2, min_files):
+                staged = os.path.join(self.root, "_stage.docmeta")
+                (
+                    self.spark.read.parquet(self.docmeta_dir)
+                    .coalesce(1)
+                    .write.parquet(staged)
+                )
+                old = os.path.join(self.root, "_old.docmeta")
+                os.rename(self.docmeta_dir, old)
+                os.rename(staged, self.docmeta_dir)
+                shutil.rmtree(old)
+                done.append(f"docmeta: {n_files} -> 1")
+        return done
 
     # -- serving (every read prunes to the query terms' buckets) ----------
 
@@ -554,14 +576,18 @@ class SearchIndex:
         return True
 
     def _recover_swap(self) -> None:
+        for live, tag in ((self.postings_dir, "postings"), (self.docmeta_dir, "docmeta")):
+            self._recover_dir_swap(live, tag)
+
+    def _recover_dir_swap(self, live_dir: str, tag: str) -> None:
         import shutil
 
-        old = os.path.join(self.root, "_old.postings")
-        staged = os.path.join(self.root, "_stage.postings")
+        old = os.path.join(self.root, f"_old.{tag}")
+        staged = os.path.join(self.root, f"_stage.{tag}")
         if os.path.isdir(old):
-            if os.path.isdir(self.postings_dir):
+            if os.path.isdir(live_dir):
                 shutil.rmtree(old)  # install completed; drop retired copy
             else:
-                os.rename(old, self.postings_dir)  # died before install
+                os.rename(old, live_dir)  # died before install
         if os.path.isdir(staged):
             shutil.rmtree(staged)  # staged-but-never-installed rewrite

@@ -429,3 +429,34 @@ def test_merge_crash_windows_self_heal(spark, tmp_path, sf_dir, monkeypatch):
     assert a2.stats()["total_dl"] == one.stats()["total_dl"]
     got2 = {tuple(r) for r in a2.bm25(QUERY_TERMS).collect()}
     assert got2 == got
+
+
+def test_compact_also_compacts_docmeta(spark, tmp_path, sf_dir):
+    """Appends leave one docmeta file per tick; compact() rewrites the
+    flat sidecar behind the same atomic-swap discipline, and filtered
+    serving is unchanged — including a torn-swap recovery window."""
+    import shutil
+
+    d = load_table(spark, sf_dir, "documents")
+    idx = SearchIndex(spark, str(tmp_path / "c"), mode="scored")
+    idx.build(d.where(F.col("doc_id") % 3 == 0))
+    for tick in (1, 2):
+        idx.append(d.where(F.col("doc_id") % 3 == tick))
+    want = {tuple(r) for r in idx.bm25(QUERY_TERMS, where="lang = 'en'").collect()}
+
+    n_before = sum(1 for f in os.listdir(idx.docmeta_dir) if f.endswith(".parquet"))
+    assert n_before >= 3
+    done = idx.compact()
+    assert any(x.startswith("docmeta:") for x in done)
+    n_after = sum(1 for f in os.listdir(idx.docmeta_dir) if f.endswith(".parquet"))
+    assert n_after == 1
+    got = {tuple(r) for r in idx.bm25(QUERY_TERMS, where="lang = 'en'").collect()}
+    assert got == want
+
+    # torn swap: retired dir present, live dir missing -> recovery restores
+    old = os.path.join(idx.root, "_old.docmeta")
+    os.rename(idx.docmeta_dir, old)
+    idx._recover_swap()
+    assert os.path.isdir(idx.docmeta_dir) and not os.path.isdir(old)
+    got2 = {tuple(r) for r in idx.bm25(QUERY_TERMS, where="lang = 'en'").collect()}
+    assert got2 == want
