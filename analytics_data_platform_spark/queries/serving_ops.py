@@ -29,7 +29,12 @@ OPERATIONS a deployed serving tier performs on those indexes —
 - ``serving_index_corpus_sync`` — the loop closed: the index maintained
   from the governed corpus state's per-tick changelog (ingest → dedup →
   GDPR takedown → serve), ranked serving equal to one-shot BM25 over
-  the final live corpus.
+  the final live corpus;
+- ``ann_sq8_topk`` / ``ann_truncated_rerank_topk`` — the compression and
+  two-stage serving tiers below the index: symmetric-int8 quantized
+  scoring (integer dot/norms — 4× smaller hot column) and
+  Matryoshka-style truncate-then-rerank (16-dim first stage, exact
+  re-rank of a 50-candidate pool).
 
 Every query follows the registry's temp-dir index pattern (build a real
 on-disk index, serve pruned, return the bounded cut as a literal frame)
@@ -874,5 +879,230 @@ register(
         cites="composes pipelines/incremental.py state versions with operators/search_index.py; the ingest→govern→serve loop end to end",
         tags=("search", "pipeline", "scale", "topk", "multi_tick"),
         internal_plan=_sync_internal_plans,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# ann_sq8_topk — int8 scalar-quantized ANN (the storage-compression tier)
+# ---------------------------------------------------------------------------
+
+
+def _sq8_codes(vec_col: str):
+    """Per-vector symmetric int8 quantization: scale = max|x_i|, code_i =
+    round(x_i·127/scale) ∈ [-127, 127]. The scale is let-bound (one
+    evaluation per row — functions/expr.py::bind) so CollapseProject
+    cannot re-run the array_max per element. Scoring then happens on
+    INTEGER codes, which is what makes cross-engine parity robust: the
+    quantized cosine is a pure function of exact ints."""
+    from analytics_data_platform_spark.functions.expr import bind
+
+    c = F.col(vec_col)
+    scale = F.array_max(F.transform(c, lambda x: F.abs(x.cast("double"))))
+    return bind(
+        scale,
+        lambda s: F.when(
+            s > 0,
+            F.transform(c, lambda x: F.round(x.cast("double") * 127.0 / s).cast("int")),
+        ).otherwise(F.transform(c, lambda x: F.lit(0))),
+    )
+
+
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) approximate top-k — the storage-compression
+    serving tier every vector store offers below full-precision: each
+    vector is symmetric-int8 quantized (per-vector max-abs scale, 4×
+    smaller than float32, 8× smaller at rest than the double math), and
+    retrieval ranks by the cosine of the CODES. Scoring is integer dot
+    products and integer squared norms — exact in both engines — so the
+    only float ops are two sqrts and one division over exact integers,
+    and the rounded ranking cannot drift across engines.
+
+    At 100 TB the quantized column is what lives hot (a 4× scan-bytes
+    reduction on every query); recall loss vs full precision is the
+    measured trade (``ann_recall_at_10``'s harness applies). The oracle
+    replays the identical quantization rule and integer scoring in
+    DuckDB — a drifted scale, a wrong rounding mode, or scoring in
+    floats all hash-diverge on the ranked cut.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    coded = e.select("vec_id", _sq8_codes("embedding").alias("codes"))
+    q = coded.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("codes").alias("q_codes")
+    )
+    idot = F.aggregate(
+        F.zip_with("q_codes", "codes", lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda col: F.aggregate(  # noqa: E731 — integer squared norm
+        F.transform(col, lambda x: (x * x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    coded_n = coded.withColumn("c_sq", sq("codes"))
+    q_n = q.withColumn("q_sq", sq("q_codes"))
+    cos = F.when(
+        (F.col("q_sq") > 0) & (F.col("c_sq") > 0),
+        idot
+        / (F.sqrt(F.col("q_sq").cast("double")) * F.sqrt(F.col("c_sq").cast("double"))),
+    )
+    scored = coded_n.join(
+        F.broadcast(q_n), F.col("vec_id") != F.col("q_id")
+    ).select("q_id", "vec_id", F.round(cos, 4).alias("cos_sim"))
+    return topk_per_query(scored, TOPK, "q_id", "vec_id", "cos_sim").select(
+        "q_id", "vec_id", "cos_sim", "rank"
+    )
+
+
+_SQ8_CODES_SQL = """
+SELECT vec_id,
+       CASE WHEN s > 0
+            THEN list_transform(embedding,
+                                x -> CAST(ROUND(CAST(x AS DOUBLE) * 127.0 / s) AS INTEGER))
+            ELSE list_transform(embedding, x -> 0) END AS codes
+FROM (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))) AS s
+  FROM embeddings
+)
+"""
+
+ANN_SQ8_SQL = f"""
+WITH coded AS ({_SQ8_CODES_SQL}),
+stats AS (
+  SELECT vec_id, codes,
+         CAST(list_sum(list_transform(codes, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS c_sq
+  FROM coded
+),
+q AS (SELECT vec_id AS q_id, codes AS q_codes, c_sq AS q_sq FROM stats WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, c.vec_id,
+         ROUND(
+           CASE WHEN q.q_sq > 0 AND c.c_sq > 0 THEN
+             CAST(list_sum(list_transform(list_zip(q.q_codes, c.codes),
+                                          x -> CAST(x[1] AS BIGINT) * x[2])) AS BIGINT)
+             / (sqrt(CAST(q.q_sq AS DOUBLE)) * sqrt(CAST(c.c_sq AS DOUBLE)))
+           END, 4) AS cos_sim
+  FROM stats c JOIN q ON c.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, cos_sim, rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC NULLS LAST, vec_id ASC) AS rank
+      FROM scored)
+WHERE rank <= {TOPK}
+"""
+
+register(
+    QuerySpec(
+        "ann_sq8_topk",
+        ann_sq8_topk,
+        ANN_SQ8_SQL,
+        doc="symmetric-int8 scalar-quantized ANN top-k: integer dot/norm scoring over 4x-compressed codes; per-vector max-abs scale",
+        cites="Faiss ScalarQuantizer QT_8bit analog; training-data ops: embedding storage compression",
+        tags=("vector", "approx", "scale", "topk"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# ann_truncated_rerank_topk — Matryoshka-style truncate-then-rerank
+# ---------------------------------------------------------------------------
+
+TRUNC_DIMS = 16
+RERANK_POOL = 50
+
+
+def ann_truncated_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-STAGE retrieval with dimension truncation (the Matryoshka /
+    adaptive-retrieval pattern): stage 1 ranks by cosine over only the
+    FIRST 16 of 64 dimensions — a 4× cheaper scan that at 100 TB is the
+    difference between reading 25 TB and 100 TB per query batch — and
+    keeps a 50-candidate pool per query; stage 2 re-ranks ONLY that pool
+    with full-precision cosine and cuts to top-10. Both stages rank on
+    ROUNDed scores with id tie-breaks, so the candidate pool (not just
+    the final cut) is deterministic across engines.
+
+    The oracle replays both stages in DuckDB (list slicing + the same
+    rounded ranking). A stage-1 cut on unrounded scores, a pool size
+    drift, or a re-rank that rescores the whole corpus hash-diverges.
+    """
+    from analytics_data_platform_spark.functions import vectors as V
+
+    e = load_table(spark, sf_dir, "embeddings")
+    t = e.select("vec_id", F.slice("embedding", 1, TRUNC_DIMS).alias("t_emb"))
+    tq = t.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("t_emb").alias("q_t"),
+        V.norm("t_emb").alias("q_tn"),
+    )
+    tc = t.select("vec_id", "t_emb", V.norm("t_emb").alias("c_tn"))
+    t_cos = F.when(
+        (F.col("q_tn") > 0) & (F.col("c_tn") > 0),
+        V.dot("q_t", "t_emb") / (F.col("q_tn") * F.col("c_tn")),
+    )
+    t_scored = tc.join(F.broadcast(tq), F.col("vec_id") != F.col("q_id")).select(
+        "q_id", "vec_id", F.round(t_cos, 4).alias("t_sim")
+    )
+    pool = topk_per_query(
+        t_scored, RERANK_POOL, "q_id", "vec_id", "t_sim"
+    ).select("q_id", "vec_id")
+
+    fq = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        V.norm("embedding").alias("q_n"),
+    )
+    fc = e.select("vec_id", "embedding", V.norm("embedding").alias("c_n"))
+    f_cos = F.when(
+        (F.col("q_n") > 0) & (F.col("c_n") > 0),
+        V.dot("q_emb", "embedding") / (F.col("q_n") * F.col("c_n")),
+    )
+    reranked = (
+        pool.join(fc, "vec_id")
+        .join(F.broadcast(fq), "q_id")
+        .select("q_id", "vec_id", F.round(f_cos, 4).alias("cos_sim"))
+    )
+    return topk_per_query(reranked, TOPK, "q_id", "vec_id", "cos_sim").select(
+        "q_id", "vec_id", "cos_sim", "rank"
+    )
+
+
+ANN_TRUNC_RERANK_SQL = f"""
+WITH t AS (
+  SELECT vec_id, embedding[1:{TRUNC_DIMS}] AS t_emb, embedding FROM embeddings
+),
+tq AS (SELECT vec_id AS q_id, t_emb AS q_t, embedding AS q_emb FROM t WHERE vec_id < 5),
+t_scored AS (
+  SELECT tq.q_id, c.vec_id,
+         ROUND({_cos_sql('tq.q_t', 'c.t_emb')}, 4) AS t_sim
+  FROM t c JOIN tq ON c.vec_id <> tq.q_id
+),
+pool AS (
+  SELECT q_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY t_sim DESC NULLS LAST, vec_id ASC) AS rnk
+    FROM t_scored
+  ) WHERE rnk <= {RERANK_POOL}
+),
+reranked AS (
+  SELECT p.q_id, p.vec_id,
+         ROUND({_cos_sql('tq.q_emb', 'c.embedding')}, 4) AS cos_sim
+  FROM pool p
+  JOIN t c ON c.vec_id = p.vec_id
+  JOIN tq ON tq.q_id = p.q_id
+)
+SELECT q_id, vec_id, cos_sim, rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC NULLS LAST, vec_id ASC) AS rank
+      FROM reranked)
+WHERE rank <= {TOPK}
+"""
+
+register(
+    QuerySpec(
+        "ann_truncated_rerank_topk",
+        ann_truncated_rerank_topk,
+        ANN_TRUNC_RERANK_SQL,
+        doc="Matryoshka-style two-stage retrieval: 16-dim truncated cosine pools 50 candidates (4x cheaper scan), full-precision re-rank cuts to top-10",
+        cites="adaptive retrieval / MRL serving pattern; training-data ops: cheap first-stage ANN",
+        tags=("vector", "approx", "scale", "topk"),
     )
 )
