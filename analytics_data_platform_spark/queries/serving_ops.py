@@ -1106,3 +1106,176 @@ register(
         tags=("vector", "approx", "scale", "topk"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# ivf_sq8_topk — coarse-pruned + int8-compressed serving (Faiss IVF,SQ8)
+# ---------------------------------------------------------------------------
+
+
+def ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8: the production combination of the two cost levers — the
+    coarse quantizer prunes the scan to nprobe/nlist cell directories
+    (dynamic partition pruning, the ann_ivf_topk contract with the same
+    deterministic pinned centroids) AND the cells store symmetric-int8
+    CODES instead of float vectors (4× smaller resident bytes, integer
+    scoring). Assignment runs on the full-precision vectors (the
+    standard layout: coarse quantize originals, compress residents);
+    queries are quantized with the same rule, so scoring is a pure
+    function of exact ints in both engines.
+
+    At 100 TB this tier reads nprobe/nlist × 1/4 of the raw bytes per
+    query batch. The oracle replays the deterministic assignment AND the
+    quantization rule in DuckDB, scoring the same probed pairs with the
+    same integer math — a cell file holding floats, a drifted scale, or
+    a probe that reads an unprobed cell all hash-diverge.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _pinned_centroids(e)
+    idx_dir = tempfile.mkdtemp(prefix="adps-ivfsq8-")
+    try:
+        sq = lambda col: F.aggregate(  # noqa: E731 — integer squared norm
+            F.transform(col, lambda x: (x * x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        cell = similarity.assign_centroid_col("embedding", cents).cast("int")
+        coded = e.select(
+            "vec_id",
+            cell.alias("_cell"),
+            _sq8_codes("embedding").alias("codes"),
+        ).withColumn("c_sq", sq("codes"))
+        coded.write.partitionBy("_cell").mode("overwrite").parquet(idx_dir)
+
+        q = e.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+        probes = similarity._probe_queries(q, cents, _IVF_NPROBE, "q_id", "q_emb")
+        probes = probes.select(
+            "q_id", "_qcell", _sq8_codes("q_emb").alias("q_codes")
+        ).withColumn("q_sq", sq("q_codes"))
+
+        table = spark.read.parquet(idx_dir)
+        idot = F.aggregate(
+            F.zip_with("q_codes", "codes", lambda a, b: (a * b).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        cos = F.when(
+            (F.col("q_sq") > 0) & (F.col("c_sq") > 0),
+            idot
+            / (
+                F.sqrt(F.col("q_sq").cast("double"))
+                * F.sqrt(F.col("c_sq").cast("double"))
+            ),
+        )
+        scored = table.join(
+            F.broadcast(probes),
+            (F.col("_cell") == F.col("_qcell")) & (F.col("vec_id") != F.col("q_id")),
+        ).select("q_id", "vec_id", F.round(cos, 4).alias("cos_sim"))
+        out = topk_per_query(scored, TOPK, "q_id", "vec_id", "cos_sim").select(
+            "q_id", "vec_id", "cos_sim", "rank"
+        )
+        schema = out.schema
+        rows = [tuple(r) for r in out.collect()]  # bounded: 5 queries × 10
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+def _ivf_sq8_internal_plans(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _pinned_centroids(e)
+    sq = lambda col: F.aggregate(  # noqa: E731
+        F.transform(col, lambda x: (x * x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cell = similarity.assign_centroid_col("embedding", cents).cast("int")
+    coded = e.select(
+        "vec_id", cell.alias("_cell"), _sq8_codes("embedding").alias("codes")
+    ).withColumn("c_sq", sq("codes"))
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    probes = similarity._probe_queries(q, cents, _IVF_NPROBE, "q_id", "q_emb")
+    probes = probes.select(
+        "q_id", "_qcell", _sq8_codes("q_emb").alias("q_codes")
+    ).withColumn("q_sq", sq("q_codes"))
+    idot = F.aggregate(
+        F.zip_with("q_codes", "codes", lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos = F.when(
+        (F.col("q_sq") > 0) & (F.col("c_sq") > 0),
+        idot
+        / (F.sqrt(F.col("q_sq").cast("double")) * F.sqrt(F.col("c_sq").cast("double"))),
+    )
+    scored = coded.join(
+        F.broadcast(probes),
+        (F.col("_cell") == F.col("_qcell")) & (F.col("vec_id") != F.col("q_id")),
+    ).select("q_id", "vec_id", F.round(cos, 4).alias("cos_sim"))
+    return [("serve", topk_per_query(scored, TOPK, "q_id", "vec_id", "cos_sim"))]
+
+
+def _ivf_sq8_sql() -> str:
+    dist = (
+        "list_sum(list_transform(list_zip(e.embedding, c.cemb), "
+        "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+        " * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+    )
+    return f"""
+WITH c AS (SELECT vec_id AS cell, embedding AS cemb FROM embeddings WHERE vec_id < {_IVF_NLIST}),
+dmat AS (
+  SELECT e.vec_id, e.embedding, c.cell, {dist} AS dist
+  FROM embeddings e CROSS JOIN c
+),
+assign AS (
+  SELECT vec_id, cell
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn FROM dmat)
+  WHERE rn = 1
+),
+qc AS (
+  SELECT vec_id AS q_id, cell AS qcell
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+        FROM dmat WHERE vec_id < 5)
+  WHERE rn <= {_IVF_NPROBE}
+),
+coded AS ({_SQ8_CODES_SQL}),
+stats AS (
+  SELECT vec_id, codes,
+         CAST(list_sum(list_transform(codes, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS c_sq
+  FROM coded
+),
+scored AS (
+  SELECT qc.q_id, a.vec_id,
+         ROUND(
+           CASE WHEN qs.c_sq > 0 AND cs.c_sq > 0 THEN
+             CAST(list_sum(list_transform(list_zip(qs.codes, cs.codes),
+                                          x -> CAST(x[1] AS BIGINT) * x[2])) AS BIGINT)
+             / (sqrt(CAST(qs.c_sq AS DOUBLE)) * sqrt(CAST(cs.c_sq AS DOUBLE)))
+           END, 4) AS cos_sim
+  FROM assign a
+  JOIN qc ON a.cell = qc.qcell AND a.vec_id <> qc.q_id
+  JOIN stats cs ON cs.vec_id = a.vec_id
+  JOIN stats qs ON qs.vec_id = qc.q_id
+)
+SELECT q_id, vec_id, cos_sim, rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC NULLS LAST, vec_id ASC) AS rank
+      FROM scored)
+WHERE rank <= {TOPK}
+"""
+
+
+register(
+    QuerySpec(
+        "ivf_sq8_topk",
+        ivf_sq8_topk,
+        _ivf_sq8_sql(),
+        doc="IVF-SQ8 serving: coarse-pruned probe (pinned centroids, DPP) over symmetric-int8 coded cells; integer scoring of only the probed pairs",
+        cites="Faiss IndexIVFScalarQuantizer (IVF,SQ8) analog; composes ann_ivf_topk assignment with ann_sq8_topk quantization",
+        tags=("vector", "approx", "scale", "topk", "multi_tick"),
+        internal_plan=_ivf_sq8_internal_plans,
+    )
+)
