@@ -131,6 +131,11 @@ QUERIES = [
     # the ingest→govern→serve loop: snapshot-state ticks + index
     # maintenance + takedown cascade, end to end across executor JVMs
     "serving_index_corpus_sync",
+    # the quantized / staged ANN tiers (integer scoring must survive a
+    # real scheduler's partial-aggregation order)
+    "ann_sq8_topk",
+    "ivf_sq8_topk",
+    "ann_truncated_rerank_topk",
 ]
 
 

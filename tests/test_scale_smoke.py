@@ -358,3 +358,13 @@ def test_filtered_ann_survives_8x(spark, smoke_dir_vec):
     n, dt = _timed(spark, "vector_index_filtered_topk", smoke_dir_vec)
     assert n == 50
     print(f"vector_index_filtered_topk 8x: {n} rows in {dt:.1f}s")
+
+
+def test_quantized_ann_tiers_survive_8x(spark, smoke_dir_vec):
+    """SQ8 / IVF-SQ8 / truncate-rerank at 8x (16k vectors): output stays
+    invariant (5 queries x top-10) and inside the anti-quadratic budget —
+    the quantization and staging tiers must not change the join shapes."""
+    for name in ("ann_sq8_topk", "ivf_sq8_topk", "ann_truncated_rerank_topk"):
+        n, dt = _timed(spark, name, smoke_dir_vec)
+        assert n == 50
+        print(f"{name} 8x: {n} rows in {dt:.1f}s")
