@@ -1279,3 +1279,69 @@ register(
         internal_plan=_ivf_sq8_internal_plans,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# ann_sq8_recall_at_10 — the SQ8 quality gate
+# ---------------------------------------------------------------------------
+
+
+def ann_sq8_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 recall@10 vs exact brute force — the measured quality trade
+    the int8 tier buys its 4× byte reduction with (the companion of
+    ``ann_ivf_recall_at_10``: recall here moves with quantization
+    granularity rather than probe width, attributing quality loss to the
+    right knob). Both sides rebuild independently and the recall numbers
+    themselves hash-verify against the composed oracle."""
+    from analytics_data_platform_spark.queries.vector_ops import ann_cosine_topk
+
+    brute = ann_cosine_topk(spark, sf_dir).select("q_id", "vec_id")
+    sq8 = ann_sq8_topk(spark, sf_dir).select(
+        "q_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        brute.join(sq8, ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("k_brute"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+        )
+        .selectExpr(
+            "q_id",
+            "k_brute",
+            "n_hit",
+            "round(CAST(n_hit AS DOUBLE) / k_brute, 4) AS recall_at_10",
+        )
+        .orderBy("q_id")
+    )
+
+
+def _ann_sq8_recall_sql() -> str:
+    # direct import, not a REGISTRY lookup — this module imports before
+    # vector_ops in all_queries(), so the registry is not yet populated
+    from analytics_data_platform_spark.queries.vector_ops import ANN_TOPK_SQL
+
+    brute = ANN_TOPK_SQL
+    return f"""
+WITH brute AS (SELECT q_id, vec_id FROM ({brute}) b),
+sq8 AS (SELECT q_id, vec_id FROM ({ANN_SQ8_SQL}) s)
+SELECT b.q_id,
+       COUNT(*) AS k_brute,
+       CAST(SUM(CASE WHEN s.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       ROUND(CAST(SUM(CASE WHEN s.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS recall_at_10
+FROM brute b LEFT JOIN sq8 s ON b.q_id = s.q_id AND b.vec_id = s.vec_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
+register(
+    QuerySpec(
+        "ann_sq8_recall_at_10",
+        ann_sq8_recall_at_10,
+        _ann_sq8_recall_sql(),
+        doc="recall@10 of int8 scalar-quantized scoring vs exact brute force — the quantization-granularity quality gate",
+        cites="companion of ann_ivf_recall_at_10; composes ann_sq8_topk + ann_cosine_topk",
+        tags=("similarity", "eval", "ann", "vector"),
+    )
+)
