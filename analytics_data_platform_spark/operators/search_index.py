@@ -59,8 +59,13 @@ def adopt_parquet_tree(src: str, dst: str, tag: str) -> None:
     under ``dst``, name-mangled with ``tag`` so adopted files can never
     collide with resident ones. The segment-merge primitive shared by
     SearchIndex (bucket=N postings) and VectorIndex (_cell=N lists):
-    pure rename syscalls — nothing is read or shuffled. ``_SUCCESS``/
-    checksum markers stay behind (the caller removes the husk)."""
+    rename syscalls on one filesystem — nothing is read or shuffled.
+    Across filesystems (a tmpfs segment merged into a disk index, where
+    rename returns EXDEV) each file is copied to an underscore-prefixed
+    temp name — invisible to Spark's file listing — and renamed into
+    place, so a crash mid-copy can never leave a truncated live file.
+    ``_SUCCESS``/checksum markers stay behind (the caller removes the
+    husk)."""
     import shutil
 
     if not os.path.isdir(src):
@@ -72,9 +77,15 @@ def adopt_parquet_tree(src: str, dst: str, tag: str) -> None:
                 continue
             tgt_dir = os.path.join(dst, rel) if rel != "." else dst
             os.makedirs(tgt_dir, exist_ok=True)
-            shutil.move(
-                os.path.join(dirpath, f), os.path.join(tgt_dir, f"m{tag}-{f}")
-            )
+            src_path = os.path.join(dirpath, f)
+            dst_path = os.path.join(tgt_dir, f"m{tag}-{f}")
+            try:
+                os.rename(src_path, dst_path)
+            except OSError:
+                tmp = os.path.join(tgt_dir, f"_tmp.m{tag}-{f}")
+                shutil.copy2(src_path, tmp)
+                os.rename(tmp, dst_path)
+                os.unlink(src_path)
 
 
 class SearchIndex:
@@ -125,7 +136,26 @@ class SearchIndex:
         meta = self._read_meta()
         if meta is None:
             raise FileNotFoundError(f"no index at {self.root} — call build()")
+        if meta.get("consumed_by"):
+            # marked in merge_from phase 1 BEFORE any file adoption: once a
+            # merge begins, this segment may serve partial postings against
+            # full stats — a stale handle must refuse immediately, not only
+            # after finalize removes the metadata
+            raise ValueError(
+                f"segment at {self.root} is being consumed by a merge into "
+                f"{meta['consumed_by']} — stale handle refuses to serve"
+            )
         return meta
+
+    def _mark_consumed(self, dst: str) -> None:
+        """Flag this segment as mid-consumption by a merge into ``dst`` —
+        stats() (and therefore every serve/mutate path) refuses from the
+        moment the first file is adopted, not only after finalize removes
+        the metadata. Idempotent for merge resume."""
+        meta = self._read_meta()
+        if meta is not None and meta.get("consumed_by") != dst:
+            meta["consumed_by"] = dst
+            self._write_meta(meta)
 
     def _check_no_pending_merge(self) -> dict:
         """Mutations must not run over a torn merge: the folded stats
@@ -236,8 +266,11 @@ class SearchIndex:
         update — neither index's postings are ever read. At 100 TB this
         is how a per-crawl segment built by an independent job folds into
         the serving tier; even a partition-wise re-append would re-read
-        and re-shuffle the posting rows. ``other`` is consumed (its
-        metadata is removed so a stale handle cannot serve).
+        and re-shuffle the posting rows. ``other`` is consumed: a
+        ``consumed_by`` flag is written into its metadata BEFORE the first
+        file is adopted (so a stale handle refuses to serve the moment the
+        merge begins, not only at finalize), then the metadata and husk
+        are removed at finalize.
 
         CRASH SAFETY (the snapshot layer's marker-first discipline): the
         stats fold + a ``pending_merge`` marker commit atomically BEFORE
@@ -270,6 +303,15 @@ class SearchIndex:
             )
         if pending is None:
             ometa = other.stats()
+            if ometa.get("pending_merge") is not None:
+                # the source's folded stats already count a third segment's
+                # postings that may be only partially adopted — consuming it
+                # now would orphan those files and permanently over-count
+                raise ValueError(
+                    f"source segment at {other.root} has its own torn merge "
+                    f"pending (from {ometa['pending_merge']['src']}) — finish "
+                    "it first by re-calling other.merge_from(...)"
+                )
             tag = uuid.uuid4().hex[:12]
             # phase 1 (atomic): fold the totals and pin the intent — if we
             # die mid-adoption, the recorded fold is already correct and a
@@ -289,6 +331,11 @@ class SearchIndex:
             self._write_meta(meta)
         else:
             tag = pending["tag"]  # resume: totals already folded
+
+        # mark the source unservable BEFORE any file adoption (and AFTER
+        # self's marker, so recovery always routes through the resume path):
+        # from here the source may hold partial postings against full stats
+        other._mark_consumed(os.path.abspath(self.root))
 
         # phase 2 (idempotent): file adoption — moved files are gone from
         # the source, so a retry moves only what the crash left behind
@@ -438,6 +485,10 @@ class SearchIndex:
         )
         candidates = None
         if where is not None:
+            # a crash between compact()'s two docmeta renames leaves the
+            # sidecar under _old.docmeta with the data intact — heal before
+            # reading, mirroring apply_deletes/merge_from
+            self._recover_dir_swap(self.docmeta_dir, "docmeta")
             if not meta.get("docmeta"):
                 raise ValueError(
                     "index predates the doc-metadata sidecar — rebuild to "

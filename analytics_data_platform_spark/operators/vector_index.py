@@ -96,7 +96,22 @@ class VectorIndex:
         meta = self._read_meta()
         if meta is None:
             raise FileNotFoundError(f"no index at {self.root} — call build()")
+        if meta.get("consumed_by"):
+            # marked in merge_from phase 1 BEFORE any file adoption: a
+            # mid-consumption segment may hold partial cells — a stale
+            # handle must refuse the moment the merge begins
+            raise ValueError(
+                f"segment at {self.root} is being consumed by a merge into "
+                f"{meta['consumed_by']} — stale handle refuses to serve"
+            )
         return meta
+
+    def _mark_consumed(self, dst: str) -> None:
+        """Flag this segment as mid-consumption (see SearchIndex). Idempotent."""
+        meta = self._read_meta()
+        if meta is not None and meta.get("consumed_by") != dst:
+            meta["consumed_by"] = dst
+            self._write_meta(meta)
 
     def _cell_col(self):
         cents = self.centroids
@@ -177,8 +192,9 @@ class VectorIndex:
         merged index could detect cheaply). Pending erasure sidecars
         migrate with the cells (ids are corpus-scoped; the disjoint-id
         precondition makes the sidecar union exact). ``other`` is
-        consumed — its metadata is removed so a stale handle cannot
-        serve.
+        consumed — a ``consumed_by`` flag lands in its metadata before the
+        first file moves (a stale handle refuses to serve for the whole
+        merge window), and finalize removes the metadata and husk.
 
         CRASH SAFETY mirrors SearchIndex.merge_from: counters fold with a
         ``pending_merge`` marker atomically BEFORE any file moves,
@@ -204,6 +220,15 @@ class VectorIndex:
         other._recover_swap()
         if pending is None:
             ometa = other.stats()
+            if ometa.get("pending_merge") is not None:
+                # the source's folded counters already include a third
+                # segment whose cell files may be only partially adopted —
+                # consuming it now would orphan them and over-count forever
+                raise ValueError(
+                    f"source segment at {other.root} has its own torn merge "
+                    f"pending (from {ometa['pending_merge']['src']}) — finish "
+                    "it first by re-calling other.merge_from(...)"
+                )
             if meta["centroids"] != ometa["centroids"]:
                 raise ValueError(
                     "quantizer mismatch: segments must share the same pinned "
@@ -225,6 +250,10 @@ class VectorIndex:
             self._write_meta(meta)
         else:
             tag = pending["tag"]  # resume: counters already folded
+        # source refuses to serve from the first adopted file onward (and
+        # the mark follows self's pending marker, so recovery always routes
+        # through the resume path)
+        other._mark_consumed(os.path.abspath(self.root))
         adopt_parquet_tree(other.cells_dir, self.cells_dir, tag)
         adopt_parquet_tree(
             other._deletes_dir, os.path.join(self._deletes_dir, f"m{tag}"), tag

@@ -453,10 +453,130 @@ def test_compact_also_compacts_docmeta(spark, tmp_path, sf_dir):
     got = {tuple(r) for r in idx.bm25(QUERY_TERMS, where="lang = 'en'").collect()}
     assert got == want
 
-    # torn swap: retired dir present, live dir missing -> recovery restores
+    # torn swap: retired dir present, live dir missing -> bm25(where=)
+    # SELF-heals before touching the sidecar (no maintenance call needed)
     old = os.path.join(idx.root, "_old.docmeta")
     os.rename(idx.docmeta_dir, old)
-    idx._recover_swap()
-    assert os.path.isdir(idx.docmeta_dir) and not os.path.isdir(old)
     got2 = {tuple(r) for r in idx.bm25(QUERY_TERMS, where="lang = 'en'").collect()}
     assert got2 == want
+    assert os.path.isdir(idx.docmeta_dir) and not os.path.isdir(old)
+
+
+def test_merge_refuses_source_with_its_own_torn_merge(spark, tmp_path, sf_dir, monkeypatch):
+    """A source segment that crashed mid-absorbing a THIRD segment carries
+    folded totals for files it never finished adopting — consuming it
+    would orphan those files and permanently over-count the target's
+    stats. merge_from must refuse until the source's own merge finishes;
+    afterwards the chain merge equals a one-shot build. Also pins the
+    consumed-marker window: once a merge begins, the SOURCE handle
+    refuses to serve (not only after finalize removes its metadata)."""
+    from analytics_data_platform_spark.operators import search_index as SI
+
+    d = load_table(spark, sf_dir, "documents")
+    a = SearchIndex(spark, str(tmp_path / "a"), mode="scored").build(
+        d.where(F.col("doc_id") % 3 == 0)
+    )
+    b = SearchIndex(spark, str(tmp_path / "b"), mode="scored").build(
+        d.where(F.col("doc_id") % 3 == 1)
+    )
+    c = SearchIndex(spark, str(tmp_path / "c"), mode="scored").build(
+        d.where(F.col("doc_id") % 3 == 2)
+    )
+
+    real_adopt = SI.adopt_parquet_tree
+
+    def dying_adopt(src, dst, tag):
+        real_adopt(src, dst, tag)
+        raise RuntimeError("injected crash mid-adoption")
+
+    monkeypatch.setattr(SI, "adopt_parquet_tree", dying_adopt)
+    with pytest.raises(RuntimeError, match="injected"):
+        b.merge_from(c)
+    monkeypatch.setattr(SI, "adopt_parquet_tree", real_adopt)
+    assert "pending_merge" in b._read_meta()
+
+    # the torn SOURCE (c) refuses to serve from the first adopted file on
+    with pytest.raises(ValueError, match="consumed"):
+        c.stats()
+    with pytest.raises(ValueError, match="consumed"):
+        c.bm25(QUERY_TERMS)
+
+    # consuming b while its own merge is torn must refuse
+    with pytest.raises(ValueError, match="own torn merge"):
+        a.merge_from(b)
+
+    b.merge_from(c)  # finish the inner merge
+    a.merge_from(b)  # now the chain merge proceeds
+    one = SearchIndex(spark, str(tmp_path / "one"), mode="scored").build(d)
+    assert a.stats()["n_docs"] == one.stats()["n_docs"]
+    assert a.stats()["total_dl"] == one.stats()["total_dl"]
+    got = {tuple(r) for r in a.bm25(QUERY_TERMS).collect()}
+    assert got == {tuple(r) for r in one.bm25(QUERY_TERMS).collect()}
+
+
+def test_adopt_parquet_tree_survives_cross_filesystem_move(tmp_path, monkeypatch):
+    """When src and dst sit on different filesystems, rename returns EXDEV
+    and shutil.move degrades to a non-atomic copy+unlink — a crash
+    mid-copy would leave a truncated live parquet. adopt_parquet_tree
+    must stage the copy under an underscore-prefixed temp name (invisible
+    to Spark's listing) and rename into place; a mid-copy crash leaves NO
+    visible partial file and the retry completes exactly."""
+    import errno
+    import shutil
+
+    from analytics_data_platform_spark.operators.search_index import (
+        adopt_parquet_tree,
+    )
+
+    def make_src():
+        src = tmp_path / "seg" / "postings"
+        shutil.rmtree(tmp_path / "seg", ignore_errors=True)
+        (src / "bucket=3").mkdir(parents=True)
+        (src / "bucket=3" / "part-0.parquet").write_bytes(b"P" * 4096)
+        (src / "part-root.parquet").write_bytes(b"R" * 128)
+        (src / "_SUCCESS").write_bytes(b"")
+        return str(src)
+
+    dst = tmp_path / "idx" / "postings"
+    dst.mkdir(parents=True)
+
+    real_rename = os.rename
+
+    def exdev_rename(s, d, *a, **kw):
+        # direct adoptions fail EXDEV; the staged _tmp.-to-final rename
+        # (same directory by construction) succeeds
+        if not os.path.basename(s).startswith("_tmp.") and str(tmp_path) in str(s):
+            raise OSError(errno.EXDEV, "Invalid cross-device link")
+        return real_rename(s, d, *a, **kw)
+
+    src = make_src()
+    monkeypatch.setattr(os, "rename", exdev_rename)
+    adopt_parquet_tree(src, str(dst), "t1")
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert (dst / "bucket=3" / "mt1-part-0.parquet").read_bytes() == b"P" * 4096
+    assert (dst / "mt1-part-root.parquet").read_bytes() == b"R" * 128
+    assert not list(dst.rglob("_tmp.*")), "staged temp residue"
+    assert not list((tmp_path / "seg").rglob("*.parquet")), "source files remain"
+
+    # crash mid-copy: only the invisible _tmp. staging file may be torn
+    src = make_src()
+    real_copy2 = shutil.copy2
+
+    def torn_copy2(s, d, *a, **kw):
+        with open(d, "wb") as f:
+            f.write(b"TRUNC")  # partial bytes land in the staging name
+        raise RuntimeError("injected crash mid-copy")
+
+    monkeypatch.setattr(os, "rename", exdev_rename)
+    monkeypatch.setattr(shutil, "copy2", torn_copy2)
+    with pytest.raises(RuntimeError, match="mid-copy"):
+        adopt_parquet_tree(src, str(dst), "t2")
+    monkeypatch.setattr(shutil, "copy2", real_copy2)
+    visible = [p for p in dst.rglob("mt2-*.parquet")]
+    assert not visible, "crash mid-copy exposed a truncated live file"
+    adopt_parquet_tree(src, str(dst), "t2")  # retry completes
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert not list(dst.rglob("_tmp.*"))
+    adopted = sorted(p.name for p in dst.rglob("mt2-*.parquet"))
+    assert adopted == ["mt2-part-0.parquet", "mt2-part-root.parquet"]
+    assert (dst / "bucket=3" / "mt2-part-0.parquet").read_bytes() == b"P" * 4096

@@ -307,3 +307,54 @@ def test_merge_crash_self_heals_without_double_count(spark, tmp_path, sf_dir, mo
         for r in a.topk(_queries(e)).select("q_id", "vec_id", "cos_sim", "rank").collect()
     }
     assert got == _expected(e, _queries(e), cents)
+
+
+def test_merge_refuses_source_with_its_own_torn_merge(spark, tmp_path, sf_dir, monkeypatch):
+    """ANN counterpart of the SearchIndex rule: a source carrying its own
+    pending_merge has folded counters for cells it never finished
+    adopting — consuming it would orphan those files. Refuse until the
+    inner merge is re-run; the torn SOURCE handle refuses to serve for
+    the whole window; the finished chain equals a one-shot build."""
+    import pytest
+
+    from analytics_data_platform_spark.operators import search_index as SI
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = VectorIndex(spark, str(tmp_path / "q"), nlist=8, nprobe=NPROBE).build(e)
+    cents = base.centroids
+    a = VectorIndex(spark, str(tmp_path / "a"), nlist=8, nprobe=NPROBE).build(
+        e.where(F.col("vec_id") % 3 == 0), centroids=cents
+    )
+    b = VectorIndex(spark, str(tmp_path / "b"), nlist=8, nprobe=NPROBE).build(
+        e.where(F.col("vec_id") % 3 == 1), centroids=cents
+    )
+    c = VectorIndex(spark, str(tmp_path / "c"), nlist=8, nprobe=NPROBE).build(
+        e.where(F.col("vec_id") % 3 == 2), centroids=cents
+    )
+
+    real_adopt = SI.adopt_parquet_tree
+
+    def dying_adopt(src, dst, tag):
+        real_adopt(src, dst, tag)
+        raise RuntimeError("injected crash mid-adoption")
+
+    monkeypatch.setattr(SI, "adopt_parquet_tree", dying_adopt)
+    with pytest.raises(RuntimeError, match="injected"):
+        b.merge_from(c)
+    monkeypatch.setattr(SI, "adopt_parquet_tree", real_adopt)
+    assert "pending_merge" in b._read_meta()
+
+    with pytest.raises(ValueError, match="consumed"):
+        c.stats()
+    with pytest.raises(ValueError, match="consumed"):
+        c.topk(_queries(e))
+    with pytest.raises(ValueError, match="own torn merge"):
+        a.merge_from(b)
+
+    b.merge_from(c)
+    a.merge_from(b)
+    got = {
+        tuple(r)
+        for r in a.topk(_queries(e)).select("q_id", "vec_id", "cos_sim", "rank").collect()
+    }
+    assert got == _expected(e, _queries(e), cents)
