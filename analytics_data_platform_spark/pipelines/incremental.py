@@ -227,6 +227,32 @@ def read_state_part(
     return t.read(v)
 
 
+def state_changelog(
+    spark: SparkSession,
+    state_dir: str,
+    part: str,
+    from_batch: int,
+    to_batch: int,
+    key_cols: list[str],
+) -> tuple[DataFrame, DataFrame]:
+    """(appeared_rows, evicted_keys) of one state part between two
+    committed batches, read straight from the snapshot manifests between
+    the batches' pinned refs (``SnapshotTable.changelog``) — O(tick
+    delta): the appeared side is the ticks' appended data files, the
+    evicted side is their merge-on-read delete-key files. No version-diff
+    join, nothing state-sized is scanned or shuffled. Exact because every
+    tick commits as appends + equality deletes whose keys are exactly the
+    evicted resident rows (the delta-commit protocol above); a range
+    crossing a maintenance rewrite (``compact_state_deletes``/compaction)
+    refuses loudly rather than reporting the rewrite as churn."""
+    t = _table(spark, state_dir, part)
+    return t.changelog(
+        t.resolve_ref(_ref(from_batch)),
+        t.resolve_ref(_ref(to_batch)),
+        key_cols=key_cols,
+    )
+
+
 def _with_fp(live: DataFrame) -> DataFrame:
     """Live rows with their fingerprint column — read from storage for
     state committed by this module, recomputed only as a fallback for

@@ -429,6 +429,15 @@ def corpus_state_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads of the copy-on-write state (pipelines/incremental.py commit
     protocol) return exactly the historical live sets.
 
+    The CHANGES read itself is MANIFEST-DERIVED (``pipelines/
+    incremental.py::state_changelog``): the tick's appeared rows are its
+    appended data files and its evicted doc_ids are its merge-on-read
+    delete-key files — O(tick delta), never a diff join of two
+    corpus-sized live versions. The only state-sized work is one
+    keys-only columnar scan of the FROM version (map-side per-source
+    counts + a broadcast probe by the delta-sized evicted key set — the
+    same accepted shape as the keeper merge; nothing resident shuffles).
+
     The oracle recomputes each tick's live set directly — the keeper
     rule over the cleaned prefix of batches (tick k's live set equals
     the one-shot exact-dedup of batches 0..k, the provable-collapse
@@ -442,6 +451,7 @@ def corpus_state_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     from analytics_data_platform_spark.pipelines.incremental import (
         read_state_part,
         refresh_corpus_state,
+        state_changelog,
     )
     from analytics_data_platform_spark.sources.testdata import load_table
 
@@ -451,33 +461,28 @@ def corpus_state_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         refresh_corpus_state(spark, state, docs.where(F.col("doc_id") % 2 == 0), 0)
         refresh_corpus_state(spark, state, docs.where(F.col("doc_id") % 2 == 1), 1)
         live0 = read_state_part(spark, state, "live", 0).select("doc_id", "source")
-        live1 = read_state_part(spark, state, "live", 1).select("doc_id", "source")
-        l0 = live0.select(
-            F.col("doc_id"), F.col("source").alias("_src0"), F.lit(1).alias("_in0")
-        )
-        l1 = live1.select(
-            F.col("doc_id"), F.col("source").alias("_src1"), F.lit(1).alias("_in1")
-        )
-        status1 = (
-            l0.join(l1, "doc_id", "full_outer")
-            .select(
-                F.coalesce("_src1", "_src0").alias("source"),
-                F.coalesce("_in0", F.lit(0)).alias("in0"),
-                F.coalesce("_in1", F.lit(0)).alias("in1"),
-            )
+        appeared, evicted = state_changelog(spark, state, "live", 0, 1, ["doc_id"])
+        app = appeared.groupBy("source").agg(F.count(F.lit(1)).alias("n_appeared"))
+        # evicted keys are delta-sized: broadcast them over the keys-only
+        # scan of live@0 to resolve each eviction's source (map-side)
+        ev = (
+            live0.join(F.broadcast(evicted), "doc_id", "left_semi")
             .groupBy("source")
-            .agg(
-                F.sum(((F.col("in1") == 1) & (F.col("in0") == 0)).cast("long")).alias(
-                    "n_appeared"
-                ),
-                F.sum(((F.col("in0") == 1) & (F.col("in1") == 0)).cast("long")).alias(
-                    "n_evicted"
-                ),
-                F.sum(((F.col("in0") == 1) & (F.col("in1") == 1)).cast("long")).alias(
-                    "n_retained"
-                ),
+            .agg(F.count(F.lit(1)).alias("n_evicted"))
+        )
+        l0 = live0.groupBy("source").agg(F.count(F.lit(1)).alias("n0"))
+        status1 = (
+            l0.join(ev, "source", "full_outer")
+            .join(app, "source", "full_outer")
+            .select(
+                "source",
+                F.coalesce("n_appeared", F.lit(0)).alias("n_appeared"),
+                F.coalesce("n_evicted", F.lit(0)).alias("n_evicted"),
+                (
+                    F.coalesce("n0", F.lit(0)) - F.coalesce("n_evicted", F.lit(0))
+                ).alias("n_retained"),
+                F.lit(1).cast("long").alias("batch_id"),
             )
-            .withColumn("batch_id", F.lit(1).cast("long"))
         )
         tick0 = (
             live0.groupBy("source")
@@ -552,8 +557,8 @@ register(
         "corpus_state_changelog",
         corpus_state_changelog,
         CHANGELOG_SQL,
-        doc="per-tick appeared/evicted/retained diff of time-travelled corpus state versions",
-        cites="pipelines/incremental.py commit protocol; tables/snapshots.py time travel; Iceberg CHANGES-read analogue",
+        doc="per-tick appeared/evicted/retained of corpus state versions from the MANIFEST changelog (appended data files + MOR delete-key files) — O(delta), no version-diff join",
+        cites="pipelines/incremental.py::state_changelog; tables/snapshots.py::changelog; Iceberg CDC/CHANGES-read analogue",
         tags=("pipeline", "streaming", "governance", "multi_tick"),
         internal_plan=_changelog_internal_plans,
     )

@@ -762,23 +762,29 @@ def serving_index_corpus_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-dedup keeper merge) and a content-keyed GDPR takedown (docs
     whose normalized fingerprint matches the request set — guaranteed to
     EVICT live keepers, so the erase leg is never vacuous). After each
-    tick the version-pinned snapshot diff (appeared / evicted doc_ids)
-    is applied to the index: appeared docs append O(batch); evicted
-    keepers become merge-on-read deletes with the exact stats decrement.
-    Ranked serving must then equal a one-shot BM25 over the FINAL live
-    corpus — including idf/avgdl, so an index that missed an eviction
-    (stale idf), double-indexed a retained doc, or filtered results
-    without shifting the statistics hash-diverges.
+    tick the MANIFEST-DERIVED changelog (appeared rows = the tick's
+    appended data files, evicted doc_ids = its merge-on-read delete-key
+    files — ``pipelines/incremental.py::state_changelog``, Iceberg's
+    CDC read) is applied to the index: appeared docs append O(batch);
+    evicted keepers become merge-on-read deletes with the exact stats
+    decrement. Ranked serving must then equal a one-shot BM25 over the
+    FINAL live corpus — including idf/avgdl, so an index that missed an
+    eviction (stale idf), double-indexed a retained doc, or filtered
+    results without shifting the statistics hash-diverges.
 
     This closes the loop the serving and pipeline families built
     separately: ingest → dedup/govern → erase → SERVE, with every stage
     already oracle-gated on its own and the composition gated here.
     At scale each tick's index maintenance is O(changelog), and the
-    changelog itself is a version-pinned snapshot read (no corpus diff).
+    changelog itself is an O(delta) manifest read — the appeared/evicted
+    sets come from the tick's own commit files, never from diffing two
+    corpus-sized live versions (no state-side shuffle; plan-pinned in
+    tests/test_serving_ops.py).
     """
     from analytics_data_platform_spark.pipelines.incremental import (
         read_state_part,
         refresh_corpus_state,
+        state_changelog,
         takedown_corpus_state,
     )
 
@@ -787,20 +793,20 @@ def serving_index_corpus_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="adps-sync-idx-")
     try:
         refresh_corpus_state(spark, state, docs.where(F.col("doc_id") % 2 == 0), 0)
-        prev = read_state_part(spark, state, "live", 0)
-        idx = SearchIndex(spark, root, mode="scored").build(prev)
+        idx = SearchIndex(spark, root, mode="scored").build(
+            read_state_part(spark, state, "live", 0)
+        )
 
         refresh_corpus_state(spark, state, docs.where(F.col("doc_id") % 2 == 1), 1)
         takedown_corpus_state(spark, state, docs.where(F.col("doc_id") % 97 == 0), 2)
         n_evicted = 0
         for tick in (1, 2):
-            cur = read_state_part(spark, state, "live", tick)
-            prev_ids = prev.select("doc_id")
-            appeared = cur.join(prev_ids, "doc_id", "left_anti")
-            evicted = prev_ids.join(cur.select("doc_id"), "doc_id", "left_anti")
-            idx.append(appeared)
+            appeared, evicted = state_changelog(
+                spark, state, "live", tick - 1, tick, key_cols=["doc_id"]
+            )
+            if not appeared.isEmpty():  # takedown ticks append nothing
+                idx.append(appeared)
             n_evicted += idx.delete_docs(evicted)
-            prev = cur
         assert n_evicted > 0, "takedown tick must evict live keepers"
 
         served = idx.bm25(QUERY_TERMS)
