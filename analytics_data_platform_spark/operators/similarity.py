@@ -399,6 +399,88 @@ def _probe_queries(
     return q.select(q_id_col, q_vec_col, F.explode(cells).alias("_qcell"))
 
 
+def sq8_codes(vec_col: str):
+    """Per-vector symmetric int8 quantization: scale = max|x_i|, code_i =
+    round(x_i·127/scale) ∈ [-127, 127] — the Faiss ScalarQuantizer
+    QT_8bit analog (per-vector scale travels implicitly: the cosine of
+    the codes is scale-invariant). The scale is let-bound (one evaluation
+    per row — functions/expr.py::bind) so CollapseProject cannot re-run
+    the array_max per element. Scoring then happens on INTEGER codes,
+    which is what makes cross-engine parity robust: the quantized cosine
+    is a pure function of exact ints."""
+    from analytics_data_platform_spark.functions.expr import bind
+
+    c = F.col(vec_col)
+    scale = F.array_max(F.transform(c, lambda x: F.abs(x.cast("double"))))
+    return bind(
+        scale,
+        lambda s: F.when(
+            s > 0,
+            F.transform(c, lambda x: F.round(x.cast("double") * 127.0 / s).cast("int")),
+        ).otherwise(F.transform(c, lambda x: F.lit(0))),
+    )
+
+
+def int_sq_norm(col):
+    """Exact integer squared norm of an int-code array (long fold)."""
+    return F.aggregate(
+        F.transform(col, lambda x: (x * x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def sq8_cosine(q_codes: str, c_codes: str, q_sq: str, c_sq: str):
+    """Cosine over int8 codes: integer dot product / sqrt of the exact
+    integer squared norms — the only float ops are two sqrts and one
+    division over exact ints, so rounded rankings cannot drift across
+    engines. NULL (excluded by rank's NULLS LAST) on zero vectors."""
+    idot = F.aggregate(
+        F.zip_with(q_codes, c_codes, lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.when(
+        (F.col(q_sq) > 0) & (F.col(c_sq) > 0),
+        idot
+        / (F.sqrt(F.col(q_sq).cast("double")) * F.sqrt(F.col(c_sq).cast("double"))),
+    )
+
+
+def ivf_table_topk_sq8(
+    io,
+    table: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_emb",
+    score_round: int | None = 4,
+) -> DataFrame:
+    """IVF search against a CODED table layout (rows carry ``codes`` +
+    ``c_sq`` instead of the float vector — the Faiss IVF,SQ8 storage):
+    queries probe with full-precision centroid distances (standard
+    layout — coarse-quantize originals, compress residents), are
+    quantized with the SAME rule, and score as integer dot products over
+    only the probed cells (dynamic partition pruning on ``_cell``, same
+    contract as :func:`ivf_table_topk`)."""
+    c = io.read(table)
+    q = _probe_queries(queries, centroids, nprobe, q_id_col, q_vec_col)
+    q = q.select(
+        q_id_col, "_qcell", sq8_codes(q_vec_col).alias("_q_codes")
+    ).withColumn("_q_sq", int_sq_norm("_q_codes"))
+    score = sq8_cosine("_q_codes", "codes", "_q_sq", "c_sq")
+    if score_round is not None:
+        score = F.round(score, score_round)
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("_cell") == F.col("_qcell")) & (F.col(id_col) != F.col(q_id_col)),
+    ).select(q_id_col, id_col, score.alias("cos_sim"))
+    return topk_per_query(scored, k, q_id_col, id_col, "cos_sim")
+
+
 def write_ivf_table(
     io,
     corpus: DataFrame,

@@ -55,7 +55,10 @@ class VectorIndex:
         nprobe: int = 4,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        storage: str = "float",
     ) -> None:
+        if storage not in ("float", "sq8"):
+            raise ValueError("storage must be 'float' or 'sq8'")
         self.spark = spark
         self.root = root
         self.cells_dir = os.path.join(root, "cells")
@@ -63,6 +66,7 @@ class VectorIndex:
         self.nprobe = int(nprobe)
         self.id_col = id_col
         self.vec_col = vec_col
+        self.storage = storage
         meta = self._read_meta()
         if meta:
             self.nlist = len(meta["centroids"])
@@ -72,6 +76,12 @@ class VectorIndex:
                     f"index at {root} was built with columns "
                     f"({meta['id_col']}, {meta['vec_col']})"
                 )
+            stored = meta.get("storage", "float")
+            if storage != "float" and stored != storage:
+                raise ValueError(
+                    f"index at {root} stores {stored} cells; got storage={storage}"
+                )
+            self.storage = stored
         else:
             self.nlist = int(nlist)
             self.centroids: list[list[float]] | None = None
@@ -119,6 +129,20 @@ class VectorIndex:
             return similarity.assign_centroid_udf(cents)(F.col(self.vec_col))
         return similarity.assign_centroid_col(self.vec_col, cents).cast("int")
 
+    def _cell_rows(self, vectors: DataFrame) -> DataFrame:
+        """One write-ready frame: the cell assignment always runs on the
+        FULL-PRECISION vectors (the Faiss IVF,SQ8 layout — coarse-quantize
+        originals, compress residents); sq8 storage then swaps the float
+        vector for its int8 codes + exact integer squared norm (the
+        per-vector scale is implicit: code cosine is scale-invariant).
+        Metadata columns ride along unchanged for filtered serving."""
+        out = vectors.withColumn("_cell", self._cell_col().cast("int"))
+        if self.storage == "sq8":
+            out = out.withColumn(
+                "codes", similarity.sq8_codes(self.vec_col)
+            ).withColumn("c_sq", similarity.int_sq_norm("codes")).drop(self.vec_col)
+        return out
+
     # -- lifecycle ---------------------------------------------------------
 
     def build(
@@ -136,7 +160,7 @@ class VectorIndex:
             vectors, self.nlist, self.vec_col, seed=seed
         )
         (
-            vectors.withColumn("_cell", self._cell_col().cast("int"))
+            self._cell_rows(vectors)
             .write.mode("overwrite")
             .partitionBy("_cell")
             .parquet(self.cells_dir)
@@ -147,6 +171,7 @@ class VectorIndex:
                 "nprobe": self.nprobe,
                 "id_col": self.id_col,
                 "vec_col": self.vec_col,
+                "storage": self.storage,
                 "appends": 0,
                 "deletes": 0,
             }
@@ -159,7 +184,7 @@ class VectorIndex:
         append partition-wise into the existing cell directories."""
         meta = self._check_no_pending_merge()
         (
-            vectors.withColumn("_cell", self._cell_col().cast("int"))
+            self._cell_rows(vectors)
             .write.mode("append")
             .partitionBy("_cell")
             .parquet(self.cells_dir)
@@ -239,6 +264,15 @@ class VectorIndex:
                 ometa["vec_col"],
             ):
                 raise ValueError("column-layout mismatch between segments")
+            if meta.get("storage", "float") != ometa.get("storage", "float"):
+                # adopting float cells into an sq8 index (or vice versa)
+                # would serve rows the scorer cannot read — refuse before
+                # any state changes (the quantization rule itself is fixed
+                # module-wide, so matching storage kinds cannot drift)
+                raise ValueError(
+                    f"storage mismatch: {meta.get('storage', 'float')} vs "
+                    f"{ometa.get('storage', 'float')} — re-encode, don't merge"
+                )
             tag = uuid.uuid4().hex[:12]
             meta["appends"] = (
                 int(meta.get("appends", 0)) + int(ometa.get("appends", 0)) + 1
@@ -409,8 +443,25 @@ class VectorIndex:
         candidate set narrows BEFORE ranking (never a post-cut filter,
         which under-fills the page), the quantizer and probe order stay
         pinned, and a pushable predicate reaches the parquet scan of the
-        probed cells (PushedFilters, plan-guarded)."""
+        probed cells (PushedFilters, plan-guarded).
+
+        With ``storage="sq8"`` the cells hold int8 codes (4× fewer
+        resident bytes); queries are quantized with the same rule and
+        ranking runs on integer dot products — identical to the
+        oracle-gated ``ivf_sq8_topk`` formulation under the same
+        centroids."""
         self.stats()
+        if self.storage == "sq8":
+            return similarity.ivf_table_topk_sq8(
+                VectorIndex._Io(self, where),
+                "vector_index",
+                queries,
+                self.centroids,
+                k=k,
+                nprobe=self.nprobe if nprobe is None else nprobe,
+                id_col=self.id_col,
+                score_round=4 if score_round is None else score_round,
+            )
         return similarity.ivf_table_topk(
             VectorIndex._Io(self, where),
             "vector_index",

@@ -294,6 +294,7 @@ def _hybrid_legs(
     ivf_io,
     cents: list[list[float]],
     q_terms: DataFrame,
+    lex_candidates: DataFrame | None = None,
 ) -> DataFrame:
     """The fused plan, parameterized by where each leg's index rows come
     from (on-disk pruned reads in the registry query; in-memory frames in
@@ -301,9 +302,13 @@ def _hybrid_legs(
     the lexical terms narrowed to the MoreLikeThis selection and the
     semantic leg swapped to the IVF probe (nprobe cells, pinned
     natural-init centroids — the ann_ivf_topk contract, so the oracle
-    reproduces assignment exactly)."""
+    reproduces assignment exactly). ``lex_candidates`` pre-filters the
+    lexical leg (Lucene filtered semantics: candidates narrow BEFORE the
+    rank cut, idf/avgdl stay index-global); the semantic leg filters
+    inside ``ivf_io.read`` the same way."""
     bm_top = _bm25_index_serve(
-        postings, stats, q_terms, k=LIST_K, exclude_q_doc=True
+        postings, stats, q_terms, k=LIST_K, exclude_q_doc=True,
+        candidates=lex_candidates,
     ).select("q_id", "doc_id", F.col("rank").alias("b_rank"))
 
     qv = e.where(F.col("vec_id") < N_QUERY_DOCS).select(
@@ -522,6 +527,157 @@ register(
         cites="composes inverted_index_bm25_topk + ivf_index_incremental_topk serving paths; RRF rule shared with hybrid_rrf_search",
         tags=("search", "vector", "scale", "topk", "multi_tick"),
         internal_plan=_hybrid_internal_plans,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# index_hybrid_filtered_topk — filtered retrieval at the hybrid capstone
+# ---------------------------------------------------------------------------
+
+_HYBRID_FILTER_LANG = "en"
+
+
+def index_hybrid_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED hybrid retrieval — the production query shape «like
+    these docs, in language X»: the RRF fusion of ``index_hybrid_rrf_topk``
+    with pre-filtering composed into BOTH index-served legs:
+
+    - lexical: BM25 candidates narrow to ``lang = 'en'`` via a
+      doc-metadata sidecar scan (predicate pushdown — never a corpus
+      read); idf/avgdl stay index-global (Lucene filtered semantics);
+    - semantic: the predicate rides INSIDE the probed cells' parquet
+      scan of the persistent ``VectorIndex`` (the index stores the
+      filterable metadata column), composing PushedFilters with dynamic
+      partition pruning — candidates narrow BEFORE each leg's rank cut,
+      never after fusion (a post-cut filter under-fills both lists and
+      re-weights RRF).
+
+    The oracle replays both filtered legs: the same tf·idf term
+    selection and global-stats BM25 restricted to the language, the same
+    deterministic IVF assignment/probe with the language joined in.
+    A leg filtering after its cut, a filter that shifted the corpus
+    statistics, or a probe that lost either pruning hash-diverges on the
+    fused cut (all three prunings asserted on one executed plan in
+    tests/test_serving_ops.py).
+    """
+    from analytics_data_platform_spark.operators.vector_index import VectorIndex
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    lex_dir = tempfile.mkdtemp(prefix="adps-hybflt-lex-")
+    stats_dir = tempfile.mkdtemp(prefix="adps-hybflt-stats-")
+    meta_dir = tempfile.mkdtemp(prefix="adps-hybflt-meta-")
+    ivf_root = tempfile.mkdtemp(prefix="adps-hybflt-ivf-")
+    try:
+        postings, stats = _scored_posting_rows(d)
+        postings.write.mode("overwrite").partitionBy("bucket").parquet(lex_dir)
+        stats.coalesce(1).write.mode("overwrite").parquet(stats_dir)
+        d.drop("text").write.mode("overwrite").parquet(meta_dir)
+
+        q_terms = _mlt_query_terms(d).localCheckpoint()
+        terms = [r["term"] for r in q_terms.select("term").distinct().collect()]
+        want = sorted(
+            {
+                r["b"]
+                for r in spark.createDataFrame(
+                    [(t,) for t in sorted(set(terms))], "term string"
+                )
+                .select(F.pmod(F.hash("term"), F.lit(INDEX_BUCKETS)).alias("b"))
+                .collect()
+            }
+        )
+        lex_index = spark.read.parquet(lex_dir).where(F.col("bucket").isin(*want))
+        candidates = (
+            spark.read.parquet(meta_dir)
+            .where(f"lang = '{_HYBRID_FILTER_LANG}'")
+            .select("doc_id")
+        )
+
+        cents = _pinned_centroids(e)
+        # the ANN index stores the filterable metadata column — the
+        # production layout for filtered vector search
+        ew = e.join(d.select(F.col("doc_id").alias("vec_id"), "lang"), "vec_id")
+        vx = VectorIndex(spark, ivf_root, nlist=_IVF_NLIST, nprobe=_IVF_NPROBE).build(
+            ew, centroids=cents
+        )
+        out = _hybrid_legs(
+            spark,
+            d,
+            e,
+            lex_index,
+            spark.read.parquet(stats_dir),
+            VectorIndex._Io(vx, f"lang = '{_HYBRID_FILTER_LANG}'"),
+            cents,
+            q_terms,
+            lex_candidates=candidates,
+        )
+        schema = out.schema
+        rows = [tuple(r) for r in out.collect()]  # bounded: 3 queries × 10
+    finally:
+        for p in (lex_dir, stats_dir, meta_dir, ivf_root):
+            shutil.rmtree(p, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+def _hybrid_filtered_internal_plans(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    postings, stats = _scored_posting_rows(d)
+    cents = _pinned_centroids(e)
+    # per-row pure assignment: filtering the corpus first leaves every
+    # survivor's cell unchanged — the in-memory form of the filtered probe
+    e_f = e.join(
+        d.where(F.col("lang") == _HYBRID_FILTER_LANG)
+        .select(F.col("doc_id").alias("vec_id")),
+        "vec_id",
+        "left_semi",
+    )
+    cands = d.where(F.col("lang") == _HYBRID_FILTER_LANG).select("doc_id")
+
+    class _MemIvf:
+        def read(self, table):  # noqa: ARG002 — io protocol
+            cell = similarity.assign_centroid_col("embedding", cents).cast("int")
+            return e_f.withColumn("_cell", cell)
+
+    return [
+        (
+            "fuse",
+            _hybrid_legs(
+                spark, d, e, postings, stats, _MemIvf(), cents,
+                _mlt_query_terms(d), lex_candidates=cands,
+            ),
+        )
+    ]
+
+
+def _hybrid_filtered_sql() -> str:
+    s = _hybrid_index_sql()
+    old_b = "FROM scored WHERE doc_id <> q_id"
+    assert s.count(old_b) == 1, "hybrid oracle shape changed (bm25 leg)"
+    s = s.replace(
+        old_b,
+        old_b
+        + f" AND doc_id IN (SELECT doc_id FROM documents WHERE lang = '{_HYBRID_FILTER_LANG}')",
+    )
+    old_s = "FROM assign a JOIN qc ON a.cell = qc.qcell AND a.vec_id <> qc.q_id"
+    assert s.count(old_s) == 1, "hybrid oracle shape changed (sem leg)"
+    return s.replace(
+        old_s,
+        old_s
+        + f"\n  JOIN documents dl ON dl.doc_id = a.vec_id AND dl.lang = '{_HYBRID_FILTER_LANG}'",
+    )
+
+
+register(
+    QuerySpec(
+        "index_hybrid_filtered_topk",
+        index_hybrid_filtered_topk,
+        _hybrid_filtered_sql(),
+        doc="filtered hybrid RRF («like these docs, in language X»): both index-served legs pre-filter before their rank cuts — docmeta pushdown on the BM25 leg, in-cell PushedFilters + DPP on the IVF leg; stats stay index-global",
+        cites="composes index_hybrid_rrf_topk with inverted_index_filtered_bm25 + vector_index_filtered_topk semantics",
+        tags=("search", "vector", "scale", "topk", "multi_tick"),
+        internal_plan=_hybrid_filtered_internal_plans,
     )
 )
 
@@ -889,29 +1045,111 @@ register(
 )
 
 
+def streaming_index_corpus_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus→index sync driven by a REAL Structured Streaming
+    execution — the deployment shape: documents arrive as files in a
+    staged source, each ``foreachBatch`` tick folds the micro-batch into
+    the governed corpus state (``refresh_corpus_state``) AND applies the
+    tick's MANIFEST changelog (appended data files + merge-on-read
+    delete-key files, ``state_changelog``) to the serving index in the
+    same body; two ``availableNow`` drains share one checkpoint, then an
+    out-of-band GDPR takedown tick (governance requests don't ride the
+    document stream) syncs the same way. Ranked serving must equal a
+    one-shot BM25 over the final live corpus — the identical oracle the
+    batch variant (``serving_index_corpus_sync``) is gated on, now with
+    the streaming machinery (checkpointed batch ids, session-cloned
+    micro-batch frames, replay-safe state commits) in the loop.
+    """
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from analytics_data_platform_spark.pipelines.incremental import (
+        read_state_part,
+        refresh_corpus_state,
+        state_changelog,
+        takedown_corpus_state,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    work = tempfile.mkdtemp(prefix="adps-streamsync-")
+    staging = os.path.join(work, "staging")
+    ckpt = os.path.join(work, "ckpt")
+    state = os.path.join(work, "state")
+    os.makedirs(staging)
+    idx = SearchIndex(spark, os.path.join(work, "idx"), mode="scored")
+
+    def apply_tick(bid: int) -> int:
+        appeared, evicted = state_changelog(
+            spark, state, "live", bid - 1, bid, key_cols=["doc_id"]
+        )
+        if not appeared.isEmpty():
+            idx.append(appeared)
+        return idx.delete_docs(evicted)
+
+    def tick(bdf: DataFrame, bid: int) -> None:
+        refresh_corpus_state(spark, state, bdf, bid)
+        if bid == 0:
+            idx.build(read_state_part(spark, state, "live", 0))
+        else:
+            apply_tick(bid)
+
+    def drain() -> None:
+        stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(
+            staging
+        )
+        q = (
+            stream.writeStream.foreachBatch(tick)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        t = pq.read_table(src)
+        even = pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 0)
+        pq.write_table(t.filter(even), os.path.join(staging, "part-000.parquet"))
+        drain()
+        pq.write_table(
+            t.filter(pc.invert(even)), os.path.join(staging, "part-001.parquet")
+        )
+        drain()
+        docs = load_table(spark, sf_dir, "documents")
+        takedown_corpus_state(spark, state, docs.where(F.col("doc_id") % 97 == 0), 2)
+        n_evicted = apply_tick(2)
+        assert n_evicted > 0, "takedown tick must evict live keepers"
+
+        served = idx.bm25(QUERY_TERMS)
+        schema = served.schema
+        rows = sorted(tuple(r) for r in served.collect())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+register(
+    QuerySpec(
+        "streaming_index_corpus_sync",
+        streaming_index_corpus_sync,
+        _sync_sql(),
+        doc="corpus→index sync under a REAL streaming execution: foreachBatch ticks fold micro-batches into governed state and apply the manifest changelog to the index; ranked serving equals one-shot BM25 over the final live corpus",
+        cites="streaming form of serving_index_corpus_sync (same oracle); pipelines/incremental.py::state_changelog; Structured Streaming foreachBatch + availableNow",
+        tags=("search", "pipeline", "streaming", "scale", "topk", "multi_tick"),
+        internal_plan=_sync_internal_plans,
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # ann_sq8_topk — int8 scalar-quantized ANN (the storage-compression tier)
 # ---------------------------------------------------------------------------
 
 
-def _sq8_codes(vec_col: str):
-    """Per-vector symmetric int8 quantization: scale = max|x_i|, code_i =
-    round(x_i·127/scale) ∈ [-127, 127]. The scale is let-bound (one
-    evaluation per row — functions/expr.py::bind) so CollapseProject
-    cannot re-run the array_max per element. Scoring then happens on
-    INTEGER codes, which is what makes cross-engine parity robust: the
-    quantized cosine is a pure function of exact ints."""
-    from analytics_data_platform_spark.functions.expr import bind
-
-    c = F.col(vec_col)
-    scale = F.array_max(F.transform(c, lambda x: F.abs(x.cast("double"))))
-    return bind(
-        scale,
-        lambda s: F.when(
-            s > 0,
-            F.transform(c, lambda x: F.round(x.cast("double") * 127.0 / s).cast("int")),
-        ).otherwise(F.transform(c, lambda x: F.lit(0))),
-    )
+# the quantization rule lives with the serving primitives so the
+# persistent VectorIndex(storage="sq8") shares it verbatim
+_sq8_codes = similarity.sq8_codes
 
 
 def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1281,6 +1519,58 @@ register(
         _ivf_sq8_sql(),
         doc="IVF-SQ8 serving: coarse-pruned probe (pinned centroids, DPP) over symmetric-int8 coded cells; integer scoring of only the probed pairs",
         cites="Faiss IndexIVFScalarQuantizer (IVF,SQ8) analog; composes ann_ivf_topk assignment with ann_sq8_topk quantization",
+        tags=("vector", "approx", "scale", "topk", "multi_tick"),
+        internal_plan=_ivf_sq8_internal_plans,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# vector_index_sq8_topk — the IVF,SQ8 tier served FROM the persistent class
+# ---------------------------------------------------------------------------
+
+
+def vector_index_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 served from the PERSISTENT ``VectorIndex(storage="sq8")``
+    — the quantized tier productized into the serving class rather than a
+    throwaway layout built inside a query: cells store int8 codes + exact
+    integer norms (4× fewer resident bytes), the quantizer is pinned in
+    the sidecar, and the lifecycle is exercised (build on half the
+    corpus, O(batch) append of the other half — assignment AND
+    quantization are per-row pure functions, so the appended index
+    provably equals a one-shot build). Serving probes nprobe cells under
+    dynamic partition pruning and ranks by integer dot products.
+
+    The oracle is the ivf_sq8_topk SQL verbatim: the class must reproduce
+    the in-memory IVF,SQ8 rule exactly — a drifted scale, float cells, a
+    lost append, or a probe that misses appended files all hash-diverge.
+    """
+    from analytics_data_platform_spark.operators.vector_index import VectorIndex
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _pinned_centroids(e)
+    q = _ann_queries(e)
+    root = tempfile.mkdtemp(prefix="adps-vecsq8-")
+    try:
+        vx = VectorIndex(
+            spark, root, nlist=_IVF_NLIST, nprobe=_IVF_NPROBE, storage="sq8"
+        ).build(e.where(F.col("vec_id") % 2 == 0), centroids=cents)
+        vx.append(e.where(F.col("vec_id") % 2 == 1))
+        served = vx.topk(q, k=TOPK).select("q_id", "vec_id", "cos_sim", "rank")
+        schema = served.schema
+        rows = sorted(tuple(r) for r in served.collect())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+register(
+    QuerySpec(
+        "vector_index_sq8_topk",
+        vector_index_sq8_topk,
+        _ivf_sq8_sql(),
+        doc="IVF-SQ8 from the persistent VectorIndex(storage='sq8'): int8-coded cells with pinned quantizer sidecar, O(batch) append, DPP-pruned integer-scored serving equal to the in-memory rule",
+        cites="operators/vector_index.py storage='sq8'; Faiss IndexIVFScalarQuantizer persisted; oracle = ivf_sq8_topk SQL verbatim",
         tags=("vector", "approx", "scale", "topk", "multi_tick"),
         internal_plan=_ivf_sq8_internal_plans,
     )

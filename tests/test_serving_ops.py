@@ -132,6 +132,7 @@ def test_streaming_corpus_to_index_sync(spark, tmp_path, sf_dir):
     from analytics_data_platform_spark.pipelines.incremental import (
         read_state_part,
         refresh_corpus_state,
+        state_changelog,
     )
 
     src = f"{sf_dir}/documents.parquet"
@@ -143,15 +144,15 @@ def test_streaming_corpus_to_index_sync(spark, tmp_path, sf_dir):
 
     def tick(bdf, bid):
         refresh_corpus_state(spark, state, bdf, bid)
-        cur = read_state_part(spark, state, "live", bid)
         if bid == 0:
-            idx.build(cur)
+            idx.build(read_state_part(spark, state, "live", 0))
             return
-        prev = read_state_part(spark, state, "live", bid - 1)
-        idx.append(cur.join(prev.select("doc_id"), "doc_id", "left_anti"))
-        idx.delete_docs(
-            prev.select("doc_id").join(cur.select("doc_id"), "doc_id", "left_anti")
+        appeared, evicted = state_changelog(
+            spark, state, "live", bid - 1, bid, key_cols=["doc_id"]
         )
+        if not appeared.isEmpty():
+            idx.append(appeared)
+        idx.delete_docs(evicted)
 
     t = pq.read_table(src)
     even = pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 0)
@@ -179,3 +180,93 @@ def test_streaming_corpus_to_index_sync(spark, tmp_path, sf_dir):
     assert idx.stats()["total_dl"] == one.stats()["total_dl"]
     got = {tuple(r) for r in idx.bm25(QUERY_TERMS).collect()}
     assert got == {tuple(r) for r in one.bm25(QUERY_TERMS).collect()}
+
+
+def test_filtered_hybrid_three_prunings_on_one_plan(spark, tmp_path, sf_dir):
+    """The filtered hybrid's executed plan must carry ALL THREE prunings
+    at once: the static bucket PartitionFilter on the lexical posting
+    scan, dynamic partition pruning on the IVF cell scan, and the lang
+    predicate PUSHED into both the docmeta candidates scan and the
+    probed cells' scan (never evaluated post-read over the corpus)."""
+    import os
+
+    from analytics_data_platform_spark.operators.vector_index import VectorIndex
+    from analytics_data_platform_spark.queries.serving_ops import (
+        _HYBRID_FILTER_LANG,
+        _pinned_centroids,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+
+    lex = str(tmp_path / "lex")
+    stats_dir = str(tmp_path / "stats")
+    meta_dir = str(tmp_path / "meta")
+    postings, stats = _scored_posting_rows(d)
+    postings.write.partitionBy("bucket").parquet(lex)
+    stats.coalesce(1).write.parquet(stats_dir)
+    d.drop("text").write.parquet(meta_dir)
+
+    q_terms = _mlt_query_terms(d).localCheckpoint()
+    terms = [r["term"] for r in q_terms.select("term").distinct().collect()]
+    want = sorted(
+        {
+            r["b"]
+            for r in spark.createDataFrame(
+                [(t,) for t in sorted(set(terms))], "term string"
+            )
+            .select(F.pmod(F.hash("term"), F.lit(INDEX_BUCKETS)).alias("b"))
+            .collect()
+        }
+    )
+    n_dirs = len([x for x in os.listdir(lex) if x.startswith("bucket=")])
+    assert len(want) < n_dirs, "fixture must leave something to prune"
+    lex_index = spark.read.parquet(lex).where(F.col("bucket").isin(*want))
+    candidates = (
+        spark.read.parquet(meta_dir)
+        .where(f"lang = '{_HYBRID_FILTER_LANG}'")
+        .select("doc_id")
+    )
+
+    cents = _pinned_centroids(e)
+    ew = e.join(d.select(F.col("doc_id").alias("vec_id"), "lang"), "vec_id")
+    vx = VectorIndex(spark, str(tmp_path / "ivf"), nlist=_IVF_NLIST, nprobe=4).build(
+        ew, centroids=cents
+    )
+
+    out = _hybrid_legs(
+        spark,
+        d,
+        e,
+        lex_index,
+        spark.read.parquet(stats_dir),
+        VectorIndex._Io(vx, f"lang = '{_HYBRID_FILTER_LANG}'"),
+        cents,
+        q_terms,
+        lex_candidates=candidates,
+    )
+    rows = out.collect()  # finalize AQE before asserting on the plan
+    assert rows and all(r.rank <= 10 for r in rows)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # (1) lexical: static bucket partition pruning
+    lex_scans = [
+        seg[:200] for seg in plan.split("PartitionFilters: [")[1:] if "bucket" in seg[:120]
+    ]
+    assert lex_scans, "lexical posting scan lost its bucket PartitionFilter"
+    # (2) semantic: dynamic partition pruning on the cell dirs
+    rep = audit(out)
+    pruned = any(
+        "dynamicpruning" in " ".join(s.partition_filters).lower() for s in rep.scans
+    ) or "dynamicpruning" in rep.formatted.lower()
+    assert pruned, "IVF probe join must dynamic-partition-prune the cell dirs"
+    # (3) the lang predicate reaches BOTH parquet scans as PushedFilters:
+    # the docmeta candidates scan and the probed cells' scan
+    lang_pushed = [
+        seg[:200]
+        for seg in plan.split("PushedFilters: [")[1:]
+        if "lang" in seg[:160]
+    ]
+    assert len(lang_pushed) >= 2, (
+        f"lang filter must push into docmeta AND cell scans, got {len(lang_pushed)}"
+    )

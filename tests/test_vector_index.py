@@ -358,3 +358,118 @@ def test_merge_refuses_source_with_its_own_torn_merge(spark, tmp_path, sf_dir, m
         for r in a.topk(_queries(e)).select("q_id", "vec_id", "cos_sim", "rank").collect()
     }
     assert got == _expected(e, _queries(e), cents)
+
+
+def _sq8_rule(corpus, queries, cents, nprobe=NPROBE, k=10):
+    """The in-memory IVF,SQ8 rule (the ivf_sq8_topk formulation): coarse
+    assignment on full-precision vectors, int8 codes, integer scoring."""
+    cell = similarity.assign_centroid_col("embedding", cents).cast("int")
+    coded = corpus.select(
+        "vec_id", cell.alias("_cell"), similarity.sq8_codes("embedding").alias("codes")
+    ).withColumn("c_sq", similarity.int_sq_norm("codes"))
+    probes = similarity._probe_queries(queries, cents, nprobe, "q_id", "q_emb")
+    probes = probes.select(
+        "q_id", "_qcell", similarity.sq8_codes("q_emb").alias("q_codes")
+    ).withColumn("q_sq", similarity.int_sq_norm("q_codes"))
+    cos = similarity.sq8_cosine("q_codes", "codes", "q_sq", "c_sq")
+    scored = coded.join(
+        F.broadcast(probes),
+        (F.col("_cell") == F.col("_qcell")) & (F.col("vec_id") != F.col("q_id")),
+    ).select("q_id", "vec_id", F.round(cos, 4).alias("cos_sim"))
+    return {
+        tuple(r)
+        for r in similarity.topk_per_query(scored, k, "q_id", "vec_id", "cos_sim")
+        .select("q_id", "vec_id", "cos_sim", "rank")
+        .collect()
+    }
+
+
+def test_sq8_storage_lifecycle_equals_in_memory_rule(spark, tmp_path, sf_dir):
+    """VectorIndex(storage='sq8'): build→append→filter→erase→compact must
+    serve exactly the in-memory IVF,SQ8 formulation; the resident cells
+    hold int8 codes (NO float vector column — the 4x-bytes claim is
+    structural); the probe still engages dynamic partition pruning."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in e.where(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
+    ]
+    q = _queries(e)
+    vx = VectorIndex(spark, str(tmp_path / "v"), nlist=8, nprobe=NPROBE, storage="sq8")
+    vx.build(e.where(F.col("vec_id") % 2 == 0), centroids=cents)
+    vx.append(e.where(F.col("vec_id") % 2 == 1))
+
+    # structural: codes + integer norms persisted, float vector dropped
+    cols = set(spark.read.parquet(vx.cells_dir).columns)
+    assert "codes" in cols and "c_sq" in cols and "embedding" not in cols
+
+    served = vx.topk(q)
+    got = {tuple(r) for r in served.select("q_id", "vec_id", "cos_sim", "rank").collect()}
+    assert got == _sq8_rule(e, q, cents), "sq8 index drifted from the in-memory rule"
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "sq8 probe lost partition pruning"
+
+    # filtered serving narrows candidates before the cut, stats pinned
+    flt = {
+        tuple(r)
+        for r in vx.topk(q, where="label IN (1, 4, 7)")
+        .select("q_id", "vec_id", "cos_sim", "rank")
+        .collect()
+    }
+    assert flt == _sq8_rule(e.where(F.col("label").isin(1, 4, 7)), q, cents)
+
+    # merge-on-read erasure + compaction keep equality with the rule
+    victims = [r.vec_id for r in e.where(F.col("vec_id") % 9 == 5).select("vec_id").collect()]
+    assert vx.delete_vecs(victims) == len(victims)
+    survivors = e.where(~(F.col("vec_id") % 9 == 5))
+    want = _sq8_rule(survivors, q, cents)
+    got = {tuple(r) for r in vx.topk(q).select("q_id", "vec_id", "cos_sim", "rank").collect()}
+    assert got == want
+    vx.apply_deletes()
+    vx.compact()
+    got = {tuple(r) for r in vx.topk(q).select("q_id", "vec_id", "cos_sim", "rank").collect()}
+    assert got == want
+
+    # reopening resolves the storage kind from the sidecar; an explicit
+    # wrong kind refuses
+    import pytest
+
+    reopened = VectorIndex(spark, str(tmp_path / "v"))
+    assert reopened.storage == "sq8"
+    VectorIndex(spark, str(tmp_path / "v"), storage="sq8")  # explicit ok
+    VectorIndex(spark, str(tmp_path / "f"), nlist=8).build(
+        e.where(F.col("vec_id") < 40), centroids=cents
+    )
+    with pytest.raises(ValueError, match="stores"):
+        VectorIndex(spark, str(tmp_path / "f"), storage="sq8")
+
+
+def test_sq8_segment_merge_and_storage_drift_refusal(spark, tmp_path, sf_dir):
+    """Two sq8 segments under one pinned quantizer merge by file adoption
+    and serve the one-shot rule; a float segment refuses to fold into an
+    sq8 index (and vice versa) — the scorer cannot read mixed cells."""
+    import pytest
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in e.where(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
+    ]
+    q = _queries(e)
+    a = VectorIndex(spark, str(tmp_path / "a"), nlist=8, nprobe=NPROBE, storage="sq8").build(
+        e.where(F.col("vec_id") % 2 == 0), centroids=cents
+    )
+    b = VectorIndex(spark, str(tmp_path / "b"), nlist=8, nprobe=NPROBE, storage="sq8").build(
+        e.where(F.col("vec_id") % 2 == 1), centroids=cents
+    )
+    a.merge_from(b)
+    got = {tuple(r) for r in a.topk(q).select("q_id", "vec_id", "cos_sim", "rank").collect()}
+    assert got == _sq8_rule(e, q, cents)
+
+    f = VectorIndex(spark, str(tmp_path / "f"), nlist=8, nprobe=NPROBE).build(
+        e.where(F.col("vec_id") % 3 == 0), centroids=cents
+    )
+    with pytest.raises(ValueError, match="storage mismatch"):
+        a.merge_from(f)
+    with pytest.raises(ValueError, match="storage mismatch"):
+        f.merge_from(a)

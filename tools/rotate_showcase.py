@@ -26,7 +26,7 @@ ROOT = Path(__file__).resolve().parent.parent
 WINDOW = 50
 # the newest committed CORRECTNESS round the current window was computed
 # from — bump when a new round's artifact lands and the window rotates
-ROTATION_MAX_ROUND = 8
+ROTATION_MAX_ROUND = 9
 
 
 def last_passed_round(max_round: int) -> dict[str, int]:
@@ -60,7 +60,7 @@ def rotation(max_round: int) -> tuple[list[str], list[str]]:
 
 
 def main() -> None:
-    max_round = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    max_round = int(sys.argv[1]) if len(sys.argv) > 1 else ROTATION_MAX_ROUND
     never, backfill = rotation(max_round)
     print(f"# showcase window from CORRECTNESS_r01..r{max_round:02d}")
     print(f"# {len(never)} never-passed + {len(backfill)} oldest-verified")
