@@ -4,6 +4,9 @@ Subcommands:
   elt list <project-root>          discovered jobs
   elt run  <project-root> <job>    run one ingestion job end-to-end
   elt maintain <namespace...>      table maintenance over namespaces
+      [--snapshot-warehouse D]     + snapshot procedures per table
+      [--indexes D]                + serving-index fleet maintenance
+                                   (heal/resume/apply-deletes/compact)
   elt query <name|list> [--sf-dir D] [--explain] [--limit N]
                                    run/inspect a registry query ad hoc
 
@@ -51,6 +54,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p_m.add_argument("--keep-last", type=int, default=3,
                      help="snapshots to retain per table (snapshot warehouse)")
+    p_m.add_argument(
+        "--indexes",
+        default=None,
+        help="also maintain every serving index (SearchIndex/VectorIndex) "
+        "discovered under this root: heal torn swaps, resume torn segment "
+        "merges, materialize pending deletes, compact small files",
+    )
+    p_m.add_argument("--index-min-files", type=int, default=2,
+                     help="compact an index bucket/cell at this many files")
 
     p_q = sub.add_parser("query", help="run a registry query (or 'list')")
     p_q.add_argument("name", help="query name from the registry, or 'list'")
@@ -102,6 +114,15 @@ def main(argv: list[str] | None = None) -> int:
                 args.snapshot_warehouse,
                 keep_last=args.keep_last,
                 target_file_mb=args.target_file_mb,
+            ):
+                print(line)
+        if args.indexes:
+            from analytics_data_platform_spark.tables.maintenance import (
+                maintain_index_fleet,
+            )
+
+            for line in maintain_index_fleet(
+                spark, args.indexes, min_files=args.index_min_files
             ):
                 print(line)
         return 0

@@ -284,3 +284,90 @@ def compact_posting_buckets(
         shutil.rmtree(old)
         done.append(f"{name}: {len(files)} -> {target_files} file(s)")
     return done
+
+
+def discover_index_roots(root: str) -> list[tuple[str, str]]:
+    """(kind, path) of every serving index under ``root``: a directory
+    holding a ``_meta.json`` with a SearchIndex layout (mode + buckets)
+    or a VectorIndex layout (centroids). Mid-merge SOURCE segments
+    (``consumed_by`` marked) are skipped — their owning target's torn
+    merge consumes them when the fleet loop resumes it. Index internals
+    are not descended into (an index cannot nest inside another)."""
+    import json
+    import os
+
+    out: list[tuple[str, str]] = []
+    for dirpath, dirs, files in os.walk(root):
+        if "_meta.json" not in files:
+            continue
+        dirs[:] = []  # never descend into an index's own tree
+        try:
+            with open(os.path.join(dirpath, "_meta.json")) as f:
+                meta = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if meta.get("consumed_by"):
+            continue
+        if "mode" in meta and "buckets" in meta:
+            out.append(("search", dirpath))
+        elif "centroids" in meta:
+            out.append(("vector", dirpath))
+    return sorted(out, key=lambda t: t[1])
+
+
+def maintain_index_fleet(spark: SparkSession, root: str, min_files: int = 2):
+    """Maintenance loop over a FLEET of serving indexes — the index-tier
+    analog of :func:`run_maintenance`'s table loop (the reference runs
+    table maintenance as a cron over every namespace,
+    infra/ansible/roles/elt/tasks/elt_cron_tasks.yml:52-60; at scale the
+    index tier accretes the same debt: torn merges from crashed jobs,
+    unapplied merge-on-read deletes, one small file per append tick).
+
+    Per discovered index, in dependency order:
+      1. heal torn atomic-swap windows (postings/docmeta/cells);
+      2. RESUME a torn segment merge — the ``pending_merge`` marker pins
+         the source root, so the crashed merge finishes here and the
+         index becomes mutable again;
+      3. materialize eligible merge-on-read deletes (bounds the serve-
+         time anti-join state);
+      4. compact small append files (buckets / cells / docmeta).
+
+    Yields one line per action; exceptions propagate per index AFTER the
+    loop visits the remaining fleet (one sick index must not starve the
+    rest — the cron pattern), re-raised as a summary RuntimeError."""
+    from analytics_data_platform_spark.operators.search_index import SearchIndex
+    from analytics_data_platform_spark.operators.vector_index import VectorIndex
+
+    failures: list[str] = []
+    for kind, path in discover_index_roots(root):
+        try:
+            if kind == "search":
+                import json as _json
+
+                with open(f"{path}/_meta.json") as f:
+                    m = _json.load(f)  # layout resolves from the sidecar
+                idx = SearchIndex(spark, path, mode=m["mode"], buckets=int(m["buckets"]))
+            else:
+                idx = VectorIndex(spark, path)
+            idx._recover_swap()
+            pending = (idx._read_meta() or {}).get("pending_merge")
+            if pending is not None:
+                src = pending["src"]
+                if kind == "search":
+                    other = SearchIndex(spark, src, mode=idx.mode, buckets=idx.buckets)
+                else:
+                    other = VectorIndex(spark, src)
+                idx.merge_from(other)
+                yield f"{path}: resumed torn merge from {src}"
+            if idx.apply_deletes():
+                yield f"{path}: materialized pending deletes"
+            for line in idx.compact(min_files=min_files):
+                yield f"{path}: compacted {line}"
+            yield f"{path}: ok ({kind})"
+        except Exception as exc:  # noqa: BLE001 — cron loop: report, continue
+            failures.append(f"{path}: {exc}")
+            yield f"{path}: FAILED ({exc})"
+    if failures:
+        raise RuntimeError(
+            f"{len(failures)} index(es) failed maintenance: " + "; ".join(failures)
+        )

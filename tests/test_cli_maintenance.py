@@ -167,3 +167,113 @@ def test_cli_query_list_and_run(spark, capsys):
     assert main(["query", "distinct_segments", "--sf-dir", "/root/testdata/sf0.001"]) == 0
     out = capsys.readouterr().out
     assert "BUILDING" in out or "segment" in out.lower()
+
+
+def test_index_fleet_maintenance_with_mid_fleet_crash(spark, tmp_path, monkeypatch):
+    """`elt maintain --indexes <root>` over a fleet of BOTH index kinds:
+    discovers the indexes (skipping a mid-merge consumed source), resumes
+    a torn segment merge from its pending marker, materializes pending
+    deletes, compacts small append files — and a crash on ONE index does
+    not starve the rest of the fleet (cron semantics: visit all, then
+    raise a summary)."""
+    import pyspark.sql.functions as F
+
+    from analytics_data_platform_spark.operators import search_index as SI
+    from analytics_data_platform_spark.operators.search_index import SearchIndex
+    from analytics_data_platform_spark.operators.vector_index import VectorIndex
+    from analytics_data_platform_spark.queries.search_ops import QUERY_TERMS
+    from analytics_data_platform_spark.sources.testdata import load_table
+    from analytics_data_platform_spark.tables.maintenance import (
+        discover_index_roots,
+        maintain_index_fleet,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    fleet = tmp_path / "indexes"
+
+    # s1: scored index with small append files AND pending deletes
+    s1 = SearchIndex(spark, str(fleet / "s1"), mode="scored")
+    s1.build(d.where(F.col("doc_id") % 3 == 0))
+    for tick in (1, 2):
+        s1.append(d.where(F.col("doc_id") % 3 == tick))
+    victims = [r.doc_id for r in d.where(F.col("doc_id") % 7 == 0).select("doc_id").collect()]
+    s1.delete_docs(victims)
+    want_s1 = {tuple(r) for r in s1.bm25(QUERY_TERMS).collect()}
+
+    # v1: vector index with pending erasures
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in e.where(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
+    ]
+    v1 = VectorIndex(spark, str(fleet / "v1"), nlist=8, nprobe=4).build(
+        e, centroids=cents
+    )
+    v1.delete_vecs([r.vec_id for r in e.where(F.col("vec_id") % 11 == 3).select("vec_id").collect()])
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    want_v1 = {tuple(r) for r in v1.topk(q).select("q_id", "vec_id", "cos_sim", "rank").collect()}
+
+    # s2: a TORN segment merge (crash mid-adoption; marker pins the source)
+    s2 = SearchIndex(spark, str(fleet / "s2"), mode="scored").build(
+        d.where(F.col("doc_id") % 2 == 0)
+    )
+    s2src = SearchIndex(spark, str(fleet / "s2src"), mode="scored").build(
+        d.where(F.col("doc_id") % 2 == 1)
+    )
+    real_adopt = SI.adopt_parquet_tree
+
+    def dying_adopt(src, dst, tag):
+        real_adopt(src, dst, tag)
+        raise RuntimeError("injected crash mid-adoption")
+
+    monkeypatch.setattr(SI, "adopt_parquet_tree", dying_adopt)
+    with pytest.raises(RuntimeError, match="injected"):
+        s2.merge_from(s2src)
+    monkeypatch.setattr(SI, "adopt_parquet_tree", real_adopt)
+    assert "pending_merge" in s2._read_meta()
+
+    found = discover_index_roots(str(fleet))
+    assert found == [
+        ("search", str(fleet / "s1")),
+        ("search", str(fleet / "s2")),
+        ("vector", str(fleet / "v1")),
+    ], "consumed mid-merge source must not be discovered as its own index"
+
+    # crash mid-fleet: s1's delete materialization dies; the loop must
+    # still visit s2 and v1, then raise the summary
+    real_apply = SearchIndex.apply_deletes
+
+    def dying_apply(self):
+        if self.root.endswith("s1"):
+            raise RuntimeError("injected mid-fleet crash")
+        return real_apply(self)
+
+    monkeypatch.setattr(SearchIndex, "apply_deletes", dying_apply)
+    lines: list[str] = []
+    with pytest.raises(RuntimeError, match="1 index\\(es\\) failed"):
+        for line in maintain_index_fleet(spark, str(fleet)):
+            lines.append(line)
+    monkeypatch.setattr(SearchIndex, "apply_deletes", real_apply)
+    assert any("s1: FAILED" in ln for ln in lines)
+    assert any("s2: resumed torn merge" in ln for ln in lines)
+    assert any("v1: materialized pending deletes" in ln for ln in lines)
+
+    # second pass heals everything and is quiet about past damage
+    lines = list(maintain_index_fleet(spark, str(fleet)))
+    assert any("s1: materialized pending deletes" in ln for ln in lines)
+    assert all("FAILED" not in ln for ln in lines)
+
+    # served results unchanged by the whole maintenance cycle
+    assert {tuple(r) for r in s1.bm25(QUERY_TERMS).collect()} == want_s1
+    assert {tuple(r) for r in v1.topk(q).select("q_id", "vec_id", "cos_sim", "rank").collect()} == want_v1
+    one = SearchIndex(spark, str(tmp_path / "one"), mode="scored").build(d)
+    assert {tuple(r) for r in s2.bm25(QUERY_TERMS).collect()} == {
+        tuple(r) for r in one.bm25(QUERY_TERMS).collect()
+    }
+    assert s1._delete_ids() is None and v1._delete_ids() is None
+
+    # the CLI surface drives the same loop
+    monkeypatch.setattr(cli, "get_spark", lambda **kw: spark)
+    assert cli.main(["maintain", "--indexes", str(fleet)]) == 0
