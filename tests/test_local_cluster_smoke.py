@@ -136,6 +136,12 @@ QUERIES = [
     "ann_sq8_topk",
     "ivf_sq8_topk",
     "ann_truncated_rerank_topk",
+    # round-10: the persistent sq8 class, the streaming sync loop, and
+    # filtered hybrid — index builds + foreachBatch ticks + three-way
+    # pruning under separate executor JVMs
+    "vector_index_sq8_topk",
+    "streaming_index_corpus_sync",
+    "index_hybrid_filtered_topk",
 ]
 
 

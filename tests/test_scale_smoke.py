@@ -363,8 +363,43 @@ def test_filtered_ann_survives_8x(spark, smoke_dir_vec):
 def test_quantized_ann_tiers_survive_8x(spark, smoke_dir_vec):
     """SQ8 / IVF-SQ8 / truncate-rerank at 8x (16k vectors): output stays
     invariant (5 queries x top-10) and inside the anti-quadratic budget —
-    the quantization and staging tiers must not change the join shapes."""
-    for name in ("ann_sq8_topk", "ivf_sq8_topk", "ann_truncated_rerank_topk"):
-        n, dt = _timed(spark, name, smoke_dir_vec)
-        assert n == 50
-        print(f"{name} 8x: {n} rows in {dt:.1f}s")
+    the quantization and staging tiers must not change the join shapes.
+
+    RECALL FLOORS (round-9 verdict #4): the 8x corpus is where a
+    quantization bug that only hurts at scale would hide — replica
+    jitter packs near-ties around every true neighbor, so a drifted
+    scale or a mis-staged rerank pool tanks recall HERE while the test-SF
+    recall gate stays green. Floors sit under the measured deterministic
+    values (0.98 / 0.98 / 0.70 at 16k vectors — the 16-dim stage-1 pool
+    thins as the corpus grows, the expected Matryoshka trade) with
+    engine-drift margin."""
+    brute = {
+        (r.q_id, r.vec_id)
+        for r in all_queries()["ann_cosine_topk"]
+        .fn(spark, smoke_dir_vec)
+        .select("q_id", "vec_id")
+        .collect()
+    }
+    assert len(brute) == 50
+    floors = {
+        "ann_sq8_topk": 0.94,
+        "ivf_sq8_topk": 0.94,
+        "ann_truncated_rerank_topk": 0.65,
+    }
+    for name, floor in floors.items():
+        t0 = time.time()
+        got = {
+            (r.q_id, r.vec_id)
+            for r in all_queries()[name].fn(spark, smoke_dir_vec)
+            .select("q_id", "vec_id")
+            .collect()
+        }
+        dt = time.time() - t0
+        assert dt < BUDGET_S, f"{name} took {dt:.0f}s at 8x — quadratic regression?"
+        assert len(got) == 50
+        recall = len(got & brute) / len(brute)
+        assert recall >= floor, (
+            f"{name} recall@10 = {recall:.3f} < floor {floor} at 8x — "
+            "quantization quality collapsed at scale"
+        )
+        print(f"{name} 8x: recall@10 {recall:.3f} (floor {floor}) in {dt:.1f}s")
