@@ -154,6 +154,9 @@ def main() -> None:
             "incremental_pipeline_refresh",
             "streaming_interval_join_stats",
             "ivf_pq_adc_topk",
+            # round-10: the serving loop on the manifest-changelog path —
+            # three state ticks + index maintenance + ranked serving
+            "serving_index_corpus_sync",
         ):
             best = float("inf")
             for _ in range(2):
