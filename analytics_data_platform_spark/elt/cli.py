@@ -63,6 +63,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p_m.add_argument("--index-min-files", type=int, default=2,
                      help="compact an index bucket/cell at this many files")
+    p_m.add_argument(
+        "--grow-target-mb", type=int, default=None,
+        help="grow index capacity when the average bucket/cell exceeds "
+        "this size: reshard/retrain to the smallest power-of-two multiple "
+        "that brings it back under (sq8 vector tiers are reported and "
+        "skipped)",
+    )
 
     p_q = sub.add_parser("query", help="run a registry query (or 'list')")
     p_q.add_argument("name", help="query name from the registry, or 'list'")
@@ -122,7 +129,10 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             for line in maintain_index_fleet(
-                spark, args.indexes, min_files=args.index_min_files
+                spark,
+                args.indexes,
+                min_files=args.index_min_files,
+                grow_target_mb=args.grow_target_mb,
             ):
                 print(line)
         return 0

@@ -145,6 +145,17 @@ class SearchIndex:
                 f"segment at {self.root} is being consumed by a merge into "
                 f"{meta['consumed_by']} — stale handle refuses to serve"
             )
+        if meta.get("pending_reshard"):
+            # a torn reshard is always completable without compute (the
+            # marker is written only after the staged tree is fully built),
+            # so every serve/mutate path heals FORWARD instead of refusing
+            self._finish_reshard(meta)
+            meta = self._read_meta()
+        # refresh layout from the sidecar so a handle that predates an
+        # out-of-band reshard (another process grew the bucket count)
+        # routes lookups to the right bucket directories
+        self.mode = meta.get("mode", self.mode)
+        self.buckets = int(meta.get("buckets", self.buckets))
         return meta
 
     def _mark_consumed(self, dst: str) -> None:
@@ -312,6 +323,17 @@ class SearchIndex:
                     f"pending (from {ometa['pending_merge']['src']}) — finish "
                     "it first by re-calling other.merge_from(...)"
                 )
+            if ometa["mode"] != meta["mode"] or int(ometa["buckets"]) != int(
+                meta["buckets"]
+            ):
+                # re-checked from the SIDECARS: stats() may have just healed
+                # a torn reshard on either side, so the constructor-time
+                # check above can be stale (reshard the segments to one
+                # layout first — that is the migration path)
+                raise ValueError(
+                    f"layout mismatch after recovery: ({meta['mode']}, "
+                    f"{meta['buckets']}) vs ({ometa['mode']}, {ometa['buckets']})"
+                )
             tag = uuid.uuid4().hex[:12]
             # phase 1 (atomic): fold the totals and pin the intent — if we
             # die mid-adoption, the recorded fold is already correct and a
@@ -393,6 +415,81 @@ class SearchIndex:
                 shutil.rmtree(old)
                 done.append(f"docmeta: {n_files} -> 1")
         return done
+
+    def reshard(self, buckets: int) -> "SearchIndex":
+        """Grow (or shrink) the term-bucket count IN PLACE — the capacity
+        lever for a corpus that outgrew its build-time layout. The bucket
+        count fixes posting-file fan-out at build; at 100× the corpus a
+        64-bucket index means multi-GB posting directories per term hash,
+        so the serving tier must be able to re-shard without a rebuild
+        from the source corpus (the Lucene analog: reindex segments into
+        a new shard count; Elasticsearch split/shrink).
+
+        Cost is ONE full-index shuffle: postings are read once, re-keyed
+        ``bucket = hash(term) % new_buckets`` (the same per-row pure
+        function serving routes with), and written partition-wise to a
+        staged tree — an offline maintenance op, never on the serve path.
+        The docmeta sidecar and any pending merge-on-read delete sidecars
+        are doc-scoped, not bucket-scoped, so they are untouched and stay
+        valid throughout.
+
+        CRASH SAFETY: a ``pending_reshard`` marker is committed to the
+        metadata only AFTER the staged tree is completely written, so a
+        torn reshard is always completable with pure renames — ``stats()``
+        heals it forward on the next open/serve/mutate (no refusal window;
+        a crash before the marker leaves only an orphan stage directory
+        that ``_recover_swap`` clears). Serving correctness through every
+        window: before the marker the live tree and metadata both say the
+        old layout; after it, resume installs the new tree before any
+        lookup computes a bucket.
+        """
+        import shutil
+
+        buckets = int(buckets)
+        if buckets < 1:
+            raise ValueError("buckets must be >= 1")
+        meta = self._check_no_pending_merge()  # stats() healed any torn reshard
+        self._recover_swap()
+        if buckets == int(meta["buckets"]):
+            return self
+        staged = os.path.join(self.root, "_stage.reshard")
+        if os.path.isdir(staged):
+            shutil.rmtree(staged)
+        (
+            self.spark.read.parquet(self.postings_dir)
+            .withColumn("bucket", F.pmod(F.hash("term"), F.lit(buckets)))
+            .write.partitionBy("bucket")
+            .parquet(staged)
+        )
+        # marker AFTER the stage is complete: from here the swap is pure
+        # renames and any reader/mutator can finish it
+        meta["pending_reshard"] = {"buckets": buckets}
+        self._write_meta(meta)
+        self._finish_reshard(meta)
+        return self
+
+    def _finish_reshard(self, meta: dict) -> None:
+        """Install a fully staged reshard (idempotent resume): swap the
+        staged tree in with two renames, finalize the metadata's bucket
+        count atomically with dropping the marker, then drop the retired
+        tree. Every crash window re-enters here and completes."""
+        import shutil
+
+        staged = os.path.join(self.root, "_stage.reshard")
+        old = os.path.join(self.root, "_old.reshard")
+        if os.path.isdir(staged):
+            if os.path.isdir(self.postings_dir):
+                if os.path.isdir(old):
+                    shutil.rmtree(old)
+                os.rename(self.postings_dir, old)
+            os.rename(staged, self.postings_dir)
+        # staged gone ⇒ the install already happened; finalize + clean up
+        meta["buckets"] = int(meta["pending_reshard"]["buckets"])
+        meta.pop("pending_reshard", None)
+        self._write_meta(meta)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        self.buckets = int(meta["buckets"])
 
     # -- serving (every read prunes to the query terms' buckets) ----------
 
@@ -627,8 +724,19 @@ class SearchIndex:
         return True
 
     def _recover_swap(self) -> None:
+        import shutil
+
         for live, tag in ((self.postings_dir, "postings"), (self.docmeta_dir, "docmeta")):
             self._recover_dir_swap(live, tag)
+        meta = self._read_meta()
+        if meta is not None and not meta.get("pending_reshard"):
+            # no marker ⇒ any reshard dirs are strays: a stage the crash
+            # orphaned before the marker, or a retired tree the finalize
+            # didn't get to remove — both safe to drop
+            for d in ("_stage.reshard", "_old.reshard"):
+                p = os.path.join(self.root, d)
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
 
     def _recover_dir_swap(self, live_dir: str, tag: str) -> None:
         import shutil

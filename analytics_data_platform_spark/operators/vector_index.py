@@ -114,6 +114,16 @@ class VectorIndex:
                 f"segment at {self.root} is being consumed by a merge into "
                 f"{meta['consumed_by']} — stale handle refuses to serve"
             )
+        if meta.get("pending_retrain"):
+            # a torn retrain is always completable without compute (the
+            # marker commits only after the staged cells are fully
+            # written) — heal forward on any open/serve/mutate
+            self._finish_retrain(meta)
+            meta = self._read_meta()
+        # refresh the quantizer from the sidecar so a handle that predates
+        # an out-of-band retrain probes the cells that actually exist
+        self.centroids = meta["centroids"]
+        self.nlist = len(meta["centroids"])
         return meta
 
     def _mark_consumed(self, dst: str) -> None:
@@ -123,20 +133,22 @@ class VectorIndex:
             meta["consumed_by"] = dst
             self._write_meta(meta)
 
-    def _cell_col(self):
-        cents = self.centroids
+    def _cell_col(self, cents: list[list[float]] | None = None):
+        cents = self.centroids if cents is None else cents
         if len(cents) > similarity.MAX_LITERAL_CENTROIDS:
             return similarity.assign_centroid_udf(cents)(F.col(self.vec_col))
         return similarity.assign_centroid_col(self.vec_col, cents).cast("int")
 
-    def _cell_rows(self, vectors: DataFrame) -> DataFrame:
+    def _cell_rows(
+        self, vectors: DataFrame, cents: list[list[float]] | None = None
+    ) -> DataFrame:
         """One write-ready frame: the cell assignment always runs on the
         FULL-PRECISION vectors (the Faiss IVF,SQ8 layout — coarse-quantize
         originals, compress residents); sq8 storage then swaps the float
         vector for its int8 codes + exact integer squared norm (the
         per-vector scale is implicit: code cosine is scale-invariant).
         Metadata columns ride along unchanged for filtered serving."""
-        out = vectors.withColumn("_cell", self._cell_col().cast("int"))
+        out = vectors.withColumn("_cell", self._cell_col(cents).cast("int"))
         if self.storage == "sq8":
             out = out.withColumn(
                 "codes", similarity.sq8_codes(self.vec_col)
@@ -203,6 +215,101 @@ class VectorIndex:
         return compact_posting_buckets(
             self.spark, self.cells_dir, min_files=min_files, prefix=_CELL_PREFIX
         )
+
+    def retrain(
+        self,
+        nlist: int | None = None,
+        centroids: list[list[float]] | None = None,
+        seed: int = 42,
+    ) -> "VectorIndex":
+        """Replace the coarse quantizer IN PLACE — the capacity lever for
+        a corpus that outgrew its pinned nlist (Faiss's production
+        pattern: retrain offline, swap atomically; appends keep assigning
+        against whatever quantizer is pinned when they run). A 16-cell
+        index over a corpus grown 100× means multi-GB inverted lists per
+        probe; growing nlist restores O(nprobe/nlist) serving without a
+        rebuild from the source corpus.
+
+        Pass ``centroids`` to pin an externally trained quantizer, or
+        ``nlist`` to train one here (seeded driver k-means over a bounded
+        sample of the LIVE vectors — pending erasures are excluded from
+        training so deleted content cannot steer the layout). Cost is ONE
+        full-index shuffle: cells are read once, re-assigned (a per-row
+        pure function of vector × new centroids), and staged
+        partition-wise — an offline maintenance op, never on the serve
+        path. Erasure sidecars are id-scoped, not cell-scoped, so pending
+        deletes stay valid across the swap; the retrained index provably
+        equals a one-shot ``build`` of the same rows under the same
+        centroids.
+
+        ``storage="sq8"`` refuses: codes cannot recover the
+        full-precision assignment a one-shot build would use (the IVF,SQ8
+        layout coarse-quantizes ORIGINALS) — retrain an sq8 tier by
+        rebuilding from the source corpus.
+
+        CRASH SAFETY mirrors ``SearchIndex.reshard``: a
+        ``pending_retrain`` marker (carrying the new quantizer) commits
+        only after the staged cells are completely written, so every torn
+        window heals forward with pure renames in ``stats()``."""
+        import shutil
+
+        meta = self._check_no_pending_merge()  # stats() healed any torn retrain
+        self._recover_swap()
+        if self.storage == "sq8":
+            raise ValueError(
+                "sq8 cells store codes, not vectors — a retrain here could "
+                "not reproduce the full-precision assignment of a one-shot "
+                "build; rebuild the index from the source corpus instead"
+            )
+        if centroids is None:
+            if nlist is None:
+                raise ValueError("retrain needs nlist or explicit centroids")
+            live = self.spark.read.parquet(self.cells_dir).drop("_cell")
+            dels = self._delete_ids()
+            if dels is not None:
+                live = live.join(F.broadcast(dels), self.id_col, "left_anti")
+            centroids = similarity.train_ivf_centroids(
+                live, int(nlist), self.vec_col, seed=seed
+            )
+        cents = [[float(x) for x in c] for c in centroids]
+        staged = os.path.join(self.root, "_stage.retrain")
+        if os.path.isdir(staged):
+            shutil.rmtree(staged)
+        (
+            self._cell_rows(
+                self.spark.read.parquet(self.cells_dir).drop("_cell"), cents
+            )
+            .write.partitionBy("_cell")
+            .parquet(staged)
+        )
+        # marker AFTER the stage is complete: from here the swap is pure
+        # renames and any reader/mutator can finish it
+        meta["pending_retrain"] = {"centroids": cents}
+        self._write_meta(meta)
+        self._finish_retrain(meta)
+        return self
+
+    def _finish_retrain(self, meta: dict) -> None:
+        """Install a fully staged retrain (idempotent resume): swap the
+        staged cells in with two renames, finalize the pinned quantizer
+        atomically with dropping the marker, drop the retired tree."""
+        import shutil
+
+        staged = os.path.join(self.root, "_stage.retrain")
+        old = os.path.join(self.root, "_old.retrain")
+        if os.path.isdir(staged):
+            if os.path.isdir(self.cells_dir):
+                if os.path.isdir(old):
+                    shutil.rmtree(old)
+                os.rename(self.cells_dir, old)
+            os.rename(staged, self.cells_dir)
+        meta["centroids"] = meta["pending_retrain"]["centroids"]
+        meta.pop("pending_retrain", None)
+        self._write_meta(meta)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        self.centroids = meta["centroids"]
+        self.nlist = len(meta["centroids"])
 
     def merge_from(self, other: "VectorIndex") -> "VectorIndex":
         """Segment merge for the ANN tier: adopt another index's cell
@@ -403,6 +510,14 @@ class VectorIndex:
                 os.rename(old, self.cells_dir)
         if os.path.isdir(staged):
             shutil.rmtree(staged)
+        meta = self._read_meta()
+        if meta is not None and not meta.get("pending_retrain"):
+            # no marker ⇒ retrain dirs are strays (a stage orphaned before
+            # the marker, or a retired tree finalize didn't remove)
+            for d in ("_stage.retrain", "_old.retrain"):
+                p = os.path.join(self.root, d)
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
 
     # -- serving ------------------------------------------------------------
 

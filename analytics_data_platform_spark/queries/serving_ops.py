@@ -1641,3 +1641,188 @@ register(
         tags=("similarity", "eval", "ann", "vector"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# inverted_index_reshard — grow the term-bucket count in place
+# ---------------------------------------------------------------------------
+
+_RESHARD_FROM, _RESHARD_TO = 8, 48
+
+
+def inverted_index_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESHARD the serving index: an index built at a small bucket count
+    (8 — the layout a young corpus starts with), grown by append, takes a
+    pending merge-on-read takedown, then ``SearchIndex.reshard`` grows it
+    to 48 buckets IN PLACE — one full-index shuffle re-keying every
+    posting row by the new ``hash(term) % buckets``, staged and swapped
+    atomically (marker-first, resume-forward). This is the capacity lever
+    the 100 TB story needs: bucket count fixes posting-directory fan-out
+    at build time, and a corpus grown 100× must re-shard WITHOUT a
+    rebuild from source text (Elasticsearch split / Lucene reindex-into-
+    more-shards analog). The delete sidecar is doc-scoped, so the pending
+    takedown survives the re-bucketing untouched.
+
+    Ranked serving from the resharded index — through a FRESH handle
+    opened at the new layout, and again after ``apply_deletes``
+    materializes the takedown — must equal a one-shot BM25 over the
+    surviving corpus: a posting row dropped or double-written by the
+    shuffle, a bucket routed with the old modulus, a stats sidecar
+    perturbed by the swap, or a lost delete sidecar all hash-diverge.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="adps-reshard-")
+    try:
+        idx = SearchIndex(spark, root, mode="scored", buckets=_RESHARD_FROM).build(
+            d.where(F.col("doc_id") % 2 == 0)
+        )
+        idx.append(d.where(F.col("doc_id") % 2 == 1))
+        idx.delete_docs(d.where(F.col("doc_id") % 23 == 5).select("doc_id"))
+        idx.reshard(_RESHARD_TO)
+        assert idx.buckets == _RESHARD_TO, "handle did not adopt the new layout"
+        served = idx.bm25(QUERY_TERMS)
+        schema = served.schema
+        rows = sorted(tuple(r) for r in served.collect())
+        fresh = SearchIndex(spark, root, mode="scored", buckets=_RESHARD_TO)
+        again = sorted(tuple(r) for r in fresh.bm25(QUERY_TERMS).collect())
+        assert again == rows, "fresh handle serves differently after reshard"
+        fresh.apply_deletes()
+        after = sorted(tuple(r) for r in fresh.bm25(QUERY_TERMS).collect())
+        assert after == rows, "apply_deletes changed the resharded ranking"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+def _reshard_internal_plans(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    postings, stats = _scored_posting_rows(d.where(~(F.col("doc_id") % 23 == 5)))
+    return [("serve", _bm25_index_serve(postings, stats, _query_frame(spark)))]
+
+
+assert BM25_SQL.count("FROM documents") == 1, "BM25 oracle shape changed"
+RESHARD_SQL = BM25_SQL.replace(
+    "FROM documents", "FROM documents WHERE NOT (doc_id % 23 = 5)"
+)
+
+register(
+    QuerySpec(
+        "inverted_index_reshard",
+        inverted_index_reshard,
+        RESHARD_SQL,
+        doc="grow the serving index's term-bucket count in place (8 -> 48): one re-keying shuffle, marker-first atomic swap, pending takedowns survive; serving equals a one-shot build over the survivors",
+        cites="operators/search_index.py::reshard; Elasticsearch split / Lucene reindex-shards analog; oracle shared with bm25_search over survivors",
+        tags=("search", "scale", "topk", "multi_tick"),
+        internal_plan=_reshard_internal_plans,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# vector_index_retrain — swap the pinned coarse quantizer in place
+# ---------------------------------------------------------------------------
+
+_RETRAIN_BASE = 50
+_RETRAIN_NLIST = 2 * _IVF_NLIST
+
+
+def _retrain_centroids(e: DataFrame) -> list[list[float]]:
+    """The retrained quantizer: a DIFFERENT deterministic pick (vec_ids
+    50..65) at double the cell count — the SQL-replayable stand-in for an
+    offline k-means retrain (the trained path is pinned by pytest; the
+    oracle needs exact replayability)."""
+    rows = (
+        e.where(
+            (F.col("vec_id") >= _RETRAIN_BASE)
+            & (F.col("vec_id") < _RETRAIN_BASE + _RETRAIN_NLIST)
+        )
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    return [[float(x) for x in r["embedding"]] for r in rows]
+
+
+def vector_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRAIN the ANN serving index's coarse quantizer in place: an IVF
+    index built at nlist=8 (pinned deterministic centroids), grown by
+    O(batch) append, then ``VectorIndex.retrain`` swaps in a NEW 16-cell
+    quantizer — every resident vector re-assigned (one full-index
+    shuffle, per-row pure function of vector × new centroids), staged and
+    swapped atomically (marker-first, resume-forward). This is the Faiss
+    production pattern (retrain offline, serve the swap) and the capacity
+    lever when the corpus outgrows its pinned nlist — without it an index
+    can only be rebuilt from the source corpus.
+
+    nprobe-pruned serving under the NEW quantizer — through a fresh
+    handle too — must equal the in-memory IVF of the same rows under the
+    same centroids: a vector parked in a stale cell, a probe order from
+    the old quantizer, a dropped row in the re-assignment shuffle, or a
+    torn swap all hash-diverge on the ranked cut.
+    """
+    from analytics_data_platform_spark.operators.vector_index import VectorIndex
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents_old = _pinned_centroids(e)
+    cents_new = _retrain_centroids(e)
+    q = _ann_queries(e)
+    root = tempfile.mkdtemp(prefix="adps-retrain-")
+    try:
+        vx = VectorIndex(spark, root, nlist=_IVF_NLIST, nprobe=_IVF_NPROBE).build(
+            e.where(F.col("vec_id") % 2 == 0), centroids=cents_old
+        )
+        vx.append(e.where(F.col("vec_id") % 2 == 1))
+        vx.retrain(centroids=cents_new)
+        assert vx.nlist == _RETRAIN_NLIST, "handle did not adopt the new quantizer"
+        served = vx.topk(q, k=10).select("q_id", "vec_id", "cos_sim", "rank")
+        schema = served.schema
+        rows = sorted(tuple(r) for r in served.collect())
+        fresh = VectorIndex(spark, root, nprobe=_IVF_NPROBE)
+        again = sorted(
+            tuple(r)
+            for r in fresh.topk(q, k=10)
+            .select("q_id", "vec_id", "cos_sim", "rank")
+            .collect()
+        )
+        assert again == rows, "fresh handle serves differently after retrain"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+def _retrain_internal_plans(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    cents_new = _retrain_centroids(e)
+    return [
+        (
+            "serve",
+            similarity.ivf_topk(
+                e, _ann_queries(e), cents_new, k=10, nprobe=_IVF_NPROBE,
+                score_round=4,
+            ).select("q_id", "vec_id", "cos_sim", "rank"),
+        )
+    ]
+
+
+def _retrain_sql() -> str:
+    sql = _ivf_sql()
+    old = f"FROM embeddings WHERE vec_id < {_IVF_NLIST})"
+    assert sql.count(old) == 1, "ann_ivf_topk oracle shape changed (c CTE)"
+    return sql.replace(
+        old,
+        f"FROM embeddings WHERE vec_id >= {_RETRAIN_BASE} "
+        f"AND vec_id < {_RETRAIN_BASE + _RETRAIN_NLIST})",
+    )
+
+
+register(
+    QuerySpec(
+        "vector_index_retrain",
+        vector_index_retrain,
+        _retrain_sql(),
+        doc="swap the IVF serving index's pinned coarse quantizer in place (8 -> 16 cells): one re-assignment shuffle, marker-first atomic swap; serving equals the in-memory IVF under the new quantizer",
+        cites="operators/vector_index.py::retrain; Faiss offline-retrain pattern; oracle = ann_ivf_topk SQL with the retrained quantizer CTE",
+        tags=("vector", "approx", "scale", "topk", "multi_tick"),
+        internal_plan=_retrain_internal_plans,
+    )
+)

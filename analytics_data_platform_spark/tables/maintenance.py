@@ -12,6 +12,8 @@ compaction, implemented as a size-aware rewrite.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
 
@@ -315,7 +317,36 @@ def discover_index_roots(root: str) -> list[tuple[str, str]]:
     return sorted(out, key=lambda t: t[1])
 
 
-def maintain_index_fleet(spark: SparkSession, root: str, min_files: int = 2):
+def _index_data_bytes(data_dir: str) -> int:
+    """Total parquet bytes under an index's data tree (local-fs fleet
+    roots — the same walk discover_index_roots does)."""
+    total = 0
+    for dirpath, _dirs, files in os.walk(data_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                try:
+                    total += os.path.getsize(os.path.join(dirpath, f))
+                except OSError:
+                    pass
+    return total
+
+
+def _grown_partitions(current: int, total_bytes: int, target_bytes: int) -> int:
+    """Smallest power-of-two multiple of ``current`` that brings the
+    average partition under ``target_bytes`` (capped at 4096 — beyond
+    that the fleet needs a topology decision, not a cron)."""
+    n = current
+    while n < 4096 and total_bytes / n > target_bytes:
+        n *= 2
+    return min(n, 4096)
+
+
+def maintain_index_fleet(
+    spark: SparkSession,
+    root: str,
+    min_files: int = 2,
+    grow_target_mb: float | None = None,
+):
     """Maintenance loop over a FLEET of serving indexes — the index-tier
     analog of :func:`run_maintenance`'s table loop (the reference runs
     table maintenance as a cron over every namespace,
@@ -324,13 +355,23 @@ def maintain_index_fleet(spark: SparkSession, root: str, min_files: int = 2):
     unapplied merge-on-read deletes, one small file per append tick).
 
     Per discovered index, in dependency order:
-      1. heal torn atomic-swap windows (postings/docmeta/cells);
+      1. heal torn atomic-swap windows (postings/docmeta/cells), and —
+         via the first ``stats()`` read — finish any torn
+         reshard/retrain forward (their markers commit only after the
+         staged tree is complete, so resume is pure renames);
       2. RESUME a torn segment merge — the ``pending_merge`` marker pins
          the source root, so the crashed merge finishes here and the
          index becomes mutable again;
       3. materialize eligible merge-on-read deletes (bounds the serve-
          time anti-join state);
-      4. compact small append files (buckets / cells / docmeta).
+      4. compact small append files (buckets / cells / docmeta);
+      5. with ``grow_target_mb`` set, GROW capacity: when the average
+         bucket/cell exceeds the target, reshard/retrain to the smallest
+         power-of-two multiple that brings it back under (the operational
+         face of ``SearchIndex.reshard`` / ``VectorIndex.retrain`` —
+         appends steadily fatten a fixed layout, and the cron is where
+         that debt should be paid, not a 3 a.m. page). sq8 vector tiers
+         are reported and skipped (retrain needs full-precision vectors).
 
     Yields one line per action; exceptions propagate per index AFTER the
     loop visits the remaining fleet (one sick index must not starve the
@@ -363,6 +404,31 @@ def maintain_index_fleet(spark: SparkSession, root: str, min_files: int = 2):
                 yield f"{path}: materialized pending deletes"
             for line in idx.compact(min_files=min_files):
                 yield f"{path}: compacted {line}"
+            if grow_target_mb is not None:
+                target = float(grow_target_mb) * 1024 * 1024
+                if target <= 0:
+                    raise ValueError("grow_target_mb must be > 0")
+                if kind == "search":
+                    total = _index_data_bytes(idx.postings_dir)
+                    grown = _grown_partitions(idx.buckets, total, target)
+                    if grown > idx.buckets:
+                        was = idx.buckets
+                        idx.reshard(grown)
+                        yield f"{path}: resharded {was} -> {grown} buckets"
+                elif idx.storage == "sq8":
+                    total = _index_data_bytes(idx.cells_dir)
+                    if _grown_partitions(idx.nlist, total, target) > idx.nlist:
+                        yield (
+                            f"{path}: oversized cells but storage=sq8 — "
+                            "retrain needs the source corpus, skipped"
+                        )
+                else:
+                    total = _index_data_bytes(idx.cells_dir)
+                    grown = _grown_partitions(idx.nlist, total, target)
+                    if grown > idx.nlist:
+                        was = idx.nlist
+                        idx.retrain(nlist=grown)
+                        yield f"{path}: retrained {was} -> {idx.nlist} cells"
             yield f"{path}: ok ({kind})"
         except Exception as exc:  # noqa: BLE001 — cron loop: report, continue
             failures.append(f"{path}: {exc}")

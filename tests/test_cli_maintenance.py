@@ -277,3 +277,154 @@ def test_index_fleet_maintenance_with_mid_fleet_crash(spark, tmp_path, monkeypat
     # the CLI surface drives the same loop
     monkeypatch.setattr(cli, "get_spark", lambda **kw: spark)
     assert cli.main(["maintain", "--indexes", str(fleet)]) == 0
+
+
+def test_index_fleet_heals_torn_reshard_and_retrain(spark, tmp_path, monkeypatch):
+    """A reshard/retrain that died right after its marker (stage fully
+    written, swap not installed) must heal FORWARD under the fleet
+    maintenance loop: both indexes come out serving the new layout with
+    their markers gone and results unchanged."""
+    import pyspark.sql.functions as F
+
+    from analytics_data_platform_spark.operators.search_index import SearchIndex
+    from analytics_data_platform_spark.operators.vector_index import VectorIndex
+    from analytics_data_platform_spark.queries.search_ops import QUERY_TERMS
+    from analytics_data_platform_spark.sources.testdata import load_table
+    from analytics_data_platform_spark.tables.maintenance import maintain_index_fleet
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    fleet = tmp_path / "indexes"
+
+    s = SearchIndex(spark, str(fleet / "s"), mode="scored", buckets=8).build(d)
+    want_s = {tuple(r) for r in s.bm25(QUERY_TERMS).collect()}
+    cents8 = [
+        [float(x) for x in r["embedding"]]
+        for r in e.where(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
+    ]
+    cents16 = [
+        [float(x) for x in r["embedding"]]
+        for r in e.where((F.col("vec_id") >= 50) & (F.col("vec_id") < 66))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    v = VectorIndex(spark, str(fleet / "v"), nlist=8, nprobe=4).build(
+        e, centroids=cents8
+    )
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+
+    def die(self, meta):  # crash right after the marker commits
+        raise RuntimeError("injected post-marker crash")
+
+    monkeypatch.setattr(SearchIndex, "_finish_reshard", die)
+    with pytest.raises(RuntimeError, match="post-marker"):
+        s.reshard(48)
+    monkeypatch.undo()
+    monkeypatch.setattr(VectorIndex, "_finish_retrain", die)
+    with pytest.raises(RuntimeError, match="post-marker"):
+        v.retrain(centroids=cents16)
+    monkeypatch.undo()
+    assert s._read_meta().get("pending_reshard")
+    assert v._read_meta().get("pending_retrain")
+
+    lines = list(maintain_index_fleet(spark, str(fleet)))
+    assert all("FAILED" not in ln for ln in lines)
+
+    s2 = SearchIndex(spark, str(fleet / "s"), mode="scored", buckets=48)
+    assert {tuple(r) for r in s2.bm25(QUERY_TERMS).collect()} == want_s
+    assert "pending_reshard" not in s2.stats()
+    v2 = VectorIndex(spark, str(fleet / "v"), nprobe=4)
+    want_v = {
+        tuple(r)
+        for r in VectorIndex(spark, str(tmp_path / "one"), nlist=16, nprobe=4)
+        .build(e, centroids=cents16)
+        .topk(q)
+        .select("q_id", "vec_id", "cos_sim", "rank")
+        .collect()
+    }
+    got_v = {
+        tuple(r)
+        for r in v2.topk(q).select("q_id", "vec_id", "cos_sim", "rank").collect()
+    }
+    assert got_v == want_v and v2.nlist == 16
+    assert "pending_retrain" not in v2.stats()
+
+
+def test_index_fleet_growth_policy(spark, tmp_path):
+    """--grow-target-mb: when the average bucket/cell outgrows the
+    target, the fleet loop reshards/retrains to the smallest
+    power-of-two multiple that fits — serving preserved on the lexical
+    side (reshard is serve-invariant), one-shot-equivalent under the new
+    quantizer on the vector side; sq8 tiers report and skip (retrain
+    needs full-precision vectors)."""
+    import pyspark.sql.functions as F
+
+    from analytics_data_platform_spark.operators.search_index import SearchIndex
+    from analytics_data_platform_spark.operators.vector_index import VectorIndex
+    from analytics_data_platform_spark.queries.search_ops import QUERY_TERMS
+    from analytics_data_platform_spark.sources.testdata import load_table
+    from analytics_data_platform_spark.tables.maintenance import (
+        _index_data_bytes,
+        maintain_index_fleet,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    fleet = tmp_path / "indexes"
+    cents8 = [
+        [float(x) for x in r["embedding"]]
+        for r in e.where(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
+    ]
+
+    s = SearchIndex(spark, str(fleet / "s"), mode="scored", buckets=8).build(d)
+    v = VectorIndex(spark, str(fleet / "v"), nlist=8, nprobe=4).build(
+        e, centroids=cents8
+    )
+    vq = VectorIndex(spark, str(fleet / "vq"), nlist=8, nprobe=4, storage="sq8").build(
+        e, centroids=cents8
+    )
+    want_s = {tuple(r) for r in s.bm25(QUERY_TERMS).collect()}
+
+    # one doubling for the smaller index, ≥1 for the larger; sq8 trips too
+    floor_bytes = min(
+        _index_data_bytes(s.postings_dir), _index_data_bytes(v.cells_dir)
+    )
+    target_mb = (floor_bytes / 12) / (1024 * 1024)
+    lines = list(maintain_index_fleet(spark, str(fleet), grow_target_mb=target_mb))
+    assert any("resharded 8 ->" in ln for ln in lines)
+    assert any("retrained 8 ->" in ln for ln in lines)
+    assert any("storage=sq8" in ln and "skipped" in ln for ln in lines)
+    assert all("FAILED" not in ln for ln in lines)
+
+    s.stats()  # the stale handle refreshes its layout from the sidecar
+    assert s.buckets > 8
+    s2 = SearchIndex(spark, str(fleet / "s"), mode="scored", buckets=s.buckets)
+    assert {tuple(r) for r in s2.bm25(QUERY_TERMS).collect()} == want_s
+
+    v2 = VectorIndex(spark, str(fleet / "v"), nprobe=4)
+    assert v2.nlist > 8
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    one = VectorIndex(spark, str(tmp_path / "one"), nprobe=4).build(
+        e, centroids=v2.centroids
+    )
+    got = {tuple(r) for r in v2.topk(q).select("q_id", "vec_id", "cos_sim", "rank").collect()}
+    want = {tuple(r) for r in one.topk(q).select("q_id", "vec_id", "cos_sim", "rank").collect()}
+    assert got == want, "grown index must equal a one-shot build under its quantizer"
+
+    # sq8 tier untouched: layout and quantizer unchanged
+    vq2 = VectorIndex(spark, str(fleet / "vq"), nprobe=4)
+    assert vq2.nlist == 8 and vq2.storage == "sq8"
+
+    # sizing rule: grows to the first fitting power-of-two multiple, is
+    # idempotent once under target, and caps at 4096 (a topology
+    # decision, not a cron's)
+    from analytics_data_platform_spark.tables.maintenance import _grown_partitions
+
+    assert _grown_partitions(8, 100 << 20, 10 << 20) == 16
+    assert _grown_partitions(16, 100 << 20, 10 << 20) == 16
+    assert _grown_partitions(8, 1 << 50, 1 << 20) == 4096

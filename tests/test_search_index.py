@@ -580,3 +580,111 @@ def test_adopt_parquet_tree_survives_cross_filesystem_move(tmp_path, monkeypatch
     adopted = sorted(p.name for p in dst.rglob("mt2-*.parquet"))
     assert adopted == ["mt2-part-0.parquet", "mt2-part-root.parquet"]
     assert (dst / "bucket=3" / "mt2-part-0.parquet").read_bytes() == b"P" * 4096
+
+
+def test_reshard_grows_buckets_preserves_serving_and_stale_handles(
+    spark, tmp_path, sf_dir
+):
+    """reshard(48) re-keys every posting row by the new modulus in ONE
+    shuffle: serving (with a pending takedown riding through), a handle
+    opened BEFORE the reshard, and a fresh handle at the new layout must
+    all agree with the pre-reshard ranking; the old layout refuses at the
+    constructor; materializing the surviving delete changes nothing."""
+    d = load_table(spark, sf_dir, "documents")
+    root = str(tmp_path / "rs")
+    idx = SearchIndex(spark, root, mode="scored", buckets=8).build(
+        d.where(F.col("doc_id") % 2 == 0)
+    )
+    idx.append(d.where(F.col("doc_id") % 2 == 1))
+    idx.delete_docs(d.where(F.col("doc_id") % 23 == 5).select("doc_id"))
+    stale = SearchIndex(spark, root, mode="scored", buckets=8)
+    want = {tuple(r) for r in idx.bm25(QUERY_TERMS).collect()}
+
+    assert idx.reshard(8) is idx and idx.buckets == 8  # same count: no-op
+
+    idx.reshard(48)
+    assert idx.buckets == 48
+    dirs = {n for n in os.listdir(idx.postings_dir) if n.startswith("bucket=")}
+    assert max(int(n.split("=")[1]) for n in dirs) >= 8, (
+        "no bucket id beyond the old modulus — postings were not re-keyed"
+    )
+    assert {tuple(r) for r in idx.bm25(QUERY_TERMS).collect()} == want
+
+    # the pre-reshard handle heals its layout through stats()
+    assert {tuple(r) for r in stale.bm25(QUERY_TERMS).collect()} == want
+    assert stale.buckets == 48
+
+    fresh = SearchIndex(spark, root, mode="scored", buckets=48)
+    assert {tuple(r) for r in fresh.bm25(QUERY_TERMS).collect()} == want
+    with pytest.raises(ValueError, match="was built as"):
+        SearchIndex(spark, root, mode="scored", buckets=8)
+
+    assert fresh.apply_deletes(), "the pending takedown must survive the reshard"
+    assert {tuple(r) for r in fresh.bm25(QUERY_TERMS).collect()} == want
+
+
+def test_reshard_crash_windows_heal_forward(spark, tmp_path, sf_dir, monkeypatch):
+    """Crash injection at every reshard boundary: (a) before the marker
+    lands — only an orphan stage remains, the old layout stays the truth
+    and _recover_swap clears the stray; (b) after the marker, before any
+    rename — the next open heals forward to the new layout; (c) between
+    the two renames — the live tree is GONE, and the next open still
+    heals forward (the marker guarantees the stage is complete)."""
+    from analytics_data_platform_spark.operators import search_index as SI
+
+    d = load_table(spark, sf_dir, "documents")
+
+    # (a) die before the marker is durable
+    root = str(tmp_path / "ra")
+    idx = SearchIndex(spark, root, mode="scored", buckets=8).build(d)
+    want = {tuple(r) for r in idx.bm25(QUERY_TERMS).collect()}
+    real_wm = SearchIndex._write_meta
+
+    def dying_wm(self, meta):
+        if meta.get("pending_reshard"):
+            raise RuntimeError("injected pre-marker crash")
+        return real_wm(self, meta)
+
+    monkeypatch.setattr(SearchIndex, "_write_meta", dying_wm)
+    with pytest.raises(RuntimeError, match="pre-marker"):
+        idx.reshard(48)
+    monkeypatch.setattr(SearchIndex, "_write_meta", real_wm)
+    assert os.path.isdir(os.path.join(root, "_stage.reshard"))
+    h = SearchIndex(spark, root, mode="scored", buckets=8)  # old layout holds
+    assert {tuple(r) for r in h.bm25(QUERY_TERMS).collect()} == want
+    h._recover_swap()
+    assert not os.path.isdir(os.path.join(root, "_stage.reshard"))
+
+    # (b) die right after the marker, before any rename
+    real_fin = SearchIndex._finish_reshard
+
+    def dying_fin(self, meta):
+        raise RuntimeError("injected post-marker crash")
+
+    monkeypatch.setattr(SearchIndex, "_finish_reshard", dying_fin)
+    with pytest.raises(RuntimeError, match="post-marker"):
+        h.reshard(48)
+    monkeypatch.setattr(SearchIndex, "_finish_reshard", real_fin)
+    assert h._read_meta().get("pending_reshard")
+    h2 = SearchIndex(spark, root, mode="scored", buckets=8)  # meta not final yet
+    assert {tuple(r) for r in h2.bm25(QUERY_TERMS).collect()} == want
+    assert h2.buckets == 48 and "pending_reshard" not in h2.stats()
+
+    # (c) die between the two renames (live tree gone)
+    root3 = str(tmp_path / "rc")
+    idx3 = SearchIndex(spark, root3, mode="scored", buckets=8).build(d)
+    real_rename = os.rename
+
+    def dying_rename(src, dst):
+        real_rename(src, dst)
+        if str(dst).endswith("_old.reshard"):
+            raise RuntimeError("injected mid-swap crash")
+
+    monkeypatch.setattr(SI.os, "rename", dying_rename)
+    with pytest.raises(RuntimeError, match="mid-swap"):
+        idx3.reshard(48)
+    monkeypatch.setattr(SI.os, "rename", real_rename)
+    assert not os.path.isdir(idx3.postings_dir), "crash window should strand the swap"
+    h3 = SearchIndex(spark, root3, mode="scored", buckets=8)
+    assert {tuple(r) for r in h3.bm25(QUERY_TERMS).collect()} == want
+    assert h3.buckets == 48 and "pending_reshard" not in h3.stats()

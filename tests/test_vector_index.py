@@ -473,3 +473,131 @@ def test_sq8_segment_merge_and_storage_drift_refusal(spark, tmp_path, sf_dir):
         a.merge_from(f)
     with pytest.raises(ValueError, match="storage mismatch"):
         f.merge_from(a)
+
+
+def _cents_slice(e, lo: int, n: int) -> list[list[float]]:
+    rows = (
+        e.where((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + n))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    return [[float(x) for x in r["embedding"]] for r in rows]
+
+
+def test_retrain_swaps_quantizer_and_equals_one_shot(spark, tmp_path, sf_dir):
+    """retrain() re-assigns every resident vector against a NEW pinned
+    quantizer in one shuffle: serving (with pending erasures riding
+    through the swap), a handle opened BEFORE the retrain, and a fresh
+    handle must all equal a one-shot build of the same rows under the
+    new centroids; the trained (nlist=) path pins whatever k-means
+    produced and serves equivalently."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents8 = _cents_slice(e, 0, 8)
+    cents16 = _cents_slice(e, 50, 16)
+    victims = [r.vec_id for r in e.where(F.col("vec_id") % 13 == 4).select("vec_id").collect()]
+    root = str(tmp_path / "rt")
+
+    vx = VectorIndex(spark, root, nlist=8, nprobe=NPROBE).build(
+        e.where(F.col("vec_id") % 2 == 0), centroids=cents8
+    )
+    vx.append(e.where(F.col("vec_id") % 2 == 1))
+    vx.delete_vecs(victims)
+    stale = VectorIndex(spark, root, nprobe=NPROBE)  # opened pre-retrain
+
+    vx.retrain(centroids=cents16)
+    assert vx.nlist == 16 and vx.centroids == cents16
+    assert vx.stats().get("deletes"), "pending erasures must survive the retrain"
+
+    survivors = e.where(~F.col("vec_id").isin(victims))
+    want = _expected(survivors, _queries(e), cents16)
+    got = {
+        tuple(r)
+        for r in vx.topk(_queries(e)).select("q_id", "vec_id", "cos_sim", "rank").collect()
+    }
+    assert got == want
+
+    # the pre-retrain handle heals its quantizer through stats()
+    got_stale = {
+        tuple(r)
+        for r in stale.topk(_queries(e))
+        .select("q_id", "vec_id", "cos_sim", "rank")
+        .collect()
+    }
+    assert got_stale == want and stale.nlist == 16
+
+    # cells on disk follow the NEW quantizer (16 ids possible, >8 appear)
+    cells = {int(n.split("=")[1]) for n in os.listdir(vx.cells_dir) if n.startswith("_cell=")}
+    assert max(cells) >= 8, "no cell beyond the old nlist — vectors were not re-assigned"
+
+    # trained path: k-means over the LIVE rows, then serve ≡ one-shot
+    vx.retrain(nlist=4, seed=7)
+    assert vx.nlist <= 4
+    want2 = _expected(survivors, _queries(e), vx.centroids)
+    got2 = {
+        tuple(r)
+        for r in vx.topk(_queries(e)).select("q_id", "vec_id", "cos_sim", "rank").collect()
+    }
+    assert got2 == want2
+
+
+def test_retrain_refuses_sq8_and_heals_crash_windows(spark, tmp_path, sf_dir, monkeypatch):
+    """sq8 cells store codes, not vectors — retrain must refuse (a
+    one-shot build coarse-quantizes ORIGINALS). Float-cell crash
+    injection: dying after the marker (before any rename) and dying
+    between the two renames both heal FORWARD on the next open."""
+    import pytest
+
+    from analytics_data_platform_spark.operators import vector_index as VI
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents8 = _cents_slice(e, 0, 8)
+    cents16 = _cents_slice(e, 50, 16)
+
+    sq = VectorIndex(spark, str(tmp_path / "sq"), nlist=8, nprobe=NPROBE, storage="sq8")
+    sq.build(e, centroids=cents8)
+    with pytest.raises(ValueError, match="sq8"):
+        sq.retrain(centroids=cents16)
+
+    # (b) die right after the marker
+    root = str(tmp_path / "vb")
+    vx = VectorIndex(spark, root, nlist=8, nprobe=NPROBE).build(e, centroids=cents8)
+    want = _expected(e, _queries(e), cents16)
+    real_fin = VectorIndex._finish_retrain
+
+    def dying_fin(self, meta):
+        raise RuntimeError("injected post-marker crash")
+
+    monkeypatch.setattr(VectorIndex, "_finish_retrain", dying_fin)
+    with pytest.raises(RuntimeError, match="post-marker"):
+        vx.retrain(centroids=cents16)
+    monkeypatch.setattr(VectorIndex, "_finish_retrain", real_fin)
+    assert vx._read_meta().get("pending_retrain")
+    h = VectorIndex(spark, root, nprobe=NPROBE)
+    got = {
+        tuple(r)
+        for r in h.topk(_queries(e)).select("q_id", "vec_id", "cos_sim", "rank").collect()
+    }
+    assert got == want and h.nlist == 16 and "pending_retrain" not in h.stats()
+
+    # (c) die between the two renames (live cells gone)
+    root2 = str(tmp_path / "vc")
+    v2 = VectorIndex(spark, root2, nlist=8, nprobe=NPROBE).build(e, centroids=cents8)
+    real_rename = os.rename
+
+    def dying_rename(src, dst):
+        real_rename(src, dst)
+        if str(dst).endswith("_old.retrain"):
+            raise RuntimeError("injected mid-swap crash")
+
+    monkeypatch.setattr(VI.os, "rename", dying_rename)
+    with pytest.raises(RuntimeError, match="mid-swap"):
+        v2.retrain(centroids=cents16)
+    monkeypatch.setattr(VI.os, "rename", real_rename)
+    assert not os.path.isdir(v2.cells_dir), "crash window should strand the swap"
+    h2 = VectorIndex(spark, root2, nprobe=NPROBE)
+    got2 = {
+        tuple(r)
+        for r in h2.topk(_queries(e)).select("q_id", "vec_id", "cos_sim", "rank").collect()
+    }
+    assert got2 == want and h2.nlist == 16 and "pending_retrain" not in h2.stats()
