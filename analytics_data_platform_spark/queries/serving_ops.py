@@ -1003,16 +1003,17 @@ def _sync_internal_plans(spark, sf_dir):
     return [("serve", topk_per_query(scored, TOPK, "q_id", "doc_id", "score"))]
 
 
-def _sync_sql() -> str:
+def _dd_chain_sql() -> str:
+    """The sync ticks' FINAL LIVE SET as a CTE chain ending in ``dd`` —
+    clean → exact-dedup keepers → content-keyed takedown, replicating
+    refresh/takedown_corpus_state's semantics in DuckDB (shared by every
+    corpus→index sync oracle)."""
     from analytics_data_platform_spark.queries.pipeline_ops import (
         _CLEAN_WHERE,
         _FP_SQL,
     )
 
-    s = BM25_SQL
-    assert s.count("FROM documents") == 1, "BM25 oracle shape changed"
-    s = s.replace("FROM documents", "FROM dd")
-    dd_chain = f"""basex AS (
+    return f"""basex AS (
   SELECT doc_id, text, string_split(trim(text), ' ') AS t
   FROM documents WHERE length(trim(text)) > 0
 ),
@@ -1028,8 +1029,14 @@ keepx AS (
   GROUP BY fp
 ),
 dd AS (SELECT c.doc_id, c.text FROM cleanx c JOIN keepx k ON c.doc_id = k.doc_id)"""
+
+
+def _sync_sql() -> str:
+    s = BM25_SQL
+    assert s.count("FROM documents") == 1, "BM25 oracle shape changed"
+    s = s.replace("FROM documents", "FROM dd")
     assert s.count("WITH toks AS (") == 1, "BM25 oracle shape changed"
-    return s.replace("WITH toks AS (", f"WITH {dd_chain},\ntoks AS (", 1)
+    return s.replace("WITH toks AS (", f"WITH {_dd_chain_sql()},\ntoks AS (", 1)
 
 
 register(
@@ -1824,5 +1831,183 @@ register(
         cites="operators/vector_index.py::retrain; Faiss offline-retrain pattern; oracle = ann_ivf_topk SQL with the retrained quantizer CTE",
         tags=("vector", "approx", "scale", "topk", "multi_tick"),
         internal_plan=_retrain_internal_plans,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# serving_hybrid_corpus_sync — the WHOLE hybrid serving stack maintained
+# from the governed corpus state's manifest changelog
+# ---------------------------------------------------------------------------
+
+
+def serving_hybrid_corpus_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hybrid capstone closed over the pipeline: BOTH serving tiers —
+    the scored inverted index AND the IVF vector index — are maintained
+    from the snapshot-backed corpus state's per-tick MANIFEST changelog
+    (never rebuilt, never diffed against the corpus), then serve the
+    MoreLikeThis hybrid RRF fusion together. Three ticks drive the
+    governed state (two ingest batches through clean → exact-dedup
+    keeper merge, then a content-keyed GDPR takedown); after each tick
+    the changelog's appeared docs append O(batch) to BOTH indexes (the
+    vector rows resolved by an id semi-join against the embeddings
+    table) and its evicted keepers become merge-on-read deletes on BOTH
+    (the lexical side with its exact idf/avgdl decrement).
+
+    Serving then fuses the two synced tiers exactly like
+    ``index_hybrid_rrf_topk`` — MoreLikeThis term selection over the
+    LIVE corpus, bucket-pruned BM25 with the sidecar's (delete-adjusted)
+    global stats, nprobe IVF probe over the live cells — and must equal
+    the one-shot hybrid over the final live corpus. The takedown
+    deliberately evicts query doc 0 (0 % 97 = 0): an ERASED exemplar
+    contributes no lexical terms (its text is gone — MoreLikeThis has
+    nothing to select from), so that query degrades to semantic-only
+    fusion — and the oracle, whose term-selection chain roots at the
+    same live set, degrades identically. A stale stats decrement on
+    either index, a changelog row missed by either tier, a vector parked
+    under the wrong cell after append, or a lexical leg still serving
+    the erased exemplar's terms all hash-diverge on the fused cut.
+    """
+    from analytics_data_platform_spark.operators.vector_index import VectorIndex
+    from analytics_data_platform_spark.pipelines.incremental import (
+        read_state_part,
+        refresh_corpus_state,
+        state_changelog,
+        takedown_corpus_state,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _pinned_centroids(e)
+    state = tempfile.mkdtemp(prefix="adps-hybsync-state-")
+    lex_root = tempfile.mkdtemp(prefix="adps-hybsync-lex-")
+    ivf_root = tempfile.mkdtemp(prefix="adps-hybsync-ivf-")
+
+    def vec_rows(docs: DataFrame) -> DataFrame:
+        return e.join(
+            docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+        )
+
+    try:
+        refresh_corpus_state(spark, state, d.where(F.col("doc_id") % 2 == 0), 0)
+        live0 = read_state_part(spark, state, "live", 0)
+        idx = SearchIndex(spark, lex_root, mode="scored").build(live0)
+        vx = VectorIndex(
+            spark, ivf_root, nlist=_IVF_NLIST, nprobe=_IVF_NPROBE
+        ).build(vec_rows(live0), centroids=cents)
+
+        refresh_corpus_state(spark, state, d.where(F.col("doc_id") % 2 == 1), 1)
+        takedown_corpus_state(spark, state, d.where(F.col("doc_id") % 97 == 0), 2)
+        n_evicted = 0
+        for tick in (1, 2):
+            appeared, evicted = state_changelog(
+                spark, state, "live", tick - 1, tick, key_cols=["doc_id"]
+            )
+            if not appeared.isEmpty():
+                idx.append(appeared)
+                vx.append(vec_rows(appeared))
+            n_evicted += idx.delete_docs(evicted)
+            vx.delete_vecs(evicted.select(F.col("doc_id").alias("vec_id")))
+        assert n_evicted > 0, "takedown tick must evict live keepers"
+
+        # serve: MoreLikeThis terms over the LIVE corpus (an erased
+        # exemplar has no text to select from), then both synced tiers
+        live = read_state_part(spark, state, "live", 2)
+        q_terms = _mlt_query_terms(live).localCheckpoint()
+        terms = [r["term"] for r in q_terms.select("term").distinct().collect()]
+        meta = idx.stats()
+        stats = spark.createDataFrame(
+            [(int(meta["n_docs"]), meta["total_dl"] / meta["n_docs"])],
+            "n_docs long, avgdl double",
+        )
+        out = _hybrid_legs(
+            spark,
+            d,
+            e,
+            idx._served(idx._pruned(terms)),
+            stats,
+            VectorIndex._Io(vx),
+            cents,
+            q_terms,
+        )
+        schema = out.schema
+        rows = sorted(tuple(r) for r in out.collect())  # bounded: ≤3 q × 10
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+        shutil.rmtree(lex_root, ignore_errors=True)
+        shutil.rmtree(ivf_root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+def _hybrid_sync_internal_plans(spark, sf_dir):
+    """The fused serve plan over the one-shot live set (the state
+    machinery's own tick plans are audited under the refresh/changelog
+    entries; the serve shape is what this query adds)."""
+    from analytics_data_platform_spark.operators import dedup
+    from analytics_data_platform_spark.queries.corpus_ops import c4_core_pass
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    cleaned = d.where(F.length(F.trim("text")) > 0).where(c4_core_pass("text"))
+    tdfp = (
+        d.where(F.col("doc_id") % 97 == 0)
+        .select(dedup.fingerprint_col("text").alias("_fp"))
+        .distinct()
+    )
+    fp = cleaned.select("doc_id", dedup.fingerprint_col("text").alias("_fp"))
+    keep = (
+        fp.join(F.broadcast(tdfp), "_fp", "left_anti")
+        .groupBy("_fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    live = cleaned.join(keep, "doc_id", "left_semi")
+    postings, stats = _scored_posting_rows(live)
+    cents = _pinned_centroids(e)
+    e_live = e.join(
+        live.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+
+    class _MemIvf:
+        def read(self, table):  # noqa: ARG002 — io protocol
+            cell = similarity.assign_centroid_col("embedding", cents).cast("int")
+            return e_live.withColumn("_cell", cell)
+
+    return [
+        (
+            "fuse",
+            _hybrid_legs(
+                spark, d, e, postings, stats, _MemIvf(), cents,
+                _mlt_query_terms(live),
+            ),
+        )
+    ]
+
+
+def _hybrid_sync_sql() -> str:
+    """The hybrid oracle re-rooted at the sync ticks' final live set:
+    the BM25/term-selection chain reads ``dd`` (so an erased exemplar
+    selects no terms, mirroring the index), and the IVF assignment is
+    restricted to live vectors; queries (probe embeddings) still come
+    from the base table — they are external requests."""
+    s = _hybrid_index_sql()
+    assert s.count("FROM documents") == 1, "hybrid oracle shape changed (toks)"
+    s = s.replace("FROM documents", "FROM dd")
+    old_s = "FROM assign a JOIN qc ON a.cell = qc.qcell AND a.vec_id <> qc.q_id"
+    assert s.count(old_s) == 1, "hybrid oracle shape changed (sem leg)"
+    s = s.replace(old_s, old_s + "\n  JOIN dd ddv ON ddv.doc_id = a.vec_id")
+    assert s.count("WITH toks AS (") == 1, "hybrid oracle shape changed (WITH)"
+    return s.replace("WITH toks AS (", f"WITH {_dd_chain_sql()},\ntoks AS (", 1)
+
+
+register(
+    QuerySpec(
+        "serving_hybrid_corpus_sync",
+        serving_hybrid_corpus_sync,
+        _hybrid_sync_sql(),
+        doc="BOTH serving tiers (scored inverted index + IVF) maintained from the corpus state's manifest changelog, then fused with MoreLikeThis hybrid RRF; an erased exemplar degrades to semantic-only on both engines",
+        cites="composes serving_index_corpus_sync with index_hybrid_rrf_topk; the ingest→govern→serve loop closed over the full hybrid stack",
+        tags=("search", "vector", "pipeline", "scale", "topk", "multi_tick"),
+        internal_plan=_hybrid_sync_internal_plans,
     )
 )

@@ -142,6 +142,14 @@ QUERIES = [
     "vector_index_sq8_topk",
     "streaming_index_corpus_sync",
     "index_hybrid_filtered_topk",
+    # round-10 capacity growth: the re-keying shuffle + marker-first
+    # swap must survive real executors (stage retries re-running the
+    # staged write, file listings across JVM boundaries)
+    "inverted_index_reshard",
+    "vector_index_retrain",
+    # the hybrid stack synced from the manifest changelog: both index
+    # tiers maintained per tick + fused serving across executor JVMs
+    "serving_hybrid_corpus_sync",
 ]
 
 
