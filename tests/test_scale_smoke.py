@@ -403,3 +403,26 @@ def test_quantized_ann_tiers_survive_8x(spark, smoke_dir_vec):
             "quantization quality collapsed at scale"
         )
         print(f"{name} 8x: recall@10 {recall:.3f} (floor {floor}) in {dt:.1f}s")
+
+
+def test_capacity_growth_survives_8x(spark, smoke_dir, smoke_dir_vec):
+    """reshard/retrain at 8x: capacity growth is ONE re-keying shuffle
+    each (an offline maintenance op) — on the adversarial corpus it must
+    stay inside the anti-quadratic budget, and the registry queries
+    already pin fresh-handle serve equality through the swap."""
+    n, dt = _timed(spark, "inverted_index_reshard", smoke_dir)
+    assert n == 30
+    print(f"inverted_index_reshard 8x: {n} rows in {dt:.1f}s")
+    n, dt = _timed(spark, "vector_index_retrain", smoke_dir_vec)
+    assert n == 50
+    print(f"vector_index_retrain 8x: {n} rows in {dt:.1f}s")
+
+
+def test_hybrid_corpus_sync_serves_8x(spark, smoke_dir_hybrid):
+    """The full hybrid stack synced from the changelog at 8x: three
+    state ticks + BOTH index tiers maintained per tick + fused serving —
+    per-tick cost must stay O(changelog), so the whole loop fits the
+    budget however adversarial the corpus."""
+    n, dt = _timed(spark, "serving_hybrid_corpus_sync", smoke_dir_hybrid)
+    assert n == 30
+    print(f"serving_hybrid_corpus_sync 8x: {n} rows in {dt:.1f}s")
