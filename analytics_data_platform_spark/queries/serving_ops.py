@@ -1883,10 +1883,15 @@ def serving_hybrid_corpus_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex_root = tempfile.mkdtemp(prefix="adps-hybsync-lex-")
     ivf_root = tempfile.mkdtemp(prefix="adps-hybsync-ivf-")
 
-    def vec_rows(docs: DataFrame) -> DataFrame:
-        return e.join(
-            docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
-        )
+    def vec_rows(docs: DataFrame, delta: bool = False) -> DataFrame:
+        """Embedding rows for a doc set. ``delta=True`` pins a broadcast
+        for the O(tick-changelog) id sets so the embeddings side streams
+        map-side; the build-time live set is state-sized and left to the
+        planner."""
+        ids = docs.select(F.col("doc_id").alias("vec_id"))
+        if delta:
+            ids = F.broadcast(ids)
+        return e.join(ids, "vec_id", "left_semi")
 
     try:
         refresh_corpus_state(spark, state, d.where(F.col("doc_id") % 2 == 0), 0)
@@ -1905,7 +1910,7 @@ def serving_hybrid_corpus_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             if not appeared.isEmpty():
                 idx.append(appeared)
-                vx.append(vec_rows(appeared))
+                vx.append(vec_rows(appeared, delta=True))
             n_evicted += idx.delete_docs(evicted)
             vx.delete_vecs(evicted.select(F.col("doc_id").alias("vec_id")))
         assert n_evicted > 0, "takedown tick must evict live keepers"

@@ -227,12 +227,58 @@ class SnapshotTable:
             json.dump(manifest, f)
             f.flush()
             os.fsync(f.fileno())
-        tmp = os.path.join(self.root, _POINTER + ".tmp")
-        with open(tmp, "w") as f:
-            f.write(str(next_v))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(self.root, _POINTER))
+        # The pointer flip must be atomic WITH a parent re-check. The
+        # O_EXCL manifest create only conflicts when two committers race
+        # to the SAME next_v; a committer whose parent went stale between
+        # reading it and numbering its manifest (the other side already
+        # committed, so max(versions)+1 moved past the collision) would
+        # otherwise flip the pointer onto a lineage that silently DROPS
+        # the winner's rows. The lock guards two file ops (microseconds,
+        # no data work); a lock abandoned by a crash is stolen by age.
+        lock = os.path.join(self.root, _POINTER + ".lock")
+        deadline = time.time() + 30.0
+        while True:
+            try:
+                lfd = os.open(lock, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+                break
+            except FileExistsError:
+                try:
+                    held = time.time() - os.path.getmtime(lock)
+                except FileNotFoundError:
+                    continue  # released between open and stat — retry now
+                if held > 10.0:
+                    try:
+                        os.unlink(lock)  # crashed holder; section is fast
+                    except FileNotFoundError:
+                        pass
+                    continue
+                if time.time() > deadline:
+                    raise
+                time.sleep(0.005)
+        try:
+            if self.current_version() != parent:
+                os.unlink(path)  # our manifest never became current
+                raise CommitConflict(
+                    f"snapshot of {self.root} advanced past v{parent} while "
+                    f"v{next_v} was being prepared; retry against the new "
+                    "live snapshot"
+                )
+            # unique tmp per committer: a SHARED tmp name let a racing
+            # commit rename it away and the loser die on FileNotFoundError
+            tmp = os.path.join(
+                self.root, f"{_POINTER}.tmp.{uuid.uuid4().hex}"
+            )
+            with open(tmp, "w") as f:
+                f.write(str(next_v))
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(self.root, _POINTER))
+        finally:
+            os.close(lfd)
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass  # a >10s stall got our lock stolen; flip already done
         return next_v
 
     # -- data-file production ------------------------------------------------

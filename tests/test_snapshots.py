@@ -551,3 +551,46 @@ def test_footer_stats_match_scan_stats(spark, tmp_path):
     # string column: present in the scan table's stats, exact bounds
     scol = [f.stats["s"] for f in sfiles]
     assert min(s["min"] for s in scol if s["min"] is not None) == "aa"
+
+
+def test_commit_refuses_stale_parent_lineage(spark, tmp_path, monkeypatch):
+    """The lost-update window the O_EXCL CAS alone cannot catch: a
+    committer whose parent went stale between reading it and numbering
+    its manifest lands at a DIFFERENT next_v than the racer (no name
+    collision), and without the locked parent re-check it would flip the
+    pointer onto a lineage that silently drops the racer's rows. Injected
+    deterministically: the first current_version() inside _commit returns
+    the stale parent, the re-check under the lock sees the truth."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.replace(_df(spark, [(0, "seed")]))
+    t.append(_df(spark, [(1, "a")]))
+    stale_v = t.current_version()
+    stale_files = t.snapshot().files
+    t.append(_df(spark, [(2, "racer")]))  # the commit the stale writer missed
+
+    real_cv = SnapshotTable.current_version
+    calls = {"n": 0}
+
+    def stale_once(self):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return stale_v
+        return real_cv(self)
+
+    monkeypatch.setattr(SnapshotTable, "current_version", stale_once)
+    with pytest.raises(CommitConflict, match="advanced past"):
+        t._commit(stale_files, "append")
+    monkeypatch.setattr(SnapshotTable, "current_version", real_cv)
+
+    # the racer's rows survived, the aborted manifest and lock are gone
+    vals = {r.val for r in t.read().collect()}
+    assert "racer" in vals and "a" in vals
+    orphans = [
+        n for n in os.listdir(os.path.join(t.root, "manifests"))
+        if int(n[1:-5]) > t.current_version()
+    ]
+    assert not orphans, "aborted commit left its manifest behind"
+    assert not os.path.exists(os.path.join(t.root, "_latest.lock"))
+    # and the table still accepts commits afterwards
+    t.append(_df(spark, [(3, "after")]))
+    assert {r.val for r in t.read().collect()} >= {"seed", "a", "racer", "after"}
