@@ -188,27 +188,45 @@ class SearchIndex:
 
     def _rows(self, docs: DataFrame) -> tuple[DataFrame, dict]:
         """Posting rows for this mode (+ the batch's exact stats totals)."""
+        postings = self._posting_frame(docs)
+        return postings, self._batch_totals(docs)
+
+    def _posting_frame(self, docs: DataFrame) -> DataFrame:
         if self.mode == "scored":
             postings, _ = _scored_posting_rows(docs)
-            if self.buckets != INDEX_BUCKETS:
-                postings = postings.withColumn(
-                    "bucket", F.pmod(F.hash("term"), F.lit(self.buckets))
-                )
-            agg = postings.groupBy().agg(
-                F.count_distinct("doc_id").alias("n_docs"),
-                F.coalesce(F.sum("tf"), F.lit(0)).alias("total_dl"),
-            ).collect()[0]
-            return postings, {
-                "n_docs": int(agg["n_docs"]),
-                "total_dl": int(agg["total_dl"]),
-            }
-        builder = _positional_posting_rows if self.mode == "positional" else _posting_rows
-        postings = builder(docs)
+        else:
+            builder = (
+                _positional_posting_rows
+                if self.mode == "positional"
+                else _posting_rows
+            )
+            postings = builder(docs)
         if self.buckets != INDEX_BUCKETS:
             postings = postings.withColumn(
                 "bucket", F.pmod(F.hash("term"), F.lit(self.buckets))
             )
-        return postings, {}
+        return postings
+
+    def _batch_totals(self, docs: DataFrame) -> dict:
+        """Exact scored-mode stats totals, computed from the DOCS frame,
+        not the posting rows: n_docs = distinct ids, total_dl = Σ per-doc
+        token count — identical by construction to
+        (count_distinct(doc_id), sum(tf)) over the postings (dl is the
+        doc's token count and tf sums to it), but ONE map-side agg over
+        the batch instead of re-running the whole tokenize→tf→dl chain a
+        second time before the write (optimization guide §1.2: don't
+        compute things twice). Null-text docs produce no posting rows
+        (explode drops null arrays) — excluded here too so both
+        formulations agree."""
+        if self.mode != "scored":
+            return {}
+        agg = docs.where(F.col("text").isNotNull()).agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.coalesce(
+                F.sum(F.size(F.split("text", " ")).cast("long")), F.lit(0)
+            ).alias("total_dl"),
+        ).collect()[0]
+        return {"n_docs": int(agg["n_docs"]), "total_dl": int(agg["total_dl"])}
 
     @property
     def docmeta_dir(self) -> str:
@@ -219,12 +237,14 @@ class SearchIndex:
         the postings, a doc-metadata sidecar (every non-text column, one
         row per doc) is written for filtered serving — the Lucene
         stored-fields/filter-bitset analog, scanned with predicate
-        pushdown at serve time instead of re-reading the corpus."""
-        postings, totals = self._rows(docs)
-        postings.write.mode("overwrite").partitionBy("bucket").parquet(
-            self.postings_dir
-        )
-        docs.drop("text").write.mode("overwrite").parquet(self.docmeta_dir)
+        pushdown at serve time instead of re-reading the corpus.
+
+        The three jobs (posting write, docmeta write, scored-stats agg)
+        are independent — they run overlapped from a driver thread pool
+        so the small jobs back-fill executors the posting write's tail
+        leaves idle (optimization guide §2.6); the metadata commit waits
+        on all of them."""
+        _, totals = self._run_ingest_jobs(docs, write_mode="overwrite")
         self._write_meta(
             {
                 "mode": self.mode,
@@ -236,6 +256,39 @@ class SearchIndex:
         )
         return self
 
+    def _run_ingest_jobs(
+        self, docs: DataFrame, write_mode: str, docmeta: bool = True
+    ) -> tuple[None, dict]:
+        """Run the batch's independent ingest jobs concurrently (guide
+        §2.6): the posting write, the docmeta sidecar write, and (scored
+        mode) the batch-totals agg. Nothing is shared downstream until
+        every job finished, and a failure in any job propagates before
+        any metadata commits."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        postings = self._posting_frame(docs)
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            jobs = [
+                pool.submit(
+                    lambda: postings.write.mode(write_mode)
+                    .partitionBy("bucket")
+                    .parquet(self.postings_dir)
+                )
+            ]
+            if docmeta:
+                jobs.append(
+                    pool.submit(
+                        lambda: docs.drop("text")
+                        .write.mode(write_mode)
+                        .parquet(self.docmeta_dir)
+                    )
+                )
+            f_totals = pool.submit(self._batch_totals, docs)
+            for f in jobs:
+                f.result()
+            totals = f_totals.result()
+        return None, totals
+
     def append(self, docs: DataFrame) -> "SearchIndex":
         """Partition-wise O(batch) posting append. The bucket is a pure
         per-row function of the term, so the appended index provably
@@ -244,16 +297,13 @@ class SearchIndex:
         must be disjoint from the resident corpus — the same stable-id
         precondition the incremental pipeline enforces)."""
         meta = self._check_no_pending_merge()
-        postings, totals = self._rows(docs)
-        postings.write.mode("append").partitionBy("bucket").parquet(
-            self.postings_dir
+        # indexes built before the sidecar existed must not grow a
+        # PARTIAL docmeta (appended docs only) — filtered serving over
+        # one would silently drop every resident doc; such an index
+        # keeps serving unfiltered and bm25(where=) refuses below
+        _, totals = self._run_ingest_jobs(
+            docs, write_mode="append", docmeta=bool(meta.get("docmeta"))
         )
-        if meta.get("docmeta"):
-            # indexes built before the sidecar existed must not grow a
-            # PARTIAL docmeta (appended docs only) — filtered serving over
-            # one would silently drop every resident doc; such an index
-            # keeps serving unfiltered and bm25(where=) refuses below
-            docs.drop("text").write.mode("append").parquet(self.docmeta_dir)
         meta["appends"] = int(meta.get("appends", 0)) + 1
         for k, v in totals.items():
             meta[k] = int(meta.get(k, 0)) + v
@@ -650,37 +700,37 @@ class SearchIndex:
             ids = ids.join(F.broadcast(prior), "doc_id", "left_anti")
         meta = self._check_no_pending_merge()
         postings = self.spark.read.parquet(self.postings_dir)
-        if self.mode == "scored":
-            hit = (
-                postings.select("doc_id", "dl")
-                .join(F.broadcast(ids), "doc_id", "left_semi")
-                .distinct()
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.coalesce(F.sum("dl"), F.lit(0)).alias("dl"),
-                )
-                .collect()[0]
-            )
-            n_present, dl_present = int(hit["n"]), int(hit["dl"])
-        else:
-            present = postings.select("doc_id").join(
-                F.broadcast(ids), "doc_id", "left_semi"
-            )
-            n_present = present.distinct().count()
-            dl_present = 0
-        if n_present == 0:
-            return 0
-        # semi-join BEFORE distinct: the index streams map-side against the
-        # broadcast id set; distinct runs over <= |ids| survivors
-        live_ids = (
-            postings.select("doc_id")
+        # ONE keys-only scan of the index: semi-join BEFORE distinct (the
+        # index streams map-side against the broadcast id set; distinct
+        # runs over <= |ids| survivors), then the bounded present set is
+        # persisted and reused for the stats decrement AND the delete-file
+        # write — previously two separate full scans (guide §1.2).
+        # dl is denormalized per doc, so distinct (doc_id, dl) is one row
+        # per present doc.
+        cols = ["doc_id", "dl"] if self.mode == "scored" else ["doc_id"]
+        present = (
+            postings.select(*cols)
             .join(F.broadcast(ids), "doc_id", "left_semi")
             .distinct()
+            .persist()
         )
-        os.makedirs(self._deletes_dir, exist_ok=True)
-        live_ids.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(self._deletes_dir, uuid.uuid4().hex)
-        )
+        try:
+            if self.mode == "scored":
+                hit = present.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.coalesce(F.sum("dl"), F.lit(0)).alias("dl"),
+                ).collect()[0]
+                n_present, dl_present = int(hit["n"]), int(hit["dl"])
+            else:
+                n_present, dl_present = present.count(), 0
+            if n_present == 0:
+                return 0
+            os.makedirs(self._deletes_dir, exist_ok=True)
+            present.select("doc_id").coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(self._deletes_dir, uuid.uuid4().hex)
+            )
+        finally:
+            present.unpersist()
         # nested dirs: read the sidecar recursively
         if self.mode == "scored":
             meta["n_docs"] = int(meta["n_docs"]) - n_present

@@ -502,9 +502,22 @@ def _commit_state_version(
     predecessor's pinned version (restores files AND the merge-on-read
     delete list) before applying this tick's delta. ``_crash_after``
     ('replace:<part>' / 'ref:<part>') is the crash-injection hook for the
-    torn-commit tests."""
-    tables = {p: _table(spark, state_dir, p) for p in _PARTS}
-    for part in _PARTS:
+    torn-commit tests.
+
+    The five parts' ops are INDEPENDENT until the ref phase (each part is
+    its own snapshot table; refs are only set after every write landed),
+    so they run from a small driver thread pool — Spark schedules the
+    concurrent jobs FIFO and the later parts' tasks back-fill executors
+    the earlier parts' stragglers leave idle (optimization guide §2.6).
+    These are O(delta) writes whose wall-clock is dominated by per-job
+    latency, the exact shape job overlap hides; shared upstream frames
+    are persist/checkpoint-marked by ``delta_merge_parts``, and the cache
+    layer's per-block locking makes concurrent materialization safe.
+    Crash semantics are unchanged — a failure in ANY part skips the ref
+    phase, so the torn attempt stays invisible. Crash-injection runs keep
+    the deterministic sequential order so the tests pin exact windows."""
+
+    def _apply(part: str) -> None:
         t = tables[part]
         op = ops[part]
         if op[0] == "replace":
@@ -519,8 +532,26 @@ def _commit_state_version(
                 t.delete_keys_mor(keys, key_cols)
             if append_df is not None:
                 t.append(append_df)
-        if _crash_after == f"replace:{part}":
-            raise _InjectedCrash(_crash_after)
+
+    tables = {p: _table(spark, state_dir, p) for p in _PARTS}
+    if _crash_after is not None:
+        for part in _PARTS:
+            _apply(part)
+            if _crash_after == f"replace:{part}":
+                raise _InjectedCrash(_crash_after)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futures = [(p, pool.submit(_apply, p)) for p in _PARTS]
+            errs = []
+            for part, fut in futures:
+                try:
+                    fut.result()
+                except Exception as exc:  # noqa: BLE001 — re-raised below
+                    errs.append((part, exc))
+            if errs:
+                raise errs[0][1]
     ref = _ref(batch_id)
     for part in _REF_ORDER:
         tables[part].set_ref(ref, tables[part].current_version())
@@ -637,21 +668,22 @@ def refresh_corpus_state(
         # batch) — the band index would keep the stale version's rows, so
         # fail the tick loudly before anything commits. Batch-side checks
         # plus one keys-only broadcast probe of the resident live set.
-        reused = (
+        # both probes in ONE limit-1 job (they were two sequential jobs on
+        # the happy path; each is a bounded keys-only probe, so the union
+        # stays map-side cheap — guide §2.6 fewer-jobs discipline)
+        probe = (
             keepers.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n"))
             .where(F.col("n") > 1)
-            .limit(1)
-            .collect()
+            .select("doc_id")
         )
-        if not reused and prior:
-            reused = (
+        if prior:
+            probe = probe.unionByName(
                 old_live.select("doc_id")
                 .join(F.broadcast(newly.select("doc_id")), "doc_id", "left_semi")
                 .join(F.broadcast(evicted), "doc_id", "left_anti")
-                .limit(1)
-                .collect()
             )
+        reused = probe.limit(1).collect()
         if reused:
             raise ValueError(
                 f"doc_id {reused[0].doc_id} arrived with different content than "

@@ -11,6 +11,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from analytics_data_platform_spark.functions import vectors as V
+from analytics_data_platform_spark.functions.expr import spread
 from analytics_data_platform_spark.operators.similarity import topk_per_query
 from analytics_data_platform_spark.queries import QuerySpec, register
 from analytics_data_platform_spark.sources.testdata import load_table
@@ -76,7 +77,16 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_emb"),
         V.norm("embedding").alias("q_nrm"),
     )
-    cand = e.select("vec_id", "embedding", V.norm("embedding").alias("c_nrm"))
+    # spread: the embeddings parquet scans as ONE split at test SFs while
+    # the per-row work (interpreted higher-order dot products × |queries|)
+    # is thousands of times the IO — without this the whole scoring join
+    # runs on one core (optimization guide §2 / functions.expr.spread; a
+    # no-op on wide production scans). Result-identical: scoring is
+    # per-row pure and the two-phase top-k's (score desc, id asc) order is
+    # partitioning-independent.
+    cand = spread(
+        e.select("vec_id", "embedding", V.norm("embedding").alias("c_nrm"))
+    )
     cos = F.when(
         (F.col("q_nrm") > 0) & (F.col("c_nrm") > 0),
         V.dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("c_nrm")),
