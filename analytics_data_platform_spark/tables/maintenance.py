@@ -255,13 +255,27 @@ def compact_posting_buckets(
     (elt-common/src/elt_common/iceberg/maintenance/__init__.py:28-62).
     ``prefix`` selects the partition-directory family ("bucket=" for the
     term index, "_cell=" for the IVF vector index). Returns a per-bucket
-    report of compactions performed."""
+    report of compactions performed.
+
+    All oversized buckets are rewritten by ONE Spark job (each bucket dir
+    read as its own root path with the partition value re-attached as a
+    literal — underscore-prefixed families like ``_cell=`` are invisible
+    to partition DISCOVERY, so inference is never relied on — then
+    repartitioned on the partition column so every bucket's rows land in
+    one task and written ``partitionBy`` into a single underscore-staged
+    root), then installed with the same two-renames-per-bucket swap as
+    before. The previous shape — one driver-sequential coalesce job PER
+    bucket — cost |buckets| × per-job latency regardless of data volume
+    (the optimization guide's fewer-jobs discipline, §2.6); crash windows
+    are unchanged because the staged root is invisible to readers and
+    :func:`recover_posting_compaction` drops any ``_stage.*`` leftover
+    and heals per-bucket ``_old.*`` states."""
     import os
     import shutil
     import tempfile
 
     recover_posting_compaction(idx_dir, prefix=prefix)
-    done: list[str] = []
+    oversized: list[tuple[str, int]] = []
     for name in sorted(os.listdir(idx_dir)):
         if not name.startswith(prefix):
             continue
@@ -269,8 +283,61 @@ def compact_posting_buckets(
         files = [f for f in os.listdir(bucket_dir) if f.endswith(".parquet")]
         if len(files) < max(min_files, target_files + 1):
             continue
+        oversized.append((name, len(files)))
+    if not oversized:
+        return []
+    done: list[str] = []
+    if target_files == 1:
+        import re as _re
+
+        import pyspark.sql.functions as _F
+
+        part_col = prefix[:-1]
+        raw_vals = [n[len(prefix):] for n, _ in oversized]
+        all_int = all(v.lstrip("-").isdigit() for v in raw_vals)
+        # ONE multi-root read (bucket dirs are ROOT paths, exempt from the
+        # hidden-path filter that hides e.g. ``_cell=`` from discovery);
+        # the partition value is recovered from the file path — a per-dir
+        # read-and-union would pay one driver-side schema inference per
+        # bucket, which dominated the job on wide fleets
+        val = _F.regexp_extract(
+            _F.input_file_name(), _re.escape(prefix) + "([^/]+)/", 1
+        )
+        frame = spark.read.parquet(
+            *[os.path.join(idx_dir, n) for n, _ in oversized]
+        ).withColumn(part_col, val.cast("int") if all_int else val)
         # underscore prefix keeps the stage invisible to partition
         # discovery even if this process dies mid-write
+        staged_root = tempfile.mkdtemp(prefix="_stage.", dir=idx_dir)
+        (
+            # one partition per bucket value -> exactly one staged file per
+            # bucket dir (a hash collision merely puts two buckets in one
+            # task; each still writes its own single file)
+            frame.repartition(len(oversized), part_col)
+            .write.mode("overwrite")
+            .partitionBy(part_col)
+            .parquet(staged_root)
+        )
+        for name, n_files in oversized:
+            staged = os.path.join(staged_root, name)
+            if not os.path.isdir(staged):
+                # zero-row bucket (partitionBy writes no dir for it):
+                # nothing to install; leave the resident files alone
+                continue
+            for extra in os.listdir(staged):  # _SUCCESS etc. stay out
+                if not extra.endswith(".parquet"):
+                    os.remove(os.path.join(staged, extra))
+            old = os.path.join(idx_dir, f"_old.{name}")
+            os.rename(os.path.join(idx_dir, name), old)
+            os.rename(staged, os.path.join(idx_dir, name))
+            shutil.rmtree(old)
+            done.append(f"{name}: {n_files} -> {target_files} file(s)")
+        shutil.rmtree(staged_root)
+        return done
+    # target_files > 1: per-bucket coalesce rewrites (rarely used; kept as
+    # the simple sequential loop)
+    for name, n_files in oversized:
+        bucket_dir = os.path.join(idx_dir, name)
         staged = tempfile.mkdtemp(prefix="_stage.", dir=idx_dir)
         # reading the bucket dir directly yields the non-partition columns
         # only — the same schema resident files carry
@@ -284,7 +351,7 @@ def compact_posting_buckets(
         os.rename(bucket_dir, old)
         os.rename(staged, bucket_dir)
         shutil.rmtree(old)
-        done.append(f"{name}: {len(files)} -> {target_files} file(s)")
+        done.append(f"{name}: {n_files} -> {target_files} file(s)")
     return done
 
 
