@@ -506,16 +506,25 @@ def _commit_state_version(
 
     The five parts' ops are INDEPENDENT until the ref phase (each part is
     its own snapshot table; refs are only set after every write landed),
-    so they run from a small driver thread pool — Spark schedules the
-    concurrent jobs FIFO and the later parts' tasks back-fill executors
-    the earlier parts' stragglers leave idle (optimization guide §2.6).
-    These are O(delta) writes whose wall-clock is dominated by per-job
-    latency, the exact shape job overlap hides; shared upstream frames
-    are persist/checkpoint-marked by ``delta_merge_parts``, and the cache
-    layer's per-block locking makes concurrent materialization safe.
-    Crash semantics are unchanged — a failure in ANY part skips the ref
-    phase, so the torn attempt stays invisible. Crash-injection runs keep
-    the deterministic sequential order so the tests pin exact windows."""
+    and within a part the PARQUET WRITES are independent of the manifest
+    until commit time. So the tick splits stage from commit (optimization
+    guide §2.6): rebase rollbacks first (driver-side manifest ops), then
+    EVERY write job of every part — delete-key files and append/replace
+    data files — runs concurrently from one driver pool (Spark schedules
+    the jobs FIFO; later jobs' tasks back-fill executors the earlier
+    jobs' stragglers leave idle), then the ordered manifest commits that
+    give each part its delete→append sequence semantics run driver-side
+    in microseconds. A staged delete's ``applies_to`` resolves at commit
+    time against the rebased snapshot, exactly as the sequential order
+    produced. Shared upstream frames are persist/checkpoint-marked by
+    ``delta_merge_parts``, and the cache layer's per-block locking makes
+    concurrent materialization safe. Crash semantics are unchanged — a
+    failure in ANY stage or commit skips the ref phase, so the torn
+    attempt stays invisible (staged-but-uncommitted files are orphans the
+    maintenance GC sweeps). Crash-injection runs keep the deterministic
+    sequential order so the tests pin exact windows. Delete-key frames
+    are unique by construction here (evictions derive from the resident
+    keeper scan), so staging skips the pre-write dedup shuffle."""
 
     def _apply(part: str) -> None:
         t = tables[part]
@@ -529,7 +538,7 @@ def _commit_state_version(
                 if t.current_version() != pinned:
                     t.rollback(pinned)
             for keys, key_cols in deletes:
-                t.delete_keys_mor(keys, key_cols)
+                t.delete_keys_mor(keys, key_cols, distinct=False)
             if append_df is not None:
                 t.append(append_df)
 
@@ -542,16 +551,64 @@ def _commit_state_version(
     else:
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            futures = [(p, pool.submit(_apply, p)) for p in _PARTS]
+        # phase 0 — rebase rollbacks (driver-side): a staged delete must
+        # bind to the REBASED snapshot's files, so these commit first
+        for part in _PARTS:
+            if ops[part][0] != "replace" and prior_batch is not None:
+                t = tables[part]
+                pinned = t.resolve_ref(_ref(prior_batch))
+                if t.current_version() != pinned:
+                    t.rollback(pinned)
+        # phase 1 — stage every write job concurrently
+        staged: list[tuple[str, str, object, object]] = []
+        with ThreadPoolExecutor(max_workers=6) as pool:
+            futures: list[tuple[str, str, object, object]] = []
+            for part in _PARTS:
+                t, op = tables[part], ops[part]
+                if op[0] == "replace":
+                    futures.append(
+                        (part, "replace", pool.submit(t._write_files, op[1]),
+                         op[1].schema)
+                    )
+                else:
+                    _, deletes, append_df = op
+                    for keys, key_cols in deletes:
+                        futures.append(
+                            (part, "delete",
+                             pool.submit(
+                                 t.stage_delete_keys, keys, key_cols, False
+                             ),
+                             None)
+                        )
+                    if append_df is not None:
+                        futures.append(
+                            (part, "append",
+                             pool.submit(t._write_files, append_df),
+                             append_df.schema)
+                        )
             errs = []
-            for part, fut in futures:
+            for part, kind, fut, schema in futures:
                 try:
-                    fut.result()
+                    staged.append((part, kind, fut.result(), schema))
                 except Exception as exc:  # noqa: BLE001 — re-raised below
                     errs.append((part, exc))
             if errs:
                 raise errs[0][1]
+        # phase 2 — ordered driver-side commits per part: the part's
+        # delete entries as ONE delete-mor version, then its append (or
+        # its replace), preserving delete→append sequence semantics
+        for part in _PARTS:
+            t = tables[part]
+            stubs = [r for p, k, r, _ in staged if p == part and k == "delete"]
+            if stubs:
+                t.commit_staged_deletes(stubs)
+            for p, kind, r, schema in staged:
+                if p != part:
+                    continue
+                if kind == "append":
+                    t.commit_staged_append(r, schema)
+                elif kind == "replace":
+                    t.commit_staged_replace(r, schema)
     ref = _ref(batch_id)
     for part in _REF_ORDER:
         tables[part].set_ref(ref, tables[part].current_version())
@@ -585,11 +642,17 @@ def refresh_corpus_state(
 
     # ONE materialized pass annotates the batch with the two expensive
     # per-row expressions (the C4 rule conjunction and the md5
-    # fingerprint) — tallies, the tombstone door, and the keeper shuffle
-    # all read the cache instead of re-running regex+hash scans over the
-    # batch text. Tallies are ARRIVAL history: counted before the
-    # tombstone filter — erasure suppresses content from the live set,
-    # not from the record that it arrived
+    # fingerprint) — the tombstone door and the keeper shuffle read the
+    # cache instead of re-running regex+hash scans over the batch text.
+    # Tallies are ARRIVAL history: counted before the tombstone filter —
+    # erasure suppresses content from the live set, not from the record
+    # that it arrived. They ride the tick's FIRST action as observed
+    # metrics (CollectMetrics above the cache) instead of paying their
+    # own aggregation job; every downstream consumer derives from the
+    # observed frame, so whichever action runs first gathers them.
+    from pyspark.sql import Observation
+
+    obs = Observation()
     annotated = (
         batch.where(F.length(F.trim("text")) > 0)
         .select(*_DOC_COLS)
@@ -597,11 +660,12 @@ def refresh_corpus_state(
         .withColumn("_fp", dedup.fingerprint_col("text"))
         .persist()
     )
-    tallies = annotated.agg(
+    observed = annotated.observe(
+        obs,
         F.count(F.lit(1)).alias("n_raw"),
         F.coalesce(F.sum(F.col("_ok").cast("long")), F.lit(0)).alias("n_clean"),
-    ).collect()[0]
-    clean = annotated.where(F.col("_ok")).drop("_ok")
+    )
+    clean = observed.where(F.col("_ok")).drop("_ok")
 
     if prior:
         old_live = read_state_part(spark, state_dir, "live", prior[-1])
@@ -656,11 +720,6 @@ def refresh_corpus_state(
     newly = m["newly_live"]
     new_rows = m["new_rows"]
 
-    batch_counts = spark.createDataFrame(
-        [(int(batch_id), int(tallies.n_raw), int(tallies.n_clean))],
-        "batch_id long, n_raw long, n_clean long",
-    )
-
     try:
         # precondition guard (see module docstring): a doc_id re-used for
         # DIFFERENT text would land a newly-live row whose id collides
@@ -690,6 +749,28 @@ def refresh_corpus_state(
                 "the resident version — doc_ids must be stable per content "
                 "(re-delivering an identical (doc_id, text) row is fine)"
             )
+
+        # the first action above (buckets collect on delta ticks, the
+        # probe on bootstrap) materialized the batch cache and gathered
+        # the observed tallies — obs.get returns without its own job
+        try:
+            tallies = obs.get
+            n_raw, n_clean = int(tallies["n_raw"]), int(tallies["n_clean"])
+        except Exception:
+            # an empty batch can collapse to an empty LocalRelation and
+            # strip the CollectMetrics row — fall back to the direct agg
+            # (cheap by construction: the batch produced no metrics)
+            row = annotated.agg(
+                F.count(F.lit(1)).alias("n_raw"),
+                F.coalesce(F.sum(F.col("_ok").cast("long")), F.lit(0)).alias(
+                    "n_clean"
+                ),
+            ).collect()[0]
+            n_raw, n_clean = int(row.n_raw), int(row.n_clean)
+        batch_counts = spark.createDataFrame(
+            [(int(batch_id), n_raw, n_clean)],
+            "batch_id long, n_raw long, n_clean long",
+        )
 
         if not prior:
             # bootstrap: delta == full state; replace also resets any torn

@@ -308,7 +308,8 @@ class SnapshotTable:
                 .sortWithinPartitions(Z_COL)
                 .drop(Z_COL)
             )
-        df.write.mode("errorifexists").parquet(d)
+        if not self._try_local_write(df, d):
+            df.write.mode("errorifexists").parquet(d)
         fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         pre_cols = [n for n, t in fields.items() if t in _STATS_TYPES]
         if self.stats_cols is not None:
@@ -348,6 +349,46 @@ class SnapshotTable:
             }
             out.append(DataFile(p, r["__rows"], os.path.getsize(p), stats))
         return out
+
+    _LOCAL_WRITE_TYPES = {
+        "tinyint": "int8", "smallint": "int16", "int": "int32",
+        "bigint": "int64", "float": "float32", "double": "float64",
+        "string": "string", "boolean": "bool_", "date": "date32",
+    }
+
+    def _try_local_write(self, df: DataFrame, d: str) -> bool:
+        """Driver-side parquet write for LITERAL frames — plans Spark can
+        collect without executors (``createDataFrame`` results, e.g. the
+        per-tick counts row every state commit writes). The executor write
+        path costs a full Spark job (task launch + commit protocol) to
+        produce one tiny file; pyarrow writes the same file in-process.
+        Scalar types only; anything else (and any non-local plan, which
+        includes every cluster_by/zorder_by write — repartition makes the
+        frame non-local) takes the normal executor write. The footer/scan
+        stats enumeration downstream reads the file identically."""
+        try:
+            if not df.isLocal():
+                return False
+        except Exception:
+            return False
+        types = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+        if not types or any(t not in self._LOCAL_WRITE_TYPES for _, t in types):
+            return False
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = df.collect()
+        cols = [
+            pa.array(
+                [r[i] for r in rows],
+                type=getattr(pa, self._LOCAL_WRITE_TYPES[t])(),
+            )
+            for i, (_, t) in enumerate(types)
+        ]
+        table = pa.Table.from_arrays(cols, names=[n for n, _ in types])
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(table, os.path.join(d, "part-00000-local.parquet"))
+        return True
 
     def _footer_datafiles(self, d: str, cols: list[str]) -> list[DataFile] | None:
         """Enumerate just-written files with rows + per-column min/max/nulls
@@ -407,7 +448,12 @@ class SnapshotTable:
     # -- writes --------------------------------------------------------------
 
     def replace(self, df: DataFrame) -> int:
-        return self._commit(self._write_files(df), "replace", df.schema.json())
+        return self.commit_staged_replace(self._write_files(df), df.schema)
+
+    def commit_staged_replace(self, files: list[DataFile], schema) -> int:
+        """Commit pre-written files (:meth:`_write_files`) as a replace —
+        the driver-side half, for transactions that stage writes first."""
+        return self._commit(files, "replace", schema.json())
 
     def append(self, df: DataFrame) -> int:
         """O(batch): parent files carried over by reference.
@@ -417,12 +463,18 @@ class SnapshotTable:
         files to the merged schema, surfacing NULLs, with no per-file
         footer merge); table columns the batch lacks arrive as NULLs.
         Type changes on an existing column are rejected."""
-        new = self._write_files(df)
+        return self.commit_staged_append(self._write_files(df), df.schema)
+
+    def commit_staged_append(self, files: list[DataFile], schema) -> int:
+        """Commit pre-written files (:meth:`_write_files`) as an append —
+        the driver-side half, for transactions that stage writes first.
+        Schema-evolution semantics are :meth:`append`'s, evaluated against
+        the table state at COMMIT time."""
         if self.current_version() is None:
-            return self._commit(new, "append", df.schema.json())
-        merged = self._merge_schema(self._read_schema(), df.schema)
+            return self._commit(files, "append", schema.json())
+        merged = self._merge_schema(self._read_schema(), schema)
         parent = self.snapshot().files
-        return self._commit(parent + new, "append", merged.json())
+        return self._commit(parent + files, "append", merged.json())
 
     def merge(self, updates: DataFrame, keys: list[str], op: str = "merge") -> int:
         """Copy-on-write upsert with file skipping.
@@ -494,7 +546,9 @@ class SnapshotTable:
 
     # -- merge-on-read equality deletes (Iceberg v2 delete files) ------------
 
-    def delete_keys_mor(self, keys: DataFrame, key_cols: list[str]) -> int:
+    def delete_keys_mor(
+        self, keys: DataFrame, key_cols: list[str], distinct: bool = True
+    ) -> int:
         """Merge-on-read DELETE: write the key tuples as an equality-delete
         file and commit — O(|keys|), NO data file is rewritten (the CoW
         ``delete_where`` rewrites every candidate file; at 100 TB a
@@ -506,22 +560,52 @@ class SnapshotTable:
         appended later with the same key are NOT deleted. Reads stay
         O(data + deletes); ``apply_deletes`` materializes and clears.
         """
+        return self.commit_staged_deletes(
+            [self.stage_delete_keys(keys, key_cols, distinct=distinct)]
+        )
+
+    def stage_delete_keys(
+        self, keys: DataFrame, key_cols: list[str], distinct: bool = True
+    ) -> dict:
+        """Write an equality-delete key file WITHOUT committing — the
+        write half of :meth:`delete_keys_mor`, so a multi-part transaction
+        can run every part's write jobs concurrently and apply the ordered
+        manifest commits afterwards (driver-side microseconds). Returns
+        the manifest entry stub; ``applies_to`` is filled at commit time
+        so the delete binds to exactly the files present then. The row
+        count comes from the parquet footers (no read-back job).
+        ``distinct=False`` skips the pre-write dedup shuffle when the
+        caller's keys are unique by construction — duplicate keys in a
+        delete file would be semantically harmless (the read side is an
+        anti-join), so the flag only affects file size."""
+        import pyarrow.parquet as pq
+
         d = os.path.join(self.root, "data", uuid.uuid4().hex)
-        keys.select(*key_cols).distinct().coalesce(1).write.parquet(d)
+        sel = keys.select(*key_cols)
+        if distinct:
+            sel = sel.distinct()
+        sel.coalesce(1).write.parquet(d)
         paths = [
             os.path.join(d, n) for n in sorted(os.listdir(d)) if n.endswith(".parquet")
         ]
-        n = self.spark.read.parquet(*paths).count()
-        snap = self.snapshot()
-        entry = {
+        n = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+        return {
             "path": paths[0],
             "extra_paths": paths[1:],
             "key_cols": key_cols,
             "rows": n,
-            "applies_to": [f.path for f in snap.files],
         }
+
+    def commit_staged_deletes(self, stubs: list[dict]) -> int:
+        """Commit staged equality-delete files as ONE new version. Multiple
+        stubs in one commit are equivalent to committing them back-to-back
+        (each entry anti-joins independently and a delete-mor commit does
+        not change the data file set), for a single manifest write."""
+        snap = self.snapshot()
+        applies = [f.path for f in snap.files]
+        entries = [{**s, "applies_to": applies} for s in stubs]
         return self._commit(
-            snap.files, "delete-mor", delete_files=snap.delete_files + [entry]
+            snap.files, "delete-mor", delete_files=snap.delete_files + entries
         )
 
     def apply_deletes(self) -> int:
