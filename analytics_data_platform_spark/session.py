@@ -24,6 +24,19 @@ from pyspark.sql import SparkSession
 # sources.testdata converts to a microsecond TIMESTAMP.
 NANOS_AS_LONG = "spark.sql.legacy.parquet.nanosAsLong"
 
+# Scan-split sizing: openCostInBytes models the cost of opening one file as
+# scan-byte-equivalents. The 4 MB default is tuned for remote/object storage;
+# on local NVMe (or page-cached test data) a file open costs well under 1 MB
+# of scan time, and the 4 MB floor collapses small tables to 1-3 splits — an
+# expression-heavy scan then runs on 1-3 of N cores. With a small open cost,
+# Spark's own bytesPerCore = totalBytes / defaultParallelism drives the split
+# size, so scan parallelism adapts to BOTH input size and core count (the
+# scale-adaptive behavior the 100 TB story needs: production-size files hit
+# the maxPartitionBytes ceiling and this knob is inert; deployments on object
+# stores raise it back via SPARK_GRAFT_OPEN_COST).
+OPEN_COST = "spark.sql.files.openCostInBytes"
+_OPEN_COST_DEFAULT = str(128 * 1024)
+
 
 def get_spark(
     app_name: str = "analytics-data-platform-spark",
@@ -59,6 +72,7 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        .config(OPEN_COST, os.environ.get("SPARK_GRAFT_OPEN_COST", _OPEN_COST_DEFAULT))
         .config(NANOS_AS_LONG, "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -94,3 +108,4 @@ def ensure_session_defaults(spark: SparkSession) -> None:
     spark.conf.set(NANOS_AS_LONG, "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.conf.set(OPEN_COST, os.environ.get("SPARK_GRAFT_OPEN_COST", _OPEN_COST_DEFAULT))
