@@ -32,7 +32,7 @@ def bind(value: Column, body: Callable[[Column], Column]) -> Column:
     return F.element_at(F.transform(F.array(value), body), 1)
 
 
-def spread(df: "DataFrame", factor: int = 1) -> "DataFrame":
+def spread(df: "DataFrame", factor: int = 1, probe: "DataFrame | None" = None) -> "DataFrame":
     """Guarantee compute parallelism for expression-heavy projections.
 
     A small parquet file scans as ONE split even when the per-row compute
@@ -41,8 +41,18 @@ def spread(df: "DataFrame", factor: int = 1) -> "DataFrame":
     then runs on one core. When the scan is narrower than
     defaultParallelism × factor, repartition round-robin; a no-op on real
     100 TB scans, which already arrive thousands of splits wide.
+
+    The partition-count check physically plans ``df`` (``.rdd`` →
+    ``toRdd``), which costs hundreds of driver milliseconds on a tree
+    carrying a broadcast join or a large expression forest. ``probe``
+    lets the caller hand over a frame whose partition count EQUALS
+    ``df``'s by construction — e.g. the stream side feeding a
+    broadcast/semi join (broadcast joins add no exchange, so the join
+    output inherits the stream side's partitioning) — so the cheap-to-
+    plan frame is probed instead. Only pass it when the equality is
+    structural; when in doubt, omit it and pay the exact probe.
     """
     target = df.sparkSession.sparkContext.defaultParallelism * factor
-    if df.rdd.getNumPartitions() < target:
+    if (df if probe is None else probe).rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

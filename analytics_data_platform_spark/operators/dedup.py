@@ -181,7 +181,15 @@ def exact_jaccard_pairs(
     ).distinct()
     if broadcast_candidates:
         cand_ids = F.broadcast(cand_ids)
-    sh = spread(df.join(cand_ids, id_col, "left_semi").select(id_col, text_col)).select(
+    # under broadcast_candidates the semi join adds no exchange, so its
+    # output partitioning IS the corpus side's — probe that slim frame
+    # instead of physically planning the join tree (driver-side cost;
+    # spread() docstring)
+    probe = df.select(id_col, text_col) if broadcast_candidates else None
+    sh = spread(
+        df.join(cand_ids, id_col, "left_semi").select(id_col, text_col),
+        probe=probe,
+    ).select(
         F.col(id_col), shingle_tokens(text_col, k).alias("sh")
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
