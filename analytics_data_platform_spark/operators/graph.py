@@ -104,7 +104,14 @@ def bfs_hops(
     run is bounded by the true BFS work, not |V|·rounds. The visited set is
     localCheckpointed per round to truncate the iterative lineage.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # every round joins against the edge list; materialize it once so an
+    # expensive upstream build (a distinct'd co-order self-join) is not
+    # re-evaluated per round (same fix as pagerank — the edge list was
+    # recomputed max_hops times before)
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .localCheckpoint(eager=False)
+    )
     visited = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct().withColumn(
         "hops", F.lit(0)
     )
@@ -142,9 +149,11 @@ def sssp_hops(
     the whole run is ``max_hops`` rounds regardless of cluster size.
     Integer weights keep costs engine-portable (no float path-sum ties).
     """
+    # materialized once — each relaxation round reuses the checkpointed
+    # edge list instead of re-running its upstream build (pagerank's fix)
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
-    )
+    ).localCheckpoint(eager=False)
     dist = (
         seeds.select(F.col(seeds.columns[0]).alias("node"))
         .distinct()

@@ -362,9 +362,12 @@ def bfs_hops_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     from analytics_data_platform_spark.operators.graph import bfs_hops
 
     pairs = _sparse_coorder_pairs(spark, sf_dir)
+    # one materialization serves the seed-degree aggregate AND every BFS
+    # round (bfs_hops checkpoints its own input, which here just copies
+    # these blocks instead of re-running the co-order self-join)
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint(eager=False)
     seeds = (
         edges.groupBy("src")
         .agg(F.count("*").alias("deg"))
@@ -439,9 +442,11 @@ def sssp_cost_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.greatest(F.lit(1), F.lit(6) - F.count("*")).cast("long").alias("w"))
     )
+    # one materialization serves the seed aggregate and every relaxation
+    # round (sssp_hops re-checkpoints = a block copy, not a re-join)
     edges = wpairs.unionByName(
         wpairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    )
+    ).localCheckpoint(eager=False)
     seeds = (
         edges.groupBy("src")
         .agg(F.count("*").alias("deg"))
