@@ -36,25 +36,42 @@ QUERY_TERMS: dict[int, list[str]] = {
 
 
 def _term_stats(d: DataFrame):
-    """(tf, dl, dfreq, stats): one exploded scan -> per-(doc,term) tf,
-    per-doc length, per-term document frequency, corpus-level stats."""
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    """(tf, dfreq, stats): one exploded scan -> per-(doc,term) tf rows
+    CARRYING the doc length dl, per-term document frequency, corpus-level
+    stats. dl is a per-row pure function of the text (``size(split)`` —
+    explode emits exactly that many rows, so it equals the old
+    ``sum(tf) per doc`` bit-for-bit, null-text docs absent either way);
+    riding it through the tf aggregation removes the per-doc second
+    shuffle AND the tf⋈dl doc_id join every BM25 consumer used to pay
+    (optimization guide §2.4). stats folds from the tf frame the same
+    way (``sum(tf)/n_docs`` ≡ ``avg(dl)`` exactly — integer totals are
+    exact in double; A/B-verified bit-equal on sf0.01/sf0.1)."""
+    toks = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        F.explode(F.split("text", " ")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"), F.max("dl").alias("dl")
+    )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
-    return tf, dl, dfreq, stats
+    stats = tf.agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        (F.sum("tf").cast("double") / F.count_distinct("doc_id")).alias("avgdl"),
+    )
+    return tf, dfreq, stats
 
 
 def _bm25_scores(spark: SparkSession, d: DataFrame, q: DataFrame) -> DataFrame:
     """(q_id, doc_id, score): BM25 over query term table ``q(q_id, term)``.
 
     ``q`` is broadcast into the tf join, and dfreq is semi-filtered to
-    query terms before ITS broadcast — the only corpus-sized shuffles are
-    the tf/dl groupBys (irreducible single-pass aggregations). Robertson
-    idf with +1 floor: ln(1 + (N - df + 0.5)/(df + 0.5)).
+    query terms before ITS broadcast — the only corpus-sized shuffle is
+    the tf groupBy (an irreducible single-pass aggregation; dl rides the
+    tf rows, so there is no per-doc join). Robertson idf with +1 floor:
+    ln(1 + (N - df + 0.5)/(df + 0.5)).
     """
-    tf, dl, dfreq, stats = _term_stats(d)
+    tf, dfreq, stats = _term_stats(d)
     dfq = dfreq.join(F.broadcast(q.select("term").distinct()), "term")
     idf = F.log(
         F.lit(1.0)
@@ -67,7 +84,6 @@ def _bm25_scores(spark: SparkSession, d: DataFrame, q: DataFrame) -> DataFrame:
     return (
         tf.join(F.broadcast(q), "term")
         .join(F.broadcast(dfq), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select("q_id", "doc_id", w.alias("w"))
         .groupBy("q_id", "doc_id")
@@ -748,14 +764,30 @@ def _scored_posting_rows(d: DataFrame) -> tuple[DataFrame, DataFrame]:
     needs — tf and the doc length dl (denormalized onto each row, the
     Lucene norms analog) — bucketed by the term hash; stats is the ONE-ROW
     corpus sidecar (n_docs, avgdl) written next to the index at build
-    time, so serving never touches the corpus."""
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    postings = tf.join(dl, "doc_id").withColumn(
+    time, so serving never touches the corpus.
+
+    dl is a per-row pure function of the text (``size(split)`` — explode
+    emits exactly that many rows, so it equals ``sum(tf) per doc``
+    bit-for-bit) carried THROUGH the explode into the tf aggregation:
+    one corpus shuffle total, where the old shape paid a second per-doc
+    shuffle plus a tf⋈dl doc_id join inside every index build
+    (optimization guide §2.4). stats folds from the tf frame
+    (``sum(tf)/n_docs`` ≡ ``avg(dl)`` exactly; A/B-verified bit-equal)."""
+    toks = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        F.explode(F.split("text", " ")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    postings = tf.withColumn(
         "bucket", F.pmod(F.hash("term"), F.lit(INDEX_BUCKETS))
     )
-    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    stats = tf.agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        (F.sum("tf").cast("double") / F.count_distinct("doc_id")).alias("avgdl"),
+    )
     return postings, stats
 
 

@@ -264,7 +264,7 @@ def _mlt_query_terms(d: DataFrame) -> DataFrame:
 
     from analytics_data_platform_spark.queries.search_ops import _term_stats
 
-    tf, _dl, dfreq, stats = _term_stats(d)
+    tf, dfreq, stats = _term_stats(d)
     scored = (
         tf.where(F.col("doc_id") < N_QUERY_DOCS)
         .join(dfreq, "term")
