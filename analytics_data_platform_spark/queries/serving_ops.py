@@ -375,11 +375,41 @@ def index_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats_dir = tempfile.mkdtemp(prefix="adps-hybidx-stats-")
     ivf_dir = tempfile.mkdtemp(prefix="adps-hybidx-ivf-")
     try:
-        postings, stats = _scored_posting_rows(d)
-        postings.write.mode("overwrite").partitionBy("bucket").parquet(idx_dir)
-        stats.coalesce(1).write.mode("overwrite").parquet(stats_dir)
+        # the three build groups — lexical index write, MoreLikeThis term
+        # selection, IVF cell write — are mutually independent: overlap
+        # their jobs from a driver pool so each one's stage tail
+        # back-fills the executors (guide §2.6). Pure job scheduling; no
+        # served plan changes.
+        from concurrent.futures import ThreadPoolExecutor
 
-        q_terms = _mlt_query_terms(d).localCheckpoint()
+        postings, stats = _scored_posting_rows(d)
+
+        def _write_lex() -> None:
+            postings.write.mode("overwrite").partitionBy("bucket").parquet(idx_dir)
+            stats.coalesce(1).write.mode("overwrite").parquet(stats_dir)
+
+        def _build_ivf() -> list[list[float]]:
+            rows_c = (
+                e.where(F.col("vec_id") < _IVF_NLIST)
+                .orderBy("vec_id")
+                .select("embedding")
+                .collect()
+            )
+            cents = [[float(x) for x in r["embedding"]] for r in rows_c]
+            cell = similarity.assign_centroid_col("embedding", cents).cast("int")
+            e.withColumn("_cell", cell).write.partitionBy("_cell").mode(
+                "overwrite"
+            ).parquet(ivf_dir)
+            return cents
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_lex = pool.submit(_write_lex)
+            f_terms = pool.submit(lambda: _mlt_query_terms(d).localCheckpoint())
+            f_ivf = pool.submit(_build_ivf)
+            q_terms = f_terms.result()
+            cents = f_ivf.result()
+            f_lex.result()
+
         terms = [r["term"] for r in q_terms.select("term").distinct().collect()]
         want = sorted(
             {
@@ -392,18 +422,6 @@ def index_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
         lex_index = spark.read.parquet(idx_dir).where(F.col("bucket").isin(*want))
-
-        rows_c = (
-            e.where(F.col("vec_id") < _IVF_NLIST)
-            .orderBy("vec_id")
-            .select("embedding")
-            .collect()
-        )
-        cents = [[float(x) for x in r["embedding"]] for r in rows_c]
-        cell = similarity.assign_centroid_col("embedding", cents).cast("int")
-        e.withColumn("_cell", cell).write.partitionBy("_cell").mode(
-            "overwrite"
-        ).parquet(ivf_dir)
 
         out = _hybrid_legs(
             spark,
@@ -570,12 +588,40 @@ def index_hybrid_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta_dir = tempfile.mkdtemp(prefix="adps-hybflt-meta-")
     ivf_root = tempfile.mkdtemp(prefix="adps-hybflt-ivf-")
     try:
-        postings, stats = _scored_posting_rows(d)
-        postings.write.mode("overwrite").partitionBy("bucket").parquet(lex_dir)
-        stats.coalesce(1).write.mode("overwrite").parquet(stats_dir)
-        d.drop("text").write.mode("overwrite").parquet(meta_dir)
+        # four independent build groups (lexical index, docmeta sidecar,
+        # MoreLikeThis terms, filtered vector index) — overlap their jobs
+        # from a driver pool (guide §2.6); pure job scheduling, no served
+        # plan changes
+        from concurrent.futures import ThreadPoolExecutor
 
-        q_terms = _mlt_query_terms(d).localCheckpoint()
+        postings, stats = _scored_posting_rows(d)
+
+        def _write_lex() -> None:
+            postings.write.mode("overwrite").partitionBy("bucket").parquet(lex_dir)
+            stats.coalesce(1).write.mode("overwrite").parquet(stats_dir)
+
+        def _build_vx():
+            cents = _pinned_centroids(e)
+            # the ANN index stores the filterable metadata column — the
+            # production layout for filtered vector search
+            ew = e.join(d.select(F.col("doc_id").alias("vec_id"), "lang"), "vec_id")
+            vx = VectorIndex(
+                spark, ivf_root, nlist=_IVF_NLIST, nprobe=_IVF_NPROBE
+            ).build(ew, centroids=cents)
+            return cents, vx
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            f_lex = pool.submit(_write_lex)
+            f_meta = pool.submit(
+                lambda: d.drop("text").write.mode("overwrite").parquet(meta_dir)
+            )
+            f_terms = pool.submit(lambda: _mlt_query_terms(d).localCheckpoint())
+            f_vx = pool.submit(_build_vx)
+            q_terms = f_terms.result()
+            cents, vx = f_vx.result()
+            f_lex.result()
+            f_meta.result()
+
         terms = [r["term"] for r in q_terms.select("term").distinct().collect()]
         want = sorted(
             {
@@ -592,14 +638,6 @@ def index_hybrid_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.read.parquet(meta_dir)
             .where(f"lang = '{_HYBRID_FILTER_LANG}'")
             .select("doc_id")
-        )
-
-        cents = _pinned_centroids(e)
-        # the ANN index stores the filterable metadata column — the
-        # production layout for filtered vector search
-        ew = e.join(d.select(F.col("doc_id").alias("vec_id"), "lang"), "vec_id")
-        vx = VectorIndex(spark, ivf_root, nlist=_IVF_NLIST, nprobe=_IVF_NPROBE).build(
-            ew, centroids=cents
         )
         out = _hybrid_legs(
             spark,
@@ -1894,12 +1932,26 @@ def serving_hybrid_corpus_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         return e.join(ids, "vec_id", "left_semi")
 
     try:
+        # the two serving tiers are independent indexes under separate
+        # roots: their builds, per-tick appends and per-tick erasures
+        # overlap from a driver pool so each tier's job tail back-fills
+        # the executors (guide §2.6) — pure job scheduling, identical
+        # index contents and metadata
+        from concurrent.futures import ThreadPoolExecutor
+
         refresh_corpus_state(spark, state, d.where(F.col("doc_id") % 2 == 0), 0)
         live0 = read_state_part(spark, state, "live", 0)
-        idx = SearchIndex(spark, lex_root, mode="scored").build(live0)
-        vx = VectorIndex(
-            spark, ivf_root, nlist=_IVF_NLIST, nprobe=_IVF_NPROBE
-        ).build(vec_rows(live0), centroids=cents)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_lex = pool.submit(
+                lambda: SearchIndex(spark, lex_root, mode="scored").build(live0)
+            )
+            f_vec = pool.submit(
+                lambda: VectorIndex(
+                    spark, ivf_root, nlist=_IVF_NLIST, nprobe=_IVF_NPROBE
+                ).build(vec_rows(live0), centroids=cents)
+            )
+            idx = f_lex.result()
+            vx = f_vec.result()
 
         refresh_corpus_state(spark, state, d.where(F.col("doc_id") % 2 == 1), 1)
         takedown_corpus_state(spark, state, d.where(F.col("doc_id") % 97 == 0), 2)
@@ -1908,11 +1960,18 @@ def serving_hybrid_corpus_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
             appeared, evicted = state_changelog(
                 spark, state, "live", tick - 1, tick, key_cols=["doc_id"]
             )
-            if not appeared.isEmpty():
-                idx.append(appeared)
-                vx.append(vec_rows(appeared, delta=True))
-            n_evicted += idx.delete_docs(evicted)
-            vx.delete_vecs(evicted.select(F.col("doc_id").alias("vec_id")))
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                if not appeared.isEmpty():
+                    fa = pool.submit(idx.append, appeared)
+                    fb = pool.submit(vx.append, vec_rows(appeared, delta=True))
+                    fa.result()
+                    fb.result()
+                fd = pool.submit(idx.delete_docs, evicted)
+                fe = pool.submit(
+                    vx.delete_vecs, evicted.select(F.col("doc_id").alias("vec_id"))
+                )
+                n_evicted += fd.result()
+                fe.result()
         assert n_evicted > 0, "takedown tick must evict live keepers"
 
         # serve: MoreLikeThis terms over the LIVE corpus (an erased
