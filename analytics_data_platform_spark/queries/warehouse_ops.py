@@ -473,22 +473,36 @@ _FK_EDGES = [
 
 def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit: for every declared FK edge, the child
-    row count, orphan count (left-anti join against the parent key), and
-    distinct child key cardinality — the first report a warehouse runs
-    after every load. One anti-join + one agg per edge; parents that are
-    dimension-sized broadcast, the two fact-side edges shuffle on the key
-    they would join on anyway."""
+    row count, orphan count, and distinct child key cardinality — the
+    first report a warehouse runs after every load.
+
+    One child shuffle per edge, reused by both consumers: the child
+    groups to (k, cnt) once, the stats fold from the grouped frame
+    (``count(k)`` = distinct non-null keys, ``sum(cnt)`` = rows), and the
+    orphan anti-join probes with the DISTINCT-KEY frame instead of every
+    child row — at fact-table scale the anti-join side shrinks from
+    |rows| to |keys| and the old second full scan + count_distinct
+    shuffle disappear (the identical grouped subtree makes the two
+    branches share one exchange). Null child keys never match a parent
+    (SQL join semantics), so they count as orphans in both formulations
+    and are excluded from n_child_keys by both (count_distinct and
+    count(k) skip nulls)."""
     parts = []
     for edge, child_t, child_k, parent_t, parent_k in _FK_EDGES:
         child = load_table(spark, sf_dir, child_t).select(F.col(child_k).alias("k"))
         parent = load_table(spark, sf_dir, parent_t).select(F.col(parent_k).alias("k"))
-        orphans = child.join(parent, "k", "left_anti")
+        g = child.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+        orphans = g.join(parent, "k", "left_anti")
         parts.append(
-            child.agg(
+            g.agg(
                 F.lit(edge).alias("fk_edge"),
-                F.count(F.lit(1)).alias("n_child_rows"),
-                F.count_distinct("k").alias("n_child_keys"),
-            ).crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+                F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_child_rows"),
+                F.count("k").alias("n_child_keys"),
+            ).crossJoin(
+                orphans.agg(
+                    F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_orphans")
+                )
+            )
         )
     out = parts[0]
     for p in parts[1:]:
