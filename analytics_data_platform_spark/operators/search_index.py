@@ -43,6 +43,7 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from analytics_data_platform_spark.functions.concurrency import await_all
 from analytics_data_platform_spark.queries.search_ops import (
     INDEX_BUCKETS,
     _bm25_index_serve,
@@ -194,6 +195,13 @@ class SearchIndex:
     def _posting_frame(self, docs: DataFrame) -> DataFrame:
         if self.mode == "scored":
             postings, _ = _scored_posting_rows(docs)
+            # dl rides the explode/aggregation as an int (narrower shuffle
+            # bytes, guide §2.3) but PERSISTS as long: indexes built before
+            # the dl-carry change wrote dl = sum(tf) (LongType), and durable
+            # roots append across engine versions — a mixed int/long dl
+            # parquet tree can fail to read without mergeSchema. The cast
+            # sits above the aggregation, so no shuffle widens.
+            postings = postings.withColumn("dl", F.col("dl").cast("long"))
         else:
             builder = (
                 _positional_posting_rows
@@ -284,9 +292,7 @@ class SearchIndex:
                     )
                 )
             f_totals = pool.submit(self._batch_totals, docs)
-            for f in jobs:
-                f.result()
-            totals = f_totals.result()
+            totals = await_all(*jobs, f_totals)[-1]
         return None, totals
 
     def append(self, docs: DataFrame) -> "SearchIndex":
@@ -663,15 +669,35 @@ class SearchIndex:
 
     def _delete_ids(self) -> DataFrame | None:
         d = self._deletes_dir
-        if not os.path.isdir(d) or not any(
-            f.endswith(".parquet")
-            for _, _, files in os.walk(d)
-            for f in files
-        ):
+        if not os.path.isdir(d):
             return None
+        listing = tuple(
+            sorted(
+                os.path.join(os.path.relpath(walk_dir, d), f)
+                for walk_dir, _, files in os.walk(d)
+                for f in files
+                if f.endswith(".parquet")
+            )
+        )
+        if not listing:
+            return None
+        # the sidecar is bounded by design (O(deleted) ids) and immutable
+        # per file (uuid-named dirs): collect it ONCE and serve every
+        # consumer a literal frame keyed on the file listing — repeated
+        # serve/mutate calls in one sync tick stop paying a DataSource
+        # resolution + sidecar scan job per action (guide §1.2), and the
+        # anti-join broadcast builds from a local relation. Any writer
+        # (delete_docs/apply_deletes/merge_from, this process or another)
+        # changes the listing and invalidates.
+        cached = getattr(self, "_dels_cache", None)
+        if cached is not None and cached[0] == listing:
+            return cached[1]
         # each delete call writes its own subdirectory — recursive lookup
         # flattens them (no partition inference over non-k=v dirs)
-        return self.spark.read.option("recursiveFileLookup", "true").parquet(d)
+        frame = self.spark.read.option("recursiveFileLookup", "true").parquet(d)
+        lit = self.spark.createDataFrame(frame.collect(), frame.schema)
+        self._dels_cache = (listing, lit)
+        return lit
 
     def _served(self, pruned: DataFrame) -> DataFrame:
         dels = self._delete_ids()

@@ -431,11 +431,29 @@ class VectorIndex:
 
     def _delete_ids(self) -> DataFrame | None:
         d = self._deletes_dir
-        if not os.path.isdir(d) or not any(
-            f.endswith(".parquet") for _, _, files in os.walk(d) for f in files
-        ):
+        if not os.path.isdir(d):
             return None
-        return self.spark.read.option("recursiveFileLookup", "true").parquet(d)
+        listing = tuple(
+            sorted(
+                os.path.join(os.path.relpath(walk_dir, d), f)
+                for walk_dir, _, files in os.walk(d)
+                for f in files
+                if f.endswith(".parquet")
+            )
+        )
+        if not listing:
+            return None
+        # bounded O(deleted) sidecar, immutable per file: collect once and
+        # serve a literal frame keyed on the file listing (see
+        # SearchIndex._delete_ids) — repeated probe/mutate calls stop
+        # paying a DataSource resolution + sidecar scan job per action
+        cached = getattr(self, "_dels_cache", None)
+        if cached is not None and cached[0] == listing:
+            return cached[1]
+        frame = self.spark.read.option("recursiveFileLookup", "true").parquet(d)
+        lit = self.spark.createDataFrame(frame.collect(), frame.schema)
+        self._dels_cache = (listing, lit)
+        return lit
 
     def delete_vecs(self, ids) -> int:
         """Erase vectors from serving: O(deleted) id sidecar, anti-joined

@@ -56,6 +56,7 @@ import tempfile
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from analytics_data_platform_spark.functions.concurrency import await_all
 from analytics_data_platform_spark.operators import similarity
 from analytics_data_platform_spark.operators.search_index import SearchIndex
 from analytics_data_platform_spark.operators.similarity import topk_per_query
@@ -406,9 +407,7 @@ def index_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             f_lex = pool.submit(_write_lex)
             f_terms = pool.submit(lambda: _mlt_query_terms(d).localCheckpoint())
             f_ivf = pool.submit(_build_ivf)
-            q_terms = f_terms.result()
-            cents = f_ivf.result()
-            f_lex.result()
+            q_terms, cents, _ = await_all(f_terms, f_ivf, f_lex)
 
         terms = [r["term"] for r in q_terms.select("term").distinct().collect()]
         want = sorted(
@@ -617,10 +616,7 @@ def index_hybrid_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             f_terms = pool.submit(lambda: _mlt_query_terms(d).localCheckpoint())
             f_vx = pool.submit(_build_vx)
-            q_terms = f_terms.result()
-            cents, vx = f_vx.result()
-            f_lex.result()
-            f_meta.result()
+            q_terms, (cents, vx), _, _ = await_all(f_terms, f_vx, f_lex, f_meta)
 
         terms = [r["term"] for r in q_terms.select("term").distinct().collect()]
         want = sorted(
@@ -1950,8 +1946,7 @@ def serving_hybrid_corpus_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
                     spark, ivf_root, nlist=_IVF_NLIST, nprobe=_IVF_NPROBE
                 ).build(vec_rows(live0), centroids=cents)
             )
-            idx = f_lex.result()
-            vx = f_vec.result()
+            idx, vx = await_all(f_lex, f_vec)
 
         refresh_corpus_state(spark, state, d.where(F.col("doc_id") % 2 == 1), 1)
         takedown_corpus_state(spark, state, d.where(F.col("doc_id") % 97 == 0), 2)
@@ -1964,14 +1959,12 @@ def serving_hybrid_corpus_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if not appeared.isEmpty():
                     fa = pool.submit(idx.append, appeared)
                     fb = pool.submit(vx.append, vec_rows(appeared, delta=True))
-                    fa.result()
-                    fb.result()
+                    await_all(fa, fb)
                 fd = pool.submit(idx.delete_docs, evicted)
                 fe = pool.submit(
                     vx.delete_vecs, evicted.select(F.col("doc_id").alias("vec_id"))
                 )
-                n_evicted += fd.result()
-                fe.result()
+                n_evicted += await_all(fd, fe)[0]
         assert n_evicted > 0, "takedown tick must evict live keepers"
 
         # serve: MoreLikeThis terms over the LIVE corpus (an erased

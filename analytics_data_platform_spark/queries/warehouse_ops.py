@@ -476,32 +476,40 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     row count, orphan count, and distinct child key cardinality — the
     first report a warehouse runs after every load.
 
-    One child shuffle per edge, reused by both consumers: the child
-    groups to (k, cnt) once, the stats fold from the grouped frame
-    (``count(k)`` = distinct non-null keys, ``sum(cnt)`` = rows), and the
-    orphan anti-join probes with the DISTINCT-KEY frame instead of every
-    child row — at fact-table scale the anti-join side shrinks from
-    |rows| to |keys| and the old second full scan + count_distinct
-    shuffle disappear (the identical grouped subtree makes the two
-    branches share one exchange). Null child keys never match a parent
-    (SQL join semantics), so they count as orphans in both formulations
-    and are excluded from n_child_keys by both (count_distinct and
-    count(k) skip nulls)."""
+    ONE child scan + ONE child shuffle per edge, in the INITIAL plan: the
+    child groups to (k, cnt) once, then a LEFT OUTER join against the
+    parent's DEDUPED key set attaches a hit marker, and a single keyless
+    aggregate folds all three stats — ``sum(cnt)`` = rows, ``count(k)`` =
+    distinct non-null keys, ``sum(cnt) where no hit`` = orphan rows.
+    The r10 shape (two branches over a shared grouped subtree + anti-join
+    + crossJoin) relied on runtime ReusedExchange, which Catalyst's
+    anti-join-below-aggregate pushdown silently defeated (the pushed
+    branch re-scanned the child per edge); the outer-join form needs no
+    reuse because there is only one branch. Equivalence: parent keys are
+    deduped before the join (multiplicity exactly 1 per g row), a null
+    child key never matches (left join on ``=``), so null-key rows count
+    as orphans and are excluded from n_child_keys by both formulations —
+    identical to the old anti-join fold. The parent side is key-sized
+    (|parent keys|, deduped map-side) and the planner picks
+    broadcast/shuffle by size as before."""
     parts = []
     for edge, child_t, child_k, parent_t, parent_k in _FK_EDGES:
         child = load_table(spark, sf_dir, child_t).select(F.col(child_k).alias("k"))
-        parent = load_table(spark, sf_dir, parent_t).select(F.col(parent_k).alias("k"))
+        parent_keys = (
+            load_table(spark, sf_dir, parent_t)
+            .select(F.col(parent_k).alias("k"))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
         g = child.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
-        orphans = g.join(parent, "k", "left_anti")
         parts.append(
-            g.agg(
+            g.join(parent_keys, "k", "left").agg(
                 F.lit(edge).alias("fk_edge"),
                 F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_child_rows"),
                 F.count("k").alias("n_child_keys"),
-            ).crossJoin(
-                orphans.agg(
-                    F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_orphans")
-                )
+                F.coalesce(
+                    F.sum(F.when(F.col("_hit").isNull(), F.col("cnt"))), F.lit(0)
+                ).alias("n_orphans"),
             )
         )
     out = parts[0]

@@ -322,8 +322,23 @@ def compact_posting_buckets(
             staged = os.path.join(staged_root, name)
             if not os.path.isdir(staged):
                 # zero-row bucket (partitionBy writes no dir for it):
-                # nothing to install; leave the resident files alone
-                continue
+                # still owes its file-count debt — rewrite the N empty
+                # resident files to ONE empty file with the same footer
+                # schema, driver-side (no Spark job), so a fleet of
+                # many-file empty buckets cannot dodge compaction forever
+                import pyarrow.parquet as _pq
+
+                bucket_dir = os.path.join(idx_dir, name)
+                first = next(
+                    f
+                    for f in sorted(os.listdir(bucket_dir))
+                    if f.endswith(".parquet")
+                )
+                os.makedirs(staged, exist_ok=True)
+                _pq.write_table(
+                    _pq.read_schema(os.path.join(bucket_dir, first)).empty_table(),
+                    os.path.join(staged, "part-00000-compacted-empty.parquet"),
+                )
             for extra in os.listdir(staged):  # _SUCCESS etc. stay out
                 if not extra.endswith(".parquet"):
                     os.remove(os.path.join(staged, extra))

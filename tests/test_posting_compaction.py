@@ -82,6 +82,40 @@ def test_compaction_shrinks_files_and_preserves_serving(spark, tmp_path, sf_dir)
     assert compact_posting_buckets(spark, idx) == []
 
 
+def test_zero_row_oversized_bucket_compacts_to_one_file(spark, tmp_path, sf_dir):
+    """A bucket whose resident files are all EMPTY (every row deleted /
+    empty-batch appends) still owes its file-count debt: compaction must
+    rewrite N empty files to ONE empty file — not skip the bucket, which
+    would let a fleet of many-file empty buckets dodge compaction forever."""
+    import pyarrow.parquet as pq
+
+    idx = str(tmp_path / "idx")
+    _build_incremental_index(spark, sf_dir, idx)
+    # clone a resident file's footer schema into 3 zero-row files
+    donor_bucket = next(n for n in sorted(os.listdir(idx)) if n.startswith("bucket="))
+    donor = next(
+        f
+        for f in os.listdir(os.path.join(idx, donor_bucket))
+        if f.endswith(".parquet")
+    )
+    schema = pq.read_schema(os.path.join(idx, donor_bucket, donor))
+    empty_dir = os.path.join(idx, "bucket=999")
+    os.makedirs(empty_dir)
+    for i in range(3):
+        pq.write_table(schema.empty_table(), os.path.join(empty_dir, f"e{i}.parquet"))
+    _, content_before = _serve_hash(spark, idx)
+
+    done = compact_posting_buckets(spark, idx)
+    assert any(d.startswith("bucket=999:") for d in done), done
+    files = [f for f in os.listdir(empty_dir) if f.endswith(".parquet")]
+    assert len(files) == 1, files
+    assert spark.read.parquet(empty_dir).count() == 0
+    _, content_after = _serve_hash(spark, idx)
+    assert content_after == content_before, "compaction changed index content"
+    # idempotent: the single-file empty bucket is no longer oversized
+    assert compact_posting_buckets(spark, idx) == []
+
+
 def test_torn_swap_recovers_both_ways(spark, tmp_path, sf_dir):
     idx = str(tmp_path / "idx")
     _build_incremental_index(spark, sf_dir, idx)

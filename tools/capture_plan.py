@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Capture .explain('formatted') for registry queries into plans/r10/.
+"""Capture .explain('formatted') for registry queries into plans/<round>/.
 
 Usage: python tools/capture_plan.py <suffix> <query> [<query> ...]
 Writes plans/r10/<query>_<suffix>.txt for each named query.
@@ -14,7 +14,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = Path(__file__).resolve().parent.parent / "plans" / "r10"
+OUT = Path(__file__).resolve().parent.parent / "plans" / os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r11")
 
 
 def main() -> None:
