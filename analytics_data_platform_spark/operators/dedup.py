@@ -598,6 +598,91 @@ def _band_buckets_col(text_col: str, num_hashes: int, bands: int, seed: int) -> 
     return col
 
 
+def _band_rows_arrow(
+    base: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    seed: int,
+) -> DataFrame:
+    """Native twin of the HOF band-bucket pipeline (guide §4.2): one
+    ``mapInArrow`` pass that normalizes, shingles, md5-hashes and
+    affine-folds whole batches with hashlib/numpy instead of interpreted
+    per-element Catalyst lambdas. BIT-IDENTICAL to the portable HOF
+    formulation by construction, and pinned by
+    tests/test_minhash_native.py (exact frame equality on adversarial
+    shapes + the testdata corpus):
+
+    - normalization replicates functions.text.normalized_text with Java's
+      ASCII ``\\s`` class (NOT Python's Unicode ``\\s``);
+    - the 32-bit hash is the first 4 md5 bytes big-endian, exactly
+      ``conv(substring(md5(s), 1, 8), 16, 10)``;
+    - the affine fold (a·h + b) % MERSENNE_P stays in uint64 — max
+      product < 2^63, so no wraparound;
+    - docs with null text or fewer than k tokens emit no rows, matching
+      ``explode`` over the null bucket array.
+    """
+    import re as _re
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    out_schema = StructType(
+        [base.schema[id_col], StructField("bucket", StringType())]
+    )
+    a_params, b_params = affine_params(num_hashes, seed)
+    r = num_hashes // bands
+    k = 3  # shingle_tokens default — the only width the portable family uses
+
+    def compute(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        a_np = np.asarray(a_params, dtype=np.uint64).reshape(-1, 1)
+        b_np = np.asarray(b_params, dtype=np.uint64).reshape(-1, 1)
+        p_np = np.uint64(MERSENNE_P)
+        # Java regex \s == [ \t\n\x0B\f\r] (ASCII); Python's \s is Unicode
+        strip_re = _re.compile(r"[^a-z0-9 \t\n\x0b\f\r]")
+        ws_re = _re.compile(r"[ \t\n\x0b\f\r]+")
+        md5 = hashlib.md5
+        band_slices = [(bnd, bnd * r, (bnd + 1) * r) for bnd in range(bands)]
+
+        for batch in batches:
+            ids = batch.column(id_col)
+            texts = batch.column(text_col).to_pylist()
+            out_idx: list[int] = []
+            out_buckets: list[str] = []
+            for i, t in enumerate(texts):
+                if t is None:
+                    continue
+                toks = ws_re.sub(" ", strip_re.sub("", t.lower())).strip(" ").split(" ")
+                if len(toks) < k:
+                    continue
+                shingles = {" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)}
+                h = np.fromiter(
+                    (
+                        int.from_bytes(md5(s.encode("utf-8")).digest()[:4], "big")
+                        for s in shingles
+                    ),
+                    dtype=np.uint64,
+                    count=len(shingles),
+                )
+                sig = ((a_np * h + b_np) % p_np).min(axis=1)
+                out_idx.extend([i] * bands)
+                out_buckets.extend(
+                    f"{bnd}," + ",".join(str(int(v)) for v in sig[lo:hi])
+                    for bnd, lo, hi in band_slices
+                )
+            yield pa.RecordBatch.from_arrays(
+                [ids.take(pa.array(out_idx, type=pa.int32())), pa.array(out_buckets, type=pa.string())],
+                names=[id_col, "bucket"],
+            )
+
+    return base.mapInArrow(compute, out_schema)
+
+
 def minhash_band_rows(
     df: DataFrame,
     text_col: str = "text",
@@ -612,13 +697,24 @@ def minhash_band_rows(
     these rows to a lakehouse table keyed by bucket, so later ingest
     batches can join against them without re-shingling the corpus
     (see :func:`incremental_minhash_candidates`).
+
+    Two bit-identical implementations (flip via SPARK_GRAFT_MINHASH_IMPL):
+    the default ``arrow`` path hands whole batches to hashlib/numpy inside
+    one ``mapInArrow`` (guide §4.2 — the interpreted md5 × 32-affine HOF
+    fold was the largest per-row compute left in the engine, ~4.8 s per
+    sf0.1 bootstrap); ``hof`` keeps the pure-Catalyst expression pipeline
+    (zero Python boundary, e.g. for a cluster without Python workers).
+    Equality is pinned by tests/test_minhash_native.py.
     """
+    import os
+
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    buckets = _band_buckets_col(text_col, num_hashes, bands, seed)
-    return spread(df.select(id_col, text_col)).select(
-        id_col, F.explode(buckets).alias("bucket")
-    )
+    base = spread(df.select(id_col, text_col))
+    if os.environ.get("SPARK_GRAFT_MINHASH_IMPL", "arrow") == "hof":
+        buckets = _band_buckets_col(text_col, num_hashes, bands, seed)
+        return base.select(id_col, F.explode(buckets).alias("bucket"))
+    return _band_rows_arrow(base, text_col, id_col, num_hashes, bands, seed)
 
 
 def incremental_minhash_candidates(

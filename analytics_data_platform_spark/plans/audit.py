@@ -255,6 +255,7 @@ def audit(df: DataFrame, *, codegen: bool = False) -> PlanReport:
         reused_exchanges=simple.count("ReusedExchange"),
         codegen_spans=spans,
         python_eval="EvalPython" in simple or "MapInPandas" in simple
+        or "MapInArrow" in simple
         or "FlatMapGroupsInPandas" in simple or "PythonUDTF" in simple,
         aqe="AdaptiveSparkPlan" in simple,
         unbounded_single_partition=_find_unbounded_single_partition(simple),

@@ -32,6 +32,18 @@ PYTHON_ALLOWED = {
     # size-bounded partitions — the codec slot this stage feeds is Python
     # by necessity (operators/multimodal.py::extract_byte_features)
     "multimodal_binary_stats",
+    # portable MinHash band rows run as ONE hashlib/numpy mapInArrow pass
+    # (operators/dedup.py::_band_rows_arrow, guide §4.2): the interpreted
+    # md5 × 32-affine HOF fold was the largest per-row compute left
+    # (fresh-session bootstrap 6.9 → 4.9 s, 100k-doc pass 4.5 → 2.6 s at
+    # sf0.1); bit-equality with the HOF twin is pinned by
+    # tests/test_minhash_native.py and the oracle gate
+    "minhash_calibration",
+    "near_dup_minhash",
+    "corpus_state_changelog",
+    "corpus_tombstone_reingest",
+    "incremental_minhash_dedup",
+    "incremental_pipeline_refresh",
 }
 
 # Queries allowed to keep an Exchange SinglePartition over non-limited
