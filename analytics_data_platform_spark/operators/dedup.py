@@ -690,6 +690,7 @@ def minhash_band_rows(
     num_hashes: int = 32,
     bands: int = 16,
     seed: int = 42,
+    assume_wide: bool = False,
 ) -> DataFrame:
     """(id, bucket): the LSH band-bucket rows for a document set.
 
@@ -710,7 +711,15 @@ def minhash_band_rows(
 
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    base = spread(df.select(id_col, text_col))
+    base = df.select(id_col, text_col)
+    # spread()'s partition probe physically PLANS the input tree — on the
+    # incremental tick's deep delta trees that is seconds of driver-side
+    # analysis for a deterministically no-op answer. Callers whose input
+    # is downstream of a shuffle (width = spark.sql.shuffle.partitions >=
+    # defaultParallelism by session construction) pass assume_wide=True
+    # to skip the probe outright (guide §1.2: driver-side cost is real).
+    if not assume_wide:
+        base = spread(base)
     if os.environ.get("SPARK_GRAFT_MINHASH_IMPL", "arrow") == "hof":
         buckets = _band_buckets_col(text_col, num_hashes, bands, seed)
         return base.select(id_col, F.explode(buckets).alias("bucket"))

@@ -366,7 +366,12 @@ def delta_merge_parts(
     # each compute once per tick. (Persist-based plan-matched sharing was
     # measured 1.5× slower end-to-end here; the checkpoint's eager
     # physical planning is the cheaper trade.)
-    new_rows = dedup.minhash_band_rows(newly_m.select(*_DOC_COLS))
+    # assume_wide: newly_m sits downstream of the keeper groupBy
+    # exchange, so its width is the shuffle-partition count by
+    # construction — skip spread()'s whole-tree planning probe
+    new_rows = dedup.minhash_band_rows(
+        newly_m.select(*_DOC_COLS), assume_wide=True
+    )
     if stage == "execute":
         new_rows_m = new_rows.localCheckpoint(eager=False)
     else:
@@ -432,7 +437,9 @@ def _merge_parts(
     compacted = dedup.compact_band_index(
         old_index, live.select("doc_id")
     ).localCheckpoint(eager=False)
-    new_rows = dedup.minhash_band_rows(newly_live).localCheckpoint(eager=False)
+    new_rows = dedup.minhash_band_rows(
+        newly_live, assume_wide=True  # downstream of the merge groupBy
+    ).localCheckpoint(eager=False)
 
     # 3) near-dup candidates touching new docs: bucket equi-join of the new
     #    band rows against the compacted index (+ new×new), then the exact
@@ -673,9 +680,21 @@ def refresh_corpus_state(
         old_tombstones = read_state_part(spark, state_dir, "tombstones", prior[-1])
     else:
         # bootstrap: empty state with the stored schemas — the unified
-        # delta construction below then IS the full run on the first batch
-        old_live = clean.limit(0)
-        old_index = dedup.minhash_band_rows(clean.select(*_DOC_COLS).limit(0))
+        # delta construction below then IS the full run on the first
+        # batch. Empty LOCAL relations, not limit(0) over the batch tree:
+        # a limit-0 handle drags the whole annotated-batch plan into every
+        # downstream reference, and the tick's two checkpoint declarations
+        # physically plan those trees on the driver (guide §7.3 — plan
+        # size is a real cost; measured seconds per bootstrap tick)
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        old_live = spark.createDataFrame([], clean.schema)
+        old_index = spark.createDataFrame(
+            [],
+            StructType(
+                [clean.schema["doc_id"], StructField("bucket", StringType())]
+            ),
+        )
         old_tombstones = spark.createDataFrame([], _TOMBSTONE_SCHEMA)
 
     # tombstone door: content whose fingerprint was ever taken down never

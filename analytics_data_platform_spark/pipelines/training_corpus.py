@@ -81,34 +81,47 @@ def build_training_corpus(
     exact = dedup.dedup_exact(clean).persist()
     manifest.append(StageCount("exact_dedup", exact.count()))
 
-    assigned = exact.join(_leakage_safe_assign(exact), "doc_id")
-    packed = pack_greedy(
-        assigned.select(
-            "split",
-            "source",
-            "doc_id",
-            F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
-        ),
-        group_cols=["split", "source"],
-        order_col="doc_id",
-        token_col="n_tokens",
-        budget=PACK_BUDGET,
-    )
-    shards = assigned.join(
-        packed.select("doc_id", "pack_id"), "doc_id"
-    ).select("split", "source", "pack_id", "doc_id", "text", "lang", "n_chars")
-    shards.write.mode("overwrite").partitionBy("split").parquet(f"{out_dir}/shards")
-    for row in (
-        spark.read.parquet(f"{out_dir}/shards")
-        .groupBy("split")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    ):
-        manifest.append(StageCount(f"split:{row.split}", row.n))
+    # the (doc_id, split) assignment has TWO consumers (the pack input and
+    # the shard join) — persist the NARROW frame so the LSH→CC assignment
+    # pipeline computes once per build instead of once per consumer
+    assign = _leakage_safe_assign(exact).persist()
+    try:
+        assigned = exact.join(assign, "doc_id")
+        packed = pack_greedy(
+            assigned.select(
+                "split",
+                "source",
+                "doc_id",
+                F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+            ),
+            group_cols=["split", "source"],
+            order_col="doc_id",
+            token_col="n_tokens",
+            budget=PACK_BUDGET,
+        )
+        shards = assigned.join(
+            packed.select("doc_id", "pack_id"), "doc_id"
+        ).select("split", "source", "pack_id", "doc_id", "text", "lang", "n_chars")
+        shards.write.mode("overwrite").partitionBy("split").parquet(
+            f"{out_dir}/shards"
+        )
+        # per-split counts from the cached key-sized assignment, not a
+        # re-read of the full written text shards (a 100 TB output scan
+        # whose only purpose was three counts — guide §1.2). Identical by
+        # construction: assign has one row per exact-dedup doc and the
+        # pack join is 1:1 (greedy packing covers every input row) — the
+        # very equalities test_pipeline_stage_conservation pins against
+        # the written output.
+        for row in (
+            assign.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+        ):
+            manifest.append(StageCount(f"split:{row.split}", row.n))
 
-    mdf = spark.createDataFrame(
-        [(m.stage, m.n_docs) for m in manifest], "stage string, n_docs long"
-    )
-    mdf.write.mode("overwrite").parquet(f"{out_dir}/manifest")
-    exact.unpersist()
+        mdf = spark.createDataFrame(
+            [(m.stage, m.n_docs) for m in manifest], "stage string, n_docs long"
+        )
+        mdf.write.mode("overwrite").parquet(f"{out_dir}/manifest")
+    finally:
+        assign.unpersist()
+        exact.unpersist()
     return manifest

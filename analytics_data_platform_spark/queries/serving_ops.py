@@ -978,25 +978,53 @@ def serving_index_corpus_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         takedown_corpus_state,
     )
 
+    from concurrent.futures import ThreadPoolExecutor
+
     docs = load_table(spark, sf_dir, "documents")
     state = tempfile.mkdtemp(prefix="adps-sync-state-")
     root = tempfile.mkdtemp(prefix="adps-sync-idx-")
-    try:
-        refresh_corpus_state(spark, state, docs.where(F.col("doc_id") % 2 == 0), 0)
-        idx = SearchIndex(spark, root, mode="scored").build(
-            read_state_part(spark, state, "live", 0)
-        )
 
-        refresh_corpus_state(spark, state, docs.where(F.col("doc_id") % 2 == 1), 1)
-        takedown_corpus_state(spark, state, docs.where(F.col("doc_id") % 97 == 0), 2)
-        n_evicted = 0
-        for tick in (1, 2):
-            appeared, evicted = state_changelog(
-                spark, state, "live", tick - 1, tick, key_cols=["doc_id"]
+    def _apply_changelog(idx, tick: int) -> int:
+        appeared, evicted = state_changelog(
+            spark, state, "live", tick - 1, tick, key_cols=["doc_id"]
+        )
+        if not appeared.isEmpty():  # takedown ticks append nothing
+            idx.append(appeared)
+        return idx.delete_docs(evicted)
+
+    try:
+        # cross-tick overlap (guide §2.6): snapshot versions are immutable
+        # (copy-on-write), so the tick-0 index build reads live@v0 while
+        # the tick-1 refresh commits v1 — and tick-1's index maintenance
+        # (append + delete, same-index-sequential) touches only the index
+        # root while the tick-2 takedown commits v2. Same operations, same
+        # dependency order as the sequential loop: each changelog read
+        # waits for its tick's commit AND the index existing.
+        refresh_corpus_state(spark, state, docs.where(F.col("doc_id") % 2 == 0), 0)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_build = pool.submit(
+                lambda: SearchIndex(spark, root, mode="scored").build(
+                    read_state_part(spark, state, "live", 0)
+                )
             )
-            if not appeared.isEmpty():  # takedown ticks append nothing
-                idx.append(appeared)
-            n_evicted += idx.delete_docs(evicted)
+            f_t1 = pool.submit(
+                refresh_corpus_state,
+                spark,
+                state,
+                docs.where(F.col("doc_id") % 2 == 1),
+                1,
+            )
+            idx, _ = await_all(f_build, f_t1)
+            f_t2 = pool.submit(
+                takedown_corpus_state,
+                spark,
+                state,
+                docs.where(F.col("doc_id") % 97 == 0),
+                2,
+            )
+            f_m1 = pool.submit(_apply_changelog, idx, 1)
+            n_evicted, _ = await_all(f_m1, f_t2)
+        n_evicted += _apply_changelog(idx, 2)
         assert n_evicted > 0, "takedown tick must evict live keepers"
 
         served = idx.bm25(QUERY_TERMS)
@@ -1935,23 +1963,7 @@ def serving_hybrid_corpus_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         # index contents and metadata
         from concurrent.futures import ThreadPoolExecutor
 
-        refresh_corpus_state(spark, state, d.where(F.col("doc_id") % 2 == 0), 0)
-        live0 = read_state_part(spark, state, "live", 0)
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_lex = pool.submit(
-                lambda: SearchIndex(spark, lex_root, mode="scored").build(live0)
-            )
-            f_vec = pool.submit(
-                lambda: VectorIndex(
-                    spark, ivf_root, nlist=_IVF_NLIST, nprobe=_IVF_NPROBE
-                ).build(vec_rows(live0), centroids=cents)
-            )
-            idx, vx = await_all(f_lex, f_vec)
-
-        refresh_corpus_state(spark, state, d.where(F.col("doc_id") % 2 == 1), 1)
-        takedown_corpus_state(spark, state, d.where(F.col("doc_id") % 97 == 0), 2)
-        n_evicted = 0
-        for tick in (1, 2):
+        def _apply_changelog(tick: int) -> int:
             appeared, evicted = state_changelog(
                 spark, state, "live", tick - 1, tick, key_cols=["doc_id"]
             )
@@ -1964,7 +1976,34 @@ def serving_hybrid_corpus_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
                 fe = pool.submit(
                     vx.delete_vecs, evicted.select(F.col("doc_id").alias("vec_id"))
                 )
-                n_evicted += await_all(fd, fe)[0]
+                return await_all(fd, fe)[0]
+
+        # cross-tick overlap on top (guide §2.6): snapshot versions are
+        # immutable, so both tier builds read live@v0 while the tick-1
+        # refresh commits v1, and tick-1's index maintenance (index roots
+        # only) runs while the tick-2 takedown commits v2 — same
+        # operations, same dependency order as the sequential loop
+        refresh_corpus_state(spark, state, d.where(F.col("doc_id") % 2 == 0), 0)
+        live0 = read_state_part(spark, state, "live", 0)
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_lex = pool.submit(
+                lambda: SearchIndex(spark, lex_root, mode="scored").build(live0)
+            )
+            f_vec = pool.submit(
+                lambda: VectorIndex(
+                    spark, ivf_root, nlist=_IVF_NLIST, nprobe=_IVF_NPROBE
+                ).build(vec_rows(live0), centroids=cents)
+            )
+            f_t1 = pool.submit(
+                refresh_corpus_state, spark, state, d.where(F.col("doc_id") % 2 == 1), 1
+            )
+            idx, vx, _ = await_all(f_lex, f_vec, f_t1)
+            f_t2 = pool.submit(
+                takedown_corpus_state, spark, state, d.where(F.col("doc_id") % 97 == 0), 2
+            )
+            f_m1 = pool.submit(_apply_changelog, 1)
+            n_evicted, _ = await_all(f_m1, f_t2)
+        n_evicted += _apply_changelog(2)
         assert n_evicted > 0, "takedown tick must evict live keepers"
 
         # serve: MoreLikeThis terms over the LIVE corpus (an erased

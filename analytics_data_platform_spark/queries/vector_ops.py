@@ -81,11 +81,16 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the per-row work (interpreted higher-order dot products × |queries|)
     # is thousands of times the IO — without this the whole scoring join
     # runs on one core (optimization guide §2 / functions.expr.spread; a
-    # no-op on wide production scans). Result-identical: scoring is
+    # no-op on wide production scans). The norm projects AFTER the
+    # exchange: raw (vec_id, embedding) rows cross the wire and the
+    # per-row HOF norm runs on every core instead of inside the one-task
+    # map side (guide §2.3 — shuffle fewer bytes, compute wide; the r10
+    # pre-exchange-norm shape measured 1.44 s vs 0.87 s for this one,
+    # tools/ab_ann.py, idle min-of-4). Result-identical: scoring is
     # per-row pure and the two-phase top-k's (score desc, id asc) order is
     # partitioning-independent.
-    cand = spread(
-        e.select("vec_id", "embedding", V.norm("embedding").alias("c_nrm"))
+    cand = spread(e.select("vec_id", "embedding")).select(
+        "vec_id", "embedding", V.norm("embedding").alias("c_nrm")
     )
     cos = F.when(
         (F.col("q_nrm") > 0) & (F.col("c_nrm") > 0),
